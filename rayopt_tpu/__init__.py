@@ -1,0 +1,53 @@
+"""rayopt_tpu — a TPU-native optical design and ray-tracing framework.
+
+Capabilities mirror quartiq/rayopt (see /root/reference and SURVEY.md):
+sequential geometric / paraxial / gaussian / polynomial-aberration ray
+tracing, pupils/conjugates and ray aiming, materials and dispersion,
+aberration analysis, differentiable optimization, and lens-format I/O.
+
+The compute plane is built JAX-first: systems lower to a struct-of-arrays
+`SurfaceTable` pytree; traces are pure jitted functions (`lax.scan` over
+surfaces with ray bundles batched on the VPU/MXU); everything is
+differentiable end-to-end so merit-function optimization uses `jax.grad`
+instead of finite differences; ray bundles shard across TPU chips via
+`shard_map` over a `jax.sharding.Mesh` (see `rayopt_tpu.parallel`).
+
+Numerics default to float64 (matching the NumPy reference semantics);
+pass float32 tables/rays explicitly for TPU throughput work, or set
+RAYOPT_TPU_NO_X64=1 to leave JAX in 32-bit mode.
+"""
+
+import os
+
+import jax
+
+if not os.environ.get("RAYOPT_TPU_NO_X64"):
+    jax.config.update("jax_enable_x64", True)
+
+from .utils.math import (  # noqa: E402,F401
+    sinarctan, tanarcsin, norm, normalize, normalize_z, sagittal_meridional,
+)
+from .utils.distributions import pupil_distribution  # noqa: E402,F401
+from .materials import (  # noqa: E402,F401
+    Material, ModelMaterial, AbbeMaterial, CoefficientsMaterial,
+    vacuum, mirror, air, fraunhofer, Thermal,
+)
+from .elements import Element, Interface, Spheroid  # noqa: E402,F401
+from .pupils import Pupil, RadiusPupil, NaPupil, SlopePupil, FnoPupil  # noqa: E402,F401
+from .conjugates import Conjugate, FiniteConjugate, InfiniteConjugate  # noqa: E402,F401
+from .system import System  # noqa: E402,F401
+from .trace.base import Trace  # noqa: E402,F401
+from .trace.paraxial import ParaxialTrace  # noqa: E402,F401
+from .trace.geometric import GeometricTrace, FullTrace  # noqa: E402,F401
+from .trace.gaussian import GaussianTrace  # noqa: E402,F401
+from .trace.poly import PolyTrace, PolyState  # noqa: E402,F401
+from .formats import (  # noqa: E402,F401
+    system_from_yaml, system_to_yaml, system_from_json, system_to_json,
+    system_from_array, system_from_text,
+)
+from .analysis import Analysis  # noqa: E402,F401
+from .optimize import optimize, Variable, PathVariable, Operand, FuncOp  # noqa: E402,F401
+from .io.zemax import zmx_to_system  # noqa: E402,F401
+from .io.oslo import len_to_system, olc_to_system  # noqa: E402,F401
+
+__version__ = "0.1.0"

@@ -1,0 +1,155 @@
+"""Canonical optical prescriptions used for tests, demos, and the
+performance benchmarks.
+
+These are the model zoo of the framework (the analog of the reference's
+inline YAML test systems plus the BASELINE.json benchmark configs):
+an achromatic doublet, the OSLO 50mm f/4 Cooke triplet, a classic
+100mm f/2.8 double Gauss (Smith/US2532751-type design, the headline
+benchmark lens), a Petzval-style pair, a fast parabolic mirror, and a
+HeNe laser cavity for the gaussian/resonator path.
+"""
+
+from ..formats import system_from_yaml
+
+DOUBLET_YAML = """
+description: "achromatic doublet 100mm"
+object:
+  type: finite
+  radius: 1.0
+  pupil: {type: slope, slope: .001, distance: 100., update_distance: False}
+elements:
+- {material: vacuum}
+- {material: 1.51872, distance: 99.9, curvature: 1.611356421}
+- {material: 1.66238, distance: .1, curvature: -2.455396159}
+- {material: vacuum, distance: 0.0661308, curvature: -0.786448792}
+- {distance: 0.93402287}
+"""
+
+COOKE_YAML = """
+description: 'oslo cooke triplet example 50mm f/4 20deg'
+wavelengths: [587.56e-9, 656.27e-9, 486.13e-9]
+object: {angle_deg: 20, pupil: {radius: 6.25, aim: True}}
+image: {type: finite, pupil: {radius: 0, update_radius: True}}
+elements:
+- {material: air}
+- {roc: 21.25, distance: 5.0, material: SCHOTT-SK|N-SK16, radius: 6.5}
+- {roc: -158.65, distance: 2.0, material: air, radius: 6.5}
+- {roc: -20.25, distance: 6.0, material: SCHOTT-F|N-F2, radius: 5.0}
+- {roc: 19.6, distance: 1.0, material: air, radius: 5.0}
+- {material: air, radius: 4.75}
+- {roc: 141.25, distance: 6.0, material: SCHOTT-SK|N-SK16, radius: 6.5}
+- {roc: -17.285, distance: 2.0, material: air, radius: 6.5}
+- {distance: 42.95, radius: 0.364}
+stop: 5
+"""
+
+# classic 6-element double Gauss, ~100 mm EFL, f/2.8, 28 deg full field
+DOUBLE_GAUSS_YAML = """
+description: 'double gauss 100mm f/2.8 28deg'
+wavelengths: [587.56e-9, 656.27e-9, 486.13e-9]
+object: {angle_deg: 14, pupil: {radius: 17.86, aim: True}}
+image: {type: finite, pupil: {radius: 0, update_radius: True}}
+elements:
+- {material: air}
+- {roc: 54.153, distance: 10.0, material: SCHOTT-SK|N-SK2, radius: 29.2}
+- {roc: 152.522, distance: 8.747, material: air, radius: 28.1}
+- {roc: 35.951, distance: 0.5, material: SCHOTT-SK|N-SK16, radius: 24.0}
+- {distance: 14.0, material: SCHOTT-F|F5, radius: 21.3}
+- {roc: 22.270, distance: 3.777, material: air, radius: 14.8}
+- {material: air, radius: 14.2}
+- {roc: -25.685, distance: 14.253, material: SCHOTT-F|F5, radius: 14.3}
+- {distance: 3.777, material: SCHOTT-SK|N-SK16, radius: 20.8}
+- {roc: -36.980, distance: 10.834, material: air, radius: 21.1}
+- {roc: 196.417, distance: 0.5, material: SCHOTT-SK|N-SK16, radius: 20.0}
+- {roc: -67.148, distance: 6.858, material: air, radius: 20.0}
+- {distance: 57.315, radius: 24.0}
+stop: 6
+"""
+
+PETZVAL_YAML = """
+description: 'petzval-type pair 100mm f/4'
+wavelengths: [587.56e-9, 656.27e-9, 486.13e-9]
+object: {angle_deg: 7, pupil: {radius: 12.5, aim: True}}
+image: {type: finite, pupil: {radius: 0, update_radius: True}}
+elements:
+- {material: air}
+- {roc: 56.0, distance: 10.0, material: SCHOTT-BK|N-BK7, radius: 15.}
+- {roc: -42.0, distance: 8.0, material: SCHOTT-F|F5, radius: 15.}
+- {roc: -240.0, distance: 2.5, material: air, radius: 15.}
+- {material: air, radius: 11.}
+- {roc: 48.0, distance: 30.0, material: SCHOTT-BK|N-BK7, radius: 12.}
+- {roc: -36.0, distance: 7.0, material: SCHOTT-F|F5, radius: 12.}
+- {roc: 109.0, distance: 2.0, material: air, radius: 12.}
+- {distance: 64.0, radius: 8.}
+stop: 4
+"""
+
+PARABOLIC_YAML = """
+description: 'f/2 parabolic mirror'
+object:
+  type: infinite
+  angle_deg: 1
+  pupil: {radius: 25, distance: 25}
+stop: 1
+elements:
+- {material: vacuum}
+- {material: mirror, distance: 100, roc: -200, conic: -1, radius: 25}
+- {material: vacuum, distance: -100, radius: 1}
+"""
+
+# a simple stable two-mirror HeNe cavity (gaussian/resonator demo):
+# flat output coupler + concave high reflector
+HENE_CAVITY_YAML = """
+description: 'hene cavity 632.8nm, flat + R=600mm, L=200mm'
+wavelengths: [632.8e-9]
+object:
+  type: finite
+  radius: .2
+  pupil: {type: radius, radius: .2, distance: 100., update_distance: False}
+elements:
+- {material: vacuum}
+- {material: mirror, distance: 0, radius: 2}
+- {material: mirror, distance: 200, roc: -600, radius: 2}
+- {material: vacuum, distance: -200, radius: 2}
+"""
+
+
+def _build(yaml_text, update=True):
+    s = system_from_yaml(yaml_text)
+    if update:
+        s.update()
+    return s
+
+
+def doublet(update=True):
+    return _build(DOUBLET_YAML, update)
+
+
+def cooke_triplet(update=True):
+    return _build(COOKE_YAML, update)
+
+
+def double_gauss(update=True):
+    return _build(DOUBLE_GAUSS_YAML, update)
+
+
+def petzval(update=True):
+    return _build(PETZVAL_YAML, update)
+
+
+def parabolic_mirror(update=True):
+    return _build(PARABOLIC_YAML, update)
+
+
+def hene_cavity(update=False):
+    return _build(HENE_CAVITY_YAML, update)
+
+
+PRESCRIPTIONS = {
+    "doublet": doublet,
+    "cooke": cooke_triplet,
+    "double_gauss": double_gauss,
+    "petzval": petzval,
+    "parabolic": parabolic_mirror,
+    "hene_cavity": hene_cavity,
+}

@@ -1,0 +1,178 @@
+"""Surface kernels: sag, normal, intercept, Snell refraction.
+
+These are the numerics of the per-surface transfer-intercept-refract
+step (reference elements.py:440-501 for the spheroid sag/normal and
+closed-form conic intercept, elements.py:333-349 for the iterative
+aspheric intercept, elements.py:351-369 for vector Snell / reflection),
+re-expressed as pure, batched, NaN-safe jnp functions:
+
+* no data-dependent control flow -- everything is `jnp.where` selects so
+  the whole step fuses into one XLA kernel under `jit`;
+* the per-ray SciPy Newton loop of the reference becomes a fixed
+  trip-count vectorized Newton (ASPHERIC_ITERS) over the full bundle;
+* "ray missed / total internal reflection / vignetted" is encoded as
+  NaN, matching the reference convention, but produced with guarded
+  sqrt so reverse-mode gradients never see NaN from live rays.
+
+Surface parameters are scalars (or arrays broadcastable against the ray
+batch) so the functions can be vmapped/scanned freely.
+"""
+
+import jax.numpy as jnp
+
+ASPHERIC_ITERS = 10
+ASPHERIC_TOL = 1e-9
+
+
+def _safe_sqrt(x):
+    """sqrt clamped at zero; pair with an explicit miss mask."""
+    return jnp.sqrt(jnp.maximum(x, 0))
+
+
+def _poly_even(r2, coeffs):
+    """sum_i coeffs[i] * r2**(i+1) via Horner (reference elements.py:449)."""
+    d = jnp.zeros_like(r2)
+    for i in range(coeffs.shape[-1] - 1, -1, -1):
+        d = (d + coeffs[..., i])*r2
+    return d
+
+
+def _dpoly_even(r2, coeffs):
+    """d/d(r2) of _poly_even times 2 ... the radial derivative factor
+    sum_i 2*(i+1)*coeffs[i]*r2**i (reference elements.py:470)."""
+    d = jnp.zeros_like(r2)
+    for i in range(coeffs.shape[-1] - 1, -1, -1):
+        d = d*r2 + 2*(i + 1)*coeffs[..., i]
+    return d
+
+
+def surface_sag(xyz, curvature, conic, aspherics):
+    """Signed distance along z from the surface: z - sag(x, y).
+
+    Zero on the surface; matches reference elements.py:440.
+    """
+    e = xyz[..., 2]
+    r2 = jnp.square(xyz[..., :2]).sum(-1)
+    c, k = curvature, conic
+    sq = _safe_sqrt(1 - (1 + k)*c**2*r2)
+    e = e - c*r2/(1 + sq)
+    if aspherics.shape[-1]:
+        e = e - _poly_even(r2, aspherics)
+    return e
+
+
+def surface_normal(xyz, curvature, conic, aspherics):
+    """(Unnormalized) surface normal of the sag function, pointing +z
+    (reference elements.py:457)."""
+    r2 = jnp.square(xyz[..., :2]).sum(-1)
+    c, k = curvature, conic
+    e = -c/_safe_sqrt(1 - (1 + k)*c**2*r2)
+    if aspherics.shape[-1]:
+        e = e - _dpoly_even(r2, aspherics)
+    q = jnp.stack([xyz[..., 0]*e, xyz[..., 1]*e,
+                   jnp.ones_like(e)], axis=-1)
+    return q
+
+
+def intercept_conic(y, u, curvature, conic, alternate):
+    """Closed-form ray length to a conic surface (reference
+    elements.py:477-501), with degenerate branches handled by selects:
+
+    * c == 0: plane, s = -y_z/u_z
+    * quadratic coefficient e == 0 (axial ray on a paraboloid): the
+      conjugate-root form f/(g - d) (same root, numerically stable)
+    * negative discriminant (ray misses): NaN
+    """
+    c, k = curvature, conic
+    kv = jnp.stack([jnp.ones_like(k), jnp.ones_like(k), 1 + k], axis=-1)
+    uy = (u*y*kv).sum(-1)
+    uu = (jnp.square(u)*kv).sum(-1)
+    yy = (jnp.square(y)*kv).sum(-1)
+    d = c*uy - u[..., 2]
+    e = c*uu
+    f = c*yy - 2*y[..., 2]
+    disc = jnp.square(d) - e*f
+    g = _safe_sqrt(disc)*(1 - 2*alternate)
+    e_safe = jnp.where(e == 0, 1., e)
+    gd_safe = jnp.where(g == d, 1., g - d)
+    s = jnp.where(e == 0, f/gd_safe, -(d + g)/e_safe)
+    uz_safe = jnp.where(u[..., 2] == 0, 1., u[..., 2])
+    s = jnp.where(c == 0, -y[..., 2]/uz_safe, s)
+    s = jnp.where((c != 0) & (disc < 0), jnp.nan, s)
+    return s
+
+
+def intercept(y, u, curvature, conic, aspherics,
+              iters=ASPHERIC_ITERS, tol=ASPHERIC_TOL, alternate=0.):
+    """Ray length from y along unit u to the surface.
+
+    Conic part is closed-form; if aspheric coefficients are present
+    (static shape), a fixed trip-count vectorized Newton refines the
+    root on the full sag (replacing the per-ray scipy.newton loop of
+    reference elements.py:333-349).  Non-converged rays become NaN.
+    """
+    s = intercept_conic(y, u, curvature, conic, alternate)
+    if aspherics.shape[-1]:
+        s0 = s
+        for _ in range(iters):
+            p = y + s[..., None]*u
+            fn = surface_sag(p, curvature, conic, aspherics)
+            fp = (surface_normal(p, curvature, conic, aspherics)*u).sum(-1)
+            fp = jnp.where(fp == 0, 1., fp)
+            s = s - fn/fp
+        p = y + s[..., None]*u
+        res = surface_sag(p, curvature, conic, aspherics)
+        scale = 1 + jnp.abs(s)
+        s = jnp.where(jnp.abs(res) <= tol*scale, s, jnp.nan)
+        s = jnp.where(jnp.isnan(s0) & (curvature != 0), jnp.nan, s)
+    return s
+
+
+def refract(y, u0, mu, curvature, conic, aspherics):
+    """Vector Snell refraction / mirror reflection at the intercept
+    (Spencer & Murty 1962; reference elements.py:351-369).
+
+    mu = n_before/n_after; mu == -1 reflects, mu == 1 passes through.
+    Total internal reflection produces NaN.
+    """
+    r = surface_normal(y, curvature, conic, aspherics)
+    r2 = jnp.square(r).sum(-1)
+    muf = jnp.abs(mu)
+    a = muf*(u0*r).sum(-1)/r2
+    # reflection branch (mu == -1): muf == 1
+    u_refl = u0 - 2*a[..., None]*r
+    # refraction branch
+    b = (mu**2 - 1)/r2
+    disc = jnp.square(a) - b
+    g = -a + jnp.sign(mu)*_safe_sqrt(disc)
+    u_refr = muf*u0 + g[..., None]*r
+    u_refr = jnp.where(disc[..., None] < 0, jnp.nan, u_refr)
+    u = jnp.where(mu == -1, u_refl, u_refr)
+    u = jnp.where(mu == 1, u0, u)
+    return u
+
+
+def clip_aperture(y, u, radius):
+    """NaN the direction of rays outside the aperture
+    (reference elements.py:207)."""
+    good = jnp.square(y[..., :2]).sum(-1) <= radius**2
+    return jnp.where(good[..., None], u, jnp.nan)
+
+
+def propagate_surface(y, u, surf, clip=False):
+    """One full surface step in local (normal) coordinates: intercept,
+    transfer, optional clip, refract (reference elements.py:306-315).
+
+    surf is a row of SurfaceTable fields (scalars).  Returns
+    (y1, u1, t) with t the geometric path length (multiply by n_before
+    for the optical path, as the trace engine does).
+    """
+    t = intercept(y, u, surf.curvature, surf.conic, surf.aspherics,
+                  alternate=surf.alternate)
+    y1 = y + t[..., None]*u
+    u0 = u
+    if clip:
+        u0 = clip_aperture(y1, u0, surf.radius)
+    u1 = refract(y1, u0, surf.mu, surf.curvature, surf.conic,
+                 surf.aspherics)
+    return y1, u1, t

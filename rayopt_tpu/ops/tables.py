@@ -1,0 +1,106 @@
+"""SurfaceTable: the struct-of-arrays system description.
+
+This is the TPU-native replacement of the reference's list-of-Element
+objects (reference system.py:35, elements.py:179): every per-surface
+quantity lives in one array with the surface index as the leading axis,
+so the whole sequential trace is a single `lax.scan` over rows and rays
+stay batched on the vector unit.
+
+A table is built per trace wavelength (refractive indices and the
+refraction ratio mu are baked in as arrays).  It is a pytree, so it can
+be donated/sharded/differentiated: `jax.grad` w.r.t. `curvature`,
+`distance`, `conic`, `aspherics`, ... flows through the trace engines.
+"""
+
+from typing import NamedTuple
+
+import numpy as np
+import jax.numpy as jnp
+
+
+class SurfaceTable(NamedTuple):
+    """Per-surface arrays; leading axis = surface index (0 = object).
+
+    curvature:  (S,)    vertex curvature 1/roc
+    conic:      (S,)    conic constant kappa
+    aspherics:  (S, K)  even-asphere coefficients (padded with zeros)
+    offset:     (S, 3)  vertex offset from previous vertex (lab frame)
+    rot:        (S,3,3) surface-normal rotation matrix (identity if none)
+    radius:     (S,)    aperture radius for clipping (inf = open)
+    alternate:  (S,)    1. where the alternate (far) conic intersection
+                        is selected (hyperhemispheres), else 0.
+    mu:         (S,)    refraction ratio n_before/n_after; -1 for mirrors;
+                        1 for bare interfaces (reference elements.py:283)
+    n_before:   (S,)    refractive index before the surface
+    n_after:    (S,)    refractive index after the surface
+    distance:   (S,)    |offset| along the axis (for path/track bookkeeping)
+    """
+
+    curvature: jnp.ndarray
+    conic: jnp.ndarray
+    aspherics: jnp.ndarray
+    offset: jnp.ndarray
+    rot: jnp.ndarray
+    radius: jnp.ndarray
+    alternate: jnp.ndarray
+    mu: jnp.ndarray
+    n_before: jnp.ndarray
+    n_after: jnp.ndarray
+    distance: jnp.ndarray
+
+    @property
+    def nsurfaces(self):
+        return self.curvature.shape[0]
+
+    @property
+    def dtype(self):
+        return self.curvature.dtype
+
+    def astype(self, dtype):
+        return SurfaceTable(*(jnp.asarray(f, dtype=dtype) for f in self))
+
+    def replace(self, **kw):
+        return self._replace(**kw)
+
+
+def make_table(curvature, conic=None, aspherics=None, offset=None,
+               rot=None, radius=None, alternate=None, mu=None,
+               n_before=None, n_after=None, distance=None,
+               dtype=np.float64):
+    """Assemble a SurfaceTable from plain arrays, filling defaults."""
+    curvature = np.asarray(curvature, dtype=dtype)
+    s = curvature.shape[0]
+
+    def arr(x, default, shape):
+        # stays host-side NumPy: the consuming jit commits it to the
+        # right device (remote-accelerator roundtrips are expensive for
+        # the many tiny host-driven traces, e.g. pupil aiming)
+        if x is None:
+            out = np.broadcast_to(np.asarray(default, dtype=dtype), shape)
+        else:
+            out = np.asarray(x, dtype=dtype)
+            assert out.shape == shape, (out.shape, shape)
+        return np.ascontiguousarray(out)
+
+    if aspherics is None:
+        aspherics = np.zeros((s, 0), dtype=dtype)
+    else:
+        aspherics = np.asarray(aspherics, dtype=dtype).reshape(s, -1)
+    if offset is None and distance is not None:
+        offset = np.zeros((s, 3), dtype=dtype)
+        offset[:, 2] = distance
+    if distance is None and offset is not None:
+        distance = np.linalg.norm(np.asarray(offset), axis=-1)
+    return SurfaceTable(
+        curvature=np.ascontiguousarray(curvature),
+        conic=arr(conic, 0., (s,)),
+        aspherics=np.ascontiguousarray(aspherics),
+        offset=arr(offset, 0., (s, 3)),
+        rot=arr(rot, np.eye(3, dtype=dtype), (s, 3, 3)),
+        radius=arr(radius, np.inf, (s,)),
+        alternate=arr(alternate, 0., (s,)),
+        mu=arr(mu, 1., (s,)),
+        n_before=arr(n_before, 1., (s,)),
+        n_after=arr(n_after, 1., (s,)),
+        distance=arr(distance, 0., (s,)),
+    )

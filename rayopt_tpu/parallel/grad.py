@@ -1,0 +1,79 @@
+"""Differentiable merit functions and gradient-based lens optimization.
+
+The TPU-native replacement of the reference's finite-difference
+scipy.optimize loop (reference optimize.py:93-161): the merit is a pure
+function of the SurfaceTable pytree, `jax.grad` differentiates through
+the whole transfer-intercept-refract scan, and optax drives the
+updates.  Rays may be sharded over a device mesh (see
+rayopt_tpu.parallel.sharding); gradients then ride ICI as psums
+inserted by XLA.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.geometric import trace_rays_final
+
+
+def spot_rms(table, y0, u0, w=None, clip=False):
+    """Weighted RMS spot radius at the last surface; NaN (vignetted /
+    missed) rays drop out with zero weight so gradients stay clean."""
+    y, u, t = trace_rays_final(table, y0, u0, clip=clip)
+    pt = y[:, :2]
+    good = jnp.all(jnp.isfinite(pt), axis=1)
+    if w is None:
+        w = jnp.ones(y0.shape[0], y0.dtype)/y0.shape[0]
+    wg = jnp.where(good, w, 0.)
+    pt = jnp.where(good[:, None], pt, 0.)
+    wsum = wg.sum()
+    mean = (wg[:, None]*pt).sum(0)/wsum
+    r2 = (wg*jnp.square(pt - mean).sum(1)).sum()/wsum
+    return jnp.sqrt(r2 + 1e-30)
+
+
+def trace_rms_merit(table, bundles):
+    """Sum of weighted spot RMS over several (y0, u0, w) bundles (e.g.
+    field points x wavelength tables)."""
+    total = 0.
+    for y0, u0, w in bundles:
+        total = total + spot_rms(table, y0, u0, w)
+    return total
+
+
+def optimize_grad(table, bundles, select=("curvature",), steps=100,
+                  lr=1e-4, optimizer=None, merit=None, callback=None):
+    """Gradient-descent lens optimization.
+
+    table:   initial SurfaceTable
+    bundles: list of (y0, u0, w) ray bundles defining the merit
+    select:  which table fields are free variables
+    merit:   optional callable(table) -> scalar (defaults to summed
+             spot RMS over the bundles)
+
+    Returns (optimized table, history of merit values).
+    """
+    import optax
+    if optimizer is None:
+        optimizer = optax.adam(lr)
+    if merit is None:
+        merit = functools.partial(trace_rms_merit, bundles=bundles)
+
+    params = {k: getattr(table, k) for k in select}
+
+    def loss(params):
+        return merit(table.replace(**params))
+
+    value_and_grad = jax.jit(jax.value_and_grad(loss))
+    state = optimizer.init(params)
+    history = []
+    for i in range(steps):
+        value, grads = value_and_grad(params)
+        updates, state = optimizer.update(grads, state, params)
+        params = optax.apply_updates(params, updates)
+        history.append(float(value))
+        if callback:
+            callback(i, value, params)
+    return table.replace(**params), np.asarray(history)

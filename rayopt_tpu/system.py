@@ -1,0 +1,644 @@
+"""System: ordered elements + conjugates + stop + wavelengths.
+
+API parity with reference system.py:35-593 (update/pickup/solve/
+validate, reverse/rescale, text tables, edge thickness, outlines, ABCD
+products, pupil aiming).  The compute-plane difference: `System.table`
+lowers the element list to the struct-of-arrays SurfaceTable and all
+per-surface loops (reference system.py:444-464) run as jitted
+`lax.scan` engines in rayopt_tpu.ops; the `propagate*` generators here
+wrap those engines for API compatibility.
+"""
+
+import itertools
+
+import numpy as np
+from scipy.optimize import newton, brentq
+
+from .elements import Element
+from .conjugates import Conjugate, FiniteConjugate, InfiniteConjugate
+from .materials import fraunhofer
+from .pupils import RadiusPupil
+from .utils.cachend import PolarCacheND
+from .utils.jaxtools import placement
+from .ops.tables import make_table
+from .ops.geometric import trace_rays
+from .trace.paraxial import ParaxialTrace
+
+
+class System(list):
+    def __init__(self, elements=None, description="", scale=1e-3,
+                 wavelengths=None, stop=1, fields=None,
+                 object=None, image=None,
+                 pickups=None, validators=None, solves=None):
+        elements = [Element.make(e) for e in elements or []]
+        super().__init__(elements)
+        self.description = description
+        self.scale = scale
+        self.wavelengths = wavelengths or [fraunhofer[i] for i in "dCF"]
+        self.stop = stop
+        if object:
+            self.object = Conjugate.make(object)
+        else:
+            self.object = InfiniteConjugate(
+                angle=0., pupil=RadiusPupil(
+                    radius=1., update_distance=True, update_radius=True))
+        if image:
+            self.image = Conjugate.make(image)
+        else:
+            self.image = FiniteConjugate(
+                radius=0., update_radius=True, pupil=RadiusPupil(
+                    radius=1., update_distance=True, update_radius=True))
+        if fields is None:
+            fields = [0.] if self.object.point else [0., .7, 1.]
+        self.fields = fields
+        self.pickups = pickups or []
+        self.validators = validators or []
+        self.solves = solves or []
+        self._pupil_cache = {}
+        self.paraxial = ParaxialTrace(self, update=False)
+
+    def dict(self):
+        return {
+            "description": self.description,
+            "stop": self.stop,
+            "scale": float(self.scale),
+            "wavelengths": [float(w) for w in self.wavelengths],
+            "object": self.object.dict(),
+            "image": self.image.dict(),
+            "pickups": [dict(p) for p in self.pickups],
+            "validators": [dict(v) for v in self.validators],
+            "solves": [dict(s) for s in self.solves],
+            "elements": [e.dict() for e in self],
+        }
+
+    # -- structure ---------------------------------------------------
+
+    @property
+    def aperture(self):
+        return self[self.stop]
+
+    @aperture.setter
+    def aperture(self, a):
+        self.stop = self.index(a)
+
+    def groups(self):
+        """Yield index lists forming lens groups (reference
+        system.py:92)."""
+        group = []
+        for i, el in enumerate(self):
+            if hasattr(el, "material"):
+                if getattr(el.material, "solid", False):
+                    group.append(i)
+                elif group or getattr(el.material, "mirror", False):
+                    group.append(i)
+                    yield group
+                    group = []
+            elif group:
+                group.append(i)
+        if group:
+            yield group
+
+    def get_path(self, path):
+        v = self
+        for k in path:
+            v = getattr(v, k) if isinstance(k, str) else v[k]
+        return v
+
+    def set_path(self, path, value):
+        v = self
+        for k in path[:-1]:
+            v = getattr(v, k) if isinstance(k, str) else v[k]
+        k = path[-1]
+        if isinstance(k, str):
+            setattr(v, k, value)
+        else:
+            v[k] = value
+
+    # -- parametric constraints (reference system.py:134-191) ---------
+
+    def pickup(self):
+        for pickup in self.pickups:
+            value = None
+            if "get" in pickup:
+                value = self.get_path(pickup["get"])
+            if "get_eval" in pickup:
+                value = eval(pickup["get_eval"], {"self": self})
+            if "get_func" in pickup:
+                value = eval(pickup["get_func"])(self, pickup, value)
+            if "factor" in pickup:
+                value = value*pickup["factor"]
+            if "offset" in pickup:
+                value = value + pickup["offset"]
+            if "set" in pickup:
+                self.set_path(pickup["set"], value)
+            if "set_exec" in pickup:
+                exec(pickup["set_exec"], {"self": self, "value": value})
+
+    def solve(self):
+        for solve in self.solves:
+            if "get" in solve:
+                def getter():
+                    return self.get_path(solve["get"])
+            elif "get_eval" in solve:
+                def getter():
+                    loc = dict(self=self, solve=solve)
+                    return eval(solve["get_eval"], loc, globals())
+            elif "get_func" in solve:
+                def getter():
+                    return solve["get_func"](self, solve)
+            if "set" in solve:
+                def setter(x):
+                    self.set_path(solve["set"], x)
+            elif "set_exec" in solve:
+                def setter(value):
+                    loc = dict(value=value, self=self, solve=solve)
+                    exec(solve["set_exec"], globals(), loc)
+            elif "set_func" in solve:
+                def setter(x):
+                    solve["set_func"](self, solve, x)
+            target = solve.get("target", 0.)
+            if "init" in solve:
+                init = solve["init"]
+            elif "set" in solve:
+                init = self.get_path(solve["set"])
+            else:
+                init = 0.
+
+            def func(x):
+                setter(x)
+                self.pickup()
+                return getter() - target
+
+            x = newton(func, init, tol=solve.get("tol", 1e-8),
+                       maxiter=solve.get("maxiter", 20))
+            func(x)
+            if "init_current" in solve:
+                solve["init"] = float(x)
+
+    def validate(self, fix=False):
+        for validator in self.validators:
+            value = None
+            if "get" in validator:
+                value = self.get_path(validator["get"])
+            if "get_eval" in validator:
+                value = eval(validator["get_eval"], {"self": self})
+            if "get_func" in validator:
+                value = eval(validator["get_func"])(self, validator, value)
+            if "exec" in validator:
+                exec(validator["exec"], {"self": self, "value": value})
+            if "minimum" in validator:
+                v = validator["minimum"]
+                if value < v:
+                    if fix and "get" in validator:
+                        self.set_path(validator["get"], v)
+                    else:
+                        raise ValueError(f"{value} < {v} ({validator})")
+            if "maximum" in validator:
+                v = validator["maximum"]
+                if value > v:
+                    if fix and "get" in validator:
+                        self.set_path(validator["get"], v)
+                    else:
+                        raise ValueError(f"{value} > {v} ({validator})")
+            if "equality" in validator:
+                v = validator["equality"]
+                if value != v:
+                    if fix and "get" in validator:
+                        self.set_path(validator["get"], v)
+                    else:
+                        raise ValueError(f"{value} != {v} ({validator})")
+
+    # -- refresh pipeline (reference system.py:201) --------------------
+
+    def refractive_index(self, wavelength, index):
+        for element in self[index::-1]:
+            try:
+                return element.refractive_index(wavelength)
+            except AttributeError:
+                pass
+        return 1.
+
+    def update(self):
+        self._pupil_cache.clear()
+        self.pickup()
+        self.solve()
+        self.object.pupil.refractive_index = \
+            self.refractive_index(self.wavelengths[0], 0)
+        self.image.pupil.refractive_index = \
+            self.refractive_index(self.wavelengths[0], -1)
+        self.paraxial.update_conjugates()
+        self.paraxial.update()
+        self.validate()
+
+    # -- global edits ---------------------------------------------------
+
+    def reverse(self):
+        d = [e.distance for e in self] + [0.]
+        m = [None] + [getattr(e, "material", None) for e in self]
+        for i, e in enumerate(self):
+            e.reverse()
+            e.distance = d[i + 1]
+            e.material = m[i]
+        self.object, self.image = self.image, self.object
+        self[:] = reversed(self)
+
+    def rescale(self, scale=None):
+        if scale is None:
+            scale = self.scale/1e-3
+        self.scale /= scale
+        for e in self:
+            e.rescale(scale)
+        self.object.rescale(scale)
+        self.image.rescale(scale)
+
+    # -- text ----------------------------------------------------------
+
+    def __str__(self):
+        return "\n".join(self.text())
+
+    def text(self):
+        return itertools.chain(self.base_text(), ("",))
+
+    def base_text(self):
+        yield "System: %s" % self.description
+        yield "Scale: %s mm" % (self.scale/1e-3)
+        yield "Wavelengths: %s nm" % ", ".join(
+            "%.0f" % (w/1e-9) for w in self.wavelengths)
+        yield "Fields: %s" % ", ".join("%g" % f for f in self.fields)
+        yield "Object:"
+        for line in self.object.text():
+            yield " " + line
+        yield "Image:"
+        for line in self.image.text():
+            yield " " + line
+        yield "Stop: %i" % self.stop
+        yield "Elements:"
+        yield ("{:>2} {:>1} {:>10} {:>10} {:>10} {:>17} "
+               "{:>7} {:>7} {:>7}").format(
+                   "#", "T", "Distance", "Rad Curv", "Diameter",
+                   "Material", "n", "nd", "Vd")
+        for i, e in enumerate(self):
+            curv = getattr(e, "curvature", 0)
+            roc = np.inf if curv == 0 else 1./curv
+            mat = getattr(e, "material", "")
+            nd = getattr(mat, "nd", np.nan)
+            vd = getattr(mat, "vd", np.nan)
+            n = nd
+            if mat:
+                n = self.refractive_index(self.wavelengths[0], i)
+            yield ("%2i %1s %10.5g %10.4g %10.5g %17s "
+                   "%7.3f %7.3f %7.2f") % (
+                       i, e.typeletter, e.distance, roc, e.radius*2,
+                       mat, n, nd, vd)
+
+    # -- geometry ------------------------------------------------------
+
+    def edge_thickness(self, axis=1):
+        t = []
+        dz0 = 0.
+        for el in self:
+            try:
+                dz = el.edge_sag(axis)
+            except AttributeError:
+                dz = 0.
+            t.append(el.distance - dz + dz0)
+            dz0 = dz
+        return np.array(t)
+
+    @property
+    def edge_y(self):
+        return np.array(self.edge_thickness(axis=1))
+
+    @property
+    def edge_x(self):
+        return np.array(self.edge_thickness(axis=0))
+
+    def resize_convex(self):
+        """Enlarge convex surfaces to at least their closing surface
+        (reference system.py:333)."""
+        pending = None
+        c0 = None
+        for el in self[1:-1]:
+            if not hasattr(el, "material"):
+                continue
+            c = getattr(el, "curvature", 0)
+            if pending is not None:
+                r = max(el.radius, pending.radius)
+                if c <= 0:
+                    el.radius = r
+                if c0 > 0:
+                    pending.radius = r
+                pending = None
+                if not el.material or el.material.solid:
+                    pending = el
+            if not el.material or el.material.solid:
+                pending, c0 = el, c
+
+    def surfaces_cut(self, axis=1, points=31):
+        """Yield 2-D cut outlines; solids are closed
+        (reference system.py:354)."""
+        pos = np.zeros(3)
+        pending = None
+        for e in self:
+            pos = pos + e.offset
+            xyz = pos + e.from_normal(e.surface_cut(axis, points))
+            x, z = xyz[:, axis], xyz[:, 2]
+            if getattr(e, "material", None) is None:
+                yield x, z
+                continue
+            if pending:
+                px, pz = pending
+                if x[0] < px[0]:
+                    cl = x[0], pz[0]
+                else:
+                    cl = px[0], z[0]
+                if x[-1] > px[-1]:
+                    cu = x[-1], pz[-1]
+                else:
+                    cu = px[-1], z[-1]
+                yield np.c_[(px, pz), cu, (x[::-1], z[::-1]), cl,
+                            (px[0], pz[0])]
+            elif not e.material.solid or e.material.mirror:
+                yield x, z
+            if e.material.solid or (pending and e.material.mirror):
+                pending = x, z
+            else:
+                pending = None
+        if pending:
+            yield pending
+
+    def plot(self, ax, axis=1, npoints=31, adjust=True, **kwargs):
+        kwargs.setdefault("color", "black")
+        if adjust:
+            ax.set_aspect("equal")
+            for s in ax.spines.values():
+                s.set_visible(False)
+            ax.set_xticks(())
+            ax.set_yticks(())
+        for x, z in self.surfaces_cut(axis, npoints):
+            ax.plot(z, x, **kwargs)
+        o = np.cumsum([e.offset for e in self], axis=0)
+        ax.plot(o[:, 2], o[:, axis], ":", **kwargs)
+
+    def paraxial_matrices(self, l, start=1, stop=None):
+        n = self.refractive_index(l, start - 1)
+        for e in self[start:stop]:
+            n, m = e.paraxial_matrix(n, l)
+            yield n, m
+
+    def paraxial_matrix(self, l, start=1, stop=None):
+        n = 1.
+        m = np.eye(4)
+        for n, mi in self.paraxial_matrices(l, start, stop):
+            m = np.dot(mi, m)
+        return n, m
+
+    @property
+    def origins(self):
+        return np.cumsum([el.offset for el in self], axis=0)
+
+    def close(self, index=-1):
+        self[index].offset -= self.origins[-1]
+
+    @property
+    def path(self):
+        return np.cumsum([el.distance for el in self])
+
+    @property
+    def track(self):
+        return self.origins[:, 2]
+
+    def align(self, n):
+        n0 = n[0]
+        for i, (el, ni) in enumerate(zip(self[:-1], n[:-1])):
+            mu = n0/ni
+            el.align(self[i + 1].direction, mu)
+            n0 = ni
+        self[-1].angles = 0, 0, 0.
+
+    @property
+    def mirrored(self):
+        return np.cumprod([
+            -1 if getattr(getattr(el, "material", None), "mirror", False)
+            else 1 for el in self])
+
+    # -- lowering to the TPU compute plane -----------------------------
+
+    def table(self, wavelength=None, dtype=np.float64):
+        """Lower to a SurfaceTable for one trace wavelength."""
+        if wavelength is None:
+            wavelength = self.wavelengths[0]
+        s = len(self)
+        kmax = max((len(getattr(e, "aspherics", None) or ())
+                    for e in self), default=0)
+        curvature = np.zeros(s)
+        conic = np.zeros(s)
+        aspherics = np.zeros((s, kmax))
+        offset = np.zeros((s, 3))
+        rot = np.tile(np.eye(3), (s, 1, 1))
+        radius = np.full(s, np.inf)
+        alternate = np.zeros(s)
+        mu = np.ones(s)
+        n_before = np.ones(s)
+        n_after = np.ones(s)
+        distance = np.zeros(s)
+        n0 = self.refractive_index(wavelength, 0)
+        for j, e in enumerate(self):
+            curvature[j] = getattr(e, "curvature", 0.)
+            conic[j] = getattr(e, "conic", 0.)
+            asp = getattr(e, "aspherics", None) or ()
+            aspherics[j, :len(asp)] = asp
+            offset[j] = e.offset
+            if e.rotated:
+                rot[j] = e.rot_normal
+            radius[j] = e.radius
+            alternate[j] = 1. if getattr(e, "alternate_intersection",
+                                         False) else 0.
+            distance[j] = e.distance
+            n_before[j] = n0
+            if hasattr(e, "get_n_mu"):
+                n0, mu[j] = e.get_n_mu(n0, wavelength)
+            n_after[j] = n0
+        return make_table(
+            curvature=curvature, conic=conic, aspherics=aspherics,
+            offset=offset, rot=rot, radius=radius, alternate=alternate,
+            mu=mu, n_before=n_before, n_after=n_after,
+            distance=distance, dtype=dtype)
+
+    # -- propagation drivers (reference system.py:444-464) -------------
+
+    def propagate_paraxial(self, yu, n, l, start=1, stop=None):
+        for e in self[start:stop]:
+            yu, n = e.propagate_paraxial(yu, n, l)
+            yield yu, n
+
+    def propagate_gaussian(self, q, n, l, start=1, stop=None):
+        for e in self[start:stop]:
+            q, n = e.propagate_gaussian(q, n, l)
+            yield q, n
+
+    def propagate_poly(self, state, l, start=1, stop=None):
+        from .trace.poly import propagate_poly_element
+        for e in self[start:stop]:
+            state = propagate_poly_element(e, state, l)
+            yield state
+
+    def trace_table(self, y, u, l, start=1, stop=None, clip=False,
+                    table=None):
+        """Batched real-ray trace via the jitted scan engine: returns
+        (y, u, i, t) stacked over surfaces start-1..stop-1 (row 0 = the
+        given seed)."""
+        if table is None:
+            table = self.table(l)
+        import jax.tree_util as jtu
+        sub = jtu.tree_map(lambda a: a[start - 1:stop], table)
+        y = np.atleast_2d(np.asarray(y, dtype=float))
+        u = np.atleast_2d(np.asarray(u, dtype=float))
+        with placement(y.shape[0]):
+            ys, us, iis, ts = trace_rays(sub, y, u, clip=clip)
+        return (np.asarray(ys), np.asarray(us), np.asarray(iis),
+                np.asarray(ts))
+
+    def propagate(self, y, u, n, l, start=1, stop=None, clip=False):
+        """Generator API over the jitted trace (reference
+        system.py:459): yields (y, u, n, i, t) per surface."""
+        table = self.table(l)
+        ys, us, iis, ts = self.trace_table(y, u, l, start, stop,
+                                           clip, table)
+        n_after = np.asarray(table.n_after)
+        for j in range(1, ys.shape[0]):
+            yield (ys[j], us[j], n_after[start - 1 + j], iis[j], ts[j])
+
+    # -- scalar solvers (reference system.py:466-502) -------------------
+
+    def solve_newton(self, merit, a=0., tol=1e-3, maxiter=30):
+        def find_start(fun, a0):
+            f0 = fun(a0)
+            if not np.isnan(f0):
+                return a0, f0
+            for scale in np.arange(1, maxiter):
+                for ai in -scale, scale:
+                    fi = fun(a0 + ai)
+                    if not np.isnan(fi):
+                        return a0 + ai, fi
+            raise ValueError("no starting ray found")
+
+        a, f = find_start(merit, a)
+        if abs(f) > tol:
+            a = newton(merit, a, tol=tol, maxiter=maxiter)
+        return a
+
+    def solve_brentq(self, merit, a=0., b=1., tol=1e-3, maxiter=30):
+        for i in range(maxiter):
+            fb = merit(b)
+            if abs(fb) <= tol:
+                return b
+            elif np.isnan(fb):
+                b /= 2
+            elif fb < 0:
+                a = b
+                b *= 1 - fb
+            else:
+                break
+        if i == maxiter - 1:
+            raise ValueError("no viable interval found", a, b, fb)
+        fa = merit(a)
+        if abs(fa) <= tol:
+            return a
+        assert fa < 0
+        a = brentq(merit, a, b, rtol=tol, xtol=tol, maxiter=maxiter)
+        return a
+
+    # -- pupil aiming (reference system.py:504-593) ---------------------
+
+    def aim(self, *args, **kwargs):
+        return self.object.aim(*args, surface=self[0], **kwargs)
+
+    def aim_chief(self, yo, z, p, l=None, stop=None, **kwargs):
+        assert p
+        if self.object.pupil.telecentric or not self.object.pupil.aim:
+            return z
+        if l is None:
+            l = self.wavelengths[0]
+        n = self.refractive_index(l, 0)
+        if stop in (-1, None):
+            stop = self.stop
+        rad = self[self.stop].radius
+        assert rad
+        table = self.table(l)
+        cache = {}
+
+        def dist(a):
+            if a in cache:
+                return cache[a]
+            y, u = self.aim(yo, None, z + a*p, filter=False)
+            ys = self.trace_table(y, u, l, stop=stop + 1, table=table)[0]
+            d = (np.asarray(yo)*ys[-1, 0, :2]).sum()/rad
+            cache[a] = d
+            return d
+
+        a = self.solve_newton(dist, **kwargs)
+        return z + a*p
+
+    def aim_marginal(self, yo, yp, z, p, l=None, stop=None, **kwargs):
+        assert p
+        rim = stop == -1
+        if not self.object.pupil.aim and not rim:
+            return p
+        if l is None:
+            l = self.wavelengths[0]
+        if rim:
+            stop = len(self) - 1
+        elif stop is None:
+            stop = self.stop + 1
+        r2 = np.square([e.radius for e in self[1:stop]])
+        table = self.table(l)
+        cache = {}
+
+        def dist(a):
+            if a in cache:
+                return cache[a]
+            y, u = self.aim(yo, yp, z, a*p, filter=False)
+            ys = self.trace_table(y, u, l, stop=stop, table=table)[0]
+            d = np.square(ys)[1:, 0, :2].sum(1)/r2 - 1
+            d = d.max() if rim else d[-1]
+            cache[a] = d
+            return d
+
+        a = self.solve_brentq(dist, **kwargs)
+        assert a
+        return a*p
+
+    def _aim_pupil(self, xo, yo, guess, **kwargs):
+        y = np.array((xo, yo))
+        if guess is None:
+            z = self.object.pupil.distance
+            a = self.object.pupil.radius
+            a = a*np.ones((2, 2))
+        else:
+            z, a = guess[0], guess[1:].reshape(2, 2)
+        if not np.allclose(y, 0):
+            z1 = self.aim_chief(y, z, np.fabs(a).max(), **kwargs)
+            if self.object.finite:
+                a *= np.fabs(z1/z)
+            z = z1
+        for ax, sig in (1, 1), (1, 0), (0, 1), (0, 0):
+            yp = [0, 0]
+            yp[ax] = 2*sig - 1.
+            a1 = self.aim_marginal(y, yp, z, a[sig, ax], **kwargs)
+            a[sig, ax] = a1
+            if sig == 1:
+                a[0, ax] = -a[1, ax]
+            if (sig, ax) == (1, 1) and guess is None:
+                a[:, 0] = a[:, 1]
+        return np.r_[z, a.flat]
+
+    def pupil(self, yo, l=None, stop=None, **kwargs):
+        k = l, stop
+        try:
+            c = self._pupil_cache[k]
+        except KeyError:
+            c = self._pupil_cache[k] = PolarCacheND(
+                self._aim_pupil, l=l, stop=stop, **kwargs)
+        q = c(*yo)
+        return q[0], q[1:].reshape(2, 2)

@@ -1,0 +1,45 @@
+"""Common trace state holder (reference raytrace.py:25-65)."""
+
+import numpy as np
+
+
+class Trace:
+    def __init__(self, system):
+        self.system = system
+
+    def allocate(self):
+        self.length = len(self.system)
+
+    def propagate(self):
+        self.path = self.system.path
+        self.track = self.system.track
+        self.origins = self.system.origins
+        self.mirrored = self.system.mirrored
+
+    def from_axis(self, y, i=None, ref=0):
+        y = np.atleast_3d(y)  # (z, ray, xyz)
+        if i is None:
+            i = np.searchsorted(y[:, ref, 2], self.path)
+        ys = []
+        for j, yi in enumerate(np.vsplit(y, i)):
+            if yi.ndim <= 1 or not yi.size:
+                continue
+            j = min(self.length - 1, j)
+            zi, ei, oi = self.path[j], self.system[j], self.origins[j]
+            yj = yi.reshape(-1, 3)
+            yj = oi + ei.from_axis(yj - (0, 0, zi))
+            ys.append(yj.reshape(yi.shape))
+        return np.vstack(ys)
+
+    def print_coeffs(self, coeff, labels, sum=True):
+        yield ("%2s %1s" + "% 10s"*len(labels)) % (
+            ("#", "T") + tuple(labels))
+        fmt = "%2s %1s" + "% 10.4g"*len(labels)
+        for i, a in enumerate(coeff):
+            yield fmt % ((i, self.system[i].typeletter) + tuple(a))
+        if sum:
+            yield fmt % (("", "") + tuple(coeff.sum(0)))
+
+    def align(self):
+        self.system.align(self.n)
+        self.propagate()

@@ -1,0 +1,115 @@
+"""Math/utility tests (mirrors reference test_utils.py)."""
+
+import numpy as np
+from numpy import testing as nptest
+import pytest
+
+from rayopt_tpu.utils.math import (
+    sinarctan, tanarcsin, sagittal_meridional, normalize)
+from rayopt_tpu.utils.distributions import (
+    pupil_distribution, gr_roots, gl_roots, interval_to_circle)
+from rayopt_tpu.utils.geometry import (
+    rotation_matrix, euler_matrix, euler_from_matrix)
+
+
+def test_trig_identities():
+    u = np.linspace(-.9, .9, 17)
+    nptest.assert_allclose(sinarctan(tanarcsin(u)), u, atol=1e-14)
+    nptest.assert_allclose(tanarcsin(sinarctan(u)), u, atol=1e-14)
+
+
+def test_tanarcsin_direction():
+    u = np.array([[.1, .2, np.sqrt(1 - .05)]])
+    nptest.assert_allclose(tanarcsin(u), u[:, :2]/u[:, 2:])
+
+
+def test_sagittal_meridional():
+    rng = np.random.RandomState(0)
+    u = rng.randn(10, 3)
+    u /= np.linalg.norm(u, axis=-1, keepdims=True)
+    z = np.array([0, 0, 1.])
+    s, m = sagittal_meridional(u, z)
+    # orthonormal ray-local frame
+    nptest.assert_allclose((s*u).sum(-1), 0, atol=1e-13)
+    nptest.assert_allclose((m*u).sum(-1), 0, atol=1e-13)
+    nptest.assert_allclose((s*m).sum(-1), 0, atol=1e-13)
+    nptest.assert_allclose(np.linalg.norm(s, axis=-1), 1, atol=1e-13)
+    nptest.assert_allclose(np.linalg.norm(m, axis=-1), 1, atol=1e-13)
+    # sagittal has no z component for z-axis reference
+    nptest.assert_allclose(s[:, 2], 0, atol=1e-13)
+
+
+def test_axial_sagittal():
+    u = np.array([[0, 0, 1.]])
+    s, m = sagittal_meridional(u, np.array([0, 0, 1.]))
+    nptest.assert_allclose(s, [[1, 0, 0]])
+
+
+def test_radau_quadrature():
+    # Gauss-Radau with n points integrates polynomials up to order 2n-2
+    x, w = gr_roots(5)
+    assert x[0] == -1
+    nptest.assert_allclose(w.sum(), 2, rtol=1e-12)
+    for k in range(2*5 - 1):
+        nptest.assert_allclose((w*x**k).sum(), 2./(k + 1)*(k % 2 == 0),
+                               atol=1e-12)
+
+
+def test_lobatto_quadrature():
+    x, w = gl_roots(6)
+    assert x[0] == -1 and x[-1] == 1
+    nptest.assert_allclose(w.sum(), 2, rtol=1e-12)
+    for k in range(2*6 - 3):
+        nptest.assert_allclose((w*x**k).sum(), 2./(k + 1)*(k % 2 == 0),
+                               atol=1e-12)
+
+
+def test_disc_quadrature_integrates():
+    # integral of r^2 over unit disc (normalized measure) is 1/2
+    x, w = gr_roots(8)
+    r, p, ws = interval_to_circle(x, w)
+    nptest.assert_allclose(ws.sum(), 1, rtol=1e-12)
+    nptest.assert_allclose((ws*r**2).sum(), .5, rtol=1e-10)
+
+
+@pytest.mark.parametrize("dist", [
+    "meridional", "sagittal", "cross", "tee", "random", "square",
+    "triangular", "hexapolar", "radau", "lobatto", "half-meridional"])
+def test_pupil_distribution(dist):
+    ref, xy, weight = pupil_distribution(dist, 32)
+    assert xy.ndim == 2 and xy.shape[1] == 2
+    r = np.square(xy).sum(1)
+    assert (r <= 1 + 1e-9).all()
+    assert 0 <= ref < xy.shape[0]
+    if dist in ("sagittal", "cross", "tee", "random", "square",
+                "triangular", "hexapolar", "half-meridional"):
+        # for these the reference ray is the pupil center
+        nptest.assert_allclose(xy[ref], 0, atol=1e-14)
+    if weight is not None:
+        nptest.assert_allclose(weight.sum(), 1, rtol=1e-12)
+
+
+def test_rotation_matrix():
+    r = rotation_matrix(.3, (0, 0, 1))
+    nptest.assert_allclose(r @ [1, 0, 0],
+                           [np.cos(.3), np.sin(.3), 0], atol=1e-14)
+    # orthonormality for random axis
+    r = rotation_matrix(1.1, (1, 2, 3.))
+    nptest.assert_allclose(r @ r.T, np.eye(3), atol=1e-14)
+    nptest.assert_allclose(np.linalg.det(r), 1, atol=1e-14)
+
+
+@pytest.mark.parametrize("axes", ["rxyz", "sxyz"])
+def test_euler_roundtrip(axes):
+    rng = np.random.RandomState(42)
+    for _ in range(20):
+        angles = rng.uniform(-1.2, 1.2, 3)
+        m = euler_matrix(*angles, axes=axes)
+        back = euler_from_matrix(m, axes)
+        nptest.assert_allclose(back, angles, atol=1e-12)
+
+
+def test_normalize():
+    u = np.random.RandomState(1).randn(5, 3)
+    normalize(u)
+    nptest.assert_allclose(np.linalg.norm(u, axis=-1), 1, atol=1e-13)

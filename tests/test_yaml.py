@@ -1,0 +1,51 @@
+"""Serialization round trips (mirrors reference test_yaml.py)."""
+
+from rayopt_tpu import (
+    system_from_yaml, system_to_yaml, system_from_json, system_to_json)
+
+TRIPLET = """
+description: oslo cooke triplet example 50mm f/4 20deg
+wavelengths: [546.1e-9, 486.e-9, 656.e-9]
+object: {angle_deg: 20, pupil: {radius: 6.25}}
+stop: 4
+elements:
+- {material: air}
+- {distance: 5, radius: 6.5, roc: 21.25, material: schott-sk|n-sk16}
+- {distance: 2, radius: 6.5, roc: -158.65, material: air}
+- {distance: 6, radius: 5, roc: -20.25, material: schott-f|n-f2}
+- {distance: 1, radius: 5, roc: 19.3, material: air}
+- {distance: 6, radius: 6.5, roc: 141.25, material: schott-sk|n-sk16}
+- {distance: 2, radius: 6.5, roc: -17.285, material: air}
+- {distance: 42.95, radius: .364, material: air}
+"""
+
+
+def test_load():
+    s = system_from_yaml(TRIPLET)
+    assert s is not None
+    assert len(s) == 8
+
+
+def test_yaml_roundtrip():
+    s = system_from_yaml(TRIPLET)
+    d = system_to_yaml(s)
+    s2 = system_from_yaml(d)
+    assert len(s2) == len(s)
+    assert system_to_yaml(s2) == d
+
+
+def test_json_roundtrip():
+    s = system_from_yaml(TRIPLET)
+    d = system_to_json(s)
+    s2 = system_from_json(d)
+    assert system_to_json(s2) == d
+
+
+def test_roundtrip_preserves_trace():
+    import numpy as np
+    s = system_from_yaml(TRIPLET)
+    s.update()
+    s2 = system_from_yaml(system_to_yaml(s))
+    s2.update()
+    np.testing.assert_allclose(s2.paraxial.focal_length,
+                               s.paraxial.focal_length, rtol=1e-12)
