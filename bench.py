@@ -1,0 +1,127 @@
+"""Headline benchmark: ray-surface intersection throughput on the
+double-Gauss (BASELINE.json north star: >= 1e9 intersections/s/chip)
+plus spot-RMS parity against the float64 CPU trace.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+(vs_baseline is the ratio against the 1e9/s target).  Details go to
+stderr.
+
+Method notes: the axon TPU tunnel has ~35 ms dispatch latency and a
+multi-minute cold first compile, so the measurement (a) uses one
+fused jitted function (specialized, fully unrolled surface chain on
+ray components), (b) uses a large bundle (2^27 rays), and (c) chains
+several traces per dispatch to amortize the tunnel latency.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+BASELINE_RATE = 1e9  # intersections/s/chip target (BASELINE.md)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import rayopt_tpu  # noqa: F401  (enables x64)
+    from rayopt_tpu.models import double_gauss
+    from rayopt_tpu.ops.geometric import (
+        trace_components_final, trace_rays_final)
+    from rayopt_tpu.ops.kernels import specialize
+
+    backend = jax.default_backend()
+    log("backend:", backend, jax.devices())
+
+    s = double_gauss()
+    tab64 = s.table()
+    specs = specialize(tab64)
+    nsurf = tab64.curvature.shape[0] - 1
+    dtype = np.float32
+    tab = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, dtype=dtype), tab64)
+
+    n = 1 << 27 if backend == "tpu" else 1 << 20
+    chain = 8
+    rng = np.random.RandomState(0)
+    comps = (jnp.asarray(rng.uniform(-11.6, 11.6, n).astype(dtype)),
+             jnp.asarray(rng.uniform(-11.6, 11.6, n).astype(dtype)),
+             jnp.zeros(n, dtype), jnp.zeros(n, dtype),
+             jnp.zeros(n, dtype), jnp.ones(n, dtype))
+    jax.block_until_ready(comps)
+
+    unroll = backend == "tpu"
+
+    @jax.jit
+    def rms_chain(state):
+        acc = 0.
+        for _ in range(chain):
+            out, t = trace_components_final(tab, state, specs=specs,
+                                            unroll=unroll)
+            acc = acc + jnp.nanmean(out[0]**2 + out[1]**2)
+            state = (out[0]*1e-3, out[1]*1e-3, state[2],
+                     state[3], state[4], state[5])
+        return acc
+
+    log("compiling + first run (cold remote compile can take "
+        "minutes)...")
+    t0 = time.perf_counter()
+    v = float(rms_chain(comps))
+    log("first call: %.1f s (value %.6g)" % (time.perf_counter() - t0, v))
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        v = float(rms_chain(comps))
+        times.append(time.perf_counter() - t0)
+    tb = min(times)
+    rate = chain*n*nsurf/tb
+    log("best of 5: %.1f ms for %d chained traces of %d rays x %d "
+        "surfaces -> %.3f G intersections/s"
+        % (tb*1e3, chain, n, nsurf, rate/1e9))
+
+    # spot-RMS parity: f64 trace on the accelerator vs f64 on CPU
+    m = 4096
+    y = np.zeros((m, 3))
+    y[:, :2] = rng.uniform(-1, 1, (m, 2))*11.6
+    u = np.zeros((m, 3))
+    u[:, 2] = 1.
+
+    def rms_of(yf):
+        pt = np.asarray(yf)[:, :2]
+        good = np.all(np.isfinite(pt), axis=1)
+        pt = pt[good]
+        return float(np.sqrt(((pt - pt.mean(0))**2).sum(1).mean()))
+
+    yf_acc, _, _ = trace_rays_final(tab64, y, u)
+    r_acc = rms_of(yf_acc)
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        yf_cpu, _, _ = trace_rays_final(tab64, y, u)
+    r_cpu = rms_of(yf_cpu)
+    parity = abs(r_acc - r_cpu)/max(r_cpu, 1e-30)
+    log("spot RMS f64: accel %.15g cpu %.15g rel err %.3g"
+        % (r_acc, r_cpu, parity))
+
+    print(json.dumps({
+        "metric": "ray_surface_intersections_per_sec_per_chip",
+        "value": rate,
+        "unit": "1/s",
+        "vs_baseline": rate/BASELINE_RATE,
+        "details": {
+            "config": "double_gauss f/2.8 (12 traced surfaces)",
+            "rays": n, "chained_traces": chain, "dtype": "float32",
+            "best_time_s": tb, "backend": backend,
+            "spot_rms_rel_err_f64_accel_vs_cpu": parity,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -35,7 +35,8 @@ def zmf_obfuscate(data, a, b):
     k = 13.2*(iv + np.sin(17*(p + 3)))*(p + 1)
     k = (int(f"{v:.8e}"[4:7]) for v in k)
     data = np.frombuffer(data, np.uint8).copy()
-    data ^= np.fromiter(k, np.uint8, len(data))
+    key = np.fromiter(k, np.int64, len(data)).astype(np.uint8)
+    data ^= key
     return data.tobytes()
 
 

@@ -47,7 +47,7 @@ stop: 5
 DOUBLE_GAUSS_YAML = """
 description: 'double gauss 100mm f/2.8 28deg'
 wavelengths: [587.56e-9, 656.27e-9, 486.13e-9]
-object: {angle_deg: 14, pupil: {radius: 17.86, aim: True}}
+object: {angle_deg: 14, pupil: {radius: 16.6, aim: True}}
 image: {type: finite, pupil: {radius: 0, update_radius: True}}
 elements:
 - {material: air}
@@ -56,7 +56,7 @@ elements:
 - {roc: 35.951, distance: 0.5, material: SCHOTT-SK|N-SK16, radius: 24.0}
 - {distance: 14.0, material: SCHOTT-F|F5, radius: 21.3}
 - {roc: 22.270, distance: 3.777, material: air, radius: 14.8}
-- {material: air, radius: 14.2}
+- {material: air, radius: 11.3}
 - {roc: -25.685, distance: 14.253, material: SCHOTT-F|F5, radius: 14.3}
 - {distance: 3.777, material: SCHOTT-SK|N-SK16, radius: 20.8}
 - {roc: -36.980, distance: 10.834, material: air, radius: 21.1}

@@ -2,18 +2,20 @@
 
 This replaces the reference's per-surface Python loop
 (reference system.py:459-464, geometric_trace.py:72-80) with a single
-jitted scan whose body is the fused transfer-intercept-refract step;
-the ray bundle (rays x wavelengths x fields flattened to N) stays
-batched on the TPU vector unit the whole way through.
+jitted scan whose body is the fused transfer-intercept-refract step
+from rayopt_tpu.ops.kernels.  Rays are carried as six (N,) component
+arrays (structure-of-arrays over coordinates) so the bundle tiles the
+TPU vector unit perfectly; the (N, 3) layout is only used at the API
+boundary.
 
 Two entry points:
 
-* trace_rays      -- full history (S, N, 3) per quantity, the analog of
-                     GeometricTrace's y/u/i/t arrays.
-* trace_rays_final -- carry-only variant (returns the rays after the
-                     last surface plus accumulated optical path); this
-                     is the throughput path used for spot/merit/bench
-                     work, with O(N) instead of O(S*N) HBM traffic.
+* trace_rays       -- full history (S, N, 3) per quantity, the analog
+                      of GeometricTrace's y/u/i/t arrays.
+* trace_rays_final -- carry-only variant (rays after the last surface
+                      plus accumulated optical path); the throughput
+                      path for spot/merit/bench work with O(N) instead
+                      of O(S*N) HBM traffic.
 """
 
 import functools
@@ -21,24 +23,22 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from . import surfaces as S
-
-
-def _step(clip, carry, surf):
-    y, u = carry
-    rot = surf.rot
-    # to_normal: row-vector convention y @ R.T (reference elements.py:156-175)
-    yl = (y - surf.offset) @ rot.T
-    il = u @ rot.T
-    y1, u1, t = S.propagate_surface(yl, il, surf, clip=clip)
-    out = (y1, u1, il, t*surf.n_before)
-    # from_normal for the next surface's frame
-    carry = (y1 @ rot, u1 @ rot)
-    return carry, out
+from . import kernels as K
 
 
 def _rows(table, start=1, stop=None):
     return jax.tree_util.tree_map(lambda a: a[start:stop], table)
+
+
+def _entry(table, y0, u0):
+    x, y, z = K.split(y0)
+    ux, uy, uz = K.split(u0)
+    # element-0 from_normal seeds the scan (reference
+    # geometric_trace.py:75-76)
+    r0 = table.rot[0]
+    x, y, z = K.rot_apply_t(r0, x, y, z)
+    ux, uy, uz = K.rot_apply_t(r0, ux, uy, uz)
+    return (x, y, z, ux, uy, uz)
 
 
 @functools.partial(jax.jit, static_argnames=("clip",))
@@ -46,32 +46,81 @@ def trace_rays(table, y0, u0, clip=False):
     """Trace rays y0, u0 (N, 3; element-0 local frame) through all
     surfaces.  Returns (y, u, i, t): (S, N, 3) x3 and (S, N), surface 0
     holding the seed (t[0] = 0), matching GeometricTrace's layout
-    (reference geometric_trace.py:37-47).
-    """
-    rot0 = table.rot[0]
-    carry = (y0 @ rot0, u0 @ rot0)
-    carry, (y, u, i, t) = jax.lax.scan(
-        functools.partial(_step, clip), carry, _rows(table))
+    (reference geometric_trace.py:37-47)."""
+    state = _entry(table, y0, u0)
+
+    def step(state, surf):
+        state, (yl, ul, il, t) = K.surface_step(state, surf, clip)
+        return state, (K.join(*yl), K.join(*ul), K.join(*il), t)
+
+    _, (y, u, i, t) = jax.lax.scan(step, state, _rows(table))
     cat = lambda a, b: jnp.concatenate([a[None], b], axis=0)
     return (cat(y0, y), cat(u0, u), cat(u0, i),
             cat(jnp.zeros(y0.shape[:-1], y0.dtype), t))
 
 
-@functools.partial(jax.jit, static_argnames=("clip",))
-def trace_rays_final(table, y0, u0, clip=False):
-    """Carry-only trace: returns (y, u, i, t_total) after the last
-    surface (local frame), with t_total the accumulated optical path.
+@functools.partial(jax.jit, static_argnames=("clip", "specs", "unroll"))
+def trace_components_final(table, state, clip=False, specs=None,
+                           unroll=False):
+    """Carry-only trace on component state (x, y, z, ux, uy, uz), each
+    (N,).  Returns (state_local, t_total) after the last surface.
+
+    unroll=False (default): one `lax.scan` over the surface table --
+    compile time independent of system depth; the right choice on CPU
+    and for host-driven work.
+
+    unroll=True: fully unroll the surface loop so XLA fuses the whole
+    transfer-intercept-refract chain into one elementwise kernel over
+    the ray components (each ray is read from and written to HBM once
+    regardless of surface count) and, with `specs` (the static
+    kernels.SurfaceSpec tuple from kernels.specialize), each surface
+    only emits the ops its geometry needs (flat/spherical/conic/
+    aspheric, rotated, mirror, ...).  This is the TPU throughput path;
+    XLA's CPU backend compiles deeply unrolled chains very slowly, so
+    keep it off the host.
     """
-    rot0 = table.rot[0]
-    # derive the accumulator from y0 (not a fresh zeros) so it carries
-    # y0's sharding/varying-axis annotation under shard_map
-    zero = jnp.zeros_like(y0[..., 0])
-    carry = (y0 @ rot0, u0 @ rot0, y0, u0, zero)
+    tacc = jnp.zeros_like(state[0])
+    nsurf = table.curvature.shape[0]
+    if specs is None or specs[0].rotated:
+        # element-0 from_normal seeds the trace
+        # (reference geometric_trace.py:75-76)
+        r0 = table.rot[0]
+        state = (*K.rot_apply_t(r0, *state[:3]),
+                 *K.rot_apply_t(r0, *state[3:]))
+    if unroll:
+        for j in range(1, nsurf):
+            surf = jax.tree_util.tree_map(lambda a: a[j], table)
+            if specs is None:
+                state, (yl, ul, il, t) = K.surface_step(
+                    state, surf, clip)
+            else:
+                state, (yl, ul, il, t) = K.surface_step_spec(
+                    state, surf, specs[j], clip)
+            tacc = tacc + t
+    else:
+        def step(carry, surf):
+            state, tacc = carry
+            state, (yl, ul, il, t) = K.surface_step(state, surf, clip)
+            return (state, tacc + t), None
 
-    def step(carry, surf):
-        y, u, _, _, tacc = carry
-        (yn, un), (y1, u1, il, topt) = _step(clip, (y, u), surf)
-        return (yn, un, y1, u1, tacc + topt), None
+        (state, tacc), _ = jax.lax.scan(step, (state, tacc),
+                                        _rows(table))
+    # state is from_normal'd; recover the last surface's local frame
+    if specs is None or specs[nsurf - 1].rotated:
+        rl = table.rot[nsurf - 1]
+        yl = K.rot_apply(rl, *state[:3])
+        ul = K.rot_apply(rl, *state[3:])
+    else:
+        yl, ul = state[:3], state[3:]
+    return (*yl, *ul), tacc
 
-    (_, _, y, u, t), _ = jax.lax.scan(step, carry, _rows(table))
-    return y, u, t
+
+@functools.partial(jax.jit, static_argnames=("clip", "specs", "unroll"))
+def trace_rays_final(table, y0, u0, clip=False, specs=None,
+                     unroll=False):
+    """Carry-only trace: returns (y, u, t_total) after the last surface
+    (local frame), with t_total the accumulated optical path."""
+    state = (*K.split(y0), *K.split(u0))
+    out, tacc = trace_components_final(table, state, clip=clip,
+                                       specs=specs, unroll=unroll)
+    return K.join(*out[:3]), K.join(*out[3:]), tacc

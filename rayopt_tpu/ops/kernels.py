@@ -1,0 +1,335 @@
+"""Component-form (structure-of-arrays) trace kernels.
+
+TPU arrays tile as (8 sublanes x 128 lanes) on the trailing axes; an
+(N, 3) ray array puts the xyz 3-vector on the lane axis and wastes
+125/128 of the vector unit.  The hot engine therefore carries rays as
+six separate (N,) component arrays -- every operation below is a pure
+elementwise expression over perfectly tiled vectors.
+
+Physics is identical to rayopt_tpu.ops.surfaces (the (..., 3) oracle
+implementation, reference elements.py:306-501); the two are
+cross-checked in tests/test_ops.py.
+"""
+
+import jax
+import jax.numpy as jnp
+
+ASPHERIC_ITERS = 10
+ASPHERIC_TOL = 1e-9
+TINY = 1e-30
+
+
+def _sqrt0(x):
+    return jnp.sqrt(jnp.maximum(x, 0))
+
+
+def rot_apply(r, x, y, z):
+    """v' = R v on components (to_normal when R = rot_normal)."""
+    return (r[0, 0]*x + r[0, 1]*y + r[0, 2]*z,
+            r[1, 0]*x + r[1, 1]*y + r[1, 2]*z,
+            r[2, 0]*x + r[2, 1]*y + r[2, 2]*z)
+
+
+def rot_apply_t(r, x, y, z):
+    """v' = R^T v on components (from_normal)."""
+    return (r[0, 0]*x + r[1, 0]*y + r[2, 0]*z,
+            r[0, 1]*x + r[1, 1]*y + r[2, 1]*z,
+            r[0, 2]*x + r[1, 2]*y + r[2, 2]*z)
+
+
+def _poly_even(r2, coeffs):
+    d = jnp.zeros_like(r2)
+    for i in range(coeffs.shape[-1] - 1, -1, -1):
+        d = (d + coeffs[..., i])*r2
+    return d
+
+
+def _dpoly_even(r2, coeffs):
+    d = jnp.zeros_like(r2)
+    for i in range(coeffs.shape[-1] - 1, -1, -1):
+        d = d*r2 + 2*(i + 1)*coeffs[..., i]
+    return d
+
+
+def sag(x, y, z, c, k, aspherics):
+    """z - surface_sag(x, y) (reference elements.py:440)."""
+    r2 = x*x + y*y
+    e = z - c*r2/(1 + _sqrt0(1 - (1 + k)*c*c*r2))
+    if aspherics.shape[-1]:
+        e = e - _poly_even(r2, aspherics)
+    return e
+
+
+def normal_radial(x, y, c, k, aspherics):
+    """The radial factor e of the surface normal (nx, ny, nz) =
+    (x*e, y*e, 1) (reference elements.py:457)."""
+    r2 = x*x + y*y
+    e = -c/_sqrt0(1 - (1 + k)*c*c*r2)
+    if aspherics.shape[-1]:
+        e = e - _dpoly_even(r2, aspherics)
+    return e
+
+
+def intercept_conic(x, y, z, ux, uy, uz, c, k, alternate):
+    """Closed-form conic intercept on components
+    (reference elements.py:477; degenerate branches as in
+    ops.surfaces.intercept_conic)."""
+    k1 = 1 + k
+    uy_ = ux*x + uy*y + k1*uz*z
+    uu = ux*ux + uy*uy + k1*uz*uz
+    yy = x*x + y*y + k1*z*z
+    d = c*uy_ - uz
+    e = c*uu
+    f = c*yy - 2*z
+    disc = d*d - e*f
+    g = _sqrt0(disc)*(1 - 2*alternate)
+    e_safe = jnp.where(e == 0, 1., e)
+    gd_safe = jnp.where(g == d, 1., g - d)
+    s = jnp.where(e == 0, f/gd_safe, -(d + g)/e_safe)
+    uz_safe = jnp.where(uz == 0, 1., uz)
+    s = jnp.where(c == 0, -z/uz_safe, s)
+    s = jnp.where((c != 0) & (disc < 0), jnp.nan, s)
+    return s
+
+
+def intercept(x, y, z, ux, uy, uz, c, k, aspherics, alternate,
+              iters=ASPHERIC_ITERS, tol=ASPHERIC_TOL):
+    s = intercept_conic(x, y, z, ux, uy, uz, c, k, alternate)
+    if aspherics.shape[-1]:
+        s0 = s
+        for _ in range(iters):
+            px, py, pz = x + s*ux, y + s*uy, z + s*uz
+            fn = sag(px, py, pz, c, k, aspherics)
+            e = normal_radial(px, py, c, k, aspherics)
+            fp = ux*px*e + uy*py*e + uz
+            fp = jnp.where(fp == 0, 1., fp)
+            s = s - fn/fp
+        px, py, pz = x + s*ux, y + s*uy, z + s*uz
+        res = sag(px, py, pz, c, k, aspherics)
+        s = jnp.where(jnp.abs(res) <= tol*(1 + jnp.abs(s)), s, jnp.nan)
+        s = jnp.where(jnp.isnan(s0) & (c != 0), jnp.nan, s)
+    return s
+
+
+def refract(x, y, ux, uy, uz, mu, c, k, aspherics):
+    """Vector Snell / mirror reflection on components
+    (reference elements.py:351)."""
+    e = normal_radial(x, y, c, k, aspherics)
+    nx, ny = x*e, y*e
+    r2 = nx*nx + ny*ny + 1.
+    muf = jnp.abs(mu)
+    a = muf*(ux*nx + uy*ny + uz)/r2
+    # reflection (mu == -1, muf == 1)
+    rx, ry, rz = ux - 2*a*nx, uy - 2*a*ny, uz - 2*a
+    # refraction
+    b = (mu*mu - 1)/r2
+    disc = a*a - b
+    g = -a + jnp.sign(mu)*_sqrt0(disc)
+    g = jnp.where(disc < 0, jnp.nan, g)
+    tx, ty, tz = muf*ux + g*nx, muf*uy + g*ny, muf*uz + g
+    ox = jnp.where(mu == -1, rx, tx)
+    oy = jnp.where(mu == -1, ry, ty)
+    oz = jnp.where(mu == -1, rz, tz)
+    ox = jnp.where(mu == 1, ux, ox)
+    oy = jnp.where(mu == 1, uy, oy)
+    oz = jnp.where(mu == 1, uz, oz)
+    return ox, oy, oz
+
+
+from typing import NamedTuple
+
+
+class SurfaceSpec(NamedTuple):
+    """Static (compile-time) per-surface specialization flags.
+
+    Derived on the host from the concrete table values by
+    `specialize`; passed as a static jit argument so each unrolled
+    surface only emits the ops it needs.  kind: 0 = passthrough
+    (mu == 1), 1 = refract, 2 = mirror (mu == -1)."""
+
+    flat: bool        # curvature == 0
+    spherical: bool   # conic == 0 (and not flat)
+    aspheric: bool    # any aspheric coefficient nonzero
+    rotated: bool     # rot != identity
+    off_axis: bool    # offset has nonzero x/y
+    alternate: bool   # alternate (far) conic intersection
+    kind: int
+    finite_aperture: bool
+
+
+def specialize(table):
+    """Host-side: derive the static SurfaceSpec tuple from a (NumPy)
+    SurfaceTable."""
+    import numpy as np
+    specs = []
+    s = np.asarray(table.curvature).shape[0]
+    for j in range(s):
+        c = float(np.asarray(table.curvature)[j])
+        k = float(np.asarray(table.conic)[j])
+        asp = np.asarray(table.aspherics)[j]
+        rot = np.asarray(table.rot)[j]
+        off = np.asarray(table.offset)[j]
+        mu = float(np.asarray(table.mu)[j])
+        alt = float(np.asarray(table.alternate)[j])
+        rad = float(np.asarray(table.radius)[j])
+        kind = 0 if mu == 1. else (2 if mu == -1. else 1)
+        specs.append(SurfaceSpec(
+            flat=(c == 0.),
+            spherical=(k == 0.),
+            aspheric=bool(asp.size and np.any(asp != 0)),
+            rotated=not np.allclose(rot, np.eye(3)),
+            off_axis=bool(off[0] != 0 or off[1] != 0),
+            alternate=bool(alt != 0),
+            kind=kind,
+            finite_aperture=bool(np.isfinite(rad)),
+        ))
+    return tuple(specs)
+
+
+def intercept_spec(x, y, z, ux, uy, uz, c, k, alternate, spec):
+    """Specialized conic intercept: assumes unit direction vectors
+    (uu == 1 when spherical), drops the conic terms when spherical,
+    and the whole quadratic when flat."""
+    if spec.flat:
+        uz_safe = jnp.where(uz == 0, 1., uz)
+        return -z/uz_safe
+    if spec.spherical:
+        uy_ = ux*x + uy*y + uz*z
+        uu = 1.
+        yy = x*x + y*y + z*z
+    else:
+        k1 = 1 + k
+        uy_ = ux*x + uy*y + k1*uz*z
+        uu = ux*ux + uy*uy + k1*uz*uz
+        yy = x*x + y*y + k1*z*z
+    d = c*uy_ - uz
+    e = c*uu
+    f = c*yy - 2*z
+    disc = d*d - e*f
+    g = _sqrt0(disc)
+    if spec.alternate:
+        g = -g
+    if spec.spherical:
+        s = -(d + g)/e
+    else:
+        e_safe = jnp.where(e == 0, 1., e)
+        gd_safe = jnp.where(g == d, 1., g - d)
+        s = jnp.where(e == 0, f/gd_safe, -(d + g)/e_safe)
+    s = jnp.where(disc < 0, jnp.nan, s)
+    return s
+
+
+def refract_spec(x, y, ux, uy, uz, mu, c, k, aspherics, spec):
+    """Specialized Snell/mirror refraction."""
+    if spec.kind == 0:
+        return ux, uy, uz
+    if spec.flat and not spec.aspheric:
+        # plane: normal is exactly +z
+        if spec.kind == 2:
+            return ux, uy, -uz
+        muf = jnp.abs(mu)
+        a = muf*uz
+        disc = a*a - (mu*mu - 1)
+        g = -a + jnp.sign(mu)*_sqrt0(disc)
+        g = jnp.where(disc < 0, jnp.nan, g)
+        return muf*ux, muf*uy, muf*uz + g
+    r2s = x*x + y*y
+    if spec.spherical and not spec.aspheric:
+        e = -c*jax.lax.rsqrt(jnp.maximum(1 - c*c*r2s, TINY))
+    else:
+        e = -c*jax.lax.rsqrt(jnp.maximum(1 - (1 + k)*c*c*r2s, TINY))
+        if spec.aspheric:
+            e = e - _dpoly_even(r2s, aspherics)
+    nx, ny = x*e, y*e
+    r2 = nx*nx + ny*ny + 1.
+    ir2 = 1./r2
+    dot = ux*nx + uy*ny + uz
+    if spec.kind == 2:
+        a2 = 2.*dot*ir2
+        return ux - a2*nx, uy - a2*ny, uz - a2
+    muf = jnp.abs(mu)
+    a = muf*dot*ir2
+    b = (mu*mu - 1)*ir2
+    disc = a*a - b
+    g = -a + jnp.sign(mu)*_sqrt0(disc)
+    g = jnp.where(disc < 0, jnp.nan, g)
+    return muf*ux + g*nx, muf*uy + g*ny, muf*uz + g
+
+
+def surface_step_spec(state, surf, spec, clip):
+    """Specialized transfer-intercept-refract step (same semantics as
+    surface_step; static branches from SurfaceSpec)."""
+    x, y, z, ux, uy, uz = state
+    if spec.off_axis:
+        x = x - surf.offset[0]
+        y = y - surf.offset[1]
+    z = z - surf.offset[2]
+    if spec.rotated:
+        r = surf.rot
+        x, y, z = rot_apply(r, x, y, z)
+        ux, uy, uz = rot_apply(r, ux, uy, uz)
+    if spec.aspheric:
+        t = intercept(x, y, z, ux, uy, uz, surf.curvature, surf.conic,
+                      surf.aspherics, surf.alternate)
+    else:
+        t = intercept_spec(x, y, z, ux, uy, uz, surf.curvature,
+                           surf.conic, surf.alternate, spec)
+    x1, y1, z1 = x + t*ux, y + t*uy, z + t*uz
+    ux0, uy0, uz0 = ux, uy, uz
+    if clip and spec.finite_aperture:
+        bad = x1*x1 + y1*y1 > surf.radius*surf.radius
+        nan = jnp.full_like(x1, jnp.nan)
+        ux0 = jnp.where(bad, nan, ux0)
+        uy0 = jnp.where(bad, nan, uy0)
+        uz0 = jnp.where(bad, nan, uz0)
+    ux1, uy1, uz1 = refract_spec(x1, y1, ux0, uy0, uz0, surf.mu,
+                                 surf.curvature, surf.conic,
+                                 surf.aspherics, spec)
+    out = ((x1, y1, z1), (ux1, uy1, uz1), (ux, uy, uz),
+           t*surf.n_before)
+    if spec.rotated:
+        r = surf.rot
+        nstate = (*rot_apply_t(r, x1, y1, z1),
+                  *rot_apply_t(r, ux1, uy1, uz1))
+    else:
+        nstate = (x1, y1, z1, ux1, uy1, uz1)
+    return nstate, out
+
+
+def surface_step(state, surf, clip):
+    """One transfer-intercept-refract step on component state
+    (x, y, z, ux, uy, uz).  Returns (next_state, local_outputs) where
+    local outputs are the per-surface (y, u, i, t) components in the
+    surface-normal frame (reference system.py:459-464)."""
+    x, y, z, ux, uy, uz = state
+    ox, oy, oz = surf.offset[0], surf.offset[1], surf.offset[2]
+    r = surf.rot
+    x, y, z = rot_apply(r, x - ox, y - oy, z - oz)
+    ix, iy, iz = rot_apply(r, ux, uy, uz)
+    t = intercept(x, y, z, ix, iy, iz, surf.curvature, surf.conic,
+                  surf.aspherics, surf.alternate)
+    x1, y1, z1 = x + t*ix, y + t*iy, z + t*iz
+    ux0, uy0, uz0 = ix, iy, iz
+    if clip:
+        bad = x1*x1 + y1*y1 > surf.radius*surf.radius
+        nan = jnp.full_like(x1, jnp.nan)
+        ux0 = jnp.where(bad, nan, ux0)
+        uy0 = jnp.where(bad, nan, uy0)
+        uz0 = jnp.where(bad, nan, uz0)
+    ux1, uy1, uz1 = refract(x1, y1, ux0, uy0, uz0, surf.mu,
+                            surf.curvature, surf.conic, surf.aspherics)
+    out = ((x1, y1, z1), (ux1, uy1, uz1), (ix, iy, iz),
+           t*surf.n_before)
+    nx, ny, nz = rot_apply_t(r, x1, y1, z1)
+    nux, nuy, nuz = rot_apply_t(r, ux1, uy1, uz1)
+    return (nx, ny, nz, nux, nuy, nuz), out
+
+
+def split(v):
+    """(N, 3) -> component tuple."""
+    return v[..., 0], v[..., 1], v[..., 2]
+
+
+def join(x, y, z):
+    """component tuple -> (..., 3)."""
+    return jnp.stack([x, y, z], axis=-1)

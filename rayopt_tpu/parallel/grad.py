@@ -18,14 +18,33 @@ import jax.numpy as jnp
 from ..ops.geometric import trace_rays_final
 
 
-def spot_rms(table, y0, u0, w=None, clip=False):
-    """Weighted RMS spot radius at the last surface; NaN (vignetted /
-    missed) rays drop out with zero weight so gradients stay clean."""
+def spot_rms(table, y0, u0, w=None, clip=False, nan_safe=True):
+    """Weighted RMS spot radius at the last surface.
+
+    Vignetted/missed rays become NaN in the trace; masking their
+    weight is not enough for reverse-mode AD (a NaN primal anywhere in
+    a ray's chain yields NaN * 0 = NaN cotangents), so with nan_safe a
+    stop-gradient pre-trace finds the surviving rays and the dead ones
+    are substituted by a surviving ray with zero weight before the
+    differentiated trace runs.
+    """
+    y0 = jnp.asarray(y0)
+    u0 = jnp.asarray(u0)
+    if w is None:
+        w = jnp.ones(y0.shape[0], y0.dtype)/y0.shape[0]
+    else:
+        w = jnp.asarray(w)
+    if nan_safe:
+        tab0 = jax.tree_util.tree_map(jax.lax.stop_gradient, table)
+        yp, up, tp = trace_rays_final(tab0, y0, u0, clip=clip)
+        alive = jnp.all(jnp.isfinite(yp[:, :2]), axis=1)
+        i0 = jnp.argmax(alive)
+        y0 = jnp.where(alive[:, None], y0, y0[i0])
+        u0 = jnp.where(alive[:, None], u0, u0[i0])
+        w = jnp.where(alive, w, 0.)
     y, u, t = trace_rays_final(table, y0, u0, clip=clip)
     pt = y[:, :2]
     good = jnp.all(jnp.isfinite(pt), axis=1)
-    if w is None:
-        w = jnp.ones(y0.shape[0], y0.dtype)/y0.shape[0]
     wg = jnp.where(good, w, 0.)
     pt = jnp.where(good[:, None], pt, 0.)
     wsum = wg.sum()

@@ -15,9 +15,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
-from ..ops.geometric import trace_rays_final, _step, _rows
+from ..ops.geometric import trace_rays_final
 
 
 def ray_mesh(devices=None, axis="rays"):

@@ -1,0 +1,90 @@
+"""Differentiability: jax.grad through the trace matches finite
+differences, and gradient optimization reduces the merit."""
+
+import numpy as np
+from numpy import testing as nptest
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rayopt_tpu.models import doublet, cooke_triplet
+from rayopt_tpu.parallel.grad import spot_rms, optimize_grad
+from rayopt_tpu.utils.distributions import pupil_distribution
+
+
+@pytest.fixture(scope="module")
+def bundle():
+    s = doublet()
+    tab = s.table()
+    ref, xy, w = pupil_distribution("radau", 64)
+    n = xy.shape[0]
+    y0 = np.zeros((n, 3))
+    u0 = np.zeros((n, 3))
+    u0[:, :2] = xy*s.object.pupil.slope
+    u0[:, 2] = np.sqrt(1 - np.square(u0[:, :2]).sum(1))
+    return s, tab, (y0, u0, w)
+
+
+def test_grad_matches_fd(bundle):
+    s, tab, (y0, u0, w) = bundle
+
+    def merit(curv):
+        return spot_rms(tab.replace(curvature=curv), y0, u0, w)
+
+    curv = jnp.asarray(tab.curvature)
+    g = jax.grad(merit)(curv)
+    eps = 1e-7
+    for i in (1, 2, 3):
+        c1 = curv.at[i].add(eps)
+        c2 = curv.at[i].add(-eps)
+        fd = (merit(c1) - merit(c2))/(2*eps)
+        nptest.assert_allclose(g[i], fd, rtol=1e-5, atol=1e-12)
+
+
+def test_grad_wrt_distance(bundle):
+    s, tab, (y0, u0, w) = bundle
+
+    def merit(dist):
+        off = jnp.zeros((dist.shape[0], 3)).at[:, 2].set(dist)
+        return spot_rms(tab.replace(distance=dist, offset=off),
+                        y0, u0, w)
+
+    dist = jnp.asarray(tab.distance)
+    g = jax.grad(merit)(dist)
+    eps = 1e-7
+    i = 4
+    fd = (merit(dist.at[i].add(eps)) -
+          merit(dist.at[i].add(-eps)))/(2*eps)
+    nptest.assert_allclose(g[i], fd, rtol=1e-5, atol=1e-12)
+
+
+def test_optimize_grad_improves(bundle):
+    s, tab, (y0, u0, w) = bundle
+    pert = np.asarray(tab.curvature).copy()
+    pert[1] *= 1.04
+    tab_p = tab.replace(curvature=pert)
+    r0 = float(spot_rms(tab_p, y0, u0, w))
+    tab_o, hist = optimize_grad(tab_p, [(y0, u0, w)],
+                                select=("curvature",), steps=50,
+                                lr=2e-3)
+    assert hist[-1] < r0/5
+
+
+def test_grad_with_nan_rays():
+    """Vignetted (NaN) rays must not poison the gradient."""
+    s = cooke_triplet()
+    tab = s.table()
+    n = 32
+    rng = np.random.RandomState(0)
+    y0 = np.zeros((n, 3))
+    y0[:, 1] = np.linspace(0, 20, n)  # some rays miss/clip
+    u0 = np.zeros((n, 3))
+    u0[:, 2] = 1.
+    w = np.ones(n)/n
+
+    def merit(curv):
+        return spot_rms(tab.replace(curvature=curv), y0, u0, w,
+                        clip=True)
+
+    g = jax.grad(merit)(jnp.asarray(tab.curvature))
+    assert np.isfinite(np.asarray(g)).all()

@@ -1,0 +1,194 @@
+"""Importer and catalog-store tests (zmx/agf/len/olc/glc/codev/rii +
+sqlite library)."""
+
+import os
+import textwrap
+
+import numpy as np
+from numpy import testing as nptest
+import pytest
+
+import rayopt_tpu as ro
+from rayopt_tpu.materials import lambda_d
+
+ZMX = textwrap.dedent("""
+    VERS 1
+    UNIT MM
+    NAME "zmx singlet"
+    SURF 0
+    CURV 0.0
+    DISZ 10
+    SURF 1
+    CURV 0.02
+    DISZ 5
+    GLAS N-BK7 0 0 1.5168 64.17
+    DIAM 10
+    CONI -0.5
+    PARM 1 1e-5
+    PARM 2 1e-8
+    SURF 2
+    CURV -0.02
+    DISZ 95
+    STOP
+    SURF 3
+    DISZ 0
+""")
+
+
+def test_zmx():
+    s = ro.zmx_to_system(ZMX)
+    assert s.description == "zmx singlet"
+    assert s.scale == 1e-3
+    assert len(s) == 5
+    assert s.stop == 3
+    assert s[2].curvature == .02
+    assert s[2].conic == -.5
+    assert s[2].aspherics == [1e-5, 1e-8]
+    nptest.assert_allclose(s[2].material.nd, 1.5168, atol=2e-4)
+
+
+AGF = textwrap.dedent("""\
+    NM TESTGLAS 2 0 1.51680 64.17 0 1
+    GC test glass
+    ED 7.1 0 2.51 0 0
+    CD 1.03961212 0.00600069867 0.231792344 0.0200179144 1.01046945 103.560653
+    TD 1e-6 1e-8 -1e-11 1e-7 1e-9 0.17 20
+    LD 0.3 2.5
+""")
+
+
+def test_agf_material():
+    from rayopt_tpu.io.zemax import agf_to_material
+    m = agf_to_material(AGF)
+    assert m.name == "TESTGLAS"
+    assert m.typ == "sellmeier_squared"
+    nptest.assert_allclose(m.refractive_index(lambda_d), 1.5168,
+                           atol=2e-4)
+    assert m.thermal is not None
+
+
+LEN = textwrap.dedent("""\
+    LEN NEW "oslo singlet" 100 2
+    UNI 1.0
+    RD 50.0
+    TH 5.0
+    AP 10.0
+    GLA N-BK7
+    NXT
+    RD -50.0
+    TH 95.0
+    AIR
+    NXT
+    END
+""")
+
+
+def test_len():
+    s = ro.len_to_system(LEN)
+    assert len(s) >= 3
+    nptest.assert_allclose(s[0].curvature, 1/50.)
+    nptest.assert_allclose(s[1].curvature, -1/50.)
+    nptest.assert_allclose(s[1].distance, 5.)
+
+
+def test_olc():
+    olc = ("RD 50.0; TH 5.0; AP 10.0; GLA N-BK7; NXT; "
+           "RD -50.0; TH 95.0; NXT")
+    s = ro.olc_to_system(olc)
+    assert len(s) == 3
+    nptest.assert_allclose(s[0].curvature, 1/50.)
+
+
+def test_glc_material():
+    from rayopt_tpu.io.oslo import glc_to_material
+    # name nd vd density 6-skip 2-skip formula_id ncoeff coeffs...
+    rec = ("TESTG 1.5168 64.17 2.51 0 0 0 0 0 0 0 0 1 6 "
+           "2.271192 -9.661268e-3 1.103070e-2 7.003800e-5 "
+           "1.396585e-5 -7.625605e-7")
+    m = glc_to_material(rec)
+    assert m.name == "TESTG"
+    assert m.typ == "schott"
+    nptest.assert_allclose(m.refractive_index(lambda_d), 1.5168,
+                           atol=1e-3)
+
+
+CODEV_XML = textwrap.dedent("""\
+    <Catalog><Name>TestCat</Name><ID>T_</ID><Glasses>
+    <Glass><GlassName>T_BK7ish</GlassName>
+    <NumericName>517642</NumericName><Availability>1</Availability>
+    <EquationType>Glass Manufacturer Sellmeier</EquationType>
+    <DispersionCoefficients>
+    <Coefficient>0</Coefficient>
+    <Coefficient>1.03961212</Coefficient>
+    <Coefficient>0.00600069867</Coefficient>
+    <Coefficient>0.231792344</Coefficient>
+    <Coefficient>0.0200179144</Coefficient>
+    <Coefficient>1.01046945</Coefficient>
+    <Coefficient>103.560653</Coefficient>
+    </DispersionCoefficients></Glass></Glasses></Catalog>
+""")
+
+
+def test_codev_material():
+    import xml.etree.ElementTree as et
+    from rayopt_tpu.io.codev import codevxml_to_material
+    glass = et.fromstring(CODEV_XML).find("./Glasses/Glass")
+    m = codevxml_to_material(et.tostring(glass))
+    nptest.assert_allclose(m.refractive_index(lambda_d), 1.5168,
+                           atol=2e-4)
+
+
+RII_PAGE = textwrap.dedent("""\
+    BOOK: BK7
+    PAGE: SCHOTT
+    DATA:
+    - type: formula 2
+      range: 0.3 2.5
+      coefficients: 0 1.03961212 0.00600069867 0.231792344 0.0200179144
+        1.01046945 103.560653
+""")
+
+
+def test_rii_material():
+    from rayopt_tpu.io.rii import rii_to_material
+    m = rii_to_material(RII_PAGE)
+    assert m.typ == "sellmeier_squared_offset"
+    nptest.assert_allclose(m.refractive_index(lambda_d), 1.5168,
+                           atol=2e-4)
+
+
+def test_library_roundtrip(tmp_path):
+    from rayopt_tpu.io.library import Library
+    agf = tmp_path/"cat.agf"
+    agf.write_text(AGF)
+    lib = Library(str(tmp_path/"lib.sqlite"))
+    lib.load(str(agf))
+    m = lib.get("material", "TESTGLAS")
+    nptest.assert_allclose(m.refractive_index(lambda_d), 1.5168,
+                           atol=2e-4)
+    # freshness: re-loading an unchanged file is a no-op
+    lib.load(str(agf))
+    rows = lib.conn.execute("select count(*) from material").fetchone()
+    assert rows[0] == 1
+    with pytest.raises(KeyError):
+        lib.get("material", "NOPE")
+
+
+def test_zmf_obfuscate_roundtrip():
+    from rayopt_tpu.io.zemax import zmf_obfuscate
+    data = b"VERS 000001\nhello world"
+    enc = zmf_obfuscate(data, 50., 2.)
+    dec = zmf_obfuscate(enc, 50., 2.)
+    assert dec == data
+
+
+def test_system_from_text():
+    txt = """
+    S 0 0 20 air
+    S 50 5 20 n-bk7
+    S -50 5 20 air
+    S 0 95 20 air
+    """
+    s = ro.system_from_text(txt)
+    assert len(s) == 4
+    nptest.assert_allclose(s[1].curvature, 1/50.)

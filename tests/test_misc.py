@@ -1,0 +1,122 @@
+"""special_sums doctests, solver caches, analysis smoke test, and the
+pickup/solve/validate declarative layer."""
+
+import doctest
+
+import numpy as np
+from numpy import testing as nptest
+import pytest
+
+import rayopt_tpu.utils.special_sums as special_sums
+from rayopt_tpu.utils.special_sums import angle_sum, polar_sum
+from rayopt_tpu.utils.cachend import (
+    CacheND, PolarCacheND, NearestCacheND, LinearCacheND)
+
+
+def test_special_sums_doctests():
+    results = doctest.testmod(special_sums)
+    assert results.failed == 0
+    assert results.attempted > 5
+
+
+def test_angle_sum_conservation():
+    rng = np.random.RandomState(0)
+    m = rng.rand(37, 53)
+    for ang in (0., .3, np.pi/4, 2.):
+        nptest.assert_allclose(angle_sum(m, ang).sum(), m.sum())
+
+
+def test_polar_sum_conservation():
+    rng = np.random.RandomState(1)
+    m = rng.rand(31, 41)
+    for d in ("radial", "azimuthal"):
+        nptest.assert_allclose(polar_sum(m, (15.5, 20.5), d).sum(),
+                               m.sum())
+
+
+class TestCache:
+    def solver(self, *x, guess=None, **k):
+        self.calls += 1
+        self.guesses.append(guess)
+        return np.array([sum(x), np.prod(x)])
+
+    def setup_method(self):
+        self.calls = 0
+        self.guesses = []
+
+    @pytest.mark.parametrize("cls", [PolarCacheND, NearestCacheND,
+                                     LinearCacheND])
+    def test_cache_exact(self, cls):
+        c = cls(self.solver)
+        v1 = c(1., 2.)
+        nptest.assert_allclose(v1, [3., 2.])
+        v2 = c(1., 2.)
+        nptest.assert_allclose(v2, v1)
+        assert self.calls == 1  # second call was cached
+
+    def test_polar_guess_forwarded(self):
+        c = PolarCacheND(self.solver)
+        c(1., 0.)
+        c(3., 0.)
+        c(2., 0.)  # radially between -> interpolated guess
+        assert self.guesses[2] is not None
+        nptest.assert_allclose(self.guesses[2],
+                               (np.array([1., 1.]) +
+                                np.array([3., 3.*1.]))/1, atol=10)
+
+
+def test_analysis_smoke():
+    import matplotlib
+    matplotlib.use("agg")
+    from rayopt_tpu.models import cooke_triplet
+    from rayopt_tpu import Analysis
+    s = cooke_triplet()
+    a = Analysis(s, print=False, defocus=3)
+    assert len(a.figures) == 5
+    assert len(a.text) == 2
+    assert "focal length" in a.text[1]
+    import matplotlib.pyplot as plt
+    plt.close("all")
+
+
+def test_pickup_solve_validate():
+    from rayopt_tpu import system_from_yaml
+    s = system_from_yaml("""
+description: solver test
+object: {angle_deg: 5, pupil: {radius: 2}}
+elements:
+- {material: air}
+- {roc: 50, distance: 5, material: SCHOTT-BK|N-BK7, radius: 10}
+- {roc: -50, distance: 5, material: air, radius: 10}
+- {distance: 40, radius: 5}
+pickups:
+- {get: [1, radius], set: [2, radius], factor: 2.}
+validators:
+- {get: [1, distance], minimum: 1}
+solves:
+- {set: [2, distance], get: [edge_y, 2], target: 3.}
+""")
+    s.update()
+    assert s[2].radius == 20.
+    # the solve drove the edge thickness to the target
+    nptest.assert_allclose(s.edge_y[2], 3., atol=1e-7)
+    # validator trips when violated
+    s[1].distance = .5
+    with pytest.raises(ValueError):
+        s.validate()
+
+
+def test_paraxial_refocus_solve():
+    from rayopt_tpu.models import cooke_triplet
+    s = cooke_triplet()
+    s.paraxial.refocus()
+    s.update()
+    nptest.assert_allclose(s.paraxial.y[-1, 0], 0, atol=1e-9)
+
+
+def test_focal_length_solve():
+    from rayopt_tpu.models import cooke_triplet
+    s = cooke_triplet()
+    s.paraxial.focal_length_solve(55.)
+    s.update()
+    nptest.assert_allclose(s.paraxial.focal_length[1], 55., rtol=1e-6)

@@ -1,0 +1,71 @@
+"""Multi-chip sharding on the virtual 8-device CPU mesh: sharded
+traces and reductions must match single-device results exactly."""
+
+import numpy as np
+from numpy import testing as nptest
+import jax
+import pytest
+
+from rayopt_tpu.models import cooke_triplet
+from rayopt_tpu.ops.geometric import trace_rays_final
+from rayopt_tpu.parallel import ray_mesh, shard_rays, sharded_trace, \
+    sharded_rms
+
+
+@pytest.fixture(scope="module")
+def setup():
+    s = cooke_triplet()
+    tab = s.table()
+    n = 1024
+    rng = np.random.RandomState(0)
+    y = np.zeros((n, 3))
+    y[:, :2] = rng.uniform(-1, 1, (n, 2))
+    u = np.zeros((n, 3))
+    u[:, :2] = rng.uniform(-.02, .02, (n, 2))
+    u[:, 2] = np.sqrt(1 - np.square(u[:, :2]).sum(1))
+    w = np.ones(n)/n
+    return tab, y, u, w
+
+
+def test_eight_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_trace_matches(setup):
+    tab, y, u, w = setup
+    mesh = ray_mesh()
+    ys, us, ts = sharded_trace(tab, y, u, mesh)
+    yf, uf, tf = trace_rays_final(tab, y, u)
+    nptest.assert_allclose(np.asarray(ys), np.asarray(yf), atol=1e-13)
+    nptest.assert_allclose(np.asarray(us), np.asarray(uf), atol=1e-13)
+    nptest.assert_allclose(np.asarray(ts), np.asarray(tf), atol=1e-13)
+
+
+def test_sharded_rms_matches(setup):
+    tab, y, u, w = setup
+    mesh = ray_mesh()
+    r = float(sharded_rms(tab, y, u, w, mesh))
+    yf, uf, tf = trace_rays_final(tab, y, u)
+    pt = np.asarray(yf)[:, :2]
+    mean = pt.mean(0)
+    r0 = float(np.sqrt(((pt - mean)**2).sum(1).mean()))
+    nptest.assert_allclose(r, r0, rtol=1e-13)
+
+
+def test_shard_rays_placement(setup):
+    tab, y, u, w = setup
+    mesh = ray_mesh()
+    ys, us = shard_rays(y, u, mesh)
+    assert len(ys.sharding.device_set) == 8
+
+
+def test_dryrun_multichip():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", "__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    assert np.isfinite(float(out[3]))
