@@ -60,6 +60,12 @@ def main():
     unroll = backend == "tpu"
 
     @jax.jit
+    def rms_single(state):
+        out, t = trace_components_final(tab, state, specs=specs,
+                                        unroll=unroll)
+        return jnp.nanmean(out[0]**2 + out[1]**2)
+
+    @jax.jit
     def rms_chain(state):
         acc = 0.
         for _ in range(chain):
@@ -70,8 +76,14 @@ def main():
                      state[3], state[4], state[5])
         return acc
 
-    log("compiling + first run (cold remote compile can take "
+    # absorb the cold remote-compiler start with the small program
+    log("warming the compiler (cold remote compile can take "
         "minutes)...")
+    t0 = time.perf_counter()
+    float(rms_single(comps))
+    log("single-trace compile+run: %.1f s"
+        % (time.perf_counter() - t0))
+    log("compiling the chained measurement...")
     t0 = time.perf_counter()
     v = float(rms_chain(comps))
     log("first call: %.1f s (value %.6g)" % (time.perf_counter() - t0, v))

@@ -1,0 +1,109 @@
+"""Pallas TPU kernel: the fused multi-surface trace.
+
+One grid program owns a tile of rays; the six component vectors are
+staged into VMEM once and the full (statically unrolled, spec-
+specialized) transfer-intercept-refract chain runs on the tile before
+it is written back -- the Pallas counterpart of
+ops.geometric.trace_components_final(unroll=True), guaranteeing the
+single-HBM-pass property instead of relying on XLA fusion.
+
+Surface parameters are tiny; they ride along as whole-array VMEM
+operands and are read per-surface as scalars inside the kernel.
+
+Falls back transparently (interpret mode) off-TPU; parity with the
+XLA path is tested in tests/test_pallas.py.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from . import kernels as K
+
+DEFAULT_TILE = 8*1024
+
+
+class _SurfRow:
+    """Scalar view of one surface row read inside the kernel."""
+
+    def __init__(self, refs, j, dtype):
+        self._refs = refs
+        self._j = j
+        self._dtype = dtype
+
+    def __getattr__(self, name):
+        if name == "aspherics" and "aspherics" not in self._refs:
+            # zero-width blocks are not representable; absent
+            # aspherics are a static property of the table
+            return jnp.zeros((0,), self._dtype)
+        return self._refs[name][self._j]
+
+
+_FIELDS = ("curvature", "conic", "aspherics", "offset", "rot",
+           "radius", "alternate", "mu", "n_before", "n_after")
+
+
+def _trace_kernel(specs, clip, nsurf, fields, *refs):
+    param_refs = dict(zip(fields, refs[:len(fields)]))
+    comp_refs = refs[len(fields):len(fields) + 6]
+    out_refs = refs[len(fields) + 6:]
+    state = tuple(r[:] for r in comp_refs)
+    dtype = state[0].dtype
+    if specs is None or specs[0].rotated:
+        r0 = param_refs["rot"][0]
+        state = (*K.rot_apply_t(r0, *state[:3]),
+                 *K.rot_apply_t(r0, *state[3:]))
+    tacc = jnp.zeros_like(state[0])
+    for j in range(1, nsurf):
+        surf = _SurfRow(param_refs, j, dtype)
+        if specs is None:
+            state, (yl, ul, il, t) = K.surface_step(state, surf, clip)
+        else:
+            state, (yl, ul, il, t) = K.surface_step_spec(
+                state, surf, specs[j], clip)
+        tacc = tacc + t
+    if specs is None or specs[nsurf - 1].rotated:
+        rl = param_refs["rot"][nsurf - 1]
+        yl = K.rot_apply(rl, *state[:3])
+        ul = K.rot_apply(rl, *state[3:])
+    else:
+        yl, ul = state[:3], state[3:]
+    for r, v in zip(out_refs, (*yl, *ul, tacc)):
+        r[:] = v
+
+
+@functools.partial(jax.jit, static_argnames=("clip", "specs", "tile",
+                                             "interpret"))
+def pallas_trace_final(table, state, clip=False, specs=None,
+                       tile=DEFAULT_TILE, interpret=False):
+    """Pallas version of trace_components_final: state is the 6-tuple
+    of (N,) ray components; returns ((x, y, z, ux, uy, uz), t)."""
+    n = state[0].shape[0]
+    nsurf = table.curvature.shape[0]
+    assert n % tile == 0, (n, tile)
+    grid = (n // tile,)
+    dtype = state[0].dtype
+
+    fields = tuple(f for f in _FIELDS
+                   if f != "aspherics" or table.aspherics.shape[1])
+    param_specs = [
+        pl.BlockSpec(a.shape, lambda i, nd=a.ndim: (0,)*nd)
+        for a in (getattr(table, f) for f in fields)]
+    comp_spec = pl.BlockSpec((tile,), lambda i: (i,))
+
+    out_shape = [jax.ShapeDtypeStruct((n,), dtype) for _ in range(7)]
+    params = [jnp.asarray(getattr(table, f), dtype=dtype)
+              if getattr(table, f).dtype.kind == "f"
+              else getattr(table, f) for f in fields]
+
+    outs = pl.pallas_call(
+        functools.partial(_trace_kernel, specs, clip, nsurf, fields),
+        grid=grid,
+        in_specs=param_specs + [comp_spec]*6,
+        out_specs=[comp_spec]*7,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*params, *state)
+    return tuple(outs[:6]), outs[6]

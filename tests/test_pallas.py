@@ -1,0 +1,59 @@
+"""Pallas fused trace kernel: parity with the XLA scan engine
+(interpret mode on CPU; the same kernel compiles on TPU)."""
+
+import numpy as np
+from numpy import testing as nptest
+import pytest
+
+from rayopt_tpu.models import cooke_triplet, double_gauss
+from rayopt_tpu.ops.geometric import trace_rays_final
+from rayopt_tpu.ops.pallas_trace import pallas_trace_final
+from rayopt_tpu.ops.kernels import specialize, split
+
+
+@pytest.mark.parametrize("build", [cooke_triplet, double_gauss])
+def test_pallas_matches_xla(build):
+    s = build()
+    tab = s.table()
+    specs = specialize(tab)
+    n = 256
+    rng = np.random.RandomState(0)
+    y = np.zeros((n, 3))
+    y[:, :2] = rng.uniform(-1, 1, (n, 2))*3
+    u = np.zeros((n, 3))
+    u[:, :2] = rng.uniform(-.03, .03, (n, 2))
+    u[:, 2] = np.sqrt(1 - np.square(u[:, :2]).sum(1))
+    state = (*[np.ascontiguousarray(c) for c in split(y)],
+             *[np.ascontiguousarray(c) for c in split(u)])
+    out, t = pallas_trace_final(tab, state, specs=specs, tile=128,
+                                interpret=True)
+    yf, uf, tf = trace_rays_final(tab, y, u)
+    got_y = np.stack([np.asarray(c) for c in out[:3]], -1)
+    got_u = np.stack([np.asarray(c) for c in out[3:]], -1)
+    nptest.assert_allclose(got_y, np.asarray(yf), atol=1e-12,
+                           equal_nan=True)
+    nptest.assert_allclose(got_u, np.asarray(uf), atol=1e-12,
+                           equal_nan=True)
+    nptest.assert_allclose(np.asarray(t), np.asarray(tf), atol=1e-12,
+                           equal_nan=True)
+
+
+def test_pallas_clip(build=cooke_triplet):
+    s = build()
+    tab = s.table()
+    specs = specialize(tab)
+    n = 128
+    y = np.zeros((n, 3))
+    y[:, 1] = np.linspace(0, 10, n)
+    u = np.zeros((n, 3))
+    u[:, 2] = 1.
+    state = (*[np.ascontiguousarray(c) for c in split(y)],
+             *[np.ascontiguousarray(c) for c in split(u)])
+    out, t = pallas_trace_final(tab, state, specs=specs, clip=True,
+                                tile=128, interpret=True)
+    yf, uf, tf = trace_rays_final(tab, y, u, clip=True)
+    got_u = np.stack([np.asarray(c) for c in out[3:]], -1)
+    nptest.assert_allclose(got_u, np.asarray(uf), atol=1e-12,
+                           equal_nan=True)
+    # some rays must actually be vignetted for this to test anything
+    assert np.isnan(got_u).any()
