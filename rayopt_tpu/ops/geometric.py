@@ -124,3 +124,16 @@ def trace_rays_final(table, y0, u0, clip=False, specs=None,
     out, tacc = trace_components_final(table, state, clip=clip,
                                        specs=specs, unroll=unroll)
     return K.join(*out[:3]), K.join(*out[3:]), tacc
+
+
+@functools.partial(jax.jit, static_argnames=("clip", "specs", "unroll"))
+def trace_rays_final_multi(tables, y0, u0, clip=False, specs=None,
+                           unroll=False):
+    """Polychromatic/batched trace: `tables` is a SurfaceTable whose
+    fields carry a leading batch axis (e.g. one row per wavelength,
+    from System.tables), y0/u0 are (B, N, 3).  vmapped over the batch;
+    the static specs are shared (the geometry is identical, only
+    indices differ across wavelengths)."""
+    fn = functools.partial(trace_rays_final.__wrapped__, clip=clip,
+                           specs=specs, unroll=unroll)
+    return jax.vmap(fn)(tables, y0, u0)

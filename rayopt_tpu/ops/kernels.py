@@ -155,6 +155,7 @@ class SurfaceSpec(NamedTuple):
     alternate: bool   # alternate (far) conic intersection
     kind: int
     finite_aperture: bool
+    off_sign: int     # sign of the axial offset (static geometry)
 
 
 def specialize(table):
@@ -182,6 +183,7 @@ def specialize(table):
             alternate=bool(alt != 0),
             kind=kind,
             finite_aperture=bool(np.isfinite(rad)),
+            off_sign=int(np.sign(off[2])) or 1,
         ))
     return tuple(specs)
 

@@ -465,6 +465,16 @@ class System(list):
             mu=mu, n_before=n_before, n_after=n_after,
             distance=distance, dtype=dtype)
 
+    def tables(self, wavelengths=None, dtype=np.float64):
+        """Stacked SurfaceTable with a leading wavelength axis, for
+        the batched polychromatic engine
+        (ops.geometric.trace_rays_final_multi)."""
+        import jax.tree_util as jtu
+        if wavelengths is None:
+            wavelengths = self.wavelengths
+        tabs = [self.table(l, dtype) for l in wavelengths]
+        return jtu.tree_map(lambda *a: np.stack(a), *tabs)
+
     # -- propagation drivers (reference system.py:444-464) -------------
 
     def propagate_paraxial(self, yu, n, l, start=1, stop=None):
