@@ -41,19 +41,37 @@ def _entry(table, y0, u0):
     return (x, y, z, ux, uy, uz)
 
 
-@functools.partial(jax.jit, static_argnames=("clip",))
-def trace_rays(table, y0, u0, clip=False):
+@functools.partial(jax.jit, static_argnames=("clip", "specs", "unroll"))
+def trace_rays(table, y0, u0, clip=False, specs=None, unroll=False):
     """Trace rays y0, u0 (N, 3; element-0 local frame) through all
     surfaces.  Returns (y, u, i, t): (S, N, 3) x3 and (S, N), surface 0
     holding the seed (t[0] = 0), matching GeometricTrace's layout
-    (reference geometric_trace.py:37-47)."""
+    (reference geometric_trace.py:37-47).
+
+    With unroll=True (and optionally specs from kernels.specialize)
+    the surface loop unrolls into one fused specialized kernel -- the
+    accelerator fast path; the default scan keeps compile time
+    depth-independent for host work."""
     state = _entry(table, y0, u0)
+    if unroll:
+        nsurf = table.curvature.shape[0]
+        outs = []
+        for j in range(1, nsurf):
+            surf = jax.tree_util.tree_map(lambda a: a[j], table)
+            if specs is None:
+                state, (yl, ul, il, t) = K.surface_step(
+                    state, surf, clip)
+            else:
+                state, (yl, ul, il, t) = K.surface_step_spec(
+                    state, surf, specs[j], clip)
+            outs.append((K.join(*yl), K.join(*ul), K.join(*il), t))
+        y, u, i, t = (jnp.stack(v) for v in zip(*outs))
+    else:
+        def step(state, surf):
+            state, (yl, ul, il, t) = K.surface_step(state, surf, clip)
+            return state, (K.join(*yl), K.join(*ul), K.join(*il), t)
 
-    def step(state, surf):
-        state, (yl, ul, il, t) = K.surface_step(state, surf, clip)
-        return state, (K.join(*yl), K.join(*ul), K.join(*il), t)
-
-    _, (y, u, i, t) = jax.lax.scan(step, state, _rows(table))
+        _, (y, u, i, t) = jax.lax.scan(step, state, _rows(table))
     cat = lambda a, b: jnp.concatenate([a[None], b], axis=0)
     return (cat(y0, y), cat(u0, u), cat(u0, i),
             cat(jnp.zeros(y0.shape[:-1], y0.dtype), t))

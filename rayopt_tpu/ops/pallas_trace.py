@@ -82,28 +82,39 @@ def pallas_trace_final(table, state, clip=False, specs=None,
     of (N,) ray components; returns ((x, y, z, ux, uy, uz), t)."""
     n = state[0].shape[0]
     nsurf = table.curvature.shape[0]
-    assert n % tile == 0, (n, tile)
+    assert n % tile == 0 and tile % 128 == 0, (n, tile)
+    # Mosaic wants >= 2-D blocks: view components as (N/128, 128)
+    rows = tile // 128
     grid = (n // tile,)
     dtype = state[0].dtype
+    state2 = tuple(c.reshape(n // 128, 128) for c in state)
 
     fields = tuple(f for f in _FIELDS
                    if f != "aspherics" or table.aspherics.shape[1])
     param_specs = [
         pl.BlockSpec(a.shape, lambda i, nd=a.ndim: (0,)*nd)
         for a in (getattr(table, f) for f in fields)]
-    comp_spec = pl.BlockSpec((tile,), lambda i: (i,))
+    comp_spec = pl.BlockSpec((rows, 128), lambda i: (i, 0))
 
-    out_shape = [jax.ShapeDtypeStruct((n,), dtype) for _ in range(7)]
+    out_shape = [jax.ShapeDtypeStruct((n // 128, 128), dtype)
+                 for _ in range(7)]
     params = [jnp.asarray(getattr(table, f), dtype=dtype)
               if getattr(table, f).dtype.kind == "f"
               else getattr(table, f) for f in fields]
 
-    outs = pl.pallas_call(
-        functools.partial(_trace_kernel, specs, clip, nsurf, fields),
-        grid=grid,
-        in_specs=param_specs + [comp_spec]*6,
-        out_specs=[comp_spec]*7,
-        out_shape=out_shape,
-        interpret=interpret,
-    )(*params, *state)
-    return tuple(outs[:6]), outs[6]
+    # Mosaic rejects i64 index-map results when jax_enable_x64 is on;
+    # trace the f32 path with x64 off (f64 interpret-mode runs keep it)
+    import contextlib
+    ctx = (jax.enable_x64(False) if dtype == jnp.float32
+           else contextlib.nullcontext())
+    with ctx:
+        outs = pl.pallas_call(
+            functools.partial(_trace_kernel, specs, clip, nsurf,
+                              fields),
+            grid=grid,
+            in_specs=param_specs + [comp_spec]*6,
+            out_specs=[comp_spec]*7,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(*params, *state2)
+    return tuple(o.reshape(n) for o in outs[:6]), outs[6].reshape(n)

@@ -19,7 +19,7 @@ from .conjugates import Conjugate, FiniteConjugate, InfiniteConjugate
 from .materials import fraunhofer
 from .pupils import RadiusPupil
 from .utils.cachend import PolarCacheND
-from .utils.jaxtools import placement
+from .utils.jaxtools import placement, has_accelerator as _accel
 from .ops.tables import make_table
 from .ops.geometric import trace_rays
 from .trace.paraxial import ParaxialTrace
@@ -504,8 +504,14 @@ class System(list):
         sub = jtu.tree_map(lambda a: a[start - 1:stop], table)
         y = np.atleast_2d(np.asarray(y, dtype=float))
         u = np.atleast_2d(np.asarray(u, dtype=float))
+        from .utils.jaxtools import device_for
+        kw = {}
+        if device_for(y.shape[0]) is None and _accel():
+            # big bundle on the accelerator: fused specialized path
+            from .ops.kernels import specialize
+            kw = dict(specs=specialize(sub), unroll=True)
         with placement(y.shape[0]):
-            ys, us, iis, ts = trace_rays(sub, y, u, clip=clip)
+            ys, us, iis, ts = trace_rays(sub, y, u, clip=clip, **kw)
         return (np.asarray(ys), np.asarray(us), np.asarray(iis),
                 np.asarray(ts))
 
