@@ -49,5 +49,7 @@ from .analysis import Analysis  # noqa: E402,F401
 from .optimize import optimize, Variable, PathVariable, Operand, FuncOp  # noqa: E402,F401
 from .io.zemax import zmx_to_system  # noqa: E402,F401
 from .io.oslo import len_to_system, olc_to_system  # noqa: E402,F401
+from .io.library import Library  # noqa: E402,F401
+from .io import library  # noqa: E402,F401
 
 __version__ = "0.1.0"

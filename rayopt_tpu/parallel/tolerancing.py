@@ -1,0 +1,89 @@
+"""Tolerancing: Monte-Carlo perturbation analysis as one vmapped
+batch.
+
+The classic workflow (perturb radii/thicknesses/decenters, re-trace,
+collect the merit distribution) is embarrassingly parallel over
+perturbation samples -- the TPU-native formulation is a SurfaceTable
+with a leading sample axis, vmapped through the trace, optionally
+sharded over chips.  The reference has no tolerancing machinery; this
+is the "multi-host batch farming of independent traces" SURVEY.md
+section 5 calls out, expressed single-program.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.geometric import trace_rays_final
+
+
+def perturbed_tables(table, key, n_samples, sigmas):
+    """Stack n_samples perturbed copies of `table`.
+
+    sigmas: dict field -> per-surface std-dev array (broadcastable to
+    the field's shape), e.g. {"curvature": 1e-5, "distance": 1e-3}.
+    Gaussian perturbations; offset z follows distance when distance is
+    perturbed.
+    """
+    keys = jax.random.split(key, len(sigmas))
+    out = {}
+    for k, (field, sigma) in zip(keys, sigmas.items()):
+        base = jnp.asarray(getattr(table, field))
+        noise = sigma*jax.random.normal(k, (n_samples,) + base.shape,
+                                        base.dtype)
+        out[field] = base[None] + noise
+    if "distance" in out and "offset" not in out:
+        off = jnp.broadcast_to(jnp.asarray(table.offset)[None],
+                               (n_samples,) + table.offset.shape)
+        out["offset"] = off.at[..., 2].set(out["distance"])
+    stacked = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(jnp.asarray(a)[None],
+                                   (n_samples,) + a.shape), table)
+    return stacked.replace(**out)
+
+
+@functools.partial(jax.jit, static_argnames=("clip",))
+def monte_carlo_rms(tables, y0, u0, w, clip=False):
+    """Spot RMS per perturbation sample: vmap over the stacked table
+    (rays shared across samples).  Returns (n_samples,) RMS values."""
+
+    def rms_one(tab):
+        y, u, t = trace_rays_final(tab, y0, u0, clip=clip)
+        pt = y[:, :2]
+        good = jnp.all(jnp.isfinite(pt), axis=1)
+        wg = jnp.where(good, w, 0.)
+        pt = jnp.where(good[:, None], pt, 0.)
+        wsum = wg.sum()
+        mean = (wg[:, None]*pt).sum(0)/wsum
+        r2 = (wg*jnp.square(pt - mean).sum(1)).sum()/wsum
+        return jnp.sqrt(r2)
+
+    return jax.vmap(rms_one)(tables)
+
+
+def tolerance_analysis(table, y0, u0, w=None, sigmas=None,
+                       n_samples=256, seed=0, clip=False):
+    """Monte-Carlo tolerance run; returns dict with the merit
+    distribution and its quantiles."""
+    if w is None:
+        w = np.ones(y0.shape[0])/y0.shape[0]
+    if sigmas is None:
+        sigmas = {"curvature": 1e-6, "distance": 5e-3}
+    key = jax.random.PRNGKey(seed)
+    tables = perturbed_tables(table, key, n_samples, sigmas)
+    rms = np.asarray(monte_carlo_rms(tables, y0, u0, jnp.asarray(w),
+                                     clip=clip))
+    good = rms[np.isfinite(rms)]
+    return {
+        "rms": rms,
+        "nominal": float(np.asarray(monte_carlo_rms(
+            jax.tree_util.tree_map(lambda a: a[None], table),
+            y0, u0, jnp.asarray(w), clip=clip))[0]),
+        "mean": float(good.mean()),
+        "p50": float(np.percentile(good, 50)),
+        "p90": float(np.percentile(good, 90)),
+        "p99": float(np.percentile(good, 99)),
+        "yield_2x": float((good <= 2*good.min()).mean()),
+    }
