@@ -62,6 +62,68 @@ def trace_rms_merit(table, bundles):
     return total
 
 
+def bundles_from_system(system, fields=None, wavelengths=None,
+                        nrays=32, distribution="radau"):
+    """Aim one weighted ray bundle per (field, wavelength) through the
+    system's pupils: the standard multi-configuration merit input.
+
+    Aiming runs host-side (it solves through the current design); the
+    resulting seeds are treated as constants of the merit, as in
+    classical lens optimization where pupil aiming is refreshed
+    between optimization macro-cycles.
+    """
+    from ..utils.distributions import pupil_distribution
+    if fields is None:
+        fields = system.fields
+    if wavelengths is None:
+        wavelengths = system.wavelengths
+    ref, yp, w = pupil_distribution(distribution, nrays)
+    if w is None:
+        w = np.ones(yp.shape[0])/yp.shape[0]
+    out = []
+    for l in wavelengths:
+        for h in fields:
+            z, p = system.pupil((0, h), l=l)
+            y0, u0 = system.aim((0, h), yp, z, p, filter=False)
+            out.append((jnp.asarray(y0), jnp.asarray(u0),
+                        jnp.asarray(w)))
+    return out
+
+
+def optimize_system(system, select=("curvature",), fields=None,
+                    wavelengths=None, nrays=32, steps=100, lr=None,
+                    cycles=1, **kw):
+    """End-to-end differentiable lens optimization on a System:
+    lower to the table, minimize summed weighted spot RMS over
+    fields x wavelengths with jax.grad + optax, and write the
+    optimized values back into the elements.
+
+    `cycles` re-aims the pupils between optimization macro-cycles.
+    Returns the merit history.
+    """
+    history = []
+    for _ in range(cycles):
+        bundles = bundles_from_system(system, fields, wavelengths,
+                                      nrays)
+        table = system.table()
+        if lr is None:
+            import optax
+            kw.setdefault("optimizer", optax.adam(1e-4))
+        tab_opt, hist = optimize_grad(table, bundles, select=select,
+                                      steps=steps,
+                                      lr=lr or 1e-4, **kw)
+        history.extend(hist.tolist())
+        curv = np.asarray(tab_opt.curvature)
+        dist = np.asarray(tab_opt.distance)
+        for j, e in enumerate(system):
+            if "curvature" in select and hasattr(e, "curvature"):
+                e.curvature = float(curv[j])
+            if "distance" in select:
+                e.distance = float(dist[j])
+        system.update()
+    return np.asarray(history)
+
+
 def optimize_grad(table, bundles, select=("curvature",), steps=100,
                   lr=1e-4, optimizer=None, merit=None, callback=None):
     """Gradient-descent lens optimization.
@@ -80,10 +142,21 @@ def optimize_grad(table, bundles, select=("curvature",), steps=100,
     if merit is None:
         merit = functools.partial(trace_rms_merit, bundles=bundles)
 
-    params = {k: getattr(table, k) for k in select}
+    params = {k: jnp.asarray(getattr(table, k)) for k in select}
+    # distance is a derived length; the trace consumes offset, so tie
+    # offset = unit_direction * distance when distance is optimized
+    off = np.asarray(table.offset)
+    d0 = np.asarray(table.distance)
+    unit = np.divide(off, d0[:, None], where=d0[:, None] != 0,
+                     out=np.tile(np.array([0., 0., 1.]),
+                                 (off.shape[0], 1)))
 
     def loss(params):
-        return merit(table.replace(**params))
+        tab = table.replace(**params)
+        if "distance" in params:
+            tab = tab.replace(
+                offset=jnp.asarray(unit)*params["distance"][:, None])
+        return merit(tab)
 
     value_and_grad = jax.jit(jax.value_and_grad(loss))
     state = optimizer.init(params)

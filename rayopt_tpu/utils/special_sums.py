@@ -61,7 +61,7 @@ def polar_sum(m, center, direction, aspect=1., binsize=None):
         k = (j**2*aspect**2 + i**2)**.5
         if binsize is None:
             binsize = min(1., aspect)
-        minlength = None
+        minlength = 0
     elif direction == "radial":
         k = np.arctan2(i, j*aspect) + np.pi
         if binsize is None:
