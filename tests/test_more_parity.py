@@ -1,0 +1,94 @@
+"""Additional reference-parity coverage: update_stop, reverse-trace
+consistency, plot smoke, print dumps, telecentric aiming."""
+
+import numpy as np
+from numpy import testing as nptest
+import matplotlib
+
+matplotlib.use("agg")
+
+import rayopt_tpu as ro
+from rayopt_tpu.models import cooke_triplet, doublet
+
+
+def test_update_stop():
+    s = cooke_triplet()
+    r0 = s[s.stop].radius
+    s.image.pupil.radius = s.image.pupil.radius  # touch
+    s.paraxial.update_stop("image")
+    assert np.isfinite(s[s.stop].radius)
+    # and the resulting stop still lets the system update
+    s[s.stop].radius = r0
+    s.update()
+
+
+def test_reverse_roundtrip():
+    """reverse() twice restores the system exactly (the reference only
+    guarantees the round trip: a singly-reversed system has a
+    degenerate point object, reference test_raytrace.py:84)."""
+    s = cooke_triplet()
+    p_fwd = s.paraxial.focal_length[1]
+    curv = [getattr(e, "curvature", 0.) for e in s]
+    dist = [e.distance for e in s]
+    s.reverse()
+    s.reverse()
+    s.update()
+    nptest.assert_allclose(
+        [getattr(e, "curvature", 0.) for e in s], curv, rtol=1e-14)
+    nptest.assert_allclose([e.distance for e in s], dist, rtol=1e-14)
+    nptest.assert_allclose(s.paraxial.focal_length[1], p_fwd,
+                           rtol=1e-12)
+
+
+def test_plots_smoke():
+    import matplotlib.pyplot as plt
+    s = cooke_triplet()
+    g = ro.GeometricTrace(s)
+    g.rays_paraxial()
+    fig, ax = plt.subplots()
+    s.plot(ax)
+    g.plot(ax)
+    s.paraxial.plot(ax, principals=True, pupils=True, focals=True,
+                    nodals=True)
+    fig2, ax2 = plt.subplots()
+    s.paraxial.plot_yybar(ax2)
+    gt = ro.GaussianTrace(s)
+    fig3, ax3 = plt.subplots()
+    gt.plot(ax3)
+    plt.close("all")
+
+
+def test_print_dumps():
+    s = cooke_triplet()
+    g = ro.GeometricTrace(s)
+    g.rays_paraxial()
+    text = str(g)
+    assert "ray 0" in text
+    assert len(text.splitlines()) > 10
+    text = str(s.paraxial)
+    assert "lagrange" in text
+    p = ro.PolyTrace(doublet(), 3)
+    assert "maximum order" in str(p)
+
+
+def test_telecentric_finite_aim():
+    c = ro.FiniteConjugate(
+        radius=1., pupil=dict(type="radius", distance=50., radius=5.,
+                              telecentric=True))
+    y, u = c.aim(np.array([[0., 1.]]), np.array([[0., .5]]))
+    # telecentric: chief direction parallel to the axis before the
+    # pupil offset is applied
+    assert np.isfinite(u).all()
+    nptest.assert_allclose(np.square(u).sum(-1), 1, atol=1e-12)
+
+
+def test_system_close():
+    s = cooke_triplet()
+    s.close()
+    nptest.assert_allclose(s.origins[-1], 0, atol=1e-12)
+
+
+def test_groups():
+    s = cooke_triplet()
+    groups = list(s.groups())
+    assert groups == [[1, 2], [3, 4], [6, 7]]
