@@ -62,6 +62,55 @@ def trace_rms_merit(table, bundles):
     return total
 
 
+def opd_rays(table, y0, u0, ref=0, radius=None, wavelength=None,
+             scale=1e-3, finite=False, sphere_offset=None):
+    """Per-ray optical path difference on the exit-pupil reference
+    sphere, in waves -- the differentiable jnp mirror of
+    GeometricTrace.opd without the grid resample (reference
+    geometric_trace.py:101-144).
+
+    radius: reference-sphere radius (e.g. -image.pupil.distance);
+    sphere_offset: the axial distance from the second-to-last surface
+    to the image surface (defaults to table.distance[-1]).
+    For straight (unrotated) end geometry.
+    """
+    from ..ops.geometric import trace_rays
+    from ..ops.surfaces import intercept_conic
+    y, u, i, t = trace_rays(table, y0, u0)
+    tsum = (t[:-1] - t[:-1, ref][:, None]).sum(0)
+    if not finite:
+        # input reference is a plane normal to the chief ray
+        tj = (u0[ref]*(y0[ref] - y0)).sum(-1)
+        tsum = tsum - tj*table.n_before[0]
+    if sphere_offset is None:
+        sphere_offset = table.distance[-1]
+    ya = y[-2] - jnp.concatenate(
+        [jnp.zeros(2, y.dtype), sphere_offset[None]])
+    ya = ya - y[-1, ref]
+    ua = u[-2]
+    ya = ya.at[:, 2].add(radius)
+    ti = intercept_conic(ya, ua, 1./radius, 0.*radius, 0.)
+    tsum = tsum + (ti - ti[ref])*table.n_before[-1]
+    return -tsum/(wavelength/scale)
+
+
+def wavefront_rms(table, y0, u0, w=None, ref=0, radius=None,
+                  wavelength=None, scale=1e-3, finite=False):
+    """Weighted RMS wavefront error (waves, piston removed) -- a
+    differentiable wavefront merit the reference's finite-difference
+    optimizer cannot offer."""
+    opd = opd_rays(table, y0, u0, ref=ref, radius=radius,
+                   wavelength=wavelength, scale=scale, finite=finite)
+    if w is None:
+        w = jnp.ones(y0.shape[0], opd.dtype)/y0.shape[0]
+    good = jnp.isfinite(opd)
+    wg = jnp.where(good, w, 0.)
+    o = jnp.where(good, opd, 0.)
+    wsum = wg.sum()
+    mean = (wg*o).sum()/wsum
+    return jnp.sqrt((wg*jnp.square(o - mean)).sum()/wsum + 1e-30)
+
+
 def bundles_from_system(system, fields=None, wavelengths=None,
                         nrays=32, distribution="radau"):
     """Aim one weighted ray bundle per (field, wavelength) through the

@@ -1,0 +1,68 @@
+"""Differentiable wavefront merit: the jnp OPD matches
+GeometricTrace.opd ray-for-ray, and grads flow."""
+
+import numpy as np
+from numpy import testing as nptest
+import jax
+import jax.numpy as jnp
+
+import rayopt_tpu as ro
+from rayopt_tpu.models import cooke_triplet
+from rayopt_tpu.parallel.grad import opd_rays, wavefront_rms
+
+
+def _setup(field=0.):
+    s = cooke_triplet()
+    g = ro.GeometricTrace(s)
+    g.rays_point((0, field), nrays=50, distribution="hexapolar",
+                 filter=False)
+    return s, g
+
+
+def test_opd_matches_host():
+    s, g = _setup(0.)
+    x, y, t_host = g.opd(resample=0)
+    tab = s.table(g.l)
+    radius = -s.image.pupil.distance
+    t_jax = opd_rays(tab, jnp.asarray(g.y[0]), jnp.asarray(g.u[0]),
+                     ref=g.ref, radius=radius, wavelength=g.l,
+                     scale=s.scale, finite=s.object.finite)
+    good = np.isfinite(t_host)
+    nptest.assert_allclose(np.asarray(t_jax)[good], t_host[good],
+                           rtol=1e-9, atol=1e-9)
+
+
+def test_opd_matches_host_off_axis():
+    s, g = _setup(.7)
+    x, y, t_host = g.opd(resample=0)
+    tab = s.table(g.l)
+    radius = -s.image.pupil.distance
+    t_jax = opd_rays(tab, jnp.asarray(g.y[0]), jnp.asarray(g.u[0]),
+                     ref=g.ref, radius=radius, wavelength=g.l,
+                     scale=s.scale, finite=s.object.finite)
+    good = np.isfinite(t_host)
+    nptest.assert_allclose(np.asarray(t_jax)[good], t_host[good],
+                           rtol=1e-9, atol=1e-9)
+
+
+def test_wavefront_grad():
+    s, g = _setup(0.)
+    tab = s.table(g.l)
+    radius = -s.image.pupil.distance
+    y0 = jnp.asarray(g.y[0])
+    u0 = jnp.asarray(g.u[0])
+
+    def merit(curv):
+        return wavefront_rms(tab.replace(curvature=curv), y0, u0,
+                             radius=radius, wavelength=g.l,
+                             scale=s.scale, finite=s.object.finite)
+
+    curv = jnp.asarray(tab.curvature)
+    v = float(merit(curv))
+    assert np.isfinite(v) and v < 10
+    grad = jax.grad(merit)(curv)
+    eps = 1e-8
+    i = 1
+    fd = (merit(curv.at[i].add(eps)) -
+          merit(curv.at[i].add(-eps)))/(2*eps)
+    nptest.assert_allclose(grad[i], fd, rtol=1e-4)
