@@ -67,7 +67,13 @@ def system_from_text(text, *args, **kwargs):
 
 def system_from_yaml(text):
     dat = yaml.safe_load(text)
-    assert dat.pop("type", "system") == "system"
+    if not isinstance(dat, dict):
+        raise ValueError(
+            "expected a YAML mapping describing a system, got %r"
+            % type(dat).__name__)
+    typ = dat.pop("type", "system")
+    if typ != "system":
+        raise ValueError("not a system description (type: %r)" % typ)
     return System(**dat)
 
 
@@ -77,7 +83,13 @@ def system_to_yaml(system):
 
 def system_from_json(text):
     dat = json.loads(text)
-    assert dat.pop("type", "system") == "system"
+    if not isinstance(dat, dict):
+        raise ValueError(
+            "expected a JSON object describing a system, got %r"
+            % type(dat).__name__)
+    typ = dat.pop("type", "system")
+    if typ != "system":
+        raise ValueError("not a system description (type: %r)" % typ)
     return System(**dat)
 
 
