@@ -1,0 +1,70 @@
+"""Cross-engine fuzz: random (valid) spherical/conic systems traced
+through three independent implementations — the component-form jnp
+engine (scan and specialized-unrolled), and the reference-style NumPy
+baseline — must agree bit-tight in float64."""
+
+import os
+import sys
+
+import numpy as np
+from numpy import testing as nptest
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from rayopt_tpu.ops.tables import make_table
+from rayopt_tpu.ops.geometric import trace_rays_final
+from rayopt_tpu.ops.kernels import specialize
+from benchmarks.numpy_baseline import trace_numpy
+
+
+def random_system(rng, nsurf=8):
+    curv = rng.uniform(-1/30., 1/30., nsurf)
+    curv[0] = 0.
+    conic = np.where(rng.rand(nsurf) < .5, 0.,
+                     rng.uniform(-2., .5, nsurf))
+    conic[curv == 0] = 0.
+    dist = np.r_[0., rng.uniform(1., 8., nsurf - 1)]
+    n = np.ones(nsurf)
+    mu = np.ones(nsurf)
+    cur = 1.
+    for j in range(1, nsurf - 1):
+        new = rng.choice([1., 1.5, 1.62, 1.7]) if cur == 1. else 1.
+        mu[j] = cur/new
+        cur = new
+        n[j] = cur
+    n[-1] = cur
+    return make_table(curvature=curv, conic=conic, distance=dist,
+                      mu=mu,
+                      n_before=np.r_[1., n[:-1]], n_after=n)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_engines_agree(seed):
+    rng = np.random.RandomState(seed)
+    tab = random_system(rng)
+    nrays = 200
+    y = np.zeros((nrays, 3))
+    y[:, :2] = rng.uniform(-3, 3, (nrays, 2))
+    u = np.zeros((nrays, 3))
+    u[:, :2] = rng.uniform(-.1, .1, (nrays, 2))
+    u[:, 2] = np.sqrt(1 - np.square(u[:, :2]).sum(1))
+
+    y1, u1, t1 = map(np.asarray, trace_rays_final(tab, y, u))
+    specs = specialize(tab)
+    y2, u2, t2 = map(np.asarray,
+                     trace_rays_final(tab, y, u, specs=specs,
+                                      unroll=True))
+    y3, u3, t3 = trace_numpy(tab, y, u)
+
+    for a, b, what in ((y1, y2, "y scan/unroll"),
+                       (u1, u2, "u scan/unroll"),
+                       (t1, t2, "t scan/unroll"),
+                       (y1, y3, "y scan/numpy"),
+                       (u1, u3, "u scan/numpy"),
+                       (t1, t3, "t scan/numpy")):
+        nptest.assert_allclose(a, b, atol=1e-10, rtol=1e-10,
+                               equal_nan=True, err_msg=what)
+    # most rays make it through a sane random system
+    frac = np.isfinite(y1[:, 0]).mean()
+    assert frac > .5, frac
