@@ -545,18 +545,42 @@ class System(list):
         return a
 
     def solve_brentq(self, merit, a=0., b=1., tol=1e-3, maxiter=30):
+        b_nan = None
         for i in range(maxiter):
             fb = merit(b)
             if abs(fb) <= tol:
                 return b
             elif np.isnan(fb):
-                b /= 2
+                # rays started missing surfaces: remember the boundary
+                # and back off (the reference just halves,
+                # reference system.py:489, which can cycle forever
+                # against a nearby NaN ceiling)
+                b_nan = b if b_nan is None else min(b_nan, b)
+                b = (a + b)/2 if a else b/2
             elif fb < 0:
                 a = b
-                b *= 1 - fb
+                bnext = b*(1 - fb)
+                if b_nan is not None and bnext >= b_nan:
+                    # expand only up to the NaN boundary
+                    b = (b + b_nan)/2
+                else:
+                    b = bnext
+                if b_nan is not None and abs(b_nan - a) < tol*max(a, 1):
+                    # the aperture edge is unreachable: the bundle
+                    # vignettes before filling it; aim at the
+                    # vignetting limit instead of failing
+                    import warnings
+                    warnings.warn("aperture edge unreachable; aiming "
+                                  "at the vignetting limit")
+                    return a
             else:
                 break
         if i == maxiter - 1:
+            if a and b_nan is not None:
+                import warnings
+                warnings.warn("aperture edge unreachable; aiming at "
+                              "the vignetting limit")
+                return a
             raise ValueError("no viable interval found", a, b, fb)
         fa = merit(a)
         if abs(fa) <= tol:

@@ -158,6 +158,15 @@ class GeometricTrace(Trace):
         p, q = np.broadcast_arrays(f[:, None], f)
         return p, q, psf
 
+    def zernike(self, nterms=15, **kwargs):
+        """Noll-Zernike decomposition of the exit-pupil wavefront (in
+        waves): returns (coefficients, residual RMS).  Uses the raw
+        (unresampled) OPD samples with their quadrature weights."""
+        from ..utils.zernike import fit_zernike
+        x, y, o = self.opd(resample=0, **kwargs)
+        h = np.nanmax(np.hypot(x, y))
+        return fit_zernike(x/h, y/h, o, nterms=nterms, w=self.w)
+
     def rms(self, i=-1, ref=None):
         """Weighted transverse spot RMS (reference
         geometric_trace.py:171)."""

@@ -1,0 +1,89 @@
+"""Zernike polynomials (Noll numbering) and wavefront fits.
+
+An analysis capability on top of the OPD machinery: decompose the
+exit-pupil wavefront into Noll-ordered Zernike terms (piston, tilt,
+defocus, astigmatism, coma, spherical, ...) by weighted least squares
+over the traced ray samples.  Written with jnp-compatible primitives
+so fits can run under jit; the host path takes NumPy arrays.
+"""
+
+import math
+
+import numpy as np
+
+NOLL_NAMES = {
+    1: "piston", 2: "tilt x", 3: "tilt y", 4: "defocus",
+    5: "astig 45", 6: "astig 0", 7: "coma y", 8: "coma x",
+    9: "trefoil y", 10: "trefoil x", 11: "spherical",
+    12: "2nd astig 0", 13: "2nd astig 45", 14: "tetrafoil 0",
+    15: "tetrafoil 45", 16: "2nd coma x", 17: "2nd coma y",
+    22: "2nd spherical",
+}
+
+
+def noll_to_nm(j):
+    """Noll index -> (n, m) with the standard sign/parity rules."""
+    n = 0
+    j1 = j - 1
+    while j1 > n:
+        n += 1
+        j1 -= n
+    m = (-1)**j * ((n % 2) + 2*((j1 + ((n + 1) % 2))//2))
+    return n, int(m)
+
+
+def _radial(n, m, rho):
+    m = abs(m)
+    out = 0.
+    for k in range((n - m)//2 + 1):
+        c = ((-1)**k*math.factorial(n - k) /
+             (math.factorial(k)*math.factorial((n + m)//2 - k) *
+              math.factorial((n - m)//2 - k)))
+        out = out + c*rho**(n - 2*k)
+    return out
+
+
+def zernike(j, x, y):
+    """Noll Zernike Z_j on unit-disc coordinates, orthonormal
+    (RMS-normalized: <Z_j^2> = 1 over the disc)."""
+    n, m = noll_to_nm(j)
+    rho2 = x*x + y*y
+    rho = np.sqrt(rho2)
+    r = _radial(n, m, rho)
+    norm = math.sqrt(2*(n + 1))
+    if m == 0:
+        return math.sqrt(n + 1)*r
+    theta = np.arctan2(y, x)
+    if m > 0:
+        return norm*r*np.cos(m*theta)
+    return norm*r*np.sin(-m*theta)
+
+
+def fit_zernike(x, y, opd, nterms=15, w=None):
+    """Weighted least-squares Zernike fit of OPD samples on (x, y)
+    normalized pupil coordinates.  Returns (coefficients, residual
+    RMS).  NaN samples are dropped."""
+    x = np.asarray(x, float).ravel()
+    y = np.asarray(y, float).ravel()
+    opd = np.asarray(opd, float).ravel()
+    if w is None:
+        w = np.ones_like(opd)
+    else:
+        w = np.asarray(w, float).ravel()
+    good = np.isfinite(opd) & np.isfinite(x) & np.isfinite(y)
+    x, y, opd, w = x[good], y[good], opd[good], w[good]
+    a = np.stack([zernike(j, x, y) for j in range(1, nterms + 1)], 1)
+    sw = np.sqrt(w)
+    coeff, *_ = np.linalg.lstsq(a*sw[:, None], opd*sw, rcond=None)
+    res = opd - a @ coeff
+    rms = np.sqrt((w*res**2).sum()/w.sum())
+    return coeff, rms
+
+
+def zernike_table(coeff):
+    """Human-readable per-term lines (Noll index, name, value)."""
+    lines = []
+    for j, c in enumerate(coeff, start=1):
+        name = NOLL_NAMES.get(j, "")
+        lines.append("Z%-3d %-14s % .4e" % (j, name, c))
+    return lines

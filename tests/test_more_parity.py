@@ -92,3 +92,22 @@ def test_groups():
     s = cooke_triplet()
     groups = list(s.groups())
     assert groups == [[1, 2], [3, 4], [6, 7]]
+
+
+def test_vignetting_limit_fallback():
+    """When the stop edge is unreachable (rays miss surfaces first),
+    aiming falls back to the vignetting limit with a warning instead
+    of raising (robustness beyond reference system.py:496)."""
+    import warnings
+    from rayopt_tpu.models.prescriptions import DOUBLE_GAUSS_YAML
+    yaml_text = DOUBLE_GAUSS_YAML.replace("radius: 11.3",
+                                          "radius: 14.2")
+    s = ro.system_from_yaml(yaml_text)
+    s.update()
+    g = ro.GeometricTrace(s)
+    with warnings.catch_warnings(record=True) as wlist:
+        warnings.simplefilter("always")
+        g.rays_point((0, 1.), nrays=13, distribution="radau",
+                     filter=False)
+    assert any("vignetting" in str(w.message) for w in wlist)
+    assert np.isfinite(g.rms())
