@@ -1,0 +1,61 @@
+"""Batched jit chief-ray aiming vs the host newton solver."""
+
+import numpy as np
+from numpy import testing as nptest
+
+from rayopt_tpu.models import cooke_triplet, double_gauss
+from rayopt_tpu.ops.aiming import aim_chief_batched
+from rayopt_tpu.ops.kernels import specialize
+
+
+def _check(s, fields, rtol):
+    from rayopt_tpu.ops.aiming import _stop_height
+    import jax.numpy as jnp
+    tab = s.table()
+    specs = specialize(tab)
+    z0 = s.object.pupil.distance
+    p = s.object.pupil.radius
+    # rectilinear projection: tangent = fractional field * tan(angle)
+    # (reference conjugates.py:212)
+    tangents = np.asarray(fields)*np.tan(s.object.angle)
+    ft = np.stack([np.zeros_like(tangents), tangents], 1)
+    z_batched = np.asarray(aim_chief_batched(tab, ft, z0, s.stop,
+                                             specs=specs))
+    for f, t, zb in zip(fields, tangents, z_batched):
+        if f == 0:
+            continue  # on-axis: any z works
+        # the batched Newton converges the chief-ray merit well below
+        # the host solver's 1e-3 tolerance (reference system.py:466)
+        m = np.asarray(_stop_height(tab, specs, s.stop,
+                                    jnp.array([0.]), jnp.array([t]),
+                                    jnp.array([zb])))[0]
+        assert abs(m) < 1e-8, (f, m)
+        # and agrees with the host wherever the host actually iterated
+        zh = s.aim_chief(np.array((0., f)), z0, p)
+        if abs(zh - z0) > 1e-12:
+            nptest.assert_allclose(zb, zh, rtol=rtol)
+
+
+def test_matches_host_cooke():
+    s = cooke_triplet()
+    _check(s, [0., .3, .7, 1.], rtol=1e-3)
+
+
+def test_matches_host_double_gauss():
+    s = double_gauss()
+    _check(s, [.5, 1.], rtol=1e-3)
+
+
+def test_batch_is_one_dispatch():
+    s = cooke_triplet()
+    tab = s.table()
+    specs = specialize(tab)
+    ft = np.stack([np.zeros(32),
+                   np.linspace(0.01, 1, 32)*np.tan(s.object.angle)], 1)
+    z = np.asarray(aim_chief_batched(tab, ft,
+                                     s.object.pupil.distance,
+                                     s.stop, specs=specs))
+    assert z.shape == (32,)
+    assert np.isfinite(z).all()
+    # solved distances vary smoothly with field
+    assert (np.diff(z) != 0).any()
