@@ -1,11 +1,15 @@
-"""Analysis: one-call report generator.
+"""Aberration analysis report.
 
-Parity with reference analysis.py:40-410 -- system/paraxial text,
-layout plot with clipping rays, transverse ray fans, through-focus spot
-diagrams, OPD/PSF/encircled-energy/MTF panels, and longitudinal
-aberration curves (distortion, lateral/longitudinal color, astigmatism,
-spherical).  Matplotlib stays at the edge; all ray work runs on the
-jitted trace engines.
+Produces the same report as the reference Analysis class
+(reference analysis.py:40-410): system/paraxial text, a layout plot
+with clipping rays, transverse ray fans, through-focus spot diagrams,
+wavefront panels (OPD contours, PSF, encircled energy, MTF), and
+longitudinal field curves.
+
+Organization differs from the reference: each report panel is a
+module-level function over (system, axes); the `Analysis` class is a
+thin driver that owns flags, text, and figures.  Matplotlib stays at
+the edge; all ray work runs on the jitted engines.
 """
 
 import numpy as np
@@ -15,25 +19,297 @@ from .trace.gaussian import GaussianTrace
 from .utils.math import tanarcsin
 from .utils.special_sums import polar_sum
 
+COLORS = "grbcmyk"
 
-class CenteredFormatter:
-    """Scalar formatter that hides the tick label at `center`."""
 
-    def __new__(cls, *a, **k):
-        import matplotlib as mpl
+# -- axis cosmetics ----------------------------------------------------
 
-        class _Fmt(mpl.ticker.ScalarFormatter):
-            center = 0.
+def _style_axes(ax, xlabel=None, ylabel=None, title=None, xzero=True,
+                yzero=True):
+    import matplotlib as mpl
 
-            def __call__(self, value, pos=None):
-                if value == self.center:
-                    return ""
-                return super().__call__(value, pos)
+    class _Fmt(mpl.ticker.ScalarFormatter):
+        def __call__(self, value, pos=None):
+            return "" if value == 0 else super().__call__(value, pos)
 
-        return _Fmt(*a, **k)
+    for side in ("right", "top"):
+        ax.spines[side].set_visible(False)
+    if yzero:
+        ax.spines["left"].set_position("zero")
+        ax.yaxis.set_major_formatter(_Fmt())
+    if xzero:
+        ax.spines["bottom"].set_position("zero")
+        ax.xaxis.set_major_formatter(_Fmt())
+    ax.tick_params(bottom=True, top=False, left=True, right=False,
+                   labeltop=False, labelright=False, labelleft=True,
+                   labelbottom=True, direction="out", axis="both")
+    ax.locator_params(tight=True, nbins=5)
+    if xlabel:
+        ax.set_xlabel(xlabel, horizontalalignment="right",
+                      verticalalignment="bottom", rotation="horizontal")
+    if ylabel:
+        ax.set_ylabel(ylabel, horizontalalignment="left",
+                      verticalalignment="top", rotation="horizontal")
+    if title:
+        ax.set_title(title)
 
+
+def _finish_axes(ax):
+    ax.relim()
+    xl, xu = ax.get_xlim()
+    yl, yu = ax.get_ylim()
+    if ax.spines["left"].get_position() == "zero":
+        xl = 0
+    if ax.spines["bottom"].get_position() == "zero":
+        yl = 0
+    ax.xaxis.set_label_coords(xu, yl, transform=ax.transData)
+    ax.yaxis.set_label_coords(xl, yu, transform=ax.transData)
+
+
+def _xy_axes(ax, **kwargs):
+    _style_axes(ax, **kwargs)
+    ax.set_aspect("equal")
+    ax.spines["left"].set_visible(False)
+    ax.spines["bottom"].set_visible(False)
+    ax.tick_params(bottom=False, left=False, labelbottom=False,
+                   labelleft=False)
+
+
+def _fan_grid(fig, nrows):
+    """Fan-plot axes grid: one (meridional | sag-x | sag-y) row per
+    field height, shared scales."""
+    from matplotlib import gridspec
+    gs = gridspec.GridSpec(nrows, 4)
+    shared = {"px": None, "py": None, "e": None}
+    rows = []
+    for i in range(nrows):
+        axm = fig.add_subplot(gs.new_subplotspec((i, 0), 1, 2),
+                              sharex=shared["py"], sharey=shared["e"])
+        shared["py"] = shared["py"] or axm
+        shared["e"] = shared["e"] or axm
+        axsm = fig.add_subplot(gs.new_subplotspec((i, 2), 1, 1),
+                               sharex=shared["px"], sharey=shared["e"])
+        shared["px"] = shared["px"] or axsm
+        axss = fig.add_subplot(gs.new_subplotspec((i, 3), 1, 1),
+                               sharex=shared["px"], sharey=shared["e"])
+        for axi, xl, yl in ((axm, "PY", "EY"), (axsm, "PX", "EY"),
+                            (axss, "PX", "EX")):
+            _style_axes(axi, xl, yl)
+        rows.append((axm, axsm, axss))
+    return rows[::-1]
+
+
+def _label_row(ax, text, vertical=True):
+    if vertical:
+        ax.text(-.1, .5, text, rotation="vertical",
+                transform=ax.transAxes, verticalalignment="center")
+    else:
+        ax.text(.5, -.1, text, transform=ax.transAxes,
+                horizontalalignment="center")
+
+
+# -- report panels ------------------------------------------------------
+
+def plot_transverse_fans(system, fig, heights=(0., .707, 1.),
+                         wavelengths=None, nrays=152, colors=COLORS):
+    """Transverse aberration fans: image error vs entrance-pupil
+    coordinate, per field and wavelength (reference analysis.py:219)."""
+    if wavelengths is None:
+        wavelengths = system.wavelengths
+    rows = _fan_grid(fig, len(heights))
+    pd = system.object.pupil.distance
+    for hi, (axm, axsm, axss) in zip(heights, rows):
+        _label_row(axm, "OY=%s" % hi)
+        for wi, ci in zip(wavelengths, colors):
+            t = GeometricTrace(system)
+            t.rays_point((0, hi), wi, nrays=nrays,
+                         distribution="tee", clip=True)
+            err = t.y[-1, :, :2] - t.y[-1, t.ref, :2]
+            pup = t.y[0, :, :2] + pd*tanarcsin(t.u[0])
+            pup -= pup[t.ref]
+            axm.plot(pup[:t.ref, 1], err[:t.ref, 1], "-" + ci,
+                     label="%s" % wi)
+            axsm.plot(pup[t.ref:, 0], err[t.ref:, 1], "-" + ci,
+                      label="%s" % wi)
+            axss.plot(pup[t.ref:, 0], err[t.ref:, 0], "-" + ci,
+                      label="%s" % wi)
+    for row in rows:
+        for ax in row:
+            _finish_axes(ax)
+
+
+def plot_spot_grid(system, ax, heights=(1., .707, 0.),
+                   wavelengths=None, nrays=150, colors=COLORS):
+    """Through-focus spot diagrams with the Airy circle overlay
+    (reference analysis.py:250).  ax: (nfields, ndefocus) array."""
+    import matplotlib as mpl
+    paraxial = system.paraxial
+    if wavelengths is None:
+        wavelengths = system.wavelengths
+    for axi in ax.flat:
+        _xy_axes(axi)
+    nz = ax.shape[1]
+    dz = (np.arange(nz) - nz//2)*paraxial.rayleigh_range[1]
+    for hi, axi in zip(heights, ax[:, 0]):
+        _label_row(axi, "OY=%s" % hi)
+    for zi, axi in zip(dz, ax[-1, :]):
+        _label_row(axi, "DZ=%.1g" % zi, vertical=False)
+    for hi, row in zip(heights, ax):
+        for wi, ci in zip(wavelengths, colors):
+            airy = paraxial.airy_radius[1]/paraxial.wavelength*wi
+            t = GeometricTrace(system)
+            t.rays_point((0, hi), wi, nrays=nrays,
+                         distribution="hexapolar", clip=True)
+            spot = t.y[-1, :, :2] - t.y[-1, t.ref, :2]
+            slope = tanarcsin(t.i[-1])
+            for axij, zi in zip(row, dz):
+                axij.add_patch(mpl.patches.Circle(
+                    (0, 0), airy, edgecolor=ci, facecolor="none"))
+                pts = spot + zi*slope
+                axij.plot(pts[:, 0], pts[:, 1], "." + ci, markersize=1,
+                          markeredgewidth=1, label="%s" % wi)
+    for row in ax:
+        for axi in row:
+            _finish_axes(axi)
+
+
+def plot_wavefront_panels(system, ax, heights=(0., .707, 1.),
+                          wavelength=None, nrays=1000, colors=COLORS):
+    """OPD contours, PSF with encircled energy, and MTF per field
+    (reference analysis.py:285).  ax: (nfields, 4) array."""
+    import matplotlib as mpl
+    import matplotlib.pyplot as plt
+    paraxial = system.paraxial
+    if wavelength is None:
+        wavelength = system.wavelengths[0]
+    levels = None
+    rmax = None
+    for hi, axi in zip(heights, ax[:, 0]):
+        _label_row(axi, "OY=%s" % hi)
+    for hi, (axo, axp, axe, axm) in reversed(list(zip(heights, ax))):
+        _xy_axes(axo)
+        _xy_axes(axp)
+        _style_axes(axe, "R", "E")
+        _style_axes(axm, "F", "C")
+        t = GeometricTrace(system)
+        t.rays_point((0, hi), wavelength, nrays=nrays,
+                     distribution="hexapolar", clip=True)
+        try:
+            gx, gy, opd = t.opd()
+        except ValueError:
+            continue
+        finite = opd[np.isfinite(opd)]
+        if levels is None:
+            vmax = np.fabs(finite).max()
+            levels = np.linspace(-vmax, vmax, 21)
+        axo.contour(gx, gy, opd, levels, cmap=plt.cm.RdBu_r)
+        _label_row(axo, "PTP: %.3g" % np.ptp(finite), vertical=False)
+        airy = paraxial.airy_radius[1]/paraxial.wavelength*wavelength
+        axp.add_patch(mpl.patches.Circle(
+            (0, 0), airy, edgecolor="green", facecolor="none"))
+        px, py, psf = map(np.fft.fftshift, t.psf())
+        cx = (psf*px).sum()
+        cy = (psf*py).sum()
+        px, py = px - cx, py - cy
+        step = px[1, 0] - px[0, 0]
+        with np.errstate(divide="ignore"):
+            logpsf = np.log10(psf)
+        axp.contour(px, py, logpsf,
+                    (logpsf.max() - 1 - np.arange(4))[::-1],
+                    cmap=plt.cm.Reds, alpha=.2)
+        axp.contour(px, py, psf, np.linspace(0, psf.max(), 21),
+                    cmap=plt.cm.Greys)
+        ee = np.cumsum(polar_sum(psf, (psf.shape[0]/2 + cx/step,
+                                       psf.shape[1]/2 + cy/step),
+                                 "azimuthal"))
+        if rmax is None:
+            rmax = np.searchsorted(ee, .9)*1.5*step
+        axp.set_xlim(-rmax, rmax)
+        axp.set_ylim(-rmax, rmax)
+        axe.plot(np.arange(ee.size)*step, ee, "k-")
+        axe.set_xlim(0, rmax)
+        axe.set_ylim(0, 1)
+        axe.set_aspect("auto")
+        for axis, ls in ((0, "-"), (1, "--")):
+            otf = np.fft.ifft(np.fft.ifftshift(psf.sum(axis)) *
+                              psf.size**.5)
+            freq = np.fft.fftfreq(otf.size, step)
+            half = otf.size//2
+            axm.plot(freq[:half], np.absolute(otf)[:half], "k" + ls)
+        axm.set_xlim(0, 1/airy)
+        axm.set_ylim(0, 1)
+    for row in ax:
+        for axi in row:
+            _finish_axes(axi)
+
+
+def plot_field_curves(system, ax, height=1., wavelengths=None,
+                      nrays=21, colors=COLORS):
+    """Distortion, lateral color, astigmatism, spherical, and
+    longitudinal color curves (reference analysis.py:354).
+    ax: 5 axes."""
+    if wavelengths is None:
+        wavelengths = system.wavelengths
+    axd, axc, axf, axs, axa = ax
+    for axi, xl, yl, tl in (
+            (axd, "EY", "REY", "DIST"), (axc, "EY", "DEY", "TCOLOR"),
+            (axf, "EY", "DEZ", "ASTIG"), (axs, "PY", "DEZ", "SPHA"),
+            (axa, "L", "DEZ", "LCOLOR")):
+        _style_axes(axi, xl, yl, tl, yzero=False, xzero=False)
+    href = np.linspace(0, height*system.image.radius, nrays)
+    href[0] = np.nan
+    base = None
+    for i, (wi, ci) in enumerate(zip(wavelengths, colors)):
+        t = GeometricTrace(system)
+        t.rays_line((0, height), wi, nrays=nrays)
+        chief, mer, sag = np.split(t.y[-1].T, (nrays, 2*nrays), axis=1)
+        uc, um, us = np.split(tanarcsin(t.i[-1]).T, (nrays, 2*nrays),
+                              axis=1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            if i == 0:
+                dist = (chief[1] - href)/href
+                dist[0] = np.nan
+                axd.plot(chief[1], dist, ci + "-", label="%s" % wi)
+                base = chief
+            else:
+                axc.plot(chief[1], chief[1] - base[1], ci + "-",
+                         label="%s" % wi)
+            zt = -(mer[1] - chief[1])/(um[1] - uc[1])
+            zs = -(sag[0] - chief[0])/(us[0] - uc[0])
+        axf.plot(chief[1], zt, ci + "-", label="EZt %s" % wi)
+        axf.plot(chief[1], zs, ci + "--", label="EZs %s" % wi)
+        t = GeometricTrace(system)
+        t.rays_point((0, 0.), wi, nrays=nrays,
+                     distribution="half-meridional", clip=True)
+        pd = system.object.pupil.distance
+        pup = t.y[0, :, 1] + pd*tanarcsin(t.u[0])[:, 1]
+        slope = tanarcsin(t.i[-1])[:, 1]
+        slope[t.ref] = np.nan
+        with np.errstate(invalid="ignore", divide="ignore"):
+            axs.plot(pup, -t.y[-1, :, 1]/slope, ci + "-",
+                     label="%s" % wi)
+    # longitudinal color: paraxial-ish focus shift vs wavelength
+    wl, wu = min(wavelengths), max(wavelengths)
+    sweep = np.linspace(wl - (wu - wl)/4, wu + (wu - wl)/4, nrays)
+    pd, ph = system.pupil((0, 0), wavelengths[0])
+    t = GeometricTrace(system)
+    focus = []
+    for wwi in np.r_[wavelengths[0], sweep]:
+        y, u = system.aim((0, 0), (0, 1e-3), pd, ph)
+        t.rays_given(y, u, wwi)
+        t.propagate(clip=False)
+        focus.append(-t.y[-1, 0, 1]/tanarcsin(t.i[-1, 0])[1])
+    axa.plot(sweep, np.array(focus[1:]) - focus[0], "-")
+    for axi in ax:
+        _finish_axes(axi)
+
+
+# -- the report driver --------------------------------------------------
 
 class Analysis:
+    """One-call report generator (flags as class attributes,
+    overridable per instance; reference analysis.py:41-69)."""
+
     figwidth = 12.
     run = True
     update = True
@@ -66,347 +342,91 @@ class Analysis:
         if self.run:
             self.run()
         if self.print:
-            for t in self.text:
-                print(t)
+            for block in self.text:
+                print(block)
 
     def run(self):
         import matplotlib.pyplot as plt
+        s = self.system
         if self.update:
-            self.system.update()
+            s.update()
         if self.resize_full:
-            t = GeometricTrace(self.system)
+            t = GeometricTrace(s)
             t.rays_paraxial()
             t.resize()
-            self.system.resize_convex()
+            s.resize_convex()
         if self.refocus_full:
-            t = GeometricTrace(self.system)
+            t = GeometricTrace(s)
             t.rays_point((0, 0.), nrays=13, distribution="radau",
                          clip=False, filter=False)
             t.refocus()
         if self.print_system:
-            self.text.append(str(self.system))
+            self.text.append(str(s))
         if self.print_paraxial:
-            self.text.append(str(self.system.paraxial))
-        g = GaussianTrace(self.system)
+            self.text.append(str(s.paraxial))
+        gauss = GaussianTrace(s)
         if self.print_gaussian:
-            self.text.append(str(g))
-        t = GeometricTrace(self.system)
+            self.text.append(str(gauss))
+        t = GeometricTrace(s)
         t.rays_paraxial()
         if self.print_full:
             self.text.append(str(t))
+
         fig, ax = plt.subplots(figsize=(self.figwidth, self.figwidth))
         self.figures.append(fig)
-        self.system.plot(ax)
+        s.plot(ax)
         if self.plot_paraxial:
-            self.system.paraxial.plot(ax)
+            s.paraxial.plot(ax)
         if self.plot_gaussian:
-            g.plot(ax)
+            gauss.plot(ax)
         if self.plot_full:
             t.plot(ax)
-        for h in min(self.system.fields), max(self.system.fields):
-            t = GeometricTrace(self.system)
+        for h in (min(s.fields), max(s.fields)):
+            t = GeometricTrace(s)
             t.rays_clipping((0, h))
             t.plot(ax)
 
         if self.plot_transverse:
-            figheight = self.figwidth*len(self.system.fields)/5
-            fig = plt.figure(figsize=(self.figwidth, figheight))
+            fig = plt.figure(figsize=(
+                self.figwidth, self.figwidth*len(s.fields)/5))
             self.figures.append(fig)
-            self.transverse(fig, self.system.fields)
+            plot_transverse_fans(s, fig, s.fields)
 
         if self.plot_longitudinal:
             fig, ax = plt.subplots(
                 1, 5, figsize=(self.figwidth, self.figwidth/5))
             self.figures.append(fig)
-            self.longitudinal(ax, max(self.system.fields))
+            plot_field_curves(s, ax, max(s.fields))
 
         if self.plot_spots:
-            figheight = self.figwidth*len(self.system.fields)/self.defocus
-            fig, ax = plt.subplots(len(self.system.fields), self.defocus,
-                                   figsize=(self.figwidth, figheight),
-                                   sharex=True, sharey=True,
-                                   squeeze=False)
+            fig, ax = plt.subplots(
+                len(s.fields), self.defocus,
+                figsize=(self.figwidth,
+                         self.figwidth*len(s.fields)/self.defocus),
+                sharex=True, sharey=True, squeeze=False)
             self.figures.append(fig)
-            self.spots(ax[::-1], self.system.fields)
+            plot_spot_grid(s, ax[::-1], s.fields)
 
         if self.plot_opds:
-            figheight = self.figwidth*len(self.system.fields)/4
-            fig, ax = plt.subplots(len(self.system.fields), 4,
-                                   figsize=(self.figwidth, figheight),
-                                   squeeze=False)
+            fig, ax = plt.subplots(
+                len(s.fields), 4,
+                figsize=(self.figwidth,
+                         self.figwidth*len(s.fields)/4),
+                squeeze=False)
             self.figures.append(fig)
-            self.opds(ax[::-1], self.system.fields)
+            plot_wavefront_panels(s, ax[::-1], s.fields)
 
         return self.text, self.figures
 
-    @staticmethod
-    def setup_axes(ax, xlabel=None, ylabel=None, title=None,
-                   xzero=True, yzero=True):
-        ax.spines["right"].set_visible(False)
-        ax.spines["top"].set_visible(False)
-        if yzero:
-            ax.spines["left"].set_position("zero")
-            ax.yaxis.set_major_formatter(CenteredFormatter())
-        if xzero:
-            ax.spines["bottom"].set_position("zero")
-            ax.xaxis.set_major_formatter(CenteredFormatter())
-        ax.tick_params(bottom=True, top=False, left=True, right=False,
-                       labeltop=False, labelright=False,
-                       labelleft=True, labelbottom=True,
-                       direction="out", axis="both")
-        ax.locator_params(tight=True, nbins=5)
-        kw = dict(rotation="horizontal")
-        if xlabel:
-            ax.set_xlabel(xlabel, horizontalalignment="right",
-                          verticalalignment="bottom", **kw)
-        if ylabel:
-            ax.set_ylabel(ylabel, horizontalalignment="left",
-                          verticalalignment="top", **kw)
-        if title:
-            ax.set_title(title)
+    # method aliases for reference API compatibility
+    def transverse(self, fig, heights=(0., .707, 1.), **kw):
+        return plot_transverse_fans(self.system, fig, heights, **kw)
 
-    @staticmethod
-    def post_setup_axes(ax):
-        ax.relim()
-        xl, xu = ax.get_xlim()
-        yl, yu = ax.get_ylim()
-        if ax.spines["left"].get_position() == "zero":
-            xl = 0
-        if ax.spines["bottom"].get_position() == "zero":
-            yl = 0
-        ax.xaxis.set_label_coords(xu, yl, transform=ax.transData)
-        ax.yaxis.set_label_coords(xl, yu, transform=ax.transData)
+    def spots(self, ax, heights=(1., .707, 0.), **kw):
+        return plot_spot_grid(self.system, ax, heights, **kw)
 
-    @classmethod
-    def pre_setup_fanplot(cls, fig, n):
-        from matplotlib import gridspec
-        gs = gridspec.GridSpec(n, 4)
-        axpx, axe, axpy = None, None, None
-        ax = []
-        for i in range(n):
-            axm = fig.add_subplot(gs.new_subplotspec((i, 0), 1, 2),
-                                  sharex=axpy, sharey=axe)
-            axpy = axpy or axm
-            axe = axe or axm
-            axsm = fig.add_subplot(gs.new_subplotspec((i, 2), 1, 1),
-                                   sharex=axpx, sharey=axe)
-            axpx = axpx or axsm
-            axss = fig.add_subplot(gs.new_subplotspec((i, 3), 1, 1),
-                                   sharex=axpx, sharey=axe)
-            ax.append((axm, axsm, axss))
-            for axi, xl, yl in [
-                    (axm, "PY", "EY"),
-                    (axsm, "PX", "EY"),
-                    (axss, "PX", "EX")]:
-                cls.setup_axes(axi, xl, yl)
-        return ax[::-1]
+    def opds(self, ax, heights=(0., .707, 1.), **kw):
+        return plot_wavefront_panels(self.system, ax, heights, **kw)
 
-    @classmethod
-    def pre_setup_xyplot(cls, axi, **kwargs):
-        cls.setup_axes(axi, **kwargs)
-        axi.set_aspect("equal")
-        axi.spines["left"].set_visible(False)
-        axi.spines["bottom"].set_visible(False)
-        axi.tick_params(bottom=False, left=False,
-                        labelbottom=False, labelleft=False)
-
-    def transverse(self, fig, heights=[0., .707, 1.],
-                   wavelengths=None, nrays_line=152, colors="grbcmyk"):
-        """Meridional/sagittal transverse ray-fan plots per field and
-        wavelength (reference analysis.py:219)."""
-        if wavelengths is None:
-            wavelengths = self.system.wavelengths
-        ax = self.pre_setup_fanplot(fig, len(heights))
-        p = self.system.object.pupil.distance
-        for hi, axi in zip(heights, ax):
-            axm, axsm, axss = axi
-            axm.text(-.1, .5, "OY=%s" % hi, rotation="vertical",
-                     transform=axm.transAxes, verticalalignment="center")
-            for wi, ci in zip(wavelengths, colors):
-                t = GeometricTrace(self.system)
-                t.rays_point((0, hi), wi, nrays=nrays_line,
-                             distribution="tee", clip=True)
-                y = t.y[-1, :, :2] - t.y[-1, t.ref, :2]
-                py = t.y[0, :, :2] + p*tanarcsin(t.u[0])
-                py -= py[t.ref]
-                axm.plot(py[:t.ref, 1], y[:t.ref, 1], "-%s" % ci,
-                         label="%s" % wi)
-                axsm.plot(py[t.ref:, 0], y[t.ref:, 1], "-%s" % ci,
-                          label="%s" % wi)
-                axss.plot(py[t.ref:, 0], y[t.ref:, 0], "-%s" % ci,
-                          label="%s" % wi)
-        for axi in ax:
-            for axii in axi:
-                self.post_setup_axes(axii)
-
-    def spots(self, ax, heights=[1., .707, 0.], wavelengths=None,
-              nrays=150, colors="grbcmyk"):
-        """Through-focus spot diagrams (reference analysis.py:250)."""
-        import matplotlib as mpl
-        paraxial = self.system.paraxial
-        if wavelengths is None:
-            wavelengths = self.system.wavelengths
-        nd = ax.shape[1]
-        for axi in ax.flat:
-            self.pre_setup_xyplot(axi)
-        z = paraxial.rayleigh_range[1]
-        z = (np.arange(nd) - nd//2)*z
-        for hi, axi in zip(heights, ax[:, 0]):
-            axi.text(-.1, .5, "OY=%s" % hi, rotation="vertical",
-                     transform=axi.transAxes, verticalalignment="center")
-        for zi, axi in zip(z, ax[-1, :]):
-            axi.text(.5, -.1, "DZ=%.1g" % zi, transform=axi.transAxes,
-                     horizontalalignment="center")
-        for hi, axi in zip(heights, ax):
-            for wi, ci in zip(wavelengths, colors):
-                r = paraxial.airy_radius[1]/paraxial.wavelength*wi
-                t = GeometricTrace(self.system)
-                t.rays_point((0, hi), wi, nrays=nrays,
-                             distribution="hexapolar", clip=True)
-                y = t.y[-1, :, :2] - t.y[-1, t.ref, :2]
-                u = tanarcsin(t.i[-1])
-                for axij, zi in zip(axi, z):
-                    axij.add_patch(mpl.patches.Circle(
-                        (0, 0), r, edgecolor=ci, facecolor="none"))
-                    yi = y + zi*u
-                    axij.plot(yi[:, 0], yi[:, 1], ".%s" % ci,
-                              markersize=1, markeredgewidth=1,
-                              label="%s" % wi)
-        for axi in ax:
-            for axii in axi:
-                self.post_setup_axes(axii)
-
-    def opds(self, ax, heights=[0., .707, 1.], wavelength=None,
-             nrays=1000, colors="grbcmyk"):
-        """OPD contours, PSF, encircled energy and MTF panels
-        (reference analysis.py:285)."""
-        import matplotlib as mpl
-        import matplotlib.pyplot as plt
-        paraxial = self.system.paraxial
-        if wavelength is None:
-            wavelength = self.system.wavelengths[0]
-        mm = None
-        rm = None
-        for hi, axi in zip(heights, ax[:, 0]):
-            axi.text(-.1, .5, "OY=%s" % hi, rotation="vertical",
-                     transform=axi.transAxes, verticalalignment="center")
-        for hi, axi in reversed(list(zip(heights, ax))):
-            axo, axp, axe, axm = axi
-            self.pre_setup_xyplot(axo)
-            self.pre_setup_xyplot(axp)
-            self.setup_axes(axe, "R", "E")
-            self.setup_axes(axm, "F", "C")
-            t = GeometricTrace(self.system)
-            t.rays_point((0, hi), wavelength, nrays=nrays,
-                         distribution="hexapolar", clip=True)
-            try:
-                x, y, o = t.opd()
-            except ValueError:
-                continue
-            og = o[np.isfinite(o)]
-            if mm is None:
-                mm = np.fabs(og).max()
-                v = np.linspace(-mm, mm, 21)
-            axo.contour(x, y, o, v, cmap=plt.cm.RdBu_r)
-            axo.text(.5, -.1, "PTP: %.3g" % np.ptp(og),
-                     transform=axo.transAxes,
-                     horizontalalignment="center")
-            r = paraxial.airy_radius[1]/paraxial.wavelength*wavelength
-            axp.add_patch(mpl.patches.Circle(
-                (0, 0), r, edgecolor="green", facecolor="none"))
-            x, y, psf = map(np.fft.fftshift, t.psf())
-            x0 = (psf*x).sum()
-            y0 = (psf*y).sum()
-            x, y = x - x0, y - y0
-            dx = x[1, 0] - x[0, 0]
-            with np.errstate(divide="ignore"):
-                psfl = np.log10(psf)
-            levels = psfl.max() - 1 - np.arange(4)
-            axp.contour(x, y, psfl, levels[::-1], cmap=plt.cm.Reds,
-                        alpha=.2)
-            levels = np.linspace(0, psf.max(), 21)
-            axp.contour(x, y, psf, levels, cmap=plt.cm.Greys)
-            ee = polar_sum(psf, (psf.shape[0]/2 + x0/dx,
-                                 psf.shape[1]/2 + y0/dx), "azimuthal")
-            ee = np.cumsum(ee)
-            if rm is None:
-                rm = np.searchsorted(ee, .9)*1.5*dx
-            axp.set_xlim(-rm, rm)
-            axp.set_ylim(-rm, rm)
-            xe = np.arange(ee.size)*dx
-            axe.plot(xe, ee, "k-")
-            axe.set_xlim(0, rm)
-            axe.set_ylim(0, 1)
-            axe.set_aspect("auto")
-            for i, ci in enumerate(("-", "--")):
-                ot = np.fft.ifft(np.fft.ifftshift(psf.sum(i)) *
-                                 psf.size**.5)
-                of = np.fft.fftfreq(ot.size, dx)
-                ot, of = ot[:ot.size//2], of[:of.size//2]
-                axm.plot(of, np.absolute(ot), "k" + ci)
-            axm.set_xlim(0, 1/r)
-            axm.set_ylim(0, 1)
-        for axi in ax:
-            for axij in axi:
-                self.post_setup_axes(axij)
-
-    def longitudinal(self, ax, height=1., wavelengths=None, nrays=21,
-                     colors="grbcmyk"):
-        """Distortion, lateral/longitudinal color, astigmatism and
-        spherical-aberration field curves (reference analysis.py:354)."""
-        if wavelengths is None:
-            wavelengths = self.system.wavelengths
-        axd, axc, axf, axs, axa = ax
-        for axi, xl, yl, tl in [
-                (axd, "EY", "REY", "DIST"),
-                (axc, "EY", "DEY", "TCOLOR"),
-                (axf, "EY", "DEZ", "ASTIG"),
-                (axs, "PY", "DEZ", "SPHA"),
-                (axa, "L", "DEZ", "LCOLOR")]:
-            self.setup_axes(axi, xl, yl, tl, yzero=False, xzero=False)
-        h = np.linspace(0, height*self.system.image.radius, nrays)
-        h[0] = np.nan
-        a0 = None
-        for i, (wi, ci) in enumerate(zip(wavelengths, colors)):
-            t = GeometricTrace(self.system)
-            t.rays_line((0, height), wi, nrays=nrays)
-            a, b, c = np.split(t.y[-1].T, (nrays, 2*nrays), axis=1)
-            p, q, r = np.split(tanarcsin(t.i[-1]).T, (nrays, 2*nrays),
-                               axis=1)
-            if i == 0:
-                with np.errstate(invalid="ignore", divide="ignore"):
-                    xd = (a[1] - h)/h
-                xd[0] = np.nan
-                axd.plot(a[1], xd, ci + "-", label="%s" % wi)
-                a0 = a
-            else:
-                axc.plot(a[1], a[1] - a0[1], ci + "-", label="%s" % wi)
-            with np.errstate(invalid="ignore", divide="ignore"):
-                xt = -(b[1] - a[1])/(q[1] - p[1])
-                xs = -(c[0] - a[0])/(r[0] - p[0])
-            axf.plot(a[1], xt, ci + "-", label="EZt %s" % wi)
-            axf.plot(a[1], xs, ci + "--", label="EZs %s" % wi)
-            t = GeometricTrace(self.system)
-            t.rays_point((0, 0.), wi, nrays=nrays,
-                         distribution="half-meridional", clip=True)
-            p = self.system.object.pupil.distance
-            py = t.y[0, :, 1] + p*tanarcsin(t.u[0])[:, 1]
-            u = tanarcsin(t.i[-1])[:, 1]
-            u[t.ref] = np.nan
-            with np.errstate(invalid="ignore", divide="ignore"):
-                z = -t.y[-1, :, 1]/u
-            axs.plot(py, z, ci + "-", label="%s" % wi)
-        wl, wu = min(wavelengths), max(wavelengths)
-        ww = np.linspace(wl - (wu - wl)/4, wu + (wu - wl)/4, nrays)
-        zc = []
-        pd, ph = self.system.pupil((0, 0), wavelengths[0])
-        t = GeometricTrace(self.system)
-        for wwi in np.r_[wavelengths[0], ww]:
-            y, u = self.system.aim((0, 0), (0, 1e-3), pd, ph)
-            t.rays_given(y, u, wwi)
-            t.propagate(clip=False)
-            zc.append(-t.y[-1, 0, 1]/tanarcsin(t.i[-1])[0][1])
-        zc = np.array(zc[1:]) - zc[0]
-        axa.plot(ww, zc, "-")
-        for axi in ax:
-            self.post_setup_axes(axi)
+    def longitudinal(self, ax, height=1., **kw):
+        return plot_field_curves(self.system, ax, height, **kw)

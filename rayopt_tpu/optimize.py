@@ -1,16 +1,13 @@
-"""Merit-function optimization.
+"""Merit-function optimization (scipy-compatible wrapper).
 
-Two paths:
+API parity with reference optimize.py:24-161: Variables get/set values
+on the System (with bounds and scaling), Operands turn measured values
+into objective / equality / inequality residuals, and `optimize`
+minimizes the weighted sum of squares with scipy.
 
-* `optimize` -- API parity with the reference wrapper
-  (reference optimize.py:24-161): Variables (get/set on System paths,
-  bounds, scaling) and Operands (weight/offset/min/max -> objective,
-  equality, inequality) driving scipy.optimize.minimize.
-
-* `optimize_grad` (see rayopt_tpu.parallel.grad) -- the TPU-native
-  replacement: the merit is a pure function of the SurfaceTable pytree,
-  differentiated end-to-end with jax.grad through the ray trace instead
-  of finite differences, and minimized with optax.
+The TPU-native path — jax.grad through the trace with optax — lives in
+rayopt_tpu.parallel.grad (optimize_grad / optimize_system); this module
+exists so merit definitions written against the reference keep working.
 """
 
 import functools
@@ -20,18 +17,19 @@ from scipy.optimize import minimize
 
 
 class Variable:
-    def __init__(self, system, bounds=(-np.inf, np.inf),
-                 scale=None, init=None):
+    """A free parameter: subclasses implement get/set."""
+
+    def __init__(self, system, bounds=(-np.inf, np.inf), scale=None,
+                 init=None):
         self.system = system
-        if scale is None:
-            rng = bounds[1] - bounds[0]
-            assert np.isfinite(rng)
-            scale = rng
-        self.scale = scale
         self.bounds = bounds
-        if init is None:
-            init = self.get()
-        self.init = init
+        if scale is None:
+            span = bounds[1] - bounds[0]
+            assert np.isfinite(span), \
+                "give either finite bounds or an explicit scale"
+            scale = span
+        self.scale = scale
+        self.init = self.get() if init is None else init
 
     def get(self):
         raise NotImplementedError
@@ -41,6 +39,8 @@ class Variable:
 
 
 class PathVariable(Variable):
+    """Variable addressed by a System path, e.g. (1, "curvature")."""
+
     def __init__(self, system, path, *args, **kwargs):
         self.path = path
         super().__init__(system, *args, **kwargs)
@@ -53,7 +53,12 @@ class PathVariable(Variable):
 
 
 class Operand:
-    def __init__(self, system, weight=None, offset=0, min=None, max=None):
+    """A measured quantity with weight/offset/min/max semantics:
+    weight -> least-squares objective term, min == max -> equality,
+    min/max alone -> inequality constraints."""
+
+    def __init__(self, system, weight=None, offset=0, min=None,
+                 max=None):
         self.system = system
         self.weight = weight
         self.offset = offset
@@ -79,6 +84,8 @@ class Operand:
 
 
 class FuncOp(Operand):
+    """Operand wrapping an arbitrary callable of the system."""
+
     def __init__(self, system, func, *args, **kwargs):
         super().__init__(system, *args, **kwargs)
         self.func = func
@@ -87,73 +94,90 @@ class FuncOp(Operand):
         return np.atleast_1d(self.func(self.system)).ravel()
 
 
+class _Problem:
+    """Assembled closures for one optimization run."""
+
+    def __init__(self, variables, operands):
+        self.variables = variables
+        self.operands = operands
+        self.scales = np.array([v.scale for v in variables])
+        self.x_current = np.array([v.get() for v in variables])
+        self.x_init = np.array([v.init for v in variables])
+        self.bounds = (np.array([v.bounds for v in variables]) /
+                       self.scales[:, None])
+        self.terms = {"objective": [], "equality": [], "inequality": []}
+        for i, op in enumerate(operands):
+            for fn in op.get_objective():
+                self.terms["objective"].append((i, fn))
+            for fn in op.get_equality():
+                self.terms["equality"].append((i, fn))
+            for fn in op.get_inequality():
+                self.terms["inequality"].append((i, fn))
+        assert self.terms["objective"], "no weighted objective terms"
+        # one evaluation per distinct x (scipy probes repeatedly)
+        self._evaluate = functools.lru_cache(maxsize=len(variables) + 1)(
+            self._evaluate_impl)
+
+    def apply(self, x):
+        for value, var in zip(np.asarray(x)*self.scales,
+                              self.variables):
+            var.set(value)
+
+    def _evaluate_impl(self, *x):
+        self.apply(x)
+        return [op.get() for op in self.operands]
+
+    def residuals(self, kind, x):
+        vals = self._evaluate(*x)
+        return np.concatenate([fn(vals[i])
+                               for i, fn in self.terms[kind]])
+
+    def objective(self, x):
+        return np.square(self.residuals("objective", x)).sum()
+
+
 def optimize(variables, operands, callback=None, tol=1e-4, options={},
              trace=False, **kwargs):
-    """Constrained merit minimization (reference optimize.py:93)."""
-    assert variables
-    assert operands
-    s = np.array([v.scale for v in variables])
-    x0 = np.array([v.get() for v in variables])/s
-    x1 = np.array([v.init for v in variables])/s
-    bounds = np.array([v.bounds for v in variables])/s[:, None]
+    """Minimize the weighted merit subject to the operand constraints;
+    returns the scipy result augmented with accept()/reject() and the
+    iteration trace (reference optimize.py:93-161)."""
+    assert variables and operands
+    prob = _Problem(variables, operands)
 
-    ob, eq, ineq = [], [], []
-    for i, op in enumerate(operands):
-        for obi in op.get_objective():
-            ob.append((i, obi))
-        for eqi in op.get_equality():
-            eq.append((i, eqi))
-        for ineqi in op.get_inequality():
-            ineq.append((i, ineqi))
-    assert ob
+    constraints = []
+    if prob.terms["equality"]:
+        constraints.append({
+            "type": "eq",
+            "fun": lambda x: prob.residuals("equality", x)})
+    if prob.terms["inequality"]:
+        constraints.append({
+            "type": "ineq",
+            "fun": lambda x: prob.residuals("inequality", x)})
 
-    def up(x):
-        for xi, vi in zip(np.asarray(x)*s, variables):
-            vi.set(xi)
+    trail = {"x": [], "v": [], "f": []}
 
-    @functools.lru_cache(maxsize=len(variables) + 1)
-    def ex(*x):
-        up(x)
-        return [op.get() for op in operands]
-
-    def fun(x):
-        v = ex(*x)
-        o = np.concatenate([obi(v[i]) for i, obi in ob])
-        return np.square(o).sum()
-
-    def feq(x):
-        v = ex(*x)
-        return np.concatenate([eqi(v[i]) for i, eqi in eq])
-
-    def fineq(x):
-        v = ex(*x)
-        return np.concatenate([ineqi(v[i]) for i, ineqi in ineq])
-
-    cons = []
-    if eq:
-        cons.append({"type": "eq", "fun": feq})
-    if ineq:
-        cons.append({"type": "ineq", "fun": fineq})
-
-    xi, vi, fi = [], [], []
-
-    def cb(x):
+    def on_step(x):
         if trace:
-            v = ex(*x)
-            xi.append(np.asarray(x)*s)
-            vi.append(v)
-            fi.append([obi(v[i]) for i, obi in ob])
+            trail["x"].append(np.asarray(x)*prob.scales)
+            vals = prob._evaluate(*x)
+            trail["v"].append(vals)
+            trail["f"].append([fn(vals[i])
+                               for i, fn in prob.terms["objective"]])
         if callback:
             return callback(x)
 
     opts = dict(maxiter=100, eps=1e-5)
     opts.update(options)
-    r = minimize(fun, x1, bounds=bounds, constraints=cons, callback=cb,
-                 tol=tol, options=opts, **kwargs)
-    r.accept = lambda: up(r.x)
-    r.reject = lambda: up(x0)
-    r.trace_x = np.array(xi)
-    r.trace_v = vi
-    r.trace_f = [(i, np.array([fj[j] for fj in fi]))
-                 for j, (i, obi) in enumerate(ob)]
-    return r
+    x0 = prob.x_current/prob.scales
+    result = minimize(prob.objective, prob.x_init/prob.scales,
+                      bounds=prob.bounds, constraints=constraints,
+                      callback=on_step, tol=tol, options=opts,
+                      **kwargs)
+    result.accept = lambda: prob.apply(result.x)
+    result.reject = lambda: prob.apply(x0)
+    result.trace_x = np.array(trail["x"])
+    result.trace_v = trail["v"]
+    result.trace_f = [
+        (i, np.array([step[j] for step in trail["f"]]))
+        for j, (i, fn) in enumerate(prob.terms["objective"])]
+    return result

@@ -1,8 +1,12 @@
-"""Pupil parameterizations (radius / NA / slope / f-number).
+"""Pupil parameterizations.
 
-Parity with reference pupils.py:26-227: every pupil reduces to a
-(distance, radius) pair; `map` scales fractional pupil coordinates into
-the (possibly asymmetric) aperture box and filters to its ellipse.
+A pupil is a (distance, aperture) pair seen from a conjugate; users
+may specify the aperture as a radius, a numerical aperture, a slope,
+or an f-number (behavioral parity with reference pupils.py:26-227).
+Rather than one subclass per parameterization, a single `Pupil` class
+stores whichever quantity was given and converts on demand through a
+small conversion table; the registered subclasses are thin shells that
+only pin down the stored quantity for serialization.
 """
 
 import numpy as np
@@ -11,8 +15,20 @@ from .utils.math import sinarctan, tanarcsin
 from .utils.registry import NameMixin
 
 
+def _slope_to_na(slope, n):
+    return n*sinarctan(slope)
+
+
+def _na_to_slope(na, n):
+    return tanarcsin(na/n)
+
+
 class Pupil(NameMixin):
+    """Base pupil.  Subclasses declare which quantity is stored via
+    `_param`; everything else is derived."""
+
     _default_type = "radius"
+    _param = None
 
     def __init__(self, distance=1., update_distance=True,
                  update_radius=False, aim=False, telecentric=False,
@@ -25,14 +41,76 @@ class Pupil(NameMixin):
         self.telecentric = telecentric
         self.projection = projection
 
-    def rescale(self, scale):
-        self.distance *= scale
+    # -- stored-quantity plumbing --------------------------------------
+
+    def _get_param(self):
+        return getattr(self, self._param)
 
     def update(self, distance, radius):
+        """Refresh from paraxial data, honoring the update flags."""
         if self.update_distance:
             self.distance = distance
         if self.update_radius:
             self.radius = radius
+
+    def rescale(self, scale):
+        self.distance *= scale
+        if self._param == "radius":
+            self.radius *= scale
+
+    # -- derived quantities ---------------------------------------------
+
+    @property
+    def slope(self):
+        if self._param == "slope":
+            raise AttributeError  # stored directly, see SlopePupil
+        if self._param == "radius":
+            return self.radius/self.distance
+        return _na_to_slope(self.na, self.refractive_index)
+
+    @property
+    def radius(self):
+        return self.slope*self.distance
+
+    @radius.setter
+    def radius(self, r):
+        s = r/self.distance
+        if self._param == "slope":
+            self.slope = s
+        elif self._param == "na":
+            self.na = _slope_to_na(s, self.refractive_index)
+        elif self._param == "fno":
+            self.fno = 1/(2*_slope_to_na(s, self.refractive_index))
+        else:
+            raise AttributeError("radius is derived for %s"
+                                 % type(self).__name__)
+
+    @property
+    def na(self):
+        if self._param == "fno":
+            return 1/(2.*self.fno)
+        return _slope_to_na(self.slope, self.refractive_index)
+
+    @property
+    def fno(self):
+        return 1/(2.*self.na)
+
+    # -- sampling --------------------------------------------------------
+
+    def map(self, y, a, filter=True):
+        """Fractional pupil coordinates -> the (possibly asymmetric)
+        aperture box a = [[-sag, -mer], [+sag, +mer]], elliptically
+        filtered (reference pupils.py:97)."""
+        box_scale = np.fabs(a).max()
+        pts = np.atleast_2d(y)*box_scale
+        if not filter:
+            return pts
+        center = a.sum(axis=0)/2
+        half = np.diff(a, axis=0)/2
+        inside = ((pts - center)**2/half**2).sum(1) <= 1
+        return pts[inside]
+
+    # -- serialization -----------------------------------------------------
 
     def dict(self):
         dat = super().dict()
@@ -49,6 +127,8 @@ class Pupil(NameMixin):
             dat["telecentric"] = self.telecentric
         if self.refractive_index != 1.:
             dat["refractive_index"] = float(self.refractive_index)
+        if self._param:
+            dat[self._param] = float(self._get_param())
         return dat
 
     def text(self):
@@ -65,148 +145,59 @@ class Pupil(NameMixin):
             yield "Update Radius: %s" % self.update_radius
         if self.aim:
             yield "Aim: %s" % self.aim
-
-    @property
-    def radius(self):
-        return self.slope*self.distance
-
-    @property
-    def slope(self):
-        return self.radius/self.distance
-
-    @property
-    def na(self):
-        return sinarctan(self.slope)*self.refractive_index
-
-    @property
-    def fno(self):
-        return 1/(2.*self.na)
-
-    def map(self, y, a, filter=True):
-        """Scale fractional pupil coords into the aperture box
-        a = [[-sag, -mer], [+sag, +mer]] and elliptically filter
-        (reference pupils.py:97)."""
-        am = np.fabs(a).max()
-        y = np.atleast_2d(y)*am
-        if filter:
-            c = np.sum(a, axis=0)/2
-            d = np.diff(a, axis=0)/2
-            r = ((y - c)**2/d**2).sum(1)
-            y = y[r <= 1]
-        return y
-
-
-@Pupil.register
-class NaPupil(Pupil):
-    _type = "na"
-    na = None
-
-    def __init__(self, na, **kwargs):
-        super().__init__(**kwargs)
-        self.na = na
-
-    def dict(self):
-        dat = super().dict()
-        dat["na"] = float(self.na)
-        return dat
-
-    def text(self):
-        yield from super().text()
-        yield "NA: %g" % self.na
-
-    @property
-    def slope(self):
-        return tanarcsin(self.na/self.refractive_index)
-
-    @property
-    def radius(self):
-        return self.slope*self.distance
-
-    @radius.setter
-    def radius(self, r):
-        self.na = self.refractive_index*sinarctan(r/self.distance)
-
-
-@Pupil.register
-class SlopePupil(Pupil):
-    _type = "slope"
-    slope = None
-
-    def __init__(self, slope, **kwargs):
-        super().__init__(**kwargs)
-        self.slope = slope
-
-    def dict(self):
-        dat = super().dict()
-        dat["slope"] = float(self.slope)
-        return dat
-
-    def text(self):
-        yield from super().text()
-        yield "Slope: %g" % self.slope
-
-    @property
-    def radius(self):
-        return self.slope*self.distance
-
-    @radius.setter
-    def radius(self, r):
-        self.slope = r/self.distance
+        if self._param:
+            label = {"radius": "Radius", "na": "NA", "slope": "Slope",
+                     "fno": "F-Number"}[self._param]
+            yield "%s: %g" % (label, self._get_param())
 
 
 @Pupil.register
 class RadiusPupil(Pupil):
     _type = "radius"
+    _param = "radius"
     radius = None
 
     def __init__(self, radius, **kwargs):
         super().__init__(**kwargs)
         self.radius = radius
 
-    def dict(self):
-        dat = super().dict()
-        dat["radius"] = float(self.radius)
-        return dat
+    @property
+    def slope(self):
+        return self.radius/self.distance
 
-    def text(self):
-        yield from super().text()
-        yield "Radius: %g" % self.radius
 
-    def rescale(self, scale):
-        super().rescale(scale)
-        self.radius *= scale
+@Pupil.register
+class NaPupil(Pupil):
+    _type = "na"
+    _param = "na"
+    na = None
+
+    def __init__(self, na, **kwargs):
+        super().__init__(**kwargs)
+        self.na = na
+
+
+@Pupil.register
+class SlopePupil(Pupil):
+    _type = "slope"
+    _param = "slope"
+    slope = None
+
+    def __init__(self, slope, **kwargs):
+        super().__init__(**kwargs)
+        self.slope = slope
 
 
 @Pupil.register
 class FnoPupil(Pupil):
     _type = "fno"
+    _param = "fno"
     fno = None
 
     def __init__(self, fno, **kwargs):
         super().__init__(**kwargs)
         self.fno = fno
 
-    def dict(self):
-        dat = super().dict()
-        dat["fno"] = float(self.fno)
-        return dat
-
-    def text(self):
-        yield from super().text()
-        yield "F-Number: %g" % self.fno
-
-    @property
-    def slope(self):
-        return tanarcsin(self.na/self.refractive_index)
-
     @property
     def na(self):
         return 1/(2.*self.fno)
-
-    @property
-    def radius(self):
-        return self.slope*self.distance
-
-    @radius.setter
-    def radius(self, r):
-        self.fno = 1/(2*self.refractive_index*sinarctan(r/self.distance))

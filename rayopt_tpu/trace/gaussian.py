@@ -1,9 +1,13 @@
-"""GaussianTrace: astigmatic gaussian beam propagation.
+"""Astigmatic gaussian beam trace and resonator analysis.
 
-Complex 2x2 inverse-q ("beam curvature") matrices propagated through
-the 4x4 ABCD chain, with beam parameters and resonator analysis
-(stability, eigenmodes, Nemes symplectic checks).  Parity with
-reference gaussian_trace.py:28-291.
+Behavioral parity with reference gaussian_trace.py:28-291: the beam is
+carried as a complex 2x2 inverse-q matrix through the 4x4 ABCD chain;
+beam properties (spot/waist/curvature), general-astigmatic freespace
+interpolation, and cavity analysis (eigenmodes, Nemes symplectic
+checks, |Tr/2| < 1 stability).
+
+The q-matrix algebra lives in module-level functions; the class holds
+per-surface state and the user-facing property set.
 """
 
 import itertools
@@ -13,9 +17,85 @@ import numpy as np
 from .base import Trace
 
 
+# -- inverse-q algebra --------------------------------------------------
+
+def qi_from_waist(wavelength, n, waist, position=(0., 0.), angle=0.,
+                  scale=1e-3):
+    """Inverse-q matrix for an elliptical waist, optionally rotated
+    (reference gaussian_trace.py:42).  1/q = 1/R - i lam/(pi n w^2)."""
+    rayleigh = np.pi*np.asarray(waist)**2*scale/wavelength
+    z = np.asarray(position)/n
+    qq = np.eye(2)/(z + 1j*rayleigh)
+    c, s = np.cos(angle), np.sin(angle)
+    rot = np.array([[c, -s], [s, c]])
+    return rot.T @ qq @ rot
+
+
+def qi_propagate_free(qi, dz):
+    """General-astigmatic freespace step on a batch of inverse-q
+    matrices (reference gaussian_trace.py:93-102)."""
+    xx, xy, yy = qi[:, 0, 0], qi[:, 0, 1], qi[:, 1, 1]
+    xy2 = xy**2
+    det = 1/((1 + dz*xx)*(1 + dz*yy) - dz**2*xy2)
+    out = np.empty_like(qi)
+    out[:, 0, 0] = det*(xx*(1 + dz*yy) - dz*xy2)
+    out[:, 0, 1] = out[:, 1, 0] = det*xy
+    out[:, 1, 1] = det*(yy*(1 + dz*xx) - dz*xy2)
+    return out
+
+
+def principal_angle(qi):
+    """Rotation angle of the principal axes, wrapped to (-pi/4, pi/4]
+    (reference gaussian_trace.py:104)."""
+    xx, xy, yy = qi[:, 0, 0], qi[:, 0, 1], qi[:, 1, 1]
+    if np.iscomplexobj(qi):
+        ang = np.arctan(2*xy/(xx - yy))/2
+    else:
+        ang = np.arctan2(2*xy, xx - yy)/2
+    return (ang + np.pi/4) % (np.pi/2) - np.pi/4
+
+
+def to_principal(qi):
+    """Diagonalize each matrix; returns (diagonals, angles)."""
+    ang = principal_angle(qi)
+    c, s = np.cos(ang), np.sin(ang)
+    rot = np.array([[c, -s], [s, c]])
+    diag = np.einsum("jki,ikl,lmi->ijm", rot, qi, rot)
+    assert np.allclose(diag[:, 0, 1], 0), diag
+    assert np.allclose(diag[:, 1, 0], 0), diag
+    return np.diagonal(diag, 0, 1, 2), ang
+
+
+def abcd_blocks(m):
+    return m[:2, :2], m[:2, 2:], m[2:, :2], m[2:, 2:]
+
+
+def symplectic_check(m):
+    """Nemes consistency relations of a 4x4 ray matrix
+    (reference gaussian_trace.py:201)."""
+    a, b, c, d = abcd_blocks(m)
+    checks = [
+        (a @ d.T - b @ c.T, np.eye(2)),
+        (a @ b.T, b @ a.T),
+        (c @ d.T, d @ c.T),
+    ]
+    for i, (lhs, rhs) in enumerate(checks):
+        assert np.allclose(lhs, rhs), (i, lhs, rhs)
+
+
+def is_stigmatic(m):
+    return np.allclose(m[::2, ::2], m[1::2, 1::2])
+
+
+def is_simple_astigmatic(m):
+    """True when the matrix does not couple the x and y planes."""
+    cross = m[(0, 0, 1, 1, 2, 2, 3, 3), (1, 3, 0, 2, 1, 3, 0, 2)]
+    return np.allclose(cross, 0)
+
+
 class GaussianTrace(Trace):
-    # qi[i] is valid after element i, perpendicular to the excidence
-    # direction (assumes an aligned system).
+    # qi[i] holds the inverse-q matrix after element i, in the frame
+    # perpendicular to the excidence direction (aligned systems).
 
     def __init__(self, system):
         super().__init__(system)
@@ -29,16 +109,10 @@ class GaussianTrace(Trace):
         self.n = np.empty(self.length)
 
     def make_qi(self, l, n, waist, position=(0, 0.), angle=0.):
-        z0 = np.pi*np.array(waist)**2*self.system.scale/l
-        z = np.array(position)/n
-        qi = 1/(z + 1j*z0)
-        qq = np.eye(2)*qi
-        ca, sa = np.cos(angle), np.sin(angle)
-        a = np.array([[ca, -sa], [sa, ca]])
-        return np.dot(a.T, np.dot(qq, a))
+        return qi_from_waist(l, n, waist, position, angle,
+                             self.system.scale)
 
     def rays(self, qi=None, l=None):
-        # 1/q = 1/R - i lambda/(pi n w^2); q = z + i z0
         if l is None:
             l = self.system.wavelengths[0]
         n = self.system.refractive_index(l, 0)
@@ -47,9 +121,8 @@ class GaussianTrace(Trace):
             if obj.finite:
                 qi = self.make_qi(l, n, obj.radius)
             else:
-                qi = self.make_qi(l, n, obj.pupil.radius,
-                                  (-obj.pupil.distance,
-                                   -obj.pupil.distance))
+                pd = obj.pupil.distance
+                qi = self.make_qi(l, n, obj.pupil.radius, (-pd, -pd))
         assert np.allclose(qi.T, qi), qi
         self.wavelength = l
         self.n[0] = n
@@ -57,76 +130,54 @@ class GaussianTrace(Trace):
 
     def propagate(self, start=1, stop=None):
         super().propagate()
-        init = start - 1
-        qi, n = self.qi[init], self.n[init]
+        first = start - 1
+        qi, n = self.qi[first], self.n[first]
         for j, (qi, n) in enumerate(self.system.propagate_gaussian(
                 qi, n, self.wavelength, start, stop)):
-            j += start
-            self.qi[j], self.n[j] = qi, n
+            self.qi[start + j] = qi
+            self.n[start + j] = n
 
     def qin_at(self, z=None):
-        """Inverse-q interpolated at arbitrary axial positions
-        (general astigmatic freespace, reference gaussian_trace.py:81)."""
+        """Inverse-q and index sampled at axial positions z (after the
+        owning element; reference gaussian_trace.py:81)."""
         if z is None:
             return self.qi, self.n
-        i = np.searchsorted(self.path, z) - 1
-        i = np.where(i < 0, 0, i)
-        qi = self.qi[i, :]
-        ni = self.n[i, ]
-        dz = (z - self.path[i, ])/ni
-        qixx, qixy, qiyy = qi[:, 0, 0], qi[:, 0, 1], qi[:, 1, 1]
-        qixy2 = qixy**2
-        d = 1/((1 + dz*qixx)*(1 + dz*qiyy) - dz**2*qixy2)
-        qi1 = np.empty_like(qi)
-        qi1[:, 0, 0] = d*(qixx*(1 + dz*qiyy) - dz*qixy2)
-        qi1[:, 1, 0] = qi1[:, 0, 1] = d*qixy
-        qi1[:, 1, 1] = d*(qiyy*(1 + dz*qixx) - dz*qixy2)
-        return qi1, ni
+        idx = np.maximum(np.searchsorted(self.path, z) - 1, 0)
+        qi = self.qi[idx, :]
+        ni = self.n[idx, ]
+        dz = (z - self.path[idx, ])/ni
+        return qi_propagate_free(qi, dz), ni
+
+    # -- beam properties --------------------------------------------------
 
     def angle(self, qi):
-        qixx, qixy, qiyy = qi[:, 0, 0], qi[:, 0, 1], qi[:, 1, 1]
-        if np.iscomplexobj(qi):
-            a = np.arctan(2*qixy/(qixx - qiyy))/2
-        else:
-            a = np.arctan2(2*qixy, qixx - qiyy)/2
-        a = (a + np.pi/4) % (np.pi/2) - np.pi/4
-        return a
+        return principal_angle(qi)
 
     def normal(self, qi):
-        """Rotate to principal axes; returns diagonal and angle."""
-        a = self.angle(qi)
-        ca, sa = np.cos(a), np.sin(a)
-        o = np.array([[ca, -sa], [sa, ca]])
-        qi = np.einsum("jki,ikl,lmi->ijm", o, qi, o)
-        assert np.allclose(qi[:, 0, 1], 0), qi
-        assert np.allclose(qi[:, 1, 0], 0), qi
-        return np.diagonal(qi, 0, 1, 2), a
+        return to_principal(qi)
 
     def spot_radius_at(self, z=None, normal=False):
         qi, n = self.qin_at(z)
         c = self.wavelength/(self.system.scale*np.pi)
         if normal:
-            r, a = self.normal(-qi.imag)
-            return np.sqrt(c/r), a
-        r = np.diagonal(-qi.imag, 0, 1, 2)
-        return np.sqrt(c/r)
+            r, ang = to_principal(-qi.imag)
+            return np.sqrt(c/r), ang
+        return np.sqrt(c/np.diagonal(-qi.imag, 0, 1, 2))
 
     def curvature_radius_at(self, z=None, normal=False):
         qi, n = self.qin_at(z)
-        c = n[:, None]
         if normal:
-            r, a = self.normal(qi.real)
-            return c/r, a
-        r = np.diagonal(qi.real, 0, 1, 2)
-        return c/r
-
-    @property
-    def curvature_radius(self):
-        return self.curvature_radius_at()
+            r, ang = to_principal(qi.real)
+            return n[:, None]/r, ang
+        return n[:, None]/np.diagonal(qi.real, 0, 1, 2)
 
     @property
     def spot_radius(self):
         return self.spot_radius_at()
+
+    @property
+    def curvature_radius(self):
+        return self.curvature_radius_at()
 
     @property
     def waist_position(self):
@@ -138,9 +189,8 @@ class GaussianTrace(Trace):
 
     @property
     def waist_radius(self):
-        n = self.n[:, None]
-        r = self.rayleigh_range/np.pi/n*self.wavelength/self.system.scale
-        return r**.5
+        zr = self.rayleigh_range/self.n[:, None]
+        return np.sqrt(zr*self.wavelength/np.pi/self.system.scale)
 
     @property
     def diverging(self):
@@ -153,49 +203,43 @@ class GaussianTrace(Trace):
     def intensity_max(self):
         return (2/np.pi)**.5/self.waist_radius
 
-    # -- resonator analysis (reference gaussian_trace.py:180-231) -------
+    # -- resonator analysis -----------------------------------------------
 
     def is_stigmatic(self, m):
-        return np.allclose(m[::2, ::2], m[1::2, 1::2])
+        return is_stigmatic(m)
 
     def is_simple_astigmatic(self, m):
-        return np.allclose(m[(0, 0, 1, 1, 2, 2, 3, 3),
-                             (1, 3, 0, 2, 1, 3, 0, 2)], 0)
+        return is_simple_astigmatic(m)
+
+    def is_proper(self):
+        n, m = self.system.paraxial_matrix(self.wavelength)
+        symplectic_check(m)
 
     @property
     def eigenmodes(self):
+        """Self-consistent cavity q per mode and axis (simple
+        astigmatic matrices only; reference gaussian_trace.py:189)."""
         n, m = self.system.paraxial_matrix(self.wavelength)
-        assert self.is_simple_astigmatic(m)
-        q = []
+        assert is_simple_astigmatic(m)
+        roots = []
         for axis in (0, 1):
             a, b, c, d = m[axis::2, axis::2].flat
-            q.append(np.roots((c, d - a, -b)))
-        q = np.eye(2)[None, :]/np.array(q).T[:, :, None]  # (mode, axis)
+            roots.append(np.roots((c, d - a, -b)))
+        q = np.eye(2)[None, :]/np.array(roots).T[:, :, None]
         return q
-
-    def is_proper(self):
-        """Nemes symplectic consistency checks."""
-        n, m = self.system.paraxial_matrix(self.wavelength)
-        a, b = m[:2, :2], m[:2, 2:]
-        c, d = m[2:, :2], m[2:, 2:]
-        for i, (v1, v2) in enumerate([
-                (np.dot(a, d.T) - np.dot(b, c.T), np.eye(2)),
-                (np.dot(a, b.T), np.dot(b, a.T)),
-                (np.dot(c, d.T), np.dot(d, c.T))]):
-            assert np.allclose(v1, v2), (i, v1, v2)
 
     @property
     def m(self):
         n, m = self.system.paraxial_matrix(self.wavelength)
-        assert self.is_simple_astigmatic(m)
+        assert is_simple_astigmatic(m)
         a0, a1, d0, d1 = np.diag(m)
         return np.array([a0 + d0, a1 + d1])/2
 
     @property
     def eigenvalues(self):
-        m = self.m
-        m1 = (m**2 - 1 + 0j)**.5
-        return m + m1, m - m1
+        half_trace = self.m
+        root = (half_trace**2 - 1 + 0j)**.5
+        return half_trace + root, half_trace - root
 
     @property
     def real(self):
@@ -203,60 +247,61 @@ class GaussianTrace(Trace):
 
     @property
     def stable(self):
-        """|Tr(M)/2| < 1 cavity stability per axis."""
         return (self.m**2).real < 1
 
-    # -- output ----------------------------------------------------------
-
-    def print_trace(self):
-        s, rs = self.spot_radius_at(z=None, normal=True)
-        sa, sb = s.T
-        wpx, wpy = self.waist_position.T
-        wrx, wry = self.waist_radius.T
-        c = np.c_[self.path, sa, sb, np.rad2deg(rs), wpx, wpy, wrx, wry]
-        return self.print_coeffs(
-            c, "path/spot a/spot b/spot ang/waistx dz/waisty dz/"
-            "waist x/waist y".split("/"), sum=False)
-
-    def __str__(self):
-        return "\n".join(itertools.chain(self.print_trace(), ("",)))
+    # -- edits / output ----------------------------------------------------
 
     def resize(self, waists=3):
-        w, a = self.spot_radius_at(z=None, normal=True)
-        for e, y in zip(self.system[1:], w.max(1)[1:]):
-            e.radius = y*waists
+        w, ang = self.spot_radius_at(z=None, normal=True)
+        for e, r in zip(self.system[1:], w.max(1)[1:]):
+            e.radius = r*waists
 
     def refocus(self, axis=1):
         self.system[-1].distance += self.waist_position[-1, axis]
         self.system.update()
         self.propagate()
 
+    def print_trace(self):
+        spot, ang = self.spot_radius_at(z=None, normal=True)
+        wp = self.waist_position
+        wr = self.waist_radius
+        cols = np.c_[self.path, spot[:, 0], spot[:, 1],
+                     np.rad2deg(ang), wp[:, 0], wp[:, 1],
+                     wr[:, 0], wr[:, 1]]
+        return self.print_coeffs(
+            cols, "path/spot a/spot b/spot ang/waistx dz/waisty dz/"
+            "waist x/waist y".split("/"), sum=False)
+
+    def __str__(self):
+        return "\n".join(itertools.chain(self.print_trace(), ("",)))
+
     def plot(self, ax, axis=1, npoints=5001, waist=True, scale=10,
              **kwargs):
         kwargs.setdefault("color", "red")
         z = np.linspace(self.path[0], self.path[-1], npoints)
-        i = np.searchsorted(self.path, z) - 1
-        m = self.mirrored[i, ]
-        wx, wy = self.spot_radius_at(z).T*scale*m
-        y = np.array([
-            [wx, wx, z], [wy, wy, z],
-            [-wx, -wx, z], [-wy, -wy, z],
+        flip = self.mirrored[np.searchsorted(self.path, z) - 1, ]
+        wx, wy = self.spot_radius_at(z).T*scale*flip
+        trajs = np.array([
+            [wx, wx, z], [wy, wy, z], [-wx, -wx, z], [-wy, -wy, z],
         ]).transpose(2, 0, 1)
-        y = self.from_axis(y)
-        for i, ci in zip((axis, 0 if axis else 1), ("-", "--")):
-            ax.plot(y[:, i::2, 2], y[:, i::2, axis], ci, **kwargs)
-        if waist:
-            p = self.waist_position.T
-            w = self.waist_radius.T*scale
-            r = self.rayleigh_range.T
-            for i, ci in zip((axis, 0 if axis else 1), ("-", "--")):
-                for j, (el, oi) in enumerate(zip(self.system[1:],
-                                                 self.origins[1:])):
-                    for zz, h, cj in [(0, w[i, j], ci),
-                                      (r[i, j], 2**.5*w[i, j], ":"),
-                                      (-r[i, j], 2**.5*w[i, j], ":")]:
-                        v = p[i, j] + zz - el.distance
-                        if v >= -el.distance and v <= 0:
-                            y = np.array([[h, h, v], [-h, -h, v]])
-                            y = el.from_axis(y) + oi
-                            ax.plot(y[:, 2], y[:, axis], cj, **kwargs)
+        trajs = self.from_axis(trajs)
+        for i, ls in zip((axis, 0 if axis else 1), ("-", "--")):
+            ax.plot(trajs[:, i::2, 2], trajs[:, i::2, axis], ls,
+                    **kwargs)
+        if not waist:
+            return
+        wp = self.waist_position.T
+        wr = self.waist_radius.T*scale
+        zr = self.rayleigh_range.T
+        for i, ls in zip((axis, 0 if axis else 1), ("-", "--")):
+            for j, (el, oi) in enumerate(zip(self.system[1:],
+                                             self.origins[1:])):
+                marks = [(0, wr[i, j], ls),
+                         (zr[i, j], 2**.5*wr[i, j], ":"),
+                         (-zr[i, j], 2**.5*wr[i, j], ":")]
+                for dz, h, mls in marks:
+                    v = wp[i, j] + dz - el.distance
+                    if -el.distance <= v <= 0:
+                        seg = np.array([[h, h, v], [-h, -h, v]])
+                        seg = el.from_axis(seg) + oi
+                        ax.plot(seg[:, 2], seg[:, axis], mls, **kwargs)
