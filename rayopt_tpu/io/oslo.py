@@ -1,7 +1,8 @@
 """OSLO import: .len prescriptions, .olc lens-catalog records, .glc
 glass catalogs, .dir catalog directories.
 
-Behavioral parity with reference oslo.py:39-222.
+Behavioral parity with reference oslo.py:39-222; the command parsers
+are organized as small state machines with explicit handler branches.
 """
 
 import os.path
@@ -23,184 +24,186 @@ def register_parsers():
     LibMaterial.parsers["glc"] = glc_to_material
 
 
-def dir_read(file, session):
-    """Read an OSLO catalog directory (.dir + .dat [+ .nam])
-    (reference oslo.py:39)."""
-    from .library import Catalog, LibLens
-    cat = Catalog()
-    prefix = os.path.splitext(file)[0]
-    cat.name = os.path.basename(prefix)
-    cat.type, cat.source, cat.format = "lens", "oslo", "olc"
-    cat.version = 0
-    session.add(cat)
-    # columns: offset, length, elements, name, efl, diameter, thickness
-    dirdat = np.loadtxt(file, delimiter=",", skiprows=1,
-                        dtype="i,i,i,S64,f,f,f", ndmin=1)
-    lensfile = open("%s.dat" % prefix)
-    lenses = [lensfile.read(i) for i in dirdat["f1"]]
-    sections = {}
-    sect_lens = []
-    if os.access("%s.nam" % prefix, os.R_OK):
-        try:
-            name = np.loadtxt("%s.nam" % prefix, delimiter=",",
-                              skiprows=1, dtype="S64,S128", ndmin=1)
-            for k, n in name:
-                sect_lens.append(len(k))
-                sections[k] = str(n).strip("\" '")
-        except IndexError:
-            pass
-    sect_lens = sorted(sect_lens)[::-1]
-    for dirline, lensdat in zip(dirdat, lenses):
-        of, le, ele, part, efl, dia, thick = dirline
-        rec = LibLens(data=lensdat)
-        cat.lenses.append(rec)
-        rec.name = part.decode() if isinstance(part, bytes) else part
-        rec.elements = int(ele)
-        rec.thickness = float(thick)
-        rec.efl = float(efl)
-        rec.radius = float(dia)/2
-        for k in sect_lens:
-            try:
-                rec.comment = sections[part[:k]]
-                rec.section = part[:k]
-                break
-            except KeyError:
-                continue
-    return cat
+# commands that only describe apertures/cylinders and are skipped,
+# matching the reference's coverage
+_OLC_SKIP = frozenset("AP CVX APN AY1 AY2 AX1 AX2 ATP AAC".split())
+_LEN_SKIP = frozenset(("//", "DES", "EBR", "GIH", "DLRS", "WW", "WV"))
+
+
+def _lookup_glass(token, glass_map):
+    token = glass_map.get(token, token)
+    try:
+        return Material.make(token)
+    except KeyError:
+        print("mat not found", token)
+        return air
 
 
 oslo_glass_map = {}
 
 
 def olc_to_system(dat, item=None, glass_map=oslo_glass_map):
-    """Parse an .olc record (semicolon-separated commands)
-    (reference oslo.py:86)."""
-    sys = System()
-    s = Spheroid()
-    sys.append(s)
-    th = 0.
-    for cmd in dat.split(";"):
-        cmd = cmd.strip()
-        if not cmd:
+    """Parse one .olc record: semicolon-separated commands building
+    surfaces incrementally (reference oslo.py:86)."""
+    sys_ = System()
+    surf = Spheroid()
+    sys_.append(surf)
+    thickness = 0.
+    for chunk in dat.split(";"):
+        tokens = chunk.split()
+        if not tokens:
             continue
-        args = cmd.split()
-        cmd, args = args[0], args[1:]
-        if cmd == "RD":
-            r = sfloat(args[0])
-            s.curvature = 1/r if r else 0
-        elif cmd == "GLA":
-            mat = args[0].upper()
-            mat = glass_map.get(mat, mat)
-            try:
-                mat = Material.make(mat)
-            except KeyError:
-                print("mat not found", cmd, args)
-                mat = air
-            s.material = mat
+        cmd, args = tokens[0], tokens[1:]
+        if cmd == "NXT":
+            surf = Spheroid(material=air, distance=thickness)
+            sys_.append(surf)
+        elif cmd == "RD":
+            roc = sfloat(args[0])
+            surf.curvature = 1/roc if roc else 0
         elif cmd == "TH":
-            th = sfloat(args[0]) or 0.
-        elif cmd in "AP CVX APN AY1 AY2 AX1 AX2 ATP AAC".split():
-            pass  # cylindrical/aperture detail, ignored as in reference
+            thickness = sfloat(args[0]) or 0.
+        elif cmd == "GLA":
+            surf.material = _lookup_glass(args[0].upper(), glass_map)
         elif cmd == "CC":
-            s.conic = sfloat(args[0])
+            surf.conic = sfloat(args[0])
         elif cmd == "ASP":
             assert args[0] in ("ASR", "ARA"), args
-            s.aspherics = [0]*(int(args[1]) + 2)
-        elif cmd[:2] == "AS":
-            i = int(cmd[2]) + 1
-            s.aspherics[i] = sfloat(args[0])
-        elif cmd == "NXT":
-            s = Spheroid(material=air, distance=th)
-            sys.append(s)
+            surf.aspherics = [0]*(int(args[1]) + 2)
+        elif cmd.startswith("AS"):
+            surf.aspherics[int(cmd[2]) + 1] = sfloat(args[0])
+        elif cmd in _OLC_SKIP:
+            pass
         else:
             print("unhandled", cmd, args)
-    return sys
+    return sys_
 
 
 def len_to_system(fil, item=None):
-    """Parse an OSLO .len command file (reference oslo.py:129)."""
-    s = System()
-    e = Spheroid()
-    th = 0.
-    if isinstance(fil, str):
-        lines = fil.splitlines()
-    else:
-        lines = fil.readlines()
+    """Parse an OSLO .len command file (reference oslo.py:129):
+    commands accumulate into a pending surface that NXT/END flush."""
+    sys_ = System()
+    pending = Spheroid()
+    thickness = 0.
+    lines = fil.splitlines() if isinstance(fil, str) else fil.readlines()
     for line in lines:
-        p = line.split()
-        if not p:
+        tokens = line.split()
+        if not tokens:
             continue
-        cmd, args = p[0], p[1:]
-        if cmd == "LEN":
-            s.description = " ".join(args[1:-2]).strip("\"")
+        cmd, args = tokens[0], tokens[1:]
+        if cmd in ("NXT", "END"):
+            sys_.append(pending)
+            pending = Spheroid()
+            pending.distance = thickness
+        elif cmd == "LEN":
+            sys_.description = " ".join(args[1:-2]).strip("\"")
         elif cmd == "UNI":
-            s.scale = float(args[0])*1e-3
-        elif cmd == "AIR":
-            e.material = air
+            sys_.scale = float(args[0])*1e-3
+        elif cmd == "RD":
+            pending.curvature = 1/float(args[0])
         elif cmd == "TH":
-            th = float(args[0])
-            if th > 1e2:
-                th = np.inf
+            thickness = float(args[0])
+            if thickness > 1e2:
+                thickness = np.inf
         elif cmd == "AP":
             if args[0] == "CHK":
-                del args[0]
-            e.radius = float(args[0])
+                args = args[1:]
+            pending.radius = float(args[0])
         elif cmd == "GLA":
-            e.material = Material.make(args[0])
+            pending.material = Material.make(args[0])
+        elif cmd == "AIR":
+            pending.material = air
         elif cmd == "AST":
-            e.stop = True
-            s.stop = len(s)
-        elif cmd == "RD":
-            e.curvature = 1/float(args[0])
-        elif cmd in ("NXT", "END"):
-            s.append(e)
-            e = Spheroid()
-            e.distance = th
-        elif cmd in ("//", "DES", "EBR", "GIH", "DLRS", "WW", "WV"):
+            pending.stop = True
+            sys_.stop = len(sys_)
+        elif cmd in _LEN_SKIP:
             pass
         else:
             print(cmd, "not handled", args)
-    return s
+    return sys_
 
 
-def glc_read(f, session):
-    """Read an OSLO glass catalog (reference oslo.py:169)."""
-    from .library import Catalog, LibMaterial
+def dir_read(file, session):
+    """Read an OSLO catalog directory: the .dir index, the packed .dat
+    records, and optional .nam section names (reference oslo.py:39)."""
+    from .library import Catalog, LibLens
+    prefix = os.path.splitext(file)[0]
     cat = Catalog()
-    fh = open(f)
-    ver, num, cat.name = fh.readline().split()[:3]
-    cat.version = float(ver)
-    cat.type, cat.source, cat.format = "material", "oslo", "glc"
+    cat.name = os.path.basename(prefix)
+    cat.type, cat.source, cat.format = "lens", "oslo", "olc"
+    cat.version = 0
     session.add(cat)
-    for raw in fh:
-        line = raw.strip().split()
-        if not line:
-            continue
-        g = LibMaterial()
-        g.name = line.pop(0)
-        g.nd = sfloat(line.pop(0))
-        g.vd = sfloat(line.pop(0))
-        g.density = sfloat(line.pop(0))
-        g.data = raw.strip()
-        cat.materials.append(g)
+    # .dir columns: offset, length, elements, name, efl, dia, thick
+    index = np.loadtxt(file, delimiter=",", skiprows=1,
+                       dtype="i,i,i,S64,f,f,f", ndmin=1)
+    packed = open("%s.dat" % prefix)
+    records = [packed.read(length) for length in index["f1"]]
+    sections = _read_sections("%s.nam" % prefix)
+    prefix_lengths = sorted({len(k) for k in sections}, reverse=True)
+    for row, data in zip(index, records):
+        _, _, nelements, part, efl, dia, thick = row
+        rec = LibLens(data=data)
+        cat.lenses.append(rec)
+        rec.name = part.decode() if isinstance(part, bytes) else part
+        rec.elements = int(nelements)
+        rec.thickness = float(thick)
+        rec.efl = float(efl)
+        rec.radius = float(dia)/2
+        for k in prefix_lengths:
+            if part[:k] in sections:
+                rec.comment = sections[part[:k]]
+                rec.section = part[:k]
+                break
     return cat
 
 
-def glc_to_material(raw, item=None):
-    """Parse one OSLO glass record (reference oslo.py:191)."""
-    line = raw.strip().split()
-    name = line.pop(0)
-    sfloat(line.pop(0))  # nd
-    sfloat(line.pop(0))  # vd
-    density = sfloat(line.pop(0))
-    del line[:6]
-    del line[:2]
-    a, num = sint(line.pop(0)), sint(line.pop(0))
-    coeff = np.array([sfloat(v) for v in line[:num]])
-    del line[:num]
+def _read_sections(path):
+    if not os.access(path, os.R_OK):
+        return {}
     try:
-        typ = ("schott sellmeier_squared_transposed conrady "
-               "unknown unknown hikari").split()[a - 1]
+        rows = np.loadtxt(path, delimiter=",", skiprows=1,
+                          dtype="S64,S128", ndmin=1)
+    except IndexError:
+        return {}
+    return {k: str(v).strip("\" '") for k, v in rows}
+
+
+def glc_read(f, session):
+    """Read an OSLO glass catalog: header line then one record per
+    glass (reference oslo.py:169)."""
+    from .library import Catalog, LibMaterial
+    cat = Catalog()
+    fh = open(f)
+    version, count, cat.name = fh.readline().split()[:3]
+    cat.version = float(version)
+    cat.type, cat.source, cat.format = "material", "oslo", "glc"
+    session.add(cat)
+    for raw in fh:
+        fields = raw.strip().split()
+        if not fields:
+            continue
+        rec = LibMaterial(
+            name=fields[0], nd=sfloat(fields[1]), vd=sfloat(fields[2]),
+            density=sfloat(fields[3]), data=raw.strip())
+        cat.materials.append(rec)
+    return cat
+
+
+_GLC_FORMULAS = ("schott sellmeier_squared_transposed conrady "
+                 "unknown unknown hikari").split()
+
+
+def glc_to_material(raw, item=None):
+    """Parse one OSLO glass record into a CoefficientsMaterial
+    (reference oslo.py:191): name nd vd density, 8 skipped slots,
+    then (formula id, #coeffs, coeffs...)."""
+    fields = raw.strip().split()
+    name = fields[0]
+    density = sfloat(fields[3])
+    rest = fields[12:]
+    formula_id, ncoeff = sint(rest[0]), sint(rest[1])
+    coeff = np.array([sfloat(v) for v in rest[2:2 + ncoeff]])
+    try:
+        typ = _GLC_FORMULAS[formula_id - 1]
     except IndexError:
         typ = "unknown"
     mat = CoefficientsMaterial(name=name, coefficients=coeff, typ=typ)

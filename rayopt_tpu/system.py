@@ -115,98 +115,89 @@ class System(list):
             v[k] = value
 
     # -- parametric constraints (reference system.py:134-191) ---------
+    # The declarative pickup/solve/validator dicts share one accessor
+    # vocabulary: get / get_eval / get_func read a value, set /
+    # set_exec / set_func write one.
+
+    def _read(self, spec, extra=None):
+        value = None
+        if "get" in spec:
+            value = self.get_path(spec["get"])
+        if "get_eval" in spec:
+            scope = dict(self=self)
+            if extra:
+                scope.update(extra)
+            value = eval(spec["get_eval"], scope, globals())
+        if "get_func" in spec:
+            fn = spec["get_func"]
+            if isinstance(fn, str):
+                fn = eval(fn)
+            value = fn(self, spec, value) if extra is None else fn(
+                self, spec)
+        return value
+
+    def _write(self, spec, value):
+        if "set" in spec:
+            self.set_path(spec["set"], value)
+        if "set_exec" in spec:
+            exec(spec["set_exec"], globals(),
+                 dict(value=value, self=self, solve=spec))
+        if "set_func" in spec:
+            spec["set_func"](self, spec, value)
 
     def pickup(self):
-        for pickup in self.pickups:
-            value = None
-            if "get" in pickup:
-                value = self.get_path(pickup["get"])
-            if "get_eval" in pickup:
-                value = eval(pickup["get_eval"], {"self": self})
-            if "get_func" in pickup:
-                value = eval(pickup["get_func"])(self, pickup, value)
-            if "factor" in pickup:
-                value = value*pickup["factor"]
-            if "offset" in pickup:
-                value = value + pickup["offset"]
-            if "set" in pickup:
-                self.set_path(pickup["set"], value)
-            if "set_exec" in pickup:
-                exec(pickup["set_exec"], {"self": self, "value": value})
+        for spec in self.pickups:
+            value = self._read(spec)
+            if "factor" in spec:
+                value = value*spec["factor"]
+            if "offset" in spec:
+                value = value + spec["offset"]
+            self._write(spec, value)
 
     def solve(self):
-        for solve in self.solves:
-            if "get" in solve:
-                def getter():
-                    return self.get_path(solve["get"])
-            elif "get_eval" in solve:
-                def getter():
-                    loc = dict(self=self, solve=solve)
-                    return eval(solve["get_eval"], loc, globals())
-            elif "get_func" in solve:
-                def getter():
-                    return solve["get_func"](self, solve)
-            if "set" in solve:
-                def setter(x):
-                    self.set_path(solve["set"], x)
-            elif "set_exec" in solve:
-                def setter(value):
-                    loc = dict(value=value, self=self, solve=solve)
-                    exec(solve["set_exec"], globals(), loc)
-            elif "set_func" in solve:
-                def setter(x):
-                    solve["set_func"](self, solve, x)
-            target = solve.get("target", 0.)
-            if "init" in solve:
-                init = solve["init"]
-            elif "set" in solve:
-                init = self.get_path(solve["set"])
+        for spec in self.solves:
+            target = spec.get("target", 0.)
+            if "init" in spec:
+                start = spec["init"]
+            elif "set" in spec:
+                start = self.get_path(spec["set"])
             else:
-                init = 0.
+                start = 0.
 
-            def func(x):
-                setter(x)
+            def residual(x, spec=spec):
+                self._write(spec, x)
                 self.pickup()
-                return getter() - target
+                return self._read(spec, extra={"solve": spec}) - target
 
-            x = newton(func, init, tol=solve.get("tol", 1e-8),
-                       maxiter=solve.get("maxiter", 20))
-            func(x)
-            if "init_current" in solve:
-                solve["init"] = float(x)
+            root = newton(residual, start, tol=spec.get("tol", 1e-8),
+                          maxiter=spec.get("maxiter", 20))
+            residual(root)
+            if "init_current" in spec:
+                spec["init"] = float(root)
+
+    _CHECKS = {
+        "minimum": (lambda v, lim: v >= lim, "<"),
+        "maximum": (lambda v, lim: v <= lim, ">"),
+        "equality": (lambda v, lim: v == lim, "!="),
+    }
 
     def validate(self, fix=False):
-        for validator in self.validators:
-            value = None
-            if "get" in validator:
-                value = self.get_path(validator["get"])
-            if "get_eval" in validator:
-                value = eval(validator["get_eval"], {"self": self})
-            if "get_func" in validator:
-                value = eval(validator["get_func"])(self, validator, value)
-            if "exec" in validator:
-                exec(validator["exec"], {"self": self, "value": value})
-            if "minimum" in validator:
-                v = validator["minimum"]
-                if value < v:
-                    if fix and "get" in validator:
-                        self.set_path(validator["get"], v)
-                    else:
-                        raise ValueError(f"{value} < {v} ({validator})")
-            if "maximum" in validator:
-                v = validator["maximum"]
-                if value > v:
-                    if fix and "get" in validator:
-                        self.set_path(validator["get"], v)
-                    else:
-                        raise ValueError(f"{value} > {v} ({validator})")
-            if "equality" in validator:
-                v = validator["equality"]
-                if value != v:
-                    if fix and "get" in validator:
-                        self.set_path(validator["get"], v)
-                    else:
-                        raise ValueError(f"{value} != {v} ({validator})")
+        for spec in self.validators:
+            value = self._read(spec)
+            if "exec" in spec:
+                exec(spec["exec"], globals(),
+                     dict(self=self, value=value))
+            for key, (ok, sym) in self._CHECKS.items():
+                if key not in spec:
+                    continue
+                lim = spec[key]
+                if ok(value, lim):
+                    continue
+                if fix and "get" in spec:
+                    self.set_path(spec["get"], lim)
+                else:
+                    raise ValueError(
+                        f"{value} {sym} {lim} ({spec})")
 
     # -- refresh pipeline (reference system.py:201) --------------------
 
@@ -259,18 +250,32 @@ class System(list):
     def text(self):
         return itertools.chain(self.base_text(), ("",))
 
+    def _element_row(self, i, e):
+        curv = getattr(e, "curvature", 0)
+        mat = getattr(e, "material", "")
+        nd = getattr(mat, "nd", np.nan)
+        n = (self.refractive_index(self.wavelengths[0], i)
+             if mat else nd)
+        return ("%2i %1s %10.5g %10.4g %10.5g %17s "
+                "%7.3f %7.3f %7.2f") % (
+            i, e.typeletter, e.distance,
+            np.inf if curv == 0 else 1./curv, e.radius*2, mat, n, nd,
+            getattr(mat, "vd", np.nan))
+
     def base_text(self):
-        yield "System: %s" % self.description
-        yield "Scale: %s mm" % (self.scale/1e-3)
-        yield "Wavelengths: %s nm" % ", ".join(
-            "%.0f" % (w/1e-9) for w in self.wavelengths)
-        yield "Fields: %s" % ", ".join("%g" % f for f in self.fields)
-        yield "Object:"
-        for line in self.object.text():
-            yield " " + line
-        yield "Image:"
-        for line in self.image.text():
-            yield " " + line
+        head = [
+            "System: %s" % self.description,
+            "Scale: %s mm" % (self.scale/1e-3),
+            "Wavelengths: %s nm" % ", ".join(
+                "%.0f" % (w/1e-9) for w in self.wavelengths),
+            "Fields: %s" % ", ".join("%g" % f for f in self.fields),
+        ]
+        yield from head
+        for name, conj in (("Object:", self.object),
+                           ("Image:", self.image)):
+            yield name
+            for line in conj.text():
+                yield " " + line
         yield "Stop: %i" % self.stop
         yield "Elements:"
         yield ("{:>2} {:>1} {:>10} {:>10} {:>10} {:>17} "
@@ -278,18 +283,7 @@ class System(list):
                    "#", "T", "Distance", "Rad Curv", "Diameter",
                    "Material", "n", "nd", "Vd")
         for i, e in enumerate(self):
-            curv = getattr(e, "curvature", 0)
-            roc = np.inf if curv == 0 else 1./curv
-            mat = getattr(e, "material", "")
-            nd = getattr(mat, "nd", np.nan)
-            vd = getattr(mat, "vd", np.nan)
-            n = nd
-            if mat:
-                n = self.refractive_index(self.wavelengths[0], i)
-            yield ("%2i %1s %10.5g %10.4g %10.5g %17s "
-                   "%7.3f %7.3f %7.2f") % (
-                       i, e.typeletter, e.distance, roc, e.radius*2,
-                       mat, n, nd, vd)
+            yield self._element_row(i, e)
 
     # -- geometry ------------------------------------------------------
 
@@ -334,38 +328,39 @@ class System(list):
             if not el.material or el.material.solid:
                 pending, c0 = el, c
 
+    @staticmethod
+    def _close_solid(front, back):
+        """Join two surface outlines into a closed lens cross-section
+        (front drawn forward, back reversed, edges bridged)."""
+        (fx, fz), (bx, bz) = front, back
+        lower = (bx[0], fz[0]) if bx[0] < fx[0] else (fx[0], bz[0])
+        upper = (bx[-1], fz[-1]) if bx[-1] > fx[-1] else (fx[-1], bz[-1])
+        return np.c_[(fx, fz), upper, (bx[::-1], bz[::-1]), lower,
+                     (fx[0], fz[0])]
+
     def surfaces_cut(self, axis=1, points=31):
         """Yield 2-D cut outlines; solids are closed
         (reference system.py:354)."""
         pos = np.zeros(3)
-        pending = None
+        open_solid = None
         for e in self:
             pos = pos + e.offset
             xyz = pos + e.from_normal(e.surface_cut(axis, points))
-            x, z = xyz[:, axis], xyz[:, 2]
-            if getattr(e, "material", None) is None:
-                yield x, z
+            cut = xyz[:, axis], xyz[:, 2]
+            mat = getattr(e, "material", None)
+            if mat is None:
+                yield cut
                 continue
-            if pending:
-                px, pz = pending
-                if x[0] < px[0]:
-                    cl = x[0], pz[0]
-                else:
-                    cl = px[0], z[0]
-                if x[-1] > px[-1]:
-                    cu = x[-1], pz[-1]
-                else:
-                    cu = px[-1], z[-1]
-                yield np.c_[(px, pz), cu, (x[::-1], z[::-1]), cl,
-                            (px[0], pz[0])]
-            elif not e.material.solid or e.material.mirror:
-                yield x, z
-            if e.material.solid or (pending and e.material.mirror):
-                pending = x, z
+            if open_solid:
+                yield self._close_solid(open_solid, cut)
+            elif not mat.solid or mat.mirror:
+                yield cut
+            if mat.solid or (open_solid and mat.mirror):
+                open_solid = cut
             else:
-                pending = None
-        if pending:
-            yield pending
+                open_solid = None
+        if open_solid:
+            yield open_solid
 
     def plot(self, ax, axis=1, npoints=31, adjust=True, **kwargs):
         kwargs.setdefault("color", "black")
@@ -594,33 +589,45 @@ class System(list):
     def aim(self, *args, **kwargs):
         return self.object.aim(*args, surface=self[0], **kwargs)
 
+    def _memoized(fn):
+        cache = {}
+
+        def wrapped(a):
+            if a not in cache:
+                cache[a] = fn(a)
+            return cache[a]
+
+        return wrapped
+
     def aim_chief(self, yo, z, p, l=None, stop=None, **kwargs):
+        """Solve the chief-ray pupil distance: newton on the stop
+        height of the ray aimed at z + a*p
+        (reference system.py:507-526)."""
         assert p
         if self.object.pupil.telecentric or not self.object.pupil.aim:
             return z
         if l is None:
             l = self.wavelengths[0]
-        n = self.refractive_index(l, 0)
         if stop in (-1, None):
             stop = self.stop
         rad = self[self.stop].radius
         assert rad
         table = self.table(l)
-        cache = {}
 
-        def dist(a):
-            if a in cache:
-                return cache[a]
+        @System._memoized
+        def height_at_stop(a):
             y, u = self.aim(yo, None, z + a*p, filter=False)
-            ys = self.trace_table(y, u, l, stop=stop + 1, table=table)[0]
-            d = (np.asarray(yo)*ys[-1, 0, :2]).sum()/rad
-            cache[a] = d
-            return d
+            ys = self.trace_table(y, u, l, stop=stop + 1,
+                                  table=table)[0]
+            return (np.asarray(yo)*ys[-1, 0, :2]).sum()/rad
 
-        a = self.solve_newton(dist, **kwargs)
-        return z + a*p
+        return z + p*self.solve_newton(height_at_stop, **kwargs)
 
     def aim_marginal(self, yo, yp, z, p, l=None, stop=None, **kwargs):
+        """Solve the marginal-ray scale: bracketed root of the edge
+        clearance at the limiting aperture; stop=-1 selects rim
+        (vignetting) mode over all surfaces
+        (reference system.py:528-555)."""
         assert p
         rim = stop == -1
         if not self.object.pupil.aim and not rim:
@@ -633,19 +640,15 @@ class System(list):
             stop = self.stop + 1
         r2 = np.square([e.radius for e in self[1:stop]])
         table = self.table(l)
-        cache = {}
 
-        def dist(a):
-            if a in cache:
-                return cache[a]
+        @System._memoized
+        def edge_clearance(a):
             y, u = self.aim(yo, yp, z, a*p, filter=False)
             ys = self.trace_table(y, u, l, stop=stop, table=table)[0]
             d = np.square(ys)[1:, 0, :2].sum(1)/r2 - 1
-            d = d.max() if rim else d[-1]
-            cache[a] = d
-            return d
+            return d.max() if rim else d[-1]
 
-        a = self.solve_brentq(dist, **kwargs)
+        a = self.solve_brentq(edge_clearance, **kwargs)
         assert a
         return a*p
 

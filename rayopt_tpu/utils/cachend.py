@@ -1,18 +1,66 @@
-"""N-D solver caches with interpolated initial guesses.
+"""Solver caches with interpolated initial guesses.
 
-Parity with reference cachend.py:27-105.  Used by System.pupil to reuse
-earlier pupil-aiming solutions as starting points for nearby field
-points (the radial PolarCacheND is what the reference uses).
+Used by System.pupil to reuse earlier pupil-aiming solutions as
+starting points for nearby field coordinates (behavioral parity with
+reference cachend.py:27-105).  One cache class, pluggable guess
+strategies: "polar" (1-D radial linear interpolation — what pupil
+aiming uses), "nearest", and "linear" (scipy N-D interpolators).
 """
 
 import numpy as np
 
 
+def _polar_strategy(points, values):
+    radii = np.sqrt(np.square(points).sum(1))
+    order = np.argsort(radii)
+    radii = radii[order]
+    values = values[order]
+
+    def guess(*x):
+        r = np.sqrt(np.square(np.asarray(x)).sum())
+        if r <= radii[0]:
+            return values[0]
+        if r >= radii[-1]:
+            return values[-1]
+        i = np.searchsorted(radii, r)
+        frac = (r - radii[i - 1])/(radii[i] - radii[i - 1])
+        return values[i - 1] + frac*(values[i] - values[i - 1])
+
+    return guess
+
+
+def _nearest_strategy(points, values):
+    from scipy.interpolate import NearestNDInterpolator
+    return NearestNDInterpolator(points, values)
+
+
+def _linear_strategy(points, values):
+    if points.shape[0] < 4:
+        return None
+    from scipy.interpolate import LinearNDInterpolator
+    try:
+        return LinearNDInterpolator(points, values)
+    except Exception:
+        return None
+
+
+_STRATEGIES = {
+    "polar": _polar_strategy,
+    "nearest": _nearest_strategy,
+    "linear": _linear_strategy,
+}
+
+
 class CacheND:
+    """Memoize solver(*args, guess=...) results and interpolate new
+    starting guesses from the solutions seen so far."""
+
+    strategy = None
+
     def __init__(self, solver, guess=None, **kwargs):
         self.solver = solver
-        self.interpolator = None
         self.kwargs = kwargs
+        self.interpolator = None
         self.cache = {}
         self.clear(guess)
 
@@ -21,67 +69,35 @@ class CacheND:
         self.guess = None
 
     def __call__(self, *args):
-        try:
+        if args in self.cache:
             return self.cache[args]
-        except KeyError:
-            pass
         guess = self.guess
-        if self.interpolator:
+        if self.interpolator is not None:
             guess = self.interpolator(*args)
             if np.any(np.isnan(guess)):
                 guess = self.guess
         value = self.solver(*args, guess=guess, **self.kwargs)
         self.cache[args] = value
-        self._update()
+        self._refresh()
         return value
 
-    def _update(self):
-        raise NotImplementedError
-
-
-class NearestCacheND(CacheND):
-    def _update(self):
-        from scipy.interpolate import NearestNDInterpolator
-        xy = list(self.cache.items())
-        x = np.array([_[0] for _ in xy])
-        y = np.array([_[1] for _ in xy])
-        self.interpolator = NearestNDInterpolator(x, y)
-
-
-class LinearCacheND(CacheND):
-    def _update(self):
-        if len(self.cache) < 4:
-            return
-        from scipy.interpolate import LinearNDInterpolator
-        xy = list(self.cache.items())
-        x = np.array([_[0] for _ in xy])
-        y = np.array([_[1] for _ in xy])
-        try:
-            self.interpolator = LinearNDInterpolator(x, y)
-        except Exception:
-            self.interpolator = None
+    def _refresh(self):
+        if self.strategy is None:
+            raise NotImplementedError
+        points = np.array(list(self.cache.keys()))
+        values = np.array(list(self.cache.values()))
+        fit = _STRATEGIES[self.strategy](points, values)
+        if fit is not None:
+            self.interpolator = fit
 
 
 class PolarCacheND(CacheND):
-    """1-D radial linear interpolation over cached solutions."""
+    strategy = "polar"
 
-    def _update(self):
-        xy = list(self.cache.items())
-        x = np.array([_[0] for _ in xy])
-        y = np.array([_[1] for _ in xy])
-        r = np.sqrt(np.square(x).sum(1))
-        i = np.argsort(r)
-        self.r = r.take(i)
-        self.y = y.take(i, axis=0)
-        self.interpolator = self._interpolator
 
-    def _interpolator(self, xo, yo):
-        r = np.sqrt(xo**2 + yo**2)
-        if r <= self.r[0]:
-            return self.y[0]
-        if r >= self.r[-1]:
-            return self.y[-1]
-        i = np.searchsorted(self.r, r)
-        ra, rb = self.r[i - 1], self.r[i]
-        ya, yb = self.y[i - 1], self.y[i]
-        return ya + (yb - ya)*(r - ra)/(rb - ra)
+class NearestCacheND(CacheND):
+    strategy = "nearest"
+
+
+class LinearCacheND(CacheND):
+    strategy = "linear"
