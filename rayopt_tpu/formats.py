@@ -1,8 +1,8 @@
 """System serialization: YAML / JSON / text / array round-trip.
 
-Parity with reference formats.py:29-104; the dict schema matches the
-reference so prescriptions written for either implementation load in
-both.
+Behavioral parity with reference formats.py:29-104; the dict schema
+matches the reference so prescriptions written for either
+implementation load in both.
 """
 
 import json
@@ -15,66 +15,80 @@ from .elements import Spheroid
 from .materials import Material
 
 
-def try_get(line, columns, field, default=None):
-    v = default
-    if field in columns:
-        v = line[columns.index(field)]
+class _Row:
+    """Column accessor over one line of a tabular prescription."""
+
+    def __init__(self, columns, line):
+        self.columns = columns
+        self.line = line
+
+    def get(self, field, default=None):
+        if field not in self.columns:
+            return default
+        raw = self.line[self.columns.index(field)]
         try:
-            v = float(v)
+            return float(raw)
         except ValueError:
-            pass
-    return v
+            return raw
+
+
+def try_get(line, columns, field, default=None):
+    return _Row(columns, line).get(field, default)
 
 
 def system_from_array(data,
                       columns="type roc distance diameter material".split(),
                       shifts={}, material_map={}, **kwargs):
-    """Build a System from a column table (reference formats.py:40)."""
+    """Build a System from a column table (reference formats.py:40):
+    one row per surface, column meanings given by `columns`."""
     data = np.array(data)
     assert data.ndim == 2
-    for k, v in shifts.items():
-        i = columns.index(k)
-        data[:, i] = np.roll(data[:, i], v)
+    for field, amount in shifts.items():
+        i = columns.index(field)
+        data[:, i] = np.roll(data[:, i], amount)
     s = System(**kwargs)
     for line in data:
-        typ = try_get(line, columns, "type", "S")
+        row = _Row(columns, line)
         el = Spheroid()
         s.append(el)
+        typ = row.get("type", "S")
         if typ == "A":
             s.aperture = el
-        curv = try_get(line, columns, "curvature")
+        curv = row.get("curvature")
         if curv is None:
-            roc = try_get(line, columns, "roc", 0.)
-            curv = 0. if roc == 0 else 1./roc
+            roc = row.get("roc", 0.)
+            curv = 1./roc if roc else 0.
         el.curvature = curv
-        el.distance = try_get(line, columns, "distance", 0.)
-        el.radius = (try_get(line, columns, "radius", 0.) or
-                     try_get(line, columns, "diameter", 0.)/2.)
+        el.distance = row.get("distance", 0.)
+        el.radius = row.get("radius", 0.) or row.get("diameter", 0.)/2.
         if typ == "O":
             el.angular_radius = el.radius
-        mat = try_get(line, columns, "material")
-        mat = material_map.get(mat, mat)
-        el.material = Material.make(mat)
+        mat = row.get("material")
+        el.material = Material.make(material_map.get(mat, mat))
     return s
 
 
 def system_from_text(text, *args, **kwargs):
-    array = [line.split() for line in text.splitlines()]
-    n = max(len(line) for line in array)
-    array = [line for line in array if len(line) == n]
-    return system_from_array(array, *args, **kwargs)
+    """Whitespace table -> System: keeps only the rows with the modal
+    column count (reference formats.py:78)."""
+    rows = [line.split() for line in text.splitlines()]
+    width = max(len(r) for r in rows)
+    return system_from_array([r for r in rows if len(r) == width],
+                             *args, **kwargs)
 
 
-def system_from_yaml(text):
-    dat = yaml.safe_load(text)
+def _check_system_dict(dat, kind):
     if not isinstance(dat, dict):
-        raise ValueError(
-            "expected a YAML mapping describing a system, got %r"
-            % type(dat).__name__)
+        raise ValueError("expected a %s mapping describing a system, "
+                         "got %r" % (kind, type(dat).__name__))
     typ = dat.pop("type", "system")
     if typ != "system":
         raise ValueError("not a system description (type: %r)" % typ)
-    return System(**dat)
+    return dat
+
+
+def system_from_yaml(text):
+    return System(**_check_system_dict(yaml.safe_load(text), "YAML"))
 
 
 def system_to_yaml(system):
@@ -82,15 +96,7 @@ def system_to_yaml(system):
 
 
 def system_from_json(text):
-    dat = json.loads(text)
-    if not isinstance(dat, dict):
-        raise ValueError(
-            "expected a JSON object describing a system, got %r"
-            % type(dat).__name__)
-    typ = dat.pop("type", "system")
-    if typ != "system":
-        raise ValueError("not a system description (type: %r)" % typ)
-    return System(**dat)
+    return System(**_check_system_dict(json.loads(text), "JSON"))
 
 
 def system_to_json(system):

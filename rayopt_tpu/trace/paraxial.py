@@ -93,6 +93,17 @@ class ParaxialTrace(Trace):
         return self.c*self.height[1]
 
     # -- first-order properties (reference paraxial_trace.py:110-211) --
+    # Conventions: two-element arrays are (front/object side,
+    # back/image side); the "ends" live at surfaces (1, -2) with
+    # ambient indices (0, -2).
+
+    _IN = (1, -2)     # first/last optical surface
+    _OUT = (0, -2)    # ambient index before/after the ends
+
+    def _end_state(self):
+        """(y_end, u_amb, n_amb): ray data at the system ends."""
+        return (self.y[self._IN, ], self.u[self._OUT, ],
+                self.n[self._OUT, ])
 
     @property
     def track_length(self):
@@ -100,42 +111,45 @@ class ParaxialTrace(Trace):
 
     @property
     def height(self):
-        """Object and image ray height."""
+        """Object and image chief-ray height."""
         return np.fabs(self.y[(0, -1), 1])
 
     @property
+    def lagrange(self):
+        """Optical (Lagrange) invariant of the marginal/chief pair."""
+        (m0, c0), (mu, cu) = self.y[0], self.u[0]
+        return mu*c0 - cu*m0
+
+    @property
     def pupil_distance(self):
-        """Entrance/exit pupil location relative to first/last surface."""
-        return -self.y[(1, -2), 1]/self.u[(0, -2), 1]*self.n[(0, -2), ]
+        """Entrance/exit pupil location from the first/last surface:
+        where the chief ray crosses the axis."""
+        ye, ua, na = self._end_state()
+        return -ye[:, 1]/ua[:, 1]*na
 
     @property
     def pupil_height(self):
-        p = self.pupil_distance
-        return np.fabs(self.y[(1, -2), 0] +
-                       p*self.u[(0, -2), 0]/self.n[(0, -2), ])
-
-    @property
-    def lagrange(self):
-        u, y = self.u[0], self.y[0]
-        return u[0]*y[1] - u[1]*y[0]
+        """Marginal-ray height at the pupils."""
+        ye, ua, na = self._end_state()
+        return np.fabs(ye[:, 0] + self.pupil_distance*ua[:, 0]/na)
 
     @property
     def focal_length(self):
         """Front/back focal length (principal plane to focus),
         Malacara 2.41/2.42."""
-        f = self.lagrange/(
-            self.u[0, 1]*self.u[-2, 0] -
-            self.u[0, 0]*self.u[-2, 1])
-        return f*self.n[(-2, 0), ]*(-1, 1)
+        det = (self.u[0, 1]*self.u[-2, 0] -
+               self.u[0, 0]*self.u[-2, 1])
+        f = self.lagrange/det
+        return np.array([-f*self.n[-2], f*self.n[0]])
 
     @property
     def focal_distance(self):
         """Front/back focal distance (surface to focus),
         Malacara 2.43/2.44."""
-        c = self.focal_length/self.lagrange/self.n[(-2, 0), ]
-        fd = (self.y[(1, -2), 1]*self.u[(-2, 0), 0] -
-              self.y[(1, -2), 0]*self.u[(-2, 0), 1])*c
-        return fd
+        scale = self.focal_length/self.lagrange/self.n[(-2, 0), ]
+        cross = (self.y[self._IN, 1]*self.u[(-2, 0), 0] -
+                 self.y[self._IN, 0]*self.u[(-2, 0), 1])
+        return cross*scale
 
     @property
     def principal_distance(self):
@@ -146,12 +160,20 @@ class ParaxialTrace(Trace):
         return self.focal_length[::-1] + self.focal_distance
 
     @property
+    def magnification(self):
+        transverse = self.u[0, 0]/self.u[-2, 0]
+        angular = (self.u[-2, 1]*self.n[0] /
+                   (self.u[0, 1]*self.n[-2]))
+        return np.array([transverse, angular])
+
+    @property
     def numerical_aperture(self):
-        n = self.n[(0, -2), ]
-        na = n*sinarctan(self.u[(0, -2), 0]/n)
+        na = self.n[self._OUT, ]
+        sines = na*sinarctan(self.u[self._OUT, 0]/na)
         if self.system.object.finite and self.system.image.finite:
-            na[1] = na[0]/self.magnification[0]
-        return np.fabs(na)
+            # Abbe sine condition, long-to-short conjugate
+            sines[1] = sines[0]/self.magnification[0]
+        return np.fabs(sines)
 
     @property
     def f_number(self):
@@ -159,34 +181,27 @@ class ParaxialTrace(Trace):
 
     @property
     def working_f_number(self):
-        na = self.numerical_aperture
-        return self.n[(0, -2), ]/(2*na)
+        return self.n[self._OUT, ]/(2*self.numerical_aperture)
 
     @property
     def airy_radius(self):
-        na = self.numerical_aperture
-        return 1.22*self.wavelength/(2*na)/self.system.scale
+        return (1.22*self.wavelength/(2*self.numerical_aperture) /
+                self.system.scale)
 
     @property
     def rayleigh_range(self):
-        r = self.airy_radius
-        return np.pi*r**2/self.wavelength*self.system.scale
-
-    @property
-    def magnification(self):
-        mt = self.u[0, 0]/self.u[-2, 0]
-        ma = self.u[-2, 1]*self.n[0]/(self.u[0, 1]*self.n[-2])
-        return np.array([mt, ma])
+        return (np.pi*self.airy_radius**2/self.wavelength *
+                self.system.scale)
 
     @property
     def number_of_points(self):
+        """Resolvable diffraction points (aberration-free)."""
         return 4*self.lagrange**2/self.wavelength**2
 
     @property
     def eigenrays(self):
         n, m = self.system.paraxial_matrix(self.wavelength)
-        e, v = np.linalg.eig(m)
-        return e, v
+        return np.linalg.eig(m)
 
     # -- solves / updates ------------------------------------------------
 
