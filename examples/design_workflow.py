@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import rayopt_tpu as ro  # noqa: E402
 from rayopt_tpu.models import double_gauss  # noqa: E402
 from rayopt_tpu.parallel.grad import (  # noqa: E402
-    optimize_system, bundles_from_system, spot_rms)
+    optimize_system, bundles_from_system)
 from rayopt_tpu.parallel.tolerancing import tolerance_analysis  # noqa: E402
 
 
@@ -44,14 +44,13 @@ def main(outdir="/tmp/rayopt_tpu_demo"):
     s[1].curvature *= 1.01
     s.update()
     bundles = bundles_from_system(s, nrays=32)
-    before = sum(float(spot_rms(s.table(), *b)) for b in bundles)
     hist = optimize_system(s, select=("curvature",), nrays=32,
                            steps=60, lr=5e-5)
     print("merit %.4g -> %.4g after %d gradient steps"
           % (hist[0], hist[-1], len(hist)))
 
     # tolerancing
-    y0, u0, w = bundles[0]
+    y0, u0, w = bundles[0][:3]
     r = tolerance_analysis(s.table(), np.asarray(y0), np.asarray(u0),
                            np.asarray(w),
                            sigmas={"curvature": 1e-6,

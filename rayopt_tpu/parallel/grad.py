@@ -54,11 +54,18 @@ def spot_rms(table, y0, u0, w=None, clip=False, nan_safe=True):
 
 
 def trace_rms_merit(table, bundles):
-    """Sum of weighted spot RMS over several (y0, u0, w) bundles (e.g.
-    field points x wavelength tables)."""
+    """Sum of weighted spot RMS over several bundles: (y0, u0, w) or
+    (y0, u0, w, chroma) with chroma a dict of per-wavelength table
+    field overrides (mu/n_before/n_after)."""
     total = 0.
-    for y0, u0, w in bundles:
-        total = total + spot_rms(table, y0, u0, w)
+    for bundle in bundles:
+        if len(bundle) == 4:
+            y0, u0, w, chroma = bundle
+            tab = table.replace(**chroma)
+        else:
+            y0, u0, w = bundle
+            tab = table
+        total = total + spot_rms(tab, y0, u0, w)
     return total
 
 
@@ -116,6 +123,10 @@ def bundles_from_system(system, fields=None, wavelengths=None,
     """Aim one weighted ray bundle per (field, wavelength) through the
     system's pupils: the standard multi-configuration merit input.
 
+    Each bundle carries its wavelength's refractive indices as a table
+    override dict, so a chromatic merit traces every bundle with the
+    right dispersion while the geometry parameters stay shared.
+
     Aiming runs host-side (it solves through the current design); the
     resulting seeds are treated as constants of the merit, as in
     classical lens optimization where pupil aiming is refreshed
@@ -131,11 +142,15 @@ def bundles_from_system(system, fields=None, wavelengths=None,
         w = np.ones(yp.shape[0])/yp.shape[0]
     out = []
     for l in wavelengths:
+        tab_l = system.table(l)
+        chroma = {"mu": jnp.asarray(tab_l.mu),
+                  "n_before": jnp.asarray(tab_l.n_before),
+                  "n_after": jnp.asarray(tab_l.n_after)}
         for h in fields:
             z, p = system.pupil((0, h), l=l)
             y0, u0 = system.aim((0, h), yp, z, p, filter=False)
             out.append((jnp.asarray(y0), jnp.asarray(u0),
-                        jnp.asarray(w)))
+                        jnp.asarray(w), chroma))
     return out
 
 

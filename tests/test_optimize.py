@@ -52,8 +52,8 @@ def test_optimize_system_grad():
     multi-field multi-wavelength merit."""
     s = _perturbed_cooke()
     bundles = bundles_from_system(s, nrays=16)
-    tab = s.table()
-    before = sum(float(spot_rms(tab, *b)) for b in bundles)
+    from rayopt_tpu.parallel.grad import trace_rms_merit
+    before = float(trace_rms_merit(s.table(), bundles))
     c_before = [e.curvature for e in s]
     hist = optimize_system(s, select=("curvature",), nrays=16,
                            steps=40, lr=5e-5)
@@ -69,7 +69,11 @@ def test_bundles_shapes():
                                   wavelengths=s.wavelengths[:2],
                                   nrays=16)
     assert len(bundles) == 4
-    for y0, u0, w in bundles:
+    for y0, u0, w, chroma in bundles:
         assert y0.shape == u0.shape
         assert y0.shape[0] == w.shape[0]
         nptest.assert_allclose(np.asarray(w).sum(), 1, rtol=1e-12)
+        assert set(chroma) == {"mu", "n_before", "n_after"}
+    # the two wavelengths carry different dispersion
+    assert not np.allclose(np.asarray(bundles[0][3]["mu"]),
+                           np.asarray(bundles[-1][3]["mu"]))
