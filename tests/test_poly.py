@@ -84,3 +84,27 @@ def test_evaluate(doublet):
     p = PolyTrace(doublet, 5)
     r = p.evaluate([[0., 1.]], [[0., .5]])
     assert r.shape == (1, 2)
+
+
+def test_poly_predicts_real_rays(doublet):
+    """Cross-engine physics oracle: the aberration polynomial predicts
+    the real-ray transverse image coordinates of the finite-conjugate
+    doublet to truncation accuracy.  (evaluate's first argument is the
+    pupil coordinate, the second the field, both one-normalized;
+    non-negative fields: negative field heights flip the ray-local
+    meridional frame of aim(), a convention the polynomial's global
+    frame does not follow -- same in the reference.)"""
+    import numpy as np
+    import rayopt_tpu as ro
+    s = doublet
+    p = PolyTrace(s, 9)
+    g = ro.GeometricTrace(s)
+    for h in (0., .2, .5, 1.):
+        for rho in (0., .3, .7, -.5, 1.):
+            pred = p.evaluate([[0., rho]], [[0., h]])[0]
+            y0, u0 = s.aim(np.array((0., h)), np.array((0., rho)),
+                           filter=False)
+            g.rays_given(y0, u0)
+            g.propagate()
+            real = g.y[-1, 0, :2]
+            nptest.assert_allclose(pred, real, rtol=2e-5, atol=1e-8)
