@@ -44,6 +44,94 @@ def _stop_height(table, specs, stop, hx, hy, z):
     return (hx*out[0] + hy*out[1])/rad
 
 
+def _marginal_seed(table, hx, hy, z, px, py, scale):
+    """Marginal-ray candidate: chief direction for (hx, hy), origin
+    offset by scale*(px, py) in the pupil plane's ray-local frame
+    (reference conjugates.py:236-255)."""
+    one = jnp.ones_like(hx)
+    nrm = jax.lax.rsqrt(hx*hx + hy*hy + 1.)
+    ux, uy, uz = hx*nrm, hy*nrm, one*nrm
+    # sagittal/meridional frame of u against the +z axis
+    # s = u x z / |.|, m = u x s / |.|
+    sx, sy = uy, -ux
+    sn = jnp.sqrt(sx*sx + sy*sy)
+    axial = sn < 1e-12
+    sx = jnp.where(axial, 1., sx/jnp.where(axial, 1., sn))
+    sy = jnp.where(axial, 0., sy/jnp.where(axial, 1., sn))
+    mx = uy*0. - uz*sy
+    my = uz*sx - ux*0.
+    mz = ux*sy - uy*sx
+    mn = jnp.sqrt(mx*mx + my*my + mz*mz)
+    mx, my, mz = mx/mn, my/mn, mz/mn
+    ox = -z*ux + scale*(px*sx + py*mx)
+    oy = -z*uy + scale*(px*sy + py*my)
+    oz = z - z*uz + scale*(py*mz)
+    return (ox, oy, oz, ux, uy, uz)
+
+
+def _clearance(table, specs, stop, hx, hy, z, px, py, scale, r2):
+    """Edge-clearance merit of the marginal candidate at the stop
+    (reference system.py:542-552, non-rim mode): fractional squared
+    height at the stop minus one; NaN (missed a surface) counts as
+    fully outside."""
+    sub = jax.tree_util.tree_map(lambda a: a[:stop + 1], table)
+    state = _marginal_seed(sub, hx, hy, z, px, py, scale)
+    out, t = trace_components_final(
+        sub, state, specs=specs[:stop + 1] if specs else None)
+    d = (out[0]**2 + out[1]**2)/r2 - 1.
+    return jnp.where(jnp.isfinite(d), d, 1.)
+
+
+@functools.partial(jax.jit, static_argnames=("stop", "specs",
+                                             "grow_iters", "bisect_iters"))
+def aim_marginal_batched(table, field_tangents, z, p0, stop,
+                         specs=None, direction=(0., 1.),
+                         grow_iters=30, bisect_iters=40):
+    """Batched marginal-ray solve: for every field point find the
+    pupil-scale a such that the ray aimed at a*p0 along `direction`
+    just fills the stop, by monotone bracketing + bisection with NaN
+    (= vignetted/missed) treated as outside.  Returns (F,) scales a*p0.
+    """
+    hx = field_tangents[:, 0]
+    hy = field_tangents[:, 1]
+    z = jnp.broadcast_to(jnp.asarray(z, hx.dtype), hx.shape)
+    px, py = direction
+    r2 = table.radius[stop]**2
+
+    def merit(a):
+        return _clearance(table, specs, stop, hx, hy, z,
+                          px*jnp.ones_like(hx), py*jnp.ones_like(hx),
+                          a*p0, r2)
+
+    # bracket: expand hi by the merit-proportional factor the host
+    # solver uses (reference system.py:492: b *= 1 - fb), so the FIRST
+    # zero crossing is bracketed even when the clearance is
+    # non-monotone (it dives again once rays start missing surfaces)
+    lo = jnp.zeros_like(hx)
+    hi = jnp.ones_like(hx)
+
+    def grow(_, lohis):
+        lo, hi = lohis
+        f = merit(hi)
+        still = f < 0
+        lo = jnp.where(still, hi, lo)
+        hi = jnp.where(still, hi*(1 - f), hi)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, grow_iters, grow, (lo, hi))
+
+    def bisect(_, lohis):
+        lo, hi = lohis
+        mid = (lo + hi)/2
+        f = merit(mid)
+        lo = jnp.where(f < 0, mid, lo)
+        hi = jnp.where(f < 0, hi, mid)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, bisect_iters, bisect, (lo, hi))
+    return (lo + hi)/2*p0
+
+
 @functools.partial(jax.jit, static_argnames=("stop", "specs", "iters"))
 def aim_chief_batched(table, field_tangents, z0, stop, specs=None,
                       iters=12):

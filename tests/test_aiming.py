@@ -59,3 +59,29 @@ def test_batch_is_one_dispatch():
     assert np.isfinite(z).all()
     # solved distances vary smoothly with field
     assert (np.diff(z) != 0).any()
+
+
+def test_marginal_batched_matches_host():
+    from rayopt_tpu.ops.aiming import aim_marginal_batched
+    s = cooke_triplet()
+    tab = s.table()
+    specs = specialize(tab)
+    z0 = s.object.pupil.distance
+    p0 = s.object.pupil.radius
+    fields = [0., .7, 1.]
+    tangents = np.asarray(fields)*np.tan(s.object.angle)
+    ft = np.stack([np.zeros_like(tangents), tangents], 1)
+    # per-field chief-solved pupil distances, as the host uses
+    zb = np.array(aim_chief_batched(tab, ft, z0, s.stop, specs=specs))
+    zb[0] = z0
+    for direction, sig, ax in (((0., 1.), 1, 1), ((0., -1.), 0, 1),
+                               ((1., 0.), 1, 0)):
+        a_b = np.asarray(aim_marginal_batched(
+            tab, ft, zb, p0, s.stop, specs=specs,
+            direction=direction))
+        for f, ab in zip(fields, a_b):
+            zh, ph = s.pupil((0., f))
+            # host solves the same merit to tol 1e-3; the batched
+            # bisection is much tighter, so compare loosely
+            host = abs(ph[sig, ax])
+            nptest.assert_allclose(abs(ab), host, rtol=2e-2)
