@@ -132,6 +132,29 @@ def aim_marginal_batched(table, field_tangents, z, p0, stop,
     return (lo + hi)/2*p0
 
 
+def pupil_batched(table, field_tangents, z0, p0, stop, specs=None):
+    """Full pupil solve for a batch of field points: chief-ray pupil
+    distances plus the four-margin aperture boxes, all on device (the
+    batched counterpart of System._aim_pupil, reference
+    system.py:557-583).
+
+    Returns (z, boxes): z (F,), boxes (F, 2, 2) as
+    [[-sag, -mer], [+sag, +mer]].
+    """
+    z = aim_chief_batched(table, field_tangents, z0, stop, specs=specs)
+    margins = {}
+    for name, direction in (("+mer", (0., 1.)), ("-mer", (0., -1.)),
+                            ("+sag", (1., 0.)), ("-sag", (-1., 0.))):
+        margins[name] = aim_marginal_batched(
+            table, field_tangents, z, p0, stop, specs=specs,
+            direction=direction)
+    boxes = jnp.stack([
+        jnp.stack([-margins["-sag"], -margins["-mer"]], -1),
+        jnp.stack([margins["+sag"], margins["+mer"]], -1),
+    ], -2)
+    return z, boxes
+
+
 @functools.partial(jax.jit, static_argnames=("stop", "specs", "iters"))
 def aim_chief_batched(table, field_tangents, z0, stop, specs=None,
                       iters=12):

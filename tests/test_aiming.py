@@ -85,3 +85,22 @@ def test_marginal_batched_matches_host():
             # bisection is much tighter, so compare loosely
             host = abs(ph[sig, ax])
             nptest.assert_allclose(abs(ab), host, rtol=2e-2)
+
+
+def test_pupil_batched_matches_host():
+    from rayopt_tpu.ops.aiming import pupil_batched
+    s = cooke_triplet()
+    tab = s.table()
+    specs = specialize(tab)
+    fields = [0., .7, 1.]
+    tangents = np.asarray(fields)*np.tan(s.object.angle)
+    ft = np.stack([np.zeros_like(tangents), tangents], 1)
+    z, boxes = pupil_batched(tab, ft, s.object.pupil.distance,
+                             s.object.pupil.radius, s.stop,
+                             specs=specs)
+    z, boxes = np.array(z), np.asarray(boxes)
+    for i, f in enumerate(fields):
+        zh, ph = s.pupil((0., f))
+        if f:
+            nptest.assert_allclose(z[i], zh, rtol=1e-3)
+        nptest.assert_allclose(boxes[i], ph, rtol=2e-2)
