@@ -330,6 +330,8 @@ class Analysis:
     defocus = 5
     plot_opds = True
     plot_longitudinal = True
+    print_zernike = False
+    zernike_terms = 15
 
     def __init__(self, system, **kwargs):
         self.system = system
@@ -371,6 +373,8 @@ class Analysis:
         t.rays_paraxial()
         if self.print_full:
             self.text.append(str(t))
+        if self.print_zernike:
+            self.text.append("\n".join(self.zernike_text()))
 
         fig, ax = plt.subplots(figsize=(self.figwidth, self.figwidth))
         self.figures.append(fig)
@@ -417,6 +421,23 @@ class Analysis:
             plot_wavefront_panels(s, ax[::-1], s.fields)
 
         return self.text, self.figures
+
+    def zernike_text(self, nrays=400):
+        """Noll-Zernike wavefront tables per field (in waves)."""
+        from .utils.zernike import zernike_table
+        out = []
+        for h in self.system.fields:
+            t = GeometricTrace(self.system)
+            t.rays_point((0, h), nrays=nrays,
+                         distribution="hexapolar", clip=True)
+            try:
+                coeff, rms = t.zernike(self.zernike_terms)
+            except ValueError:
+                continue
+            out.append("field %g zernike (waves), residual rms %.3g:"
+                       % (h, rms))
+            out.extend("  " + line for line in zernike_table(coeff))
+        return out
 
     # method aliases for reference API compatibility
     def transverse(self, fig, heights=(0., .707, 1.), **kw):
