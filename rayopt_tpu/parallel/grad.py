@@ -118,8 +118,24 @@ def wavefront_rms(table, y0, u0, w=None, ref=0, radius=None,
     return jnp.sqrt((wg*jnp.square(o - mean)).sum()/wsum + 1e-30)
 
 
+def _device_pupils(system, fields, wavelength):
+    """All-field pupil solve in one dispatch (ops.aiming); only for
+    aimed infinite rectilinear conjugates."""
+    from ..ops.aiming import pupil_batched
+    from ..ops.kernels import specialize
+    tab = system.table(wavelength)
+    tangents = np.tan(system.object.angle)*np.asarray(
+        [(0., h) for h in fields])
+    z, boxes = pupil_batched(tab, tangents,
+                             system.object.pupil.distance,
+                             system.object.pupil.radius,
+                             system.stop, specs=specialize(tab))
+    return np.asarray(z), np.asarray(boxes)
+
+
 def bundles_from_system(system, fields=None, wavelengths=None,
-                        nrays=32, distribution="radau"):
+                        nrays=32, distribution="radau",
+                        device_aim=False):
     """Aim one weighted ray bundle per (field, wavelength) through the
     system's pupils: the standard multi-configuration merit input.
 
@@ -140,14 +156,24 @@ def bundles_from_system(system, fields=None, wavelengths=None,
     ref, yp, w = pupil_distribution(distribution, nrays)
     if w is None:
         w = np.ones(yp.shape[0])/yp.shape[0]
+    from ..conjugates import InfiniteConjugate
+    use_device = (device_aim and
+                  isinstance(system.object, InfiniteConjugate) and
+                  system.object.projection == "rectilinear" and
+                  system.object.pupil.aim)
     out = []
     for l in wavelengths:
         tab_l = system.table(l)
         chroma = {"mu": jnp.asarray(tab_l.mu),
                   "n_before": jnp.asarray(tab_l.n_before),
                   "n_after": jnp.asarray(tab_l.n_after)}
-        for h in fields:
-            z, p = system.pupil((0, h), l=l)
+        if use_device:
+            zs, boxes = _device_pupils(system, fields, l)
+        for i, h in enumerate(fields):
+            if use_device:
+                z, p = zs[i], boxes[i]
+            else:
+                z, p = system.pupil((0, h), l=l)
             y0, u0 = system.aim((0, h), yp, z, p, filter=False)
             out.append((jnp.asarray(y0), jnp.asarray(u0),
                         jnp.asarray(w), chroma))

@@ -77,3 +77,21 @@ def test_bundles_shapes():
     # the two wavelengths carry different dispersion
     assert not np.allclose(np.asarray(bundles[0][3]["mu"]),
                            np.asarray(bundles[-1][3]["mu"]))
+
+
+def test_bundles_device_aim_matches_host():
+    """The one-dispatch device pupil solve yields merit bundles
+    equivalent to the host-aimed ones."""
+    s = cooke_triplet()
+    host = bundles_from_system(s, fields=[0., 1.],
+                               wavelengths=s.wavelengths[:1],
+                               nrays=16)
+    dev = bundles_from_system(s, fields=[0., 1.],
+                              wavelengths=s.wavelengths[:1],
+                              nrays=16, device_aim=True)
+    for (yh, uh, wh, ch), (yd, ud, wd, cd) in zip(host, dev):
+        # seeds agree to the host solver tolerance
+        nptest.assert_allclose(np.asarray(yd), np.asarray(yh),
+                               rtol=2e-2, atol=2e-2)
+        nptest.assert_allclose(np.asarray(ud), np.asarray(uh),
+                               rtol=2e-2, atol=1e-3)
