@@ -57,3 +57,27 @@ def test_projections():
         nptest.assert_allclose(np.square(u).sum(-1), 1, atol=1e-12)
         # all projections agree on the small-angle axis behavior
         assert u[0, 2] > .9
+
+
+def test_projections_hit_pupil():
+    """Wide-angle: every projection's aim still hits the prescribed
+    pupil coordinates."""
+    for proj in ("rectilinear", "stereographic", "equisolid",
+                 "orthographic", "equidistant"):
+        c = InfiniteConjugate(
+            angle=.6, projection=proj,
+            pupil=dict(type="radius", distance=5., radius=1.))
+        for yo in ((0., 1.), (0., .5), (.3, .4)):
+            for yp in ((0., 0.), (0., .7), (-.5, .2)):
+                y, u = c.aim(np.atleast_2d(yo), np.atleast_2d(yp))
+                nptest.assert_allclose(np.square(u).sum(-1), 1,
+                                       atol=1e-12)
+                # parallel rays (infinite conjugate): the perpendicular
+                # separation from the chief ray equals the pupil offset
+                y0, u0 = c.aim(np.atleast_2d(yo))
+                nptest.assert_allclose(u, u0, atol=1e-12)
+                delta = (y - y0)[0]
+                perp = delta - np.dot(delta, u[0])*u[0]
+                want = np.linalg.norm(np.asarray(yp))*c.pupil.radius
+                nptest.assert_allclose(np.linalg.norm(perp), want,
+                                       atol=1e-9)

@@ -111,3 +111,29 @@ def test_vignetting_limit_fallback():
                      filter=False)
     assert any("vignetting" in str(w.message) for w in wlist)
     assert np.isfinite(g.rms())
+
+
+def test_fold_mirror_45deg():
+    """A flat mirror tilted 45 degrees folds the axis to +y: the
+    jitted engine handles tilted elements (rot_normal path) exactly
+    like the host transforms."""
+    s = ro.System([
+        dict(material="vacuum"),
+        dict(material="mirror", distance=10.,
+             angles=(np.pi/4, 0, 0)),
+        dict(material="vacuum", distance=-10.,
+             direction=(0, 1., 0), radius=1.),
+    ])
+    g = ro.GeometricTrace(s)
+    y = np.zeros((3, 3))
+    y[:, 1] = (0., .5, -.5)
+    u = np.tile([0., 0, 1.], (3, 1))
+    g.rays_given(y, u)
+    g.propagate()
+    # the fold preserves the bundle and inverts the transverse axis
+    nptest.assert_allclose(g.y[-1][:, 2], 0, atol=1e-12)
+    nptest.assert_allclose(g.y[-1][:, 1], (0., -.5, .5), atol=1e-12)
+    # reflected direction in the mirror's normal frame: 45-45
+    nptest.assert_allclose(np.abs(g.u[1][:, 1:]), 2**-.5, atol=1e-12)
+    # path length bookkeeping: 10 up + 10 over
+    nptest.assert_allclose(g.t[1:, 0].sum(), 20., atol=1e-12)
