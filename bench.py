@@ -76,9 +76,13 @@ def main():
                      state[3], state[4], state[5])
         return acc
 
-    # absorb the cold remote-compiler start with the small program
+    # absorb the cold remote-compiler start with a trivial program,
+    # then the single-trace program, before the big chained compile
     log("warming the compiler (cold remote compile can take "
         "minutes)...")
+    t0 = time.perf_counter()
+    jax.jit(lambda x: x*2 + 1)(jnp.ones(8)).block_until_ready()
+    log("trivial jit: %.1f s" % (time.perf_counter() - t0))
     t0 = time.perf_counter()
     float(rms_single(comps))
     log("single-trace compile+run: %.1f s"
