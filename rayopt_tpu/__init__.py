@@ -32,7 +32,10 @@ from .materials import (  # noqa: E402,F401
     Material, ModelMaterial, AbbeMaterial, CoefficientsMaterial,
     vacuum, mirror, air, fraunhofer, Thermal,
 )
-from .elements import Element, Interface, Spheroid  # noqa: E402,F401
+from .elements import (  # noqa: E402,F401
+    Element, Interface, Spheroid, TransformMixin,
+)
+from .utils.registry import NameMixin  # noqa: E402,F401
 from .pupils import Pupil, RadiusPupil, NaPupil, SlopePupil, FnoPupil  # noqa: E402,F401
 from .conjugates import Conjugate, FiniteConjugate, InfiniteConjugate  # noqa: E402,F401
 from .system import System  # noqa: E402,F401
@@ -49,7 +52,9 @@ from .analysis import Analysis  # noqa: E402,F401
 from .optimize import optimize, Variable, PathVariable, Operand, FuncOp  # noqa: E402,F401
 from .io.zemax import zmx_to_system  # noqa: E402,F401
 from .io.oslo import len_to_system, olc_to_system  # noqa: E402,F401
-from .io.library import Library  # noqa: E402,F401
+from .io.library import (  # noqa: E402,F401
+    Library, Catalog, LibMaterial, LibLens,
+)
 from .io import library  # noqa: E402,F401
 
 __version__ = "0.1.0"
