@@ -49,3 +49,19 @@ def test_roundtrip_preserves_trace():
     s2.update()
     np.testing.assert_allclose(s2.paraxial.focal_length,
                                s.paraxial.focal_length, rtol=1e-12)
+
+
+def test_pupil_types_roundtrip():
+    """All four pupil parameterizations serialize and rebuild."""
+    from rayopt_tpu.pupils import Pupil
+    import numpy as np
+    for spec in (dict(type="radius", radius=5., distance=50.),
+                 dict(type="na", na=.2, distance=50.),
+                 dict(type="slope", slope=.1, distance=50.),
+                 dict(type="fno", fno=2.8, distance=50.)):
+        p = Pupil.make(dict(spec))
+        q = Pupil.make(p.dict())
+        np.testing.assert_allclose(q.radius, p.radius, rtol=1e-12)
+        np.testing.assert_allclose(q.na, p.na, rtol=1e-12)
+        np.testing.assert_allclose(q.fno, p.fno, rtol=1e-12)
+        assert type(q) is type(p)
