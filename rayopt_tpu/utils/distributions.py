@@ -1,15 +1,154 @@
-"""Pupil sampling distributions and disc quadrature rules.
+"""Pupil sampling patterns and unit-disc quadrature rules.
 
-Parity with reference utils.py:118-247 (pupil_distribution, gl_roots,
-gr_roots, interval_to_circle): eleven sampling patterns over the unit
-pupil disc including Gauss-Radau/Lobatto quadratures whose weights make
-weighted spot-RMS a proper disc integral.
+Functional parity target: reference utils.py:118-247 (pupil sampling,
+Gauss-Radau/Lobatto roots, disc lift).  Eleven named patterns over the
+normalized pupil disc; the quadrature patterns ("radau", "lobatto")
+carry weights that turn a weighted spot-RMS into a proper disc integral.
 
-Host-side NumPy: these produce the static-shape ray seeds that are then
-handed to the jitted trace engines.
+Design here: each pattern is a standalone generator registered in
+``_PATTERNS`` returning ``(ref_index, xy, weight)``; the public
+``pupil_distribution`` only dispatches.  All host-side NumPy — these
+build the static-shape ray seeds consumed by the jitted trace engines.
 """
 
 import numpy as np
+
+_PATTERNS = {}
+
+
+def _pattern(name):
+    def register(fn):
+        _PATTERNS[name] = fn
+        return fn
+    return register
+
+
+def _line(lo, hi, count, vertical):
+    """`count` points evenly spaced on a pupil axis; (N, 2) array."""
+    t = np.linspace(lo, hi, count)
+    z = np.zeros(count)
+    return np.stack([z, t] if vertical else [t, z], axis=1)
+
+
+def _with_center(xy):
+    """Prepend the chief-ray sample at the pupil center."""
+    return np.vstack([np.zeros((1, 2)), xy])
+
+
+@_pattern("half-meridional")
+def _half_meridional(nrays):
+    return 0, _line(0, 1, nrays, vertical=True), None
+
+
+@_pattern("meridional")
+def _meridional(nrays):
+    # odd count so the axis midpoint is sampled exactly
+    return 0, _line(-1, 1, nrays - nrays % 2 + 1, vertical=True), None
+
+
+@_pattern("sagittal")
+def _sagittal(nrays):
+    count = nrays - nrays % 2 + 1
+    return count // 2, _line(-1, 1, count, vertical=False), None
+
+
+@_pattern("cross")
+def _cross(nrays):
+    per_arm = 2 * (nrays // 4) + 1
+    arms = np.vstack([_line(-1, 1, per_arm, vertical=True),
+                      _line(-1, 1, per_arm, vertical=False)])
+    # reference index: midpoint of the vertical arm
+    return per_arm // 2, arms, None
+
+
+@_pattern("tee")
+def _tee(nrays):
+    half = max((nrays - 2) // 3, 0)
+    vert = _line(-1, 1, 2 * half + 1, vertical=True)
+    horiz = _line(0, 1, half + 1, vertical=False)
+    # the first horizontal sample sits at the pupil center
+    return len(vert), np.vstack([vert, horiz]), None
+
+
+@_pattern("random")
+def _random(nrays, rng=None):
+    if rng is None:
+        rng = np.random.default_rng()
+    # area-uniform: radius is sqrt of a uniform variate
+    rad = np.sqrt(rng.uniform(size=nrays))
+    ang = rng.uniform(0, 2 * np.pi, size=nrays)
+    return 0, _with_center(
+        np.stack([rad * np.cos(ang), rad * np.sin(ang)], axis=1)), None
+
+
+def _cartesian_grid(nrays, stagger):
+    # side chosen so roughly `nrays` survive the circular clip
+    side = int(np.sqrt(nrays * 4 / np.pi))
+    axis = np.linspace(-1, 1, side)
+    gx, gy = np.meshgrid(axis, axis, indexing="ij")
+    if stagger:
+        # shift alternate columns by half a row pitch -> triangular lattice
+        gx = gx + (np.arange(side) % 2) * (2. / side)
+    pts = np.stack([gx.ravel(), gy.ravel()], axis=1)
+    pts = pts[(pts ** 2).sum(1) <= 1]
+    return 0, _with_center(pts), None
+
+
+@_pattern("square")
+def _square(nrays):
+    return _cartesian_grid(nrays, stagger=False)
+
+
+@_pattern("triangular")
+def _triangular(nrays):
+    return _cartesian_grid(nrays, stagger=True)
+
+
+@_pattern("hexapolar")
+def _hexapolar(nrays):
+    # ring r holds 6r points; total 1 + 3R(R+1) <= nrays solves to:
+    nring = int(np.sqrt(nrays / 3. - 1 / 12.) - .5)
+    pieces = [np.zeros((1, 2))]
+    for ring in range(1, nring + 1):
+        theta = 2 * np.pi * np.arange(6 * ring) / (6 * ring)
+        rho = ring / nring
+        pieces.append(np.stack([rho * np.sin(theta),
+                                rho * np.cos(theta)], axis=1))
+    return 0, np.vstack(pieces), None
+
+
+def _quadrature_pattern(nrays, roots_fn):
+    x, w = roots_fn(int(np.sqrt(nrays) + 1))
+    rad, ang, wt = interval_to_circle(x, w)
+    return 0, np.stack([rad * np.cos(ang), rad * np.sin(ang)], axis=1), wt
+
+
+@_pattern("radau")
+def _radau(nrays):
+    return _quadrature_pattern(nrays, gr_roots)
+
+
+@_pattern("lobatto")
+def _lobatto(nrays):
+    return _quadrature_pattern(nrays, gl_roots)
+
+
+def pupil_distribution(distribution, nrays):
+    """Sample `nrays` points in normalized pupil coordinates.
+
+    Returns ``(ref, xy, weight)``: the index of the reference (chief)
+    ray, an (N, 2) array clipped to the unit circle, and quadrature
+    weights (or None for non-quadrature patterns).  Patterns:
+    meridional, half-meridional, sagittal, cross, tee, random, square,
+    triangular, hexapolar, radau, lobatto (reference utils.py:118-199).
+    """
+    if nrays == 1:
+        return 0, np.zeros((1, 2)), None
+    try:
+        generate = _PATTERNS[distribution]
+    except KeyError:
+        raise ValueError("unknown ray distribution", distribution) from None
+    return generate(nrays)
 
 
 def _legendre(n):
@@ -42,100 +181,37 @@ def gr_roots(n):
 
 
 def interval_to_circle(x, w, p=None, a=-1., b=1.):
-    """Lift a 1-D quadrature (x, w) on [a, b] to (r, phi, w) on the unit
-    disc (reference utils.py:226)."""
-    n = len(x)
-    assert len(x) == len(w)
-    r = ((x - a)/(b - a))**.5
+    """Lift a 1-D quadrature on [a, b] to the unit disc.
+
+    Radius comes from the area-preserving map ``r = sqrt((x-a)/(b-a))``;
+    each nonzero-radius node becomes a fan of azimuth samples (`p`
+    angles if scalar/None, or explicit angles if array), each carrying
+    an equal share of the node weight.  A node at r=0 stays a single
+    center sample.  Weights are normalized so they sum to 1
+    (reference utils.py:226).
+    """
+    x = np.asarray(x, float)
+    w = np.asarray(w, float)
+    assert x.shape == w.shape
+    radius = np.sqrt((x - a) / (b - a))
     if p is None:
         p = len(x)
-    p = np.asarray(p)
-    if p.ndim == 0:
-        p = np.pi*((np.arange(p) + .5)/p - .5)
-    m = p.shape[0]
-    if r[0] == 0.:
-        rs = np.r_[r[0], np.repeat(r[1:], m)]
-        ws = np.r_[w[0], np.repeat(w[1:]/m, m)]/2
-        ps = np.r_[0, np.repeat(p[None, :], n - 1, 0).ravel()]
+    if np.ndim(p) == 0:
+        nphi = int(p)
+        fan = ((np.arange(nphi) + .5) / nphi - .5) * np.pi
     else:
-        rs = np.repeat(r, m)
-        ws = np.repeat(w/m, m)/2
-        ps = np.repeat(p[None, :], n, 0).ravel()
+        fan = np.asarray(p, float)
+        nphi = len(fan)
+    rs, ps, ws = [], [], []
+    for rk, wk in zip(radius, w):
+        if rk == 0.:
+            rs.append([0.])
+            ps.append([0.])
+            ws.append([wk / 2])
+        else:
+            rs.append(np.full(nphi, rk))
+            ps.append(fan)
+            ws.append(np.full(nphi, wk / (2 * nphi)))
+    rs, ps, ws = (np.concatenate(v) for v in (rs, ps, ws))
     assert np.allclose(ws.sum(), 1), ws.sum()
     return rs, ps, ws
-
-
-def pupil_distribution(distribution, nrays):
-    """Return (ref_index, xy, weight) for nrays in normalized pupil
-    coordinates, clipped to the unit circle.
-
-    Supported: meridional, half-meridional, sagittal, cross, tee, random,
-    square, triangular, hexapolar, radau, lobatto
-    (reference utils.py:118-199).
-    """
-    d = distribution
-    n = nrays
-    weight = None
-    ref = 0
-    if n == 1:
-        xy = np.zeros((n, 2))
-    elif d == "half-meridional":
-        xy = np.c_[np.zeros(n), np.linspace(0, 1, n)]
-    elif d == "meridional":
-        n -= n % 2
-        xy = np.c_[np.zeros(n + 1), np.linspace(-1, 1, n + 1)]
-    elif d == "sagittal":
-        n -= n % 2
-        ref = n//2
-        xy = np.c_[np.linspace(-1, 1, n + 1), np.zeros(n + 1)]
-    elif d == "cross":
-        n -= n % 4
-        ref = n//4
-        xy = np.concatenate([
-            np.c_[np.zeros(n//2 + 1), np.linspace(-1, 1, n//2 + 1)],
-            np.c_[np.linspace(-1, 1, n//2 + 1), np.zeros(n//2 + 1)],
-            ])
-    elif d == "tee":
-        n = (n - 2)//3
-        ref = 2*n + 1
-        xy = np.concatenate([
-            np.c_[np.zeros(2*n + 1), np.linspace(-1, 1, 2*n + 1)],
-            np.c_[np.linspace(0, 1, n + 1), np.zeros(n + 1)],
-            ])
-    elif d == "random":
-        r, phi = np.random.rand(2, n)
-        xy = np.exp(2j*np.pi*phi)*np.sqrt(r)
-        xy = np.c_[xy.real, xy.imag]
-        xy = np.concatenate([[[0, 0]], xy])
-    elif d == "square":
-        n = int(np.sqrt(n*4/np.pi))
-        xy = np.mgrid[-1:1:1j*n, -1:1:1j*n].reshape(2, -1)
-        xy = xy[:, (xy**2).sum(0) <= 1].T
-        xy = np.concatenate([[[0, 0]], xy])
-    elif d == "triangular":
-        n = int(np.sqrt(n*4/np.pi))
-        xy = np.mgrid[-1:1:1j*n, -1:1:1j*n]
-        xy[0] += (np.arange(n) % 2.)*(2./n)
-        xy = xy.reshape(2, -1)
-        xy = xy[:, (xy**2).sum(0) <= 1].T
-        xy = np.concatenate([[[0, 0]], xy])
-    elif d == "hexapolar":
-        n = int(np.sqrt(n/3. - 1/12.) - 1/2.)
-        rings = [np.zeros((2, 1))]
-        for i in range(1, n + 1):
-            a = np.linspace(0, 2*np.pi, 6*i, endpoint=False)
-            rings.append([np.sin(a)*i/n, np.cos(a)*i/n])
-        xy = np.concatenate(rings, axis=1).T
-    elif d == "radau":
-        n = int(np.sqrt(n) + 1)
-        x, w = gr_roots(n)
-        r, p, weight = interval_to_circle(x, w)
-        xy = np.c_[r*np.cos(p), r*np.sin(p)]
-    elif d == "lobatto":
-        n = int(np.sqrt(n) + 1)
-        x, w = gl_roots(n)
-        r, p, weight = interval_to_circle(x, w)
-        xy = np.c_[r*np.cos(p), r*np.sin(p)]
-    else:
-        raise ValueError("unknown ray distribution", d)
-    return ref, xy, weight
