@@ -18,15 +18,44 @@ from .materials import Material
 from .ops import surfaces as _ops
 from .utils.jaxtools import on_host
 
+Z_AXIS = np.array([0., 0., 1.])
+
 
 def _np(x):
     return np.asarray(x)
+
+
+def _swing_rotation(axis, angle):
+    """Rotation by `angle` about `axis` (degenerate axis -> x)."""
+    if np.allclose(axis, 0):
+        axis = (1., 0., 0.)
+    return rotation_matrix(angle, axis)
+
+
+def _pose_field(name):
+    """Property for one component of the (distance, direction, angles)
+    pose triple; writing any component re-runs the combined update."""
+
+    def read(self):
+        return getattr(self, "_" + name)
+
+    def write(self, value):
+        pose = {k: getattr(self, "_" + k)
+                for k in ("distance", "direction", "angles")}
+        pose[name] = value
+        self.update(**pose)
+
+    return property(read, write)
 
 
 class TransformMixin:
     """Position/orientation of an element relative to the previous one
     (reference elements.py:30-175): offset = distance*direction in the
     lab frame, plus intrinsic-xyz tilt angles."""
+
+    distance = _pose_field("distance")
+    direction = _pose_field("direction")
+    angles = _pose_field("angles")
 
     def __init__(self, distance=0., direction=(0, 0, 1.), angles=(0, 0, 0),
                  offset=None):
@@ -50,66 +79,40 @@ class TransformMixin:
 
     @offset.setter
     def offset(self, offset):
-        d = np.linalg.norm(offset)
-        direction = offset/d if d else (0, 0, 1.)
-        self.update(d, direction, self._angles)
-
-    @property
-    def angles(self):
-        return self._angles
-
-    @angles.setter
-    def angles(self, angles):
-        self.update(self._distance, self._direction, angles)
-
-    @property
-    def distance(self):
-        return self._distance
-
-    @distance.setter
-    def distance(self, distance):
-        self.update(distance, self._direction, self._angles)
-
-    @property
-    def direction(self):
-        return self._direction
-
-    @direction.setter
-    def direction(self, direction):
-        self.update(self._distance, direction, self._angles)
+        length = np.linalg.norm(offset)
+        heading = offset/length if length else Z_AXIS
+        self.update(length, heading, self._angles)
 
     def update(self, distance, direction, angles):
-        dlen = np.linalg.norm(direction)
-        if not dlen:
-            direction, dlen = (0, 0, 1.), 1.
-        u = np.array(direction, dtype=float)/dlen
+        norm = np.linalg.norm(direction)
+        heading = (np.asarray(direction, dtype=float)/norm if norm
+                   else Z_AXIS.copy())
         if distance < 0:
-            distance, u = -distance, -u
+            distance, heading = -distance, -heading
+        tilt = np.asarray(angles, dtype=float)
         self._distance = distance
-        self._direction = u
-        self._offset = distance*u
-        self._angles = a = np.asarray(angles, dtype=float)
-        self.straight = np.allclose(u, (0, 0, 1.))
-        self.normal = np.allclose(a, 0.)
+        self._direction = heading
+        self._offset = distance*heading
+        self._angles = tilt
+        self.straight = np.allclose(heading, Z_AXIS)
+        self.normal = np.allclose(tilt, 0.)
         self.rotated = not (self.straight and self.normal)
+        self.rot_axis = None
+        self.rot_normal = None
         if not self.rotated:
-            self.rot_axis = self.rot_normal = None
             return
-        r = np.eye(3)
+        frame = np.eye(3)
         if not self.straight:
-            rdir = np.cross(u, (0, 0, 1.))
-            rang = np.arcsin(np.linalg.norm(rdir))
-            if u[2] < 0:
-                rang = np.pi - rang
-            if np.allclose(rdir, 0):
-                rdir = 1., 0, 0
-            self.rot_axis = r1 = rotation_matrix(rang, rdir)
-            r = r @ r1
-        else:
-            self.rot_axis = None
+            # rotation carrying z onto the heading
+            swing = np.cross(heading, Z_AXIS)
+            amount = np.arcsin(np.linalg.norm(swing))
+            if heading[2] < 0:
+                amount = np.pi - amount
+            self.rot_axis = _swing_rotation(swing, amount)
+            frame = frame @ self.rot_axis
         if not self.normal:
-            r = r @ euler_matrix(*tuple(a), axes="rxyz")
-        self.rot_normal = r
+            frame = frame @ euler_matrix(*tuple(tilt), axes="rxyz")
+        self.rot_normal = frame
 
     @property
     def incidence(self):
@@ -117,33 +120,32 @@ class TransformMixin:
         return self.to_normal(self._direction)
 
     def excidence(self, mu):
-        """Axial-ray direction after refraction with ratio mu
+        """Axial-ray direction after refraction with ratio mu:
+        vector Snell about the local z normal
         (reference elements.py:93)."""
-        i = self.incidence
+        inc = self.incidence
         if mu == 1:
-            return i
-        r = np.array([0., 0, 1])
-        a = abs(mu)*i[2]
-        g = -a + np.sign(mu)*np.sqrt(a**2 - mu**2 + 1)
-        return abs(mu)*i + g*r
+            return inc
+        cos_in = abs(mu)*inc[2]
+        cos_out = np.sign(mu)*np.sqrt(cos_in**2 + 1 - mu**2)
+        return abs(mu)*inc + (cos_out - cos_in)*Z_AXIS
 
     def align(self, direction, mu):
-        """Tilt the surface so `direction` is the excidence direction
-        (reference elements.py:103)."""
-        i = self.direction
-        r = mu*i - np.asarray(direction, dtype=float)
+        """Tilt the surface so `direction` becomes the excidence of the
+        axial ray (reference elements.py:103): the surface normal must
+        bisect (in Snell's sense) incidence and target excidence."""
+        inc = self.direction
+        bisector = mu*inc - np.asarray(direction, dtype=float)
         if mu < 1:
-            r = -r
-        if np.allclose(r, 0):
-            r = np.array([0., 0, 1])
-        r = r/np.linalg.norm(r)
-        rdir = np.cross(i, r)
-        rang = np.arcsin(np.linalg.norm(rdir))
-        if np.allclose(rdir, 0):
-            rdir = 1., 0, 0
-        rot = rotation_matrix(rang, rdir).T
-        angles = euler_from_matrix(rot, "rxyz")
-        self.update(self.distance, self.direction, angles)
+            bisector = -bisector
+        if np.allclose(bisector, 0):
+            bisector = Z_AXIS.copy()
+        bisector /= np.linalg.norm(bisector)
+        swing = np.cross(inc, bisector)
+        amount = np.arcsin(np.linalg.norm(swing))
+        frame = _swing_rotation(swing, amount).T
+        self.update(self.distance, self.direction,
+                    euler_from_matrix(frame, "rxyz"))
 
     def _rotate(self, rotation, inverse, flag, ys):
         if flag:
@@ -175,9 +177,7 @@ class Element(NameMixin, TransformMixin):
 
     def __init__(self, radius=np.inf, diameter=None, **kwargs):
         super().__init__(**kwargs)
-        if diameter is not None:
-            radius = diameter/2
-        self.radius = radius
+        self.radius = radius if diameter is None else diameter/2
 
     def dict(self):
         dat = NameMixin.dict(self)
@@ -252,9 +252,7 @@ class Interface(Element):
 
     def __init__(self, material=None, **kwargs):
         super().__init__(**kwargs)
-        if material:
-            material = Material.make(material)
-        self.material = material
+        self.material = Material.make(material) if material else material
 
     def dict(self):
         dat = super().dict()
@@ -276,21 +274,16 @@ class Interface(Element):
         return self.material.refractive_index(wavelength)
 
     def paraxial_matrix(self, n0, l):
-        n, m = super().paraxial_matrix(n0, l)
-        if self.material is not None:
-            n = self.refractive_index(l)
+        m = super().paraxial_matrix(n0, l)[1]
+        n = n0 if self.material is None else self.refractive_index(l)
         return n, m
 
     def propagate(self, y0, u0, n0, l, clip=True):
-        t = self.intercept(y0, u0)
-        y = y0 + t[:, None]*u0
-        if clip:
-            u0 = self.clip(y, u0)
-        u = u0
+        y, u, _, tn = super().propagate(y0, u0, n0, l, clip)
         n, mu = self.get_n_mu(n0, l)
         if mu:
-            u = self.refract(y, u0, mu)
-        return y, u, n, t*n0
+            u = self.refract(y, u, mu)
+        return y, u, n, tn
 
     def dispersion(self, lmin, lmax):
         if self.material is None:
@@ -304,9 +297,9 @@ class Interface(Element):
         raise NotImplementedError
 
     def edge_sag(self, axis=1):
-        r = np.zeros(3)
-        r[axis] = self.radius
-        return self.surface_sag(r)
+        rim = np.zeros(3)
+        rim[axis] = self.radius
+        return self.surface_sag(rim)
 
     def surface_cut(self, axis, points):
         if self.material is None:
@@ -325,23 +318,19 @@ class Spheroid(Interface):
     def __init__(self, curvature=0., conic=0., aspherics=None, roc=None,
                  alternate_intersection=False, **kwargs):
         super().__init__(**kwargs)
-        if roc is not None:
-            curvature = 1./roc
-        self.alternate_intersection = alternate_intersection
-        self.curvature = curvature
+        self.curvature = curvature if roc is None else 1./roc
         self.conic = conic
-        if aspherics is not None:
-            aspherics = list(aspherics)
-        self.aspherics = aspherics
+        self.aspherics = None if aspherics is None else list(aspherics)
+        self.alternate_intersection = alternate_intersection
         if self.curvature and np.isfinite(self.radius) and self.conic > -1:
+            # the aperture must not extend past the conic's equator
             assert self.radius**2 <= 1/((1 + self.conic)*self.curvature**2)
 
     def dict(self):
         dat = super().dict()
-        if self.curvature:
-            dat["curvature"] = float(self.curvature)
-        if self.conic:
-            dat["conic"] = float(self.conic)
+        for key in ("curvature", "conic"):
+            if getattr(self, key):
+                dat[key] = float(getattr(self, key))
         if self.aspherics is not None:
             dat["aspherics"] = list(map(float, self.aspherics))
         if self.alternate_intersection:
@@ -380,40 +369,50 @@ class Spheroid(Interface):
                                     self.curvature, self.conic,
                                     self._aspheric_arr))
 
+    def _vertex_power(self):
+        """Paraxial curvature: base + the r^2 aspheric term."""
+        if self.aspherics:
+            return self.curvature + 2*self.aspherics[0]
+        return self.curvature
+
     def paraxial_matrix(self, n0, l):
-        # Massey & Siegman, Appl. Opt. 8, 975 (1969): refraction /
-        # reflection at tilted surfaces (reference elements.py:503-541)
-        n, md = super().paraxial_matrix(n0, l)
-        c = self.curvature
-        if self.aspherics is not None and len(self.aspherics):
-            c = c + 2*self.aspherics[0]
-        theta = self.angles[0] if self.angles is not None else 0.
-        costheta = np.cos(theta)
-        m = np.eye(4)
-        if self.material is not None:
-            if self.material.mirror:
-                m[2, 0] = 2*c*costheta
-                m[3, 1] = 2*c/costheta
-            else:
-                mu = n/n0
-                p = np.sqrt(mu**2 + costheta**2 - 1)
-                m[1, 1] = p/(mu*costheta)
-                m[2, 0] = n0*c*(costheta - p)
-                m[3, 1] = mu*m[2, 0]/(costheta*p)
-                m[3, 3] = 1/m[1, 1]
-        m = np.dot(m, md)
-        if self.angles is not None and self.angles[2]:
-            phi = self.angles[2]
-            cphi, sphi = np.cos(phi), np.sin(phi)
-            r1 = np.array([[cphi, -sphi], [sphi, -cphi]])
-            r = np.eye(4)
-            r[:2, :2] = r[2:, 2:] = r1
-            m = np.dot(r, np.dot(m, r.T))
+        """Massey & Siegman (Appl. Opt. 8, 975 (1969)) refraction/
+        reflection at a tilted surface, composed with the incoming free
+        propagation (reference elements.py:503-541).  Interleaved
+        (sag, tan, sag', tan') state; an azimuth (z) tilt conjugates
+        the matrix with the reference's pseudo-rotation."""
+        n, gap = super().paraxial_matrix(n0, l)
+        c = self._vertex_power()
+        tilt = 0. if self.angles is None else self.angles[0]
+        ct = np.cos(tilt)
+        bend = np.eye(4)
+        if self.material is not None and self.material.mirror:
+            bend[2, 0] = 2*c*ct
+            bend[3, 1] = 2*c/ct
+        elif self.material is not None:
+            nr = n/n0
+            # generalized cosine of the refracted axial ray
+            p = np.sqrt(nr*nr - 1 + ct*ct)
+            delta = n0*c*(ct - p)
+            bend[1, 1] = p/(nr*ct)
+            bend[3, 3] = nr*ct/p
+            bend[2, 0] = delta
+            bend[3, 1] = nr*delta/(ct*p)
+        m = bend @ gap
+        roll = 0. if self.angles is None else self.angles[2]
+        if roll:
+            cr, sr = np.cos(roll), np.sin(roll)
+            spin = np.zeros((4, 4))
+            spin[0, 0] = spin[2, 2] = cr
+            spin[0, 1] = spin[2, 3] = -sr
+            spin[1, 0] = spin[3, 2] = sr
+            spin[1, 1] = spin[3, 3] = -cr
+            m = spin @ m @ spin.T
         return n, m
 
     def reverse(self):
         super().reverse()
-        self.curvature *= -1
+        self.curvature = -self.curvature
         if self.aspherics is not None:
             self.aspherics = [-ai for ai in self.aspherics]
 
@@ -432,24 +431,27 @@ class Spheroid(Interface):
         v0/v: dispersion delta-n before/after.
         """
         c = self.curvature
-        k = self.conic*c**3/8
+        # fourth-order figure term: conic + first two even aspherics
+        quartic = self.conic*c**3/8
         if self.aspherics:
             a2, a4 = (self.aspherics + [0., 0.])[:2]
-            k += a4 - a2/4*(4*a2**2 + 6*c*a2 + 3*c**2)
+            quartic += a4 - a2*(4*a2**2 + 6*c*a2 + 3*c**2)/4
             c = c + 2*a2
         if self.material and self.material.mirror:
             n = -n
         mu = n0/n
-        i = c*y + u0/n0                      # incidence
-        lag = u[0]*y[1] - u[1]*y[0]          # Lagrange invariant
-        s = .5*y*n0*(1 - mu)/lag*(i + u/n)
-        w = 4*k*n*(1 - mu)/lag
-        tsc = s[0]*i[0]**2 + w*y[0]**4       # transverse spherical
-        cc = s[0]*i[0]*i[1] + w*y[0]**3*y[1]  # sagittal coma
-        tac = s[0]*i[1]**2 + w*y[0]**2*y[1]**2  # transverse astigmatism
-        tpc = -(mu - 1)/n0*c*lag/2           # transverse Petzval
-        dc = (s[1]*i[0]*i[1] +
-              .5*(u[1]**2/n**2 - u0[1]**2/n0**2) +
-              w*y[0]*y[1]**3)                # distortion
-        tachc, tchc = -y[0]*i/lag*(v0 - mu*v)  # axial/lateral chromatic
-        return tsc, cc, tac, tpc, dc, tachc, tchc
+        inc = c*y + u0/n0                     # paraxial incidence
+        lag = u[0]*y[1] - u[1]*y[0]           # Lagrange invariant
+        seidel = y*(n0*(1 - mu)/(2*lag))*(inc + u/n)
+        figure = 4*quartic*n*(1 - mu)/lag
+        marg, chief = y
+        spherical = seidel[0]*inc[0]**2 + figure*marg**4
+        coma = seidel[0]*inc[0]*inc[1] + figure*marg**3*chief
+        astig = seidel[0]*inc[1]**2 + figure*(marg*chief)**2
+        petzval = (1 - mu)*c*lag/(2*n0)
+        distortion = (seidel[1]*inc[0]*inc[1]
+                      + (u[1]**2/n**2 - u0[1]**2/n0**2)/2
+                      + figure*marg*chief**3)
+        axial_chr, lateral_chr = -y[0]*inc/lag*(v0 - mu*v)
+        return (spherical, coma, astig, petzval, distortion,
+                axial_chr, lateral_chr)

@@ -9,6 +9,7 @@ per-surface loops (reference system.py:444-464) run as jitted
 wrap those engines for API compatibility.
 """
 
+import functools
 import itertools
 
 import numpy as np
@@ -25,29 +26,33 @@ from .ops.geometric import trace_rays
 from .trace.paraxial import ParaxialTrace
 
 
+def _auto_pupil():
+    return RadiusPupil(radius=1., update_distance=True,
+                       update_radius=True)
+
+
+def _default_object():
+    return InfiniteConjugate(angle=0., pupil=_auto_pupil())
+
+
+def _default_image():
+    return FiniteConjugate(radius=0., update_radius=True,
+                           pupil=_auto_pupil())
+
+
 class System(list):
     def __init__(self, elements=None, description="", scale=1e-3,
                  wavelengths=None, stop=1, fields=None,
                  object=None, image=None,
                  pickups=None, validators=None, solves=None):
-        elements = [Element.make(e) for e in elements or []]
-        super().__init__(elements)
+        super().__init__(Element.make(e) for e in elements or [])
         self.description = description
         self.scale = scale
-        self.wavelengths = wavelengths or [fraunhofer[i] for i in "dCF"]
         self.stop = stop
-        if object:
-            self.object = Conjugate.make(object)
-        else:
-            self.object = InfiniteConjugate(
-                angle=0., pupil=RadiusPupil(
-                    radius=1., update_distance=True, update_radius=True))
-        if image:
-            self.image = Conjugate.make(image)
-        else:
-            self.image = FiniteConjugate(
-                radius=0., update_radius=True, pupil=RadiusPupil(
-                    radius=1., update_distance=True, update_radius=True))
+        self.wavelengths = wavelengths or [fraunhofer[i] for i in "dCF"]
+        self.object = (Conjugate.make(object) if object
+                       else _default_object())
+        self.image = Conjugate.make(image) if image else _default_image()
         if fields is None:
             fields = [0.] if self.object.point else [0., .7, 1.]
         self.fields = fields
@@ -58,18 +63,15 @@ class System(list):
         self.paraxial = ParaxialTrace(self, update=False)
 
     def dict(self):
-        return {
-            "description": self.description,
-            "stop": self.stop,
-            "scale": float(self.scale),
-            "wavelengths": [float(w) for w in self.wavelengths],
-            "object": self.object.dict(),
-            "image": self.image.dict(),
-            "pickups": [dict(p) for p in self.pickups],
-            "validators": [dict(v) for v in self.validators],
-            "solves": [dict(s) for s in self.solves],
-            "elements": [e.dict() for e in self],
-        }
+        out = dict(description=self.description, stop=self.stop,
+                   scale=float(self.scale))
+        out["wavelengths"] = [float(w) for w in self.wavelengths]
+        out["object"] = self.object.dict()
+        out["image"] = self.image.dict()
+        for key in ("pickups", "validators", "solves"):
+            out[key] = [dict(spec) for spec in getattr(self, key)]
+        out["elements"] = [e.dict() for e in self]
+        return out
 
     # -- structure ---------------------------------------------------
 
@@ -83,36 +85,42 @@ class System(list):
 
     def groups(self):
         """Yield index lists forming lens groups (reference
-        system.py:92)."""
-        group = []
-        for i, el in enumerate(self):
-            if hasattr(el, "material"):
-                if getattr(el.material, "solid", False):
-                    group.append(i)
-                elif group or getattr(el.material, "mirror", False):
-                    group.append(i)
-                    yield group
-                    group = []
-            elif group:
-                group.append(i)
-        if group:
-            yield group
+        system.py:92): solids accumulate; a closing non-solid (or a
+        lone mirror) finishes the group; bare elements extend an open
+        group."""
+        members = []
+        for idx, el in enumerate(self):
+            if not hasattr(el, "material"):
+                if members:
+                    members.append(idx)
+                continue
+            mat = el.material
+            if getattr(mat, "solid", False):
+                members.append(idx)
+            elif members or getattr(mat, "mirror", False):
+                members.append(idx)
+                yield members
+                members = []
+        if members:
+            yield members
+
+    def _walk(self, path):
+        node = self
+        for step in path:
+            node = (getattr(node, step) if isinstance(step, str)
+                    else node[step])
+        return node
 
     def get_path(self, path):
-        v = self
-        for k in path:
-            v = getattr(v, k) if isinstance(k, str) else v[k]
-        return v
+        return self._walk(path)
 
     def set_path(self, path, value):
-        v = self
-        for k in path[:-1]:
-            v = getattr(v, k) if isinstance(k, str) else v[k]
-        k = path[-1]
-        if isinstance(k, str):
-            setattr(v, k, value)
+        node = self._walk(path[:-1])
+        leaf = path[-1]
+        if isinstance(leaf, str):
+            setattr(node, leaf, value)
         else:
-            v[k] = value
+            node[leaf] = value
 
     # -- parametric constraints (reference system.py:134-191) ---------
     # The declarative pickup/solve/validator dicts share one accessor
@@ -224,23 +232,24 @@ class System(list):
     # -- global edits ---------------------------------------------------
 
     def reverse(self):
-        d = [e.distance for e in self] + [0.]
-        m = [None] + [getattr(e, "material", None) for e in self]
-        for i, e in enumerate(self):
-            e.reverse()
-            e.distance = d[i + 1]
-            e.material = m[i]
+        """Flip the system end for end: each element inverts, takes the
+        following element's spacing and the preceding one's medium."""
+        next_dist = [e.distance for e in self[1:]] + [0.]
+        prev_mat = [None] + [getattr(e, "material", None)
+                             for e in self[:-1]]
+        for el, dist, mat in zip(self, next_dist, prev_mat):
+            el.reverse()
+            el.distance = dist
+            el.material = mat
+        self[:] = self[::-1]
         self.object, self.image = self.image, self.object
-        self[:] = reversed(self)
 
     def rescale(self, scale=None):
         if scale is None:
             scale = self.scale/1e-3
         self.scale /= scale
-        for e in self:
-            e.rescale(scale)
-        self.object.rescale(scale)
-        self.image.rescale(scale)
+        for part in itertools.chain(self, (self.object, self.image)):
+            part.rescale(scale)
 
     # -- text ----------------------------------------------------------
 
@@ -288,16 +297,17 @@ class System(list):
     # -- geometry ------------------------------------------------------
 
     def edge_thickness(self, axis=1):
-        t = []
-        dz0 = 0.
+        """Axial gap at the aperture edge: vertex spacing corrected by
+        the sag difference of the two bounding surfaces."""
+        sags = []
         for el in self:
             try:
-                dz = el.edge_sag(axis)
+                sags.append(el.edge_sag(axis))
             except AttributeError:
-                dz = 0.
-            t.append(el.distance - dz + dz0)
-            dz0 = dz
-        return np.array(t)
+                sags.append(0.)
+        sags = np.asarray(sags)
+        spacing = np.array([el.distance for el in self])
+        return spacing - sags + np.concatenate([[0.], sags[:-1]])
 
     @property
     def edge_y(self):
@@ -309,24 +319,21 @@ class System(list):
 
     def resize_convex(self):
         """Enlarge convex surfaces to at least their closing surface
-        (reference system.py:333)."""
-        pending = None
-        c0 = None
-        for el in self[1:-1]:
-            if not hasattr(el, "material"):
+        (reference system.py:333): consecutive glass-entering faces
+        pair up; the larger radius wins on the convex side."""
+        faces = [el for el in self[1:-1] if hasattr(el, "material")]
+
+        def enters_glass(el):
+            return not el.material or el.material.solid
+
+        for front, back in zip(faces, faces[1:]):
+            if not enters_glass(front):
                 continue
-            c = getattr(el, "curvature", 0)
-            if pending is not None:
-                r = max(el.radius, pending.radius)
-                if c <= 0:
-                    el.radius = r
-                if c0 > 0:
-                    pending.radius = r
-                pending = None
-                if not el.material or el.material.solid:
-                    pending = el
-            if not el.material or el.material.solid:
-                pending, c0 = el, c
+            grown = max(front.radius, back.radius)
+            if getattr(back, "curvature", 0) <= 0:
+                back.radius = grown
+            if getattr(front, "curvature", 0) > 0:
+                front.radius = grown
 
     @staticmethod
     def _close_solid(front, back):
@@ -362,18 +369,22 @@ class System(list):
         if open_solid:
             yield open_solid
 
+    @staticmethod
+    def _blank_axes(ax):
+        ax.set_aspect("equal")
+        for spine in ax.spines.values():
+            spine.set_visible(False)
+        ax.set_xticks(())
+        ax.set_yticks(())
+
     def plot(self, ax, axis=1, npoints=31, adjust=True, **kwargs):
         kwargs.setdefault("color", "black")
         if adjust:
-            ax.set_aspect("equal")
-            for s in ax.spines.values():
-                s.set_visible(False)
-            ax.set_xticks(())
-            ax.set_yticks(())
-        for x, z in self.surfaces_cut(axis, npoints):
-            ax.plot(z, x, **kwargs)
-        o = np.cumsum([e.offset for e in self], axis=0)
-        ax.plot(o[:, 2], o[:, axis], ":", **kwargs)
+            self._blank_axes(ax)
+        for outline_x, outline_z in self.surfaces_cut(axis, npoints):
+            ax.plot(outline_z, outline_x, **kwargs)
+        spine = self.origins
+        ax.plot(spine[:, 2], spine[:, axis], ":", **kwargs)
 
     def paraxial_matrices(self, l, start=1, stop=None):
         n = self.refractive_index(l, start - 1)
@@ -382,40 +393,40 @@ class System(list):
             yield n, m
 
     def paraxial_matrix(self, l, start=1, stop=None):
-        n = 1.
-        m = np.eye(4)
-        for n, mi in self.paraxial_matrices(l, start, stop):
-            m = np.dot(mi, m)
+        n, m = 1., np.eye(4)
+        for n, step in self.paraxial_matrices(l, start, stop):
+            m = step @ m
         return n, m
 
     @property
     def origins(self):
-        return np.cumsum([el.offset for el in self], axis=0)
+        return np.add.accumulate([el.offset for el in self], axis=0)
 
     def close(self, index=-1):
         self[index].offset -= self.origins[-1]
 
     @property
     def path(self):
-        return np.cumsum([el.distance for el in self])
+        return np.add.accumulate([el.distance for el in self])
 
     @property
     def track(self):
         return self.origins[:, 2]
 
     def align(self, n):
-        n0 = n[0]
-        for i, (el, ni) in enumerate(zip(self[:-1], n[:-1])):
-            mu = n0/ni
-            el.align(self[i + 1].direction, mu)
-            n0 = ni
+        """Re-aim every element's local frame at its successor's
+        direction (scaled by the refraction ratio)."""
+        for i in range(len(self) - 1):
+            mu = (n[i - 1] if i else n[0])/n[i]
+            self[i].align(self[i + 1].direction, mu)
         self[-1].angles = 0, 0, 0.
 
     @property
     def mirrored(self):
-        return np.cumprod([
-            -1 if getattr(getattr(el, "material", None), "mirror", False)
-            else 1 for el in self])
+        flips = np.array([
+            bool(getattr(getattr(el, "material", None), "mirror", False))
+            for el in self])
+        return np.multiply.accumulate(np.where(flips, -1, 1))
 
     # -- lowering to the TPU compute plane -----------------------------
 
@@ -473,14 +484,16 @@ class System(list):
     # -- propagation drivers (reference system.py:444-464) -------------
 
     def propagate_paraxial(self, yu, n, l, start=1, stop=None):
+        state = yu, n
         for e in self[start:stop]:
-            yu, n = e.propagate_paraxial(yu, n, l)
-            yield yu, n
+            state = e.propagate_paraxial(*state, l)
+            yield state
 
     def propagate_gaussian(self, q, n, l, start=1, stop=None):
+        state = q, n
         for e in self[start:stop]:
-            q, n = e.propagate_gaussian(q, n, l)
-            yield q, n
+            state = e.propagate_gaussian(*state, l)
+            yield state
 
     def propagate_poly(self, state, l, start=1, stop=None):
         from .trace.poly import propagate_poly_element
@@ -523,21 +536,24 @@ class System(list):
     # -- scalar solvers (reference system.py:466-502) -------------------
 
     def solve_newton(self, merit, a=0., tol=1e-3, maxiter=30):
-        def find_start(fun, a0):
-            f0 = fun(a0)
-            if not np.isnan(f0):
-                return a0, f0
-            for scale in np.arange(1, maxiter):
-                for ai in -scale, scale:
-                    fi = fun(a0 + ai)
-                    if not np.isnan(fi):
-                        return a0 + ai, fi
-            raise ValueError("no starting ray found")
+        """Newton root of `merit` with a NaN-escaping start search:
+        try a, then a+-1, a+-2, ... until the merit is finite."""
+        def offsets():
+            yield 0.
+            for width in range(1, maxiter):
+                yield -float(width)
+                yield float(width)
 
-        a, f = find_start(merit, a)
-        if abs(f) > tol:
-            a = newton(merit, a, tol=tol, maxiter=maxiter)
-        return a
+        for da in offsets():
+            f = merit(a + da)
+            if not np.isnan(f):
+                start = a + da
+                break
+        else:
+            raise ValueError("no starting ray found")
+        if abs(f) <= tol:
+            return start
+        return newton(merit, start, tol=tol, maxiter=maxiter)
 
     def solve_brentq(self, merit, a=0., b=1., tol=1e-3, maxiter=30):
         b_nan = None
@@ -581,8 +597,7 @@ class System(list):
         if abs(fa) <= tol:
             return a
         assert fa < 0
-        a = brentq(merit, a, b, rtol=tol, xtol=tol, maxiter=maxiter)
-        return a
+        return brentq(merit, a, b, rtol=tol, xtol=tol, maxiter=maxiter)
 
     # -- pupil aiming (reference system.py:504-593) ---------------------
 
@@ -604,22 +619,22 @@ class System(list):
         height of the ray aimed at z + a*p
         (reference system.py:507-526)."""
         assert p
-        if self.object.pupil.telecentric or not self.object.pupil.aim:
+        pupil = self.object.pupil
+        if pupil.telecentric or not pupil.aim:
             return z
-        if l is None:
-            l = self.wavelengths[0]
-        if stop in (-1, None):
-            stop = self.stop
-        rad = self[self.stop].radius
+        l = self.wavelengths[0] if l is None else l
+        last = self.stop if stop in (-1, None) else stop
+        rad = self.aperture.radius
         assert rad
         table = self.table(l)
+        field = np.asarray(yo)
 
         @System._memoized
         def height_at_stop(a):
-            y, u = self.aim(yo, None, z + a*p, filter=False)
-            ys = self.trace_table(y, u, l, stop=stop + 1,
-                                  table=table)[0]
-            return (np.asarray(yo)*ys[-1, 0, :2]).sum()/rad
+            seed = self.aim(yo, None, z + a*p, filter=False)
+            heights = self.trace_table(*seed, l, stop=last + 1,
+                                       table=table)[0]
+            return field @ heights[-1, 0, :2] / rad
 
         return z + p*self.solve_newton(height_at_stop, **kwargs)
 
@@ -632,56 +647,61 @@ class System(list):
         rim = stop == -1
         if not self.object.pupil.aim and not rim:
             return p
-        if l is None:
-            l = self.wavelengths[0]
+        l = self.wavelengths[0] if l is None else l
         if rim:
             stop = len(self) - 1
         elif stop is None:
             stop = self.stop + 1
-        r2 = np.square([e.radius for e in self[1:stop]])
+        r2 = np.array([e.radius for e in self[1:stop]]) ** 2
         table = self.table(l)
 
         @System._memoized
         def edge_clearance(a):
-            y, u = self.aim(yo, yp, z, a*p, filter=False)
-            ys = self.trace_table(y, u, l, stop=stop, table=table)[0]
-            d = np.square(ys)[1:, 0, :2].sum(1)/r2 - 1
-            return d.max() if rim else d[-1]
+            seed = self.aim(yo, yp, z, a*p, filter=False)
+            heights = self.trace_table(*seed, l, stop=stop,
+                                       table=table)[0]
+            hit2 = np.einsum("sc,sc->s", heights[1:, 0, :2],
+                             heights[1:, 0, :2])
+            excess = hit2/r2 - 1
+            return excess.max() if rim else excess[-1]
 
         a = self.solve_brentq(edge_clearance, **kwargs)
         assert a
         return a*p
 
     def _aim_pupil(self, xo, yo, guess, **kwargs):
-        y = np.array((xo, yo))
-        if guess is None:
-            z = self.object.pupil.distance
-            a = self.object.pupil.radius
-            a = a*np.ones((2, 2))
+        field = np.array((xo, yo))
+        if guess is not None:
+            z = guess[0]
+            half = guess[1:].reshape(2, 2).copy()
         else:
-            z, a = guess[0], guess[1:].reshape(2, 2)
-        if not np.allclose(y, 0):
-            z1 = self.aim_chief(y, z, np.fabs(a).max(), **kwargs)
+            z = self.object.pupil.distance
+            half = np.full((2, 2), float(self.object.pupil.radius))
+        if not np.allclose(field, 0):
+            z1 = self.aim_chief(field, z, np.abs(half).max(), **kwargs)
             if self.object.finite:
-                a *= np.fabs(z1/z)
+                half *= np.abs(z1/z)  # rescale the rim guess with z
             z = z1
-        for ax, sig in (1, 1), (1, 0), (0, 1), (0, 0):
-            yp = [0, 0]
-            yp[ax] = 2*sig - 1.
-            a1 = self.aim_marginal(y, yp, z, a[sig, ax], **kwargs)
-            a[sig, ax] = a1
-            if sig == 1:
-                a[0, ax] = -a[1, ax]
-            if (sig, ax) == (1, 1) and guess is None:
-                a[:, 0] = a[:, 1]
-        return np.r_[z, a.flat]
+        # rim solves: (row=sign, col=axis); meridional first, and
+        # within each axis the upper rim first so it can seed the rest
+        for ax in (1, 0):
+            for sig in (1, 0):
+                probe = [0., 0.]
+                probe[ax] = 2.*sig - 1.
+                half[sig, ax] = self.aim_marginal(
+                    field, probe, z, half[sig, ax], **kwargs)
+                if sig == 1:
+                    half[0, ax] = -half[1, ax]
+                    if ax == 1 and guess is None:
+                        half[:, 0] = half[:, 1]
+        return np.r_[z, half.flat]
 
     def pupil(self, yo, l=None, stop=None, **kwargs):
-        k = l, stop
-        try:
-            c = self._pupil_cache[k]
-        except KeyError:
-            c = self._pupil_cache[k] = PolarCacheND(
-                self._aim_pupil, l=l, stop=stop, **kwargs)
-        q = c(*yo)
-        return q[0], q[1:].reshape(2, 2)
+        key = (l, stop)
+        solver = self._pupil_cache.get(key)
+        if solver is None:
+            solver = PolarCacheND(self._aim_pupil, l=l, stop=stop,
+                                  **kwargs)
+            self._pupil_cache[key] = solver
+        state = solver(*yo)
+        return state[0], state[1:].reshape(2, 2)

@@ -2,10 +2,19 @@
 
 API parity with reference geometric_trace.py:30-265.  The per-surface
 Python hot loop of the reference runs as one jitted `lax.scan`/fused
-kernel over the SurfaceTable (rayopt_tpu.ops.geometric); this class
-holds the resulting (nsurf, nrays, 3) history and provides analysis
-primitives (refocus, OPD, PSF, RMS, Zernike) and bundle factories
-(rays_point/clipping/line).
+kernel over the SurfaceTable (rayopt_tpu.ops.geometric); this class is
+a thin result holder around that engine.  Trace state is the history
+block `y/u/i/t/n` indexed ``[surface, ray, component]`` in each
+surface's vertex-normal frame:
+
+* ``y``  intercept position at the surface
+* ``i``  direction of incidence arriving at the surface
+* ``u``  direction of excidence leaving the surface
+* ``t``  path-length increment to reach the surface
+* ``n``  refractive index after the surface
+
+Analysis primitives (refocus/OPD/PSF/RMS/Zernike) and bundle factories
+(rays_point/clipping/line) operate on that block.
 """
 
 import itertools
@@ -17,23 +26,51 @@ from ..utils.distributions import pupil_distribution
 from .base import Trace
 
 
+def _complete_bundle(y, u):
+    """Broadcast a seed bundle to matched (N, 3) position/direction
+    arrays, zero-padding missing components and solving the forward
+    z-direction from unit length when only (x, y) slopes are given."""
+    y, u = np.atleast_2d(y, u)
+    y, u = np.broadcast_arrays(y, u)
+    count, ncomp = y.shape
+    pos = np.zeros((count, 3))
+    aim = np.zeros((count, 3))
+    pos[:, :ncomp] = y
+    aim[:, :ncomp] = u
+    if ncomp < 3:
+        aim[:, 2] = np.sqrt(1. - np.einsum("ij,ij->i", aim[:, :2],
+                                           aim[:, :2]))
+    return pos, aim
+
+
+def _grid_resample(x, y, t, samples):
+    """Scatter the (x, y, t) wavefront samples onto a square grid
+    spanning the pupil footprint (linear interpolation, NaN outside
+    the convex hull)."""
+    from scipy.interpolate import griddata
+    finite = np.isfinite(x) & np.isfinite(y) & np.isfinite(t)
+    if not finite.any():
+        raise ValueError("no rays made it through")
+    x, y, t = x[finite], y[finite], t[finite]
+    half = max(np.abs(x).max(), np.abs(y).max())
+    axis = np.linspace(-half, half, samples)
+    gx, gy = np.meshgrid(axis, axis, indexing="ij")
+    gt = griddata((x, y), t, (gx, gy), method="linear",
+                  fill_value=np.nan)
+    return gx, gy, gt
+
+
 class GeometricTrace(Trace):
-    """
-    y[i]: intercept at surface i
-    i[i]: incidence direction before surface i
-    u[i]: excidence direction after surface i
-    all in surface-normal coordinates relative to the vertex.
-    """
+    """Result holder for the batched real-ray trace (see module doc)."""
 
     def allocate(self, nrays):
         super().allocate()
         self.nrays = nrays
-        shape = (self.length, nrays, 3)
+        block = (self.length, nrays, 3)
+        for name in ("y", "u", "i"):
+            setattr(self, name, np.empty(block))
+        self.t = np.empty(block[:2])
         self.n = np.empty(self.length)
-        self.y = np.empty(shape)
-        self.u = np.empty(shape)
-        self.i = np.empty(shape)
-        self.t = np.empty(shape[:2])
         self.w = None
         self.ref = None
         self.l = 1.
@@ -41,125 +78,110 @@ class GeometricTrace(Trace):
     # -- seeding and propagation -----------------------------------------
 
     def rays_given(self, y, u, l=None, w=None, ref=0):
-        """Store a seed bundle; short vectors are zero-padded and
-        forward z components completed (reference
+        """Load a seed bundle into row 0 (reference
         geometric_trace.py:49)."""
-        y, u = np.atleast_2d(y, u)
-        y, u = np.broadcast_arrays(y, u)
-        nrays, ncomp = y.shape
-        if getattr(self, "y", None) is None or \
-                self.y.shape[1] != nrays:
-            self.allocate(nrays)
-        self.l = self.system.wavelengths[0] if l is None else l
-        self.w = np.ones(nrays)/nrays if w is None else w
+        pos, aim = _complete_bundle(y, u)
+        count = len(pos)
+        if getattr(self, "y", None) is None or self.nrays != count:
+            self.allocate(count)
+        self.l = l if l is not None else self.system.wavelengths[0]
+        self.w = w if w is not None else np.full(count, 1. / count)
         self.ref = ref
-        self.y[0] = 0
-        self.y[0, :, :ncomp] = y
-        self.u[0, :, :ncomp] = u
-        if ncomp < 3:  # forward rays
-            u2 = np.square(self.u[0, :, :2]).sum(-1)
-            self.u[0, :, 2] = np.sqrt(1 - u2)
-        self.i[0] = self.u[0]
+        self.y[0], self.u[0], self.i[0] = pos, aim, aim
         self.n[0] = self.system.refractive_index(self.l, 0)
-        self.t[0] = 0
+        self.t[0] = 0.
 
     def propagate(self, start=1, stop=None, clip=False):
         super().propagate()
-        first = start - 1
-        ys, us, iis, ts = self.system.trace_table(
-            self.y[first], self.u[first], self.l, start, stop, clip)
-        sl = slice(first + 1, first + ys.shape[0])
-        self.y[sl], self.u[sl] = ys[1:], us[1:]
-        self.i[sl], self.t[sl] = iis[1:], ts[1:]
-        n = self.n[first]
-        for j, e in enumerate(self.system[start:stop]):
-            if hasattr(e, "get_n_mu"):
-                n, _ = e.get_n_mu(n, self.l)
-            self.n[start + j] = n
+        seed = start - 1
+        table = self.system.table(self.l)
+        traced = self.system.trace_table(
+            self.y[seed], self.u[seed], self.l, start, stop, clip,
+            table=table)
+        rows = slice(start, seed + traced[0].shape[0])
+        for dst, src in zip((self.y, self.u, self.i, self.t), traced):
+            dst[rows] = src[1:]
+        self.n[rows] = np.asarray(table.n_after)[rows]
 
     # -- analysis primitives ----------------------------------------------
 
     def _weights(self, mask=None):
         w = self.w if self.w is not None else \
-            np.ones(self.nrays)/self.nrays
+            np.full(self.nrays, 1. / self.nrays)
         return w if mask is None else w[mask]
 
     def refocus(self, at=-1):
-        """Weighted least-squares focus shift from the transverse
-        spread (reference geometric_trace.py:82)."""
-        pos = self.y[at, :, :2]
+        """Move the image by the weighted least-squares focus shift:
+        minimize sum w |dy + dz*du|^2 over dz (reference
+        geometric_trace.py:82)."""
+        xy = self.y[at, :, :2]
         slope = tanarcsin(self.i[at])
-        alive = np.all(np.isfinite(slope), axis=1)
-        pos, slope = pos[alive], slope[alive]
-        w = self._weights(alive)
-        pos = pos - pos.mean(0)
+        keep = np.isfinite(slope).all(axis=1)
+        xy, slope = xy[keep] - xy[keep].mean(0), slope[keep]
         slope = slope - slope.mean(0)
-        num = np.dot((w[:, None]*pos).ravel(), slope.ravel())
-        den = np.dot((w[:, None]*slope).ravel(), slope.ravel())
-        self.system[at].distance -= num/den
+        w = self._weights(keep)[:, None]
+        shift = -(w * xy * slope).sum() / (w * slope * slope).sum()
+        self.system[at].distance += shift
         self.propagate()
 
+    def _sphere_radius(self, after, image):
+        """Exit-pupil reference-sphere radius: image-to-pupil distance,
+        or the axial gap for telecentric image space."""
+        if self.system.image.pupil.telecentric:
+            return self.track[image] - self.track[after]
+        return -self.system.image.pupil.distance
+
     def opd(self, radius=None, after=-2, image=-1, resample=4):
-        """Optical path difference on the exit-pupil reference sphere
-        (reference geometric_trace.py:101); resample > 0 grids the
-        samples for contouring."""
+        """Optical path difference on the exit-pupil reference sphere,
+        in waves (reference geometric_trace.py:101).  With resample > 0
+        the samples are gridded for contouring."""
         from ..elements import Spheroid
         ref = self.ref
-        t = (self.t[:after + 1] - self.t[:after + 1, (ref,)]).sum(0)
+        # accumulated optical path to the exit surface, relative to the
+        # reference ray
+        path = (self.t[:after + 1] - self.t[:after + 1, (ref,)]).sum(0)
         if not self.system.object.finite:
-            # input reference: the plane normal to the chief ray
-            t -= self.n[0]*np.dot(self.u[0, ref],
-                                  (self.y[0, ref] - self.y[0]).T)
+            # start from the wavefront plane through the chief ray
+            # instead of the (meaningless) infinite object
+            offset = (self.y[0] - self.y[0, ref]) @ self.u[0, ref]
+            path += offset * self.n[0]
         if radius is None:
-            if self.system.image.pupil.telecentric:
-                radius = self.track[image] - self.track[after]
-            else:
-                radius = -self.system.image.pupil.distance
-        # express the after-surface rays in the image frame, centered
-        # on the reference sphere
+            radius = self._sphere_radius(after, image)
+        # rays at `after`, re-expressed in the image frame and centered
+        # on the reference sphere (which touches the reference image)
         ea, ei = self.system[after], self.system[image]
-        pos = ei.to_normal(ea.from_normal(self.y[after]) +
-                           (self.origins[after] - self.origins[image]))
-        pos = pos - self.y[image, ref]
-        direc = ei.to_normal(ea.from_normal(self.u[after]))
+        shift = self.origins[after] - self.origins[image]
+        pos = ei.to_normal(ea.from_normal(self.y[after]) + shift)
+        pos -= self.y[image, ref]
+        aim = ei.to_normal(ea.from_normal(self.u[after]))
         pos[:, 2] += radius
-        ti = Spheroid(curvature=1./radius).intercept(pos, direc)
-        t += (ti - ti[ref])*self.n[after]
-        t = -t/(self.l/self.system.scale)
-        hit = pos + ti[:, None]*direc
-        hit[:, 2] -= radius
-        hit -= hit[ref]
-        x, y = hit[:, 0], hit[:, 1]
+        extra = Spheroid(curvature=1. / radius).intercept(pos, aim)
+        path += (extra - extra[ref]) * self.n[after]
+        waves = -path / (self.l / self.system.scale)
+        landing = pos + extra[:, None] * aim
+        landing[:, 2] -= radius
+        landing -= landing[ref]
         if not resample:
-            return x, y, t
-        from scipy.interpolate import griddata
-        keep = np.all(np.isfinite(np.vstack((x, y, t))), axis=0)
-        if not keep.any():
-            raise ValueError("no rays made it through")
-        x, y, t = x[keep], y[keep], t[keep]
-        npts = int(resample*self.nrays**.5)
-        h = max(np.fabs(x).max(), np.fabs(y).max())
-        gx, gy = np.mgrid[-1:1:1j*npts, -1:1:1j*npts]*h
-        gt = griddata((x, y), t, (gx, gy), method="linear",
-                      fill_value=np.nan)
-        return gx, gy, gt
+            return landing[:, 0], landing[:, 1], waves
+        return _grid_resample(landing[:, 0], landing[:, 1], waves,
+                              int(resample * np.sqrt(self.nrays)))
 
     def psf(self, pad=4, resample=4, **kwargs):
-        """Point spread function: FFT of the pupil function
-        exp(-2 pi i OPD) (reference geometric_trace.py:146)."""
-        radius = self.system[-1].distance
-        x, y, o = self.opd(resample=resample, radius=radius, **kwargs)
+        """Point spread function: |FFT of the pupil function
+        exp(-2 pi i OPD)|^2 (reference geometric_trace.py:146)."""
         if not resample:
-            raise NotImplementedError
-        good = np.isfinite(o)
-        amp = np.where(good, np.exp(-2j*np.pi*o), 0)
-        amp /= np.count_nonzero(good)**.5
-        shape = tuple(pad*s for s in amp.shape)
-        field = np.fft.fft2(amp, shape)
-        psf = (field*field.conj()).real/field.size
-        dx = x[1, 0] - x[0, 0]
-        waves_per_len = 1/(self.l/self.system.scale)
-        freq = np.fft.fftfreq(shape[0], dx*waves_per_len/radius)
+            raise NotImplementedError("psf requires a resampled opd")
+        radius = self.system[-1].distance
+        x, _, o = self.opd(resample=resample, radius=radius, **kwargs)
+        lit = np.isfinite(o)
+        pupil = np.where(lit, np.exp(-2j * np.pi * o), 0.)
+        pupil /= np.sqrt(np.count_nonzero(lit))
+        padded = tuple(pad * s for s in pupil.shape)
+        field = np.fft.fft2(pupil, padded)
+        psf = np.abs(field) ** 2 / field.size
+        step = x[1, 0] - x[0, 0]
+        cycles = self.system.scale / self.l  # waves per unit length
+        freq = np.fft.fftfreq(padded[0], step * cycles / radius)
         p, q = np.broadcast_arrays(freq[:, None], freq)
         return p, q, psf
 
@@ -176,8 +198,8 @@ class GeometricTrace(Trace):
         reference ray) (reference geometric_trace.py:171)."""
         pts = self.y[i, :, :2]
         center = pts.mean(0) if ref is None else pts[ref]
-        r2 = np.square(pts - center).sum(1)
-        return np.sqrt((r2*self._weights()).sum())
+        r2 = np.einsum("ij,ij->i", pts - center, pts - center)
+        return np.sqrt(r2 @ self._weights())
 
     # -- bundle factories ---------------------------------------------
 
@@ -186,53 +208,61 @@ class GeometricTrace(Trace):
         geometric_trace.py:185)."""
         if paraxial is None:
             paraxial = self.system.paraxial
-        ax = paraxial.axis
-        y = np.zeros((2, 2))
-        u = np.zeros((2, 2))
-        y[:, ax] = paraxial.y[0]
-        u[:, ax] = sinarctan(paraxial.u[0])
-        self.rays_given(y, u)
+        other = 1 - paraxial.axis
+        heights = np.stack([paraxial.y[0] * 0, paraxial.y[0]], 1)
+        slopes = np.stack([paraxial.u[0] * 0, sinarctan(paraxial.u[0])], 1)
+        if other:
+            heights, slopes = heights[:, ::-1], slopes[:, ::-1]
+        self.rays_given(heights, slopes)
         self.propagate()
+
+    def _seed_aimed(self, yo, yp, wavelength, stop, filter,
+                    weight=None, ref=0, clip=False):
+        """Aim a pupil-coordinate bundle through the stop and load it."""
+        z, p = self.system.pupil(yo, l=wavelength, stop=stop)
+        seed = self.system.aim(yo, yp, z, p, filter=filter)
+        self.rays_given(*seed, l=wavelength, w=weight, ref=ref)
+        self.propagate(clip=clip)
+        return p
 
     def rays(self, yo, yp, wavelength, stop=None, filter=None,
              clip=False, weight=None, ref=0):
-        if filter is None:
-            filter = not clip
-        z, p = self.system.pupil(yo, l=wavelength, stop=stop)
-        y, u = self.system.aim(yo, yp, z, p, filter=filter)
-        self.rays_given(y, u, wavelength, weight, ref)
-        self.propagate(clip=clip)
+        self._seed_aimed(yo, yp, wavelength, stop,
+                         not clip if filter is None else filter,
+                         weight, ref, clip)
 
     def rays_point(self, yo, wavelength=None, nrays=11,
                    distribution="meridional", filter=None, stop=None,
                    clip=False):
         ref, yp, weight = pupil_distribution(distribution, nrays)
-        self.rays(yo, yp, wavelength, filter=filter, stop=stop,
-                  clip=clip, weight=weight, ref=ref)
+        self._seed_aimed(yo, yp, wavelength, stop,
+                         not clip if filter is None else filter,
+                         weight, ref, clip)
 
     def rays_clipping(self, yo, wavelength=None, axis=1):
         """Chief plus the two rim rays found by the vignetting solve
         (reference geometric_trace.py:211)."""
         z, p = self.system.pupil(yo, l=wavelength, stop=-1)
         yp = np.zeros((3, 2))
-        yp[1:, axis] = p[:, axis]/np.fabs(p).max()
-        self.rays(yo, yp, wavelength, stop=-1, filter=False)
+        yp[1:, axis] = p[:, axis] / np.abs(p).max()
+        self._seed_aimed(yo, yp, wavelength, -1, False)
 
     def rays_line(self, yo, wavelength=None, nrays=21, eps=1e-2):
         """Chief/meridional/sagittal triplets along a field line
         (reference geometric_trace.py:217)."""
-        fractions = np.linspace(0, 1, nrays)[:, None]
-        points = fractions*np.atleast_2d(yo)
-        eps_grid = np.zeros((3, 2))
-        eps_grid[(1, 2), (1, 0)] = eps
+        field = np.linspace(0, 1, nrays)[:, None] * np.atleast_2d(yo)
+        # pupil offsets: chief, +eps meridional, +eps sagittal
+        probes = np.array([[0., 0.], [0., eps], [eps, 0.]])
         z, p = self.system.pupil((0, 0), l=wavelength)
-        y = np.empty((3, nrays, 3))
-        u = np.empty_like(y)
-        for i, pt in enumerate(points):
-            z = self.system.aim_chief(pt, z, np.fabs(p).max(),
-                                      l=wavelength)
-            y[:, i], u[:, i] = self.system.aim(pt, eps_grid, z, p)
-        self.rays_given(y.reshape(-1, 3), u.reshape(-1, 3), wavelength)
+        pmax = np.abs(p).max()
+        bundles = []
+        for pt in field:
+            z = self.system.aim_chief(pt, z, pmax, l=wavelength)
+            bundles.append(self.system.aim(pt, probes, z, p))
+        seed_y = np.stack([b[0] for b in bundles], axis=1)
+        seed_u = np.stack([b[1] for b in bundles], axis=1)
+        self.rays_given(seed_y.reshape(-1, 3), seed_u.reshape(-1, 3),
+                        wavelength)
         self.propagate()
 
     # -- edits / output -------------------------------------------------
@@ -240,15 +270,17 @@ class GeometricTrace(Trace):
     def resize(self, fn=lambda a, b: a):
         """Set element radii from traced ray heights
         (reference geometric_trace.py:231)."""
-        heights = np.hypot(self.y[:, :, 0], self.y[:, :, 1])
-        for e, hi in zip(self.system[1:], heights[1:]):
-            e.radius = fn(np.nanmax(hi), e.radius)
+        heights = np.nanmax(np.hypot(self.y[..., 0], self.y[..., 1]), 1)
+        for k in range(1, self.length):
+            el = self.system[k]
+            el.radius = fn(heights[k], el.radius)
 
     def plot(self, ax, axis=1, **kwargs):
         kwargs.setdefault("color", "green")
-        pts = np.array([el.from_normal(yi) + oi for el, yi, oi
-                        in zip(self.system, self.y, self.origins)])
-        ax.plot(pts[:, :, 2], pts[:, :, axis], **kwargs)
+        pts = np.stack([self.origins[k]
+                        + self.system[k].from_normal(self.y[k])
+                        for k in range(self.length)])
+        ax.plot(pts[..., 2], pts[..., axis], **kwargs)
 
     def print_trace(self):
         rel = np.cumsum(self.t, axis=0) - self.path[:, None]
@@ -256,9 +288,8 @@ class GeometricTrace(Trace):
                   "angle x/angle y/angle z").split("/")
         for i in range(self.nrays):
             yield "ray %i" % i
-            cols = np.concatenate((
-                self.n[:, None], self.path[:, None], rel[:, i, None],
-                self.y[:, i, :], self.u[:, i, :]), axis=1)
+            cols = np.column_stack((
+                self.n, self.path, rel[:, i], self.y[:, i], self.u[:, i]))
             yield from self.print_coeffs(cols, labels, sum=False)
             yield ""
 

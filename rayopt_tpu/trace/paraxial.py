@@ -5,6 +5,10 @@ Parity with reference paraxial_trace.py:28-357.  This host-side class
 drives System.update; a pure-jnp ABCD scan with identical numerics
 lives in rayopt_tpu.ops.paraxial for the differentiable/jitted path and
 is cross-checked against this one in the tests.
+
+The trace state is a 2x2 matrix recursion: per surface the (height,
+reduced slope) pair of the marginal and chief rays is advanced by the
+axis-projected block of the element's 4x4 Massey-Siegman matrix.
 """
 
 import itertools
@@ -39,52 +43,65 @@ class ParaxialTrace(Trace):
 
     def allocate(self):
         super().allocate()
-        n = self.length
-        if hasattr(self, "n") and self.n.shape[0] == n:
+        count = self.length
+        if getattr(self, "n", None) is not None and len(self.n) == count:
             return
-        self.n = np.empty(n)
-        self.y = np.empty((n, 2))
-        self.u = np.empty((n, 2))
-        self.c = np.empty((n, 7))
+        self.n = np.empty(count)
+        self.y = np.empty((count, 2))
+        self.u = np.empty((count, 2))
+        self.c = np.empty((count, 7))
+
+    def _surface_range(self, start, stop):
+        return range(*slice(start, stop).indices(self.length))
 
     def rays(self):
         """Seed marginal and chief rays from the conjugates
         (reference paraxial_trace.py:66)."""
-        self.n[0] = n0 = self.system.refractive_index(self.wavelength, 0)
-        y, u = self.y, self.u
-        o = self.system.object
-        if o.finite:
-            y[0] = 0, -o.radius
-            u[0] = n0*o.pupil.slope, n0*o.slope
+        obj = self.system.object
+        n0 = self.system.refractive_index(self.wavelength, 0)
+        if obj.finite:
+            # marginal from the axial object point into the pupil,
+            # chief from the object edge through the pupil center
+            marginal = (0., n0 * obj.pupil.slope)
+            chief = (-obj.radius, n0 * obj.slope)
         else:
-            c = 1. if o.wideangle else np.tan(o.angle)
-            y[0] = o.pupil.radius, -o.slope*o.pupil.distance
-            u[0] = 0, n0*c
+            # marginal parallel to the axis at the pupil rim, chief
+            # at the field angle crossing the pupil center
+            angle = 1. if obj.wideangle else np.tan(obj.angle)
+            marginal = (obj.pupil.radius, 0.)
+            chief = (-obj.slope * obj.pupil.distance, n0 * angle)
+        self.n[0] = n0
+        self.y[0] = marginal[0], chief[0]
+        self.u[0] = marginal[1], chief[1]
 
     def propagate(self, start=1, stop=None):
         super().propagate()
-        init = start - 1
-        yu = np.vstack((self.y[init], self.y[init],
-                        self.u[init], self.u[init]))
-        n = self.n[init]
-        for j, (yu, n) in enumerate(self.system.propagate_paraxial(
-                yu, n, self.wavelength, start, stop)):
-            j += start
-            self.y[j], self.u[j] = np.vsplit(yu[self.axis::2], 2)
+        # (y; nu) x (marginal, chief) state, advanced by the 2x2
+        # axis-projected block of each element's paraxial matrix
+        pick = slice(self.axis, None, 2)
+        state = np.stack([self.y[start - 1], self.u[start - 1]])
+        j = start
+        for n, m4 in self.system.paraxial_matrices(
+                self.wavelength, start, stop):
+            state = m4[pick, pick] @ state
+            self.y[j], self.u[j] = state
             self.n[j] = n
+            j += 1
 
     def aberrations(self, start=1, stop=None):
         """Accumulate per-surface third-order coefficients
         (reference paraxial_trace.py:94)."""
-        self.c[start - 1] = 0
-        v = 0
-        l1 = min(self.system.wavelengths)
-        l2 = max(self.system.wavelengths)
-        for i, el in enumerate(self.system[start:stop]):
-            i += start
-            v0, v = v, el.dispersion(l1, l2)
-            self.c[i] = el.aberration(self.y[i], self.u[i - 1], self.u[i],
-                                      self.n[i - 1], self.n[i], v0, v)
+        blue = min(self.system.wavelengths)
+        red = max(self.system.wavelengths)
+        self.c[start - 1] = 0.
+        vprev = 0.
+        for k in self._surface_range(start, stop):
+            el = self.system[k]
+            v = el.dispersion(blue, red)
+            self.c[k] = el.aberration(
+                self.y[k], self.u[k - 1], self.u[k],
+                self.n[k - 1], self.n[k], vprev, v)
+            vprev = v
 
     @property
     def transverse3(self):
@@ -206,52 +223,60 @@ class ParaxialTrace(Trace):
     # -- solves / updates ------------------------------------------------
 
     def resize(self):
-        for e, y in zip(self.system[1:], self.y[1:]):
-            e.radius = np.fabs(y).sum()
+        heights = np.abs(self.y).sum(axis=1)  # marginal + chief
+        for k in range(1, self.length):
+            self.system[k].radius = heights[k]
 
     def focal_length_solve(self, f, i=-2):
+        """Set curvature of surface `i` so the rear focal length is
+        `f`: the marginal slope after it must be -y_in/f."""
         assert i == -2, "only implemented for the last surface"
-        y0, y = self.y[(i - 1, i), 0]
-        u0, u = self.u[i - 1, 0], -self.y[0, 0]/f*self.n[0]
-        n0, n = self.n[(i - 1, i), ]
-        c = (u - u0)/(y*(n0 - n))
-        self.system[i].curvature = c
+        target_u = -self.y[0, 0] * self.n[0] / f
+        rise = target_u - self.u[i - 1, 0]
+        step = self.n[i - 1] - self.n[i]
+        self.system[i].curvature = rise / (self.y[i, 0] * step)
 
     def refocus(self, idx=-1):
-        self.system[idx].distance = \
-            -self.n[idx - 1]*self.y[idx - 1, 0]/self.u[idx - 1, 0]
+        marg_y, marg_u = self.y[idx - 1, 0], self.u[idx - 1, 0]
+        self.system[idx].distance = -marg_y / marg_u * self.n[idx - 1]
+
+    def _half_block(self, side):
+        """(n, 2x2 axis block) of the system half before ("object") or
+        after ("image") the stop."""
+        cut = self.system.stop + 1
+        pick = slice(self.axis, None, 2)
+        if side == "object":
+            n, m = self.system.paraxial_matrix(self.wavelength, stop=cut)
+            n = self.system.refractive_index(self.wavelength, 0)
+        else:
+            n, m = self.system.paraxial_matrix(self.wavelength, start=cut)
+        return n, m[pick, pick]
 
     def update_conjugates(self):
         """Derive object/image pupil distance+radius from the ABCD
         blocks through the stop (reference paraxial_trace.py:326)."""
-        ai = self.system.stop
-        r = self.system[ai].radius
-        na, ma = self.system.paraxial_matrix(self.wavelength, stop=ai + 1)
-        ma = ma[self.axis::2, self.axis::2]
-        a, b = ma[0]
-        b *= self.system.refractive_index(self.wavelength, 0)
-        self.system.object.update(self.system[0].radius, b/a, r/a)
-        nb, mb = self.system.paraxial_matrix(self.wavelength, start=ai + 1)
-        mb = mb[self.axis::2, self.axis::2]
-        a, b = np.linalg.inv(mb)[0]
-        b *= nb
-        self.system.image.update(self.system[-1].radius, b/a, r/a)
+        stop_radius = self.system[self.system.stop].radius
+        for side, conj, edge in (
+                ("object", self.system.object, self.system[0].radius),
+                ("image", self.system.image, self.system[-1].radius)):
+            n, m = self._half_block(side)
+            if side == "image":
+                m = np.linalg.inv(m)
+            a, b = m[0]
+            conj.update(edge, b * n / a, stop_radius / a)
 
     def update_stop(self, end="image"):
-        ai = self.system.stop
+        """Set the stop radius so the aimed end-conjugate rim ray fills
+        it (reference paraxial_trace.py:344)."""
+        n, m = self._half_block(end)
         if end == "image":
-            n, m = self.system.paraxial_matrix(self.wavelength,
-                                               start=ai + 1)
-            m = np.linalg.inv(m[self.axis::2, self.axis::2])
+            m = np.linalg.inv(m)
             y, u = self.system.image.aim((0, 0), (0, -1))
-        elif end == "object":
-            n, m = self.system.paraxial_matrix(self.wavelength,
-                                               stop=ai + 1)
-            m = m[self.axis::2, self.axis::2]
+        else:
             y, u = self.system.object.aim((0, 0), (0, 1))
-        u = tanarcsin(u)
-        y, u = np.dot(m, (y[0, 1], u[0, 1]))
-        self.system[ai].radius = y
+        slope = tanarcsin(u)[0, 1]
+        self.system[self.system.stop].radius = \
+            m[0, 0] * y[0, 1] + m[0, 1] * slope
 
     # -- output ----------------------------------------------------------
 
@@ -261,30 +286,31 @@ class ParaxialTrace(Trace):
             "SA3 CMA3 AST3 PTZ3 DIS3 TACHC TCHC".split())
 
     def print_params(self):
-        yield "lagrange: %.5g" % self.lagrange
-        yield "track length: %.5g" % self.track_length
-        yield "object, image height: %s" % self.height
-        yield "front, back focal length (from PP): %s" % self.focal_length
-        yield "entry, exit pupil height: %s" % self.pupil_height
-        yield "entry, exit pupil distance: %s" % self.pupil_distance
-        yield "front, back focal distance: %s" % self.focal_distance
-        yield ("front, back principal distance: %s"
-               % self.principal_distance)
-        yield "front, back nodal distance: %s" % self.nodal_distance
-        yield ("front, back numerical aperture: %s"
-               % self.numerical_aperture)
-        yield "front, back f number: %s" % self.f_number
-        yield ("front, back working f number: %s"
-               % self.working_f_number)
-        yield "front, back airy radius: %s" % self.airy_radius
-        yield ("transverse, angular magnification: %s"
-               % self.magnification)
+        for label, value in (
+                ("lagrange", "%.5g" % self.lagrange),
+                ("track length", "%.5g" % self.track_length),
+                ("object, image height", self.height),
+                ("front, back focal length (from PP)", self.focal_length),
+                ("entry, exit pupil height", self.pupil_height),
+                ("entry, exit pupil distance", self.pupil_distance),
+                ("front, back focal distance", self.focal_distance),
+                ("front, back principal distance",
+                 self.principal_distance),
+                ("front, back nodal distance", self.nodal_distance),
+                ("front, back numerical aperture",
+                 self.numerical_aperture),
+                ("front, back f number", self.f_number),
+                ("front, back working f number", self.working_f_number),
+                ("front, back airy radius", self.airy_radius),
+                ("transverse, angular magnification", self.magnification),
+                ):
+            yield "%s: %s" % (label, value)
 
     def print_trace(self):
-        c = np.c_[self.path, self.n, self.y[:, 0], self.u[:, 0],
-                  self.y[:, 1], self.u[:, 1]]
+        cols = np.column_stack((self.path, self.n, self.y[:, 0],
+                                self.u[:, 0], self.y[:, 1], self.u[:, 1]))
         return self.print_coeffs(
-            c, "path/n/axial y/axial nu/chief y/chief nu".split("/"),
+            cols, "path/n/axial y/axial nu/chief y/chief nu".split("/"),
             sum=False)
 
     def __str__(self):
@@ -297,36 +323,42 @@ class ParaxialTrace(Trace):
             self.print_transverse3(), ("",),
         )
 
+    def _plot_marker(self, ax, end, z_axial, heights, **kwargs):
+        """Draw vertical marker segments at axial position `z_axial`
+        (relative to the front/back surface per `end` = 0 or -1)."""
+        el = self.system[end]
+        origin = self.origins[end]
+        base = 0. if end == 1 else self.system[-1].distance
+        pts = np.array([[h, h, z_axial - base] for h in heights])
+        lab = origin + el.from_axis(pts)
+        for k in range(0, len(lab) - 1, 2):
+            ax.plot(lab[k:k + 2, 2], lab[k:k + 2, self.axis], **kwargs)
+
     def plot(self, ax, principals=False, pupils=False, focals=False,
              nodals=False, **kwargs):
         kwargs.setdefault("color", "black")
-        y = self.y[:, :, None]*np.ones(3)
-        y[:, :, 2] = self.path[:, None]
-        y = self.from_axis(y, range(self.length))
-        ax.plot(y[:, :, 2], y[:, :, self.axis], **kwargs)
-        h = self.system.aperture.radius*1.5
-        for p, flag in [
-                (self.principal_distance, principals),
-                (self.focal_distance, focals),
-                (self.nodal_distance, nodals)]:
-            if flag:
-                for i, pi, zi in zip((1, -1), p,
-                                     (0, self.system[-1].distance)):
-                    y = self.origins[i] + self.system[i].from_axis(
-                        np.array([(h, h, pi - zi), (-h, -h, pi - zi)]))
-                    ax.plot(y[:, 2], y[:, self.axis], **kwargs)
+        # the marginal/chief polylines along the unfolded axis
+        rays = np.repeat(self.y[:, :, None], 3, axis=2)
+        rays[:, :, 2] = self.path[:, None]
+        rays = self.from_axis(rays, range(self.length))
+        ax.plot(rays[:, :, 2], rays[:, :, self.axis], **kwargs)
+        h = self.system.aperture.radius * 1.5
+        markers = [(self.principal_distance, principals, (h, -h)),
+                   (self.focal_distance, focals, (h, -h)),
+                   (self.nodal_distance, nodals, (h, -h))]
         if pupils:
-            p = self.pupil_distance
-            h = self.pupil_height
-            for i, hi, pi, zi in zip((1, -1), h, p,
-                                     (0, self.system[-1].distance)):
-                y = np.empty((4, 3))
-                y[:, 0] = y[:, 1] = -1.5, 1.5, -1, 1
-                y *= hi
-                y[:, 2] = pi - zi
-                y = self.origins[i] + self.system[i].from_axis(y)
-                y = y.reshape(2, 2, 3)
-                ax.plot(y[:, :, 2], y[:, :, self.axis], **kwargs)
+            hp = self.pupil_height
+            markers.append((self.pupil_distance, True, None))
+        for dist, flag, span in markers:
+            if not flag:
+                continue
+            for end, z in zip((1, -1), dist):
+                if span is None:
+                    hi = hp[0 if end == 1 else 1]
+                    heights = (-1.5 * hi, -hi, hi, 1.5 * hi)
+                else:
+                    heights = span
+                self._plot_marker(ax, end, z, heights, **kwargs)
 
     def plot_yybar(self, ax, **kwargs):
         kwargs.setdefault("color", "black")
