@@ -165,12 +165,22 @@ class Library:
         self.conn.execute("pragma foreign_keys = on")
 
     def find_db(self):
+        """User DB path; on first use the bundled refractiveindex.info
+        catalog (rayopt_tpu/data/library.sqlite) is installed there
+        (reference library.py:69-87)."""
         home = os.environ.get("RAYOPT_TPU_LIBRARY")
         if home:
             return home
         base = os.path.expanduser("~/.local/share/rayopt_tpu")
         os.makedirs(base, exist_ok=True)
-        return os.path.join(base, "library.sqlite")
+        db = os.path.join(base, "library.sqlite")
+        if not os.path.exists(db):
+            bundled = os.path.join(os.path.dirname(__file__), "..",
+                                   "data", "library.sqlite")
+            if os.path.exists(bundled):
+                import shutil
+                shutil.copy(bundled, db)
+        return db
 
     def load_all(self, paths, **kwargs):
         for path in paths:
@@ -253,11 +263,22 @@ class Library:
         if source is not None:
             q += " and lower(c.source) = lower(?)"
             args.append(source)
+        base_q, base_args = q, list(args)
         if name is not None:
             q += " and lower(t.name) = lower(?)"
             args.append(name)
         q += " order by t.name"
         rows = self.conn.execute(q, args).fetchall()
+        if not rows and name is not None:
+            # rii names are "BOOK|PAGE"; fall back to a book-prefix
+            # match ("BK7" -> "BK7|SCHOTT") and then a page-suffix
+            # match ("LAFN7" -> "SCHOTT-LaF|LAFN7")
+            like = base_q + " and lower(t.name) like lower(?) order by t.name"
+            for pattern in (name + "|%", "%|" + name):
+                rows = self.conn.execute(like, base_args + [pattern]
+                                         ).fetchall()
+                if rows:
+                    break
         if not rows:
             raise KeyError(f"{typ} {source}/{catalog}/{name} not found")
         for row in rows:

@@ -138,8 +138,9 @@ def n_hikari(w, c):
 
 
 def n_gas(w, c):
-    c = np.asarray(c, dtype=float)
-    c0, c1 = c.reshape(2, -1)
+    # interleaved (amplitude, center) pairs as in rii formula 6:
+    # n - 1 = sum ci/(ci+1 - w^-2)
+    c0, c1 = _pairs(c)
     iw2 = np.asanyarray(w)[..., None]**-2.
     return 1. + (c0/(c1 - iw2)).sum(-1)
 
@@ -413,7 +414,7 @@ vacuum = ModelMaterial(name="vacuum", catalog="basic", solid=False)
 mirror = Material(name="mirror", catalog="basic", solid=False, mirror=True)
 air = CoefficientsMaterial(
     name="air", catalog="basic", typ="gas", solid=False,
-    coefficients=[.05792105, .00167917, 238.0185, 57.362])
+    coefficients=[.05792105, 238.0185, .00167917, 57.362])
 basic = {m.name: m for m in (vacuum, air, mirror)}
 
 
