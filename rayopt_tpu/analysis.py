@@ -342,12 +342,12 @@ class Analysis:
                 raise ValueError("no such option %s" % k)
             setattr(self, k, v)
         if self.run:
-            self.run()
+            self.generate()
         if self.print:
             for block in self.text:
                 print(block)
 
-    def run(self):
+    def generate(self):
         import matplotlib.pyplot as plt
         s = self.system
         if self.update:

@@ -61,8 +61,14 @@ def system_from_array(data,
         el.curvature = curv
         el.distance = row.get("distance", 0.)
         el.radius = row.get("radius", 0.) or row.get("diameter", 0.)/2.
-        if typ == "O":
-            el.angular_radius = el.radius
+        if typ == "O" and el.radius:
+            # the object row's aperture describes the field: an angular
+            # radius for an infinite conjugate, a height otherwise
+            # (reference formats.py:69 stored this on a dead attribute)
+            if s.object.finite:
+                s.object.radius = el.radius
+            else:
+                s.object.angle = el.radius
         mat = row.get("material")
         el.material = Material.make(material_map.get(mat, mat))
     return s

@@ -77,9 +77,16 @@ def opd_rays(table, y0, u0, ref=0, radius=None, wavelength=None,
     geometric_trace.py:101-144).
 
     radius: reference-sphere radius (e.g. -image.pupil.distance);
-    sphere_offset: the axial distance from the second-to-last surface
-    to the image surface (defaults to table.distance[-1]).
-    For straight (unrotated) end geometry.
+    sphere_offset: optional override for the lab-frame step from the
+    second-to-last surface to the image surface (a scalar axial
+    distance; defaults to the table's own offset, which also covers
+    decentered ends).
+
+    Tilted/decentered end elements are handled exactly: the rays at
+    the exit surface are rotated out of its normal frame, shifted by
+    the lab-frame gap, and rotated into the image surface's normal
+    frame (the jnp mirror of the host's
+    ei.to_normal(ea.from_normal(.))) before the sphere intercept.
     """
     from ..ops.geometric import trace_rays
     from ..ops.surfaces import intercept_conic
@@ -90,11 +97,14 @@ def opd_rays(table, y0, u0, ref=0, radius=None, wavelength=None,
         tj = (u0[ref]*(y0[ref] - y0)).sum(-1)
         tsum = tsum - tj*table.n_before[0]
     if sphere_offset is None:
-        sphere_offset = table.distance[-1]
-    ya = y[-2] - jnp.concatenate(
-        [jnp.zeros(2, y.dtype), sphere_offset[None]])
-    ya = ya - y[-1, ref]
-    ua = u[-2]
+        gap = -table.offset[-1]
+    else:
+        gap = -jnp.concatenate(
+            [jnp.zeros(2, y.dtype), sphere_offset[None]])
+    # exit-surface normal frame -> lab frame -> image normal frame
+    rot_exit, rot_image = table.rot[-2], table.rot[-1]
+    ya = (y[-2] @ rot_exit + gap) @ rot_image.T - y[-1, ref]
+    ua = (u[-2] @ rot_exit) @ rot_image.T
     ya = ya.at[:, 2].add(radius)
     ti = intercept_conic(ya, ua, 1./radius, 0.*radius, 0.)
     tsum = tsum + (ti - ti[ref])*table.n_before[-1]

@@ -79,6 +79,53 @@ def test_analysis_smoke():
     plt.close("all")
 
 
+def test_analysis_flags():
+    """run/print are pure flags (no method shadowing): run=False does
+    no work, and generate() can be invoked explicitly afterwards."""
+    import matplotlib
+    matplotlib.use("agg")
+    from rayopt_tpu.models import cooke_triplet
+    from rayopt_tpu import Analysis
+    s = cooke_triplet()
+    a = Analysis(s, run=False, print=False)
+    assert a.figures == [] and a.text == []
+    assert a.run is False
+    a.generate()
+    assert len(a.figures) == 5 and len(a.text) == 2
+    import matplotlib.pyplot as plt
+    plt.close("all")
+
+
+def test_analysis_print_flag(capsys):
+    import matplotlib
+    matplotlib.use("agg")
+    from rayopt_tpu.models import cooke_triplet
+    from rayopt_tpu import Analysis
+    s = cooke_triplet()
+    Analysis(s, print=False, defocus=3)
+    assert capsys.readouterr().out == ""
+    Analysis(s, print=True, defocus=3)
+    assert "focal length" in capsys.readouterr().out
+    import matplotlib.pyplot as plt
+    plt.close("all")
+
+
+def test_object_row_sets_field():
+    """A type-O row's aperture feeds the object conjugate (angular
+    radius for infinite conjugates) instead of a dead attribute."""
+    import rayopt_tpu as ro
+    txt = """
+    O 0      20   .3    AIR
+    S 50     5    20    SCHOTT-BK|N-BK7
+    S -50    5    20    AIR
+    A 0      3    18    AIR
+    I 0      40   30    AIR
+    """
+    s = ro.system_from_text(
+        txt, "type roc distance diameter material".split())
+    nptest.assert_allclose(s.object.angle, .15)
+
+
 def test_pickup_solve_validate():
     from rayopt_tpu import system_from_yaml
     s = system_from_yaml("""

@@ -45,6 +45,27 @@ def test_opd_matches_host_off_axis():
                            rtol=1e-9, atol=1e-9)
 
 
+def test_opd_matches_host_tilted_image():
+    """opd_rays handles rotated end geometry exactly (previously it
+    silently assumed a straight image frame)."""
+    s, g = _setup(0.)
+    s[-1].angles = (.05, .02, 0.)   # tilt the image surface
+    s[-2].angles = (.03, 0., 0.)    # and the exit surface
+    g = ro.GeometricTrace(s)
+    g.rays_point((0, .5), nrays=40, distribution="hexapolar",
+                 filter=False)
+    x, y, t_host = g.opd(resample=0)
+    tab = s.table(g.l)
+    radius = -s.image.pupil.distance
+    t_jax = opd_rays(tab, jnp.asarray(g.y[0]), jnp.asarray(g.u[0]),
+                     ref=g.ref, radius=radius, wavelength=g.l,
+                     scale=s.scale, finite=s.object.finite)
+    good = np.isfinite(t_host)
+    assert good.sum() > 10
+    nptest.assert_allclose(np.asarray(t_jax)[good], t_host[good],
+                           rtol=1e-9, atol=1e-9)
+
+
 def test_wavefront_grad():
     s, g = _setup(0.)
     tab = s.table(g.l)
