@@ -1,4 +1,8 @@
 from .sharding import (  # noqa: F401
     ray_mesh, shard_rays, sharded_trace, sharded_rms,
+    sharded_spot_rms, shard_bundles,
 )
-from .grad import trace_rms_merit, optimize_grad  # noqa: F401
+from .grad import (  # noqa: F401
+    trace_rms_merit, optimize_grad, optimize_system, spot_rms,
+    wavefront_rms, opd_rays, bundles_from_system,
+)

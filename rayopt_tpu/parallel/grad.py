@@ -37,7 +37,11 @@ def spot_rms(table, y0, u0, w=None, clip=False, nan_safe=True):
     if nan_safe:
         tab0 = jax.tree_util.tree_map(jax.lax.stop_gradient, table)
         yp, up, tp = trace_rays_final(tab0, y0, u0, clip=clip)
-        alive = jnp.all(jnp.isfinite(yp[:, :2]), axis=1)
+        # the final u matters too: a clip at the image surface NaNs u
+        # after y was already computed, and any NaN primal in a dead
+        # ray's chain turns the shared-parameter cotangent sum to NaN
+        alive = (jnp.all(jnp.isfinite(yp[:, :2]), axis=1)
+                 & jnp.all(jnp.isfinite(up), axis=1))
         i0 = jnp.argmax(alive)
         y0 = jnp.where(alive[:, None], y0, y0[i0])
         u0 = jnp.where(alive[:, None], u0, u0[i0])
@@ -53,10 +57,12 @@ def spot_rms(table, y0, u0, w=None, clip=False, nan_safe=True):
     return jnp.sqrt(r2 + 1e-30)
 
 
-def trace_rms_merit(table, bundles):
+def trace_rms_merit(table, bundles, mesh=None, axis="rays"):
     """Sum of weighted spot RMS over several bundles: (y0, u0, w) or
     (y0, u0, w, chroma) with chroma a dict of per-wavelength table
-    field overrides (mu/n_before/n_after)."""
+    field overrides (mu/n_before/n_after).  With `mesh`, each bundle's
+    rays are traced sharded over the mesh axis (see
+    parallel.sharding.sharded_spot_rms)."""
     total = 0.
     for bundle in bundles:
         if len(bundle) == 4:
@@ -65,7 +71,12 @@ def trace_rms_merit(table, bundles):
         else:
             y0, u0, w = bundle
             tab = table
-        total = total + spot_rms(tab, y0, u0, w)
+        if mesh is None:
+            total = total + spot_rms(tab, y0, u0, w)
+        else:
+            from .sharding import sharded_spot_rms
+            total = total + sharded_spot_rms(tab, y0, u0, w, mesh,
+                                             axis=axis)
     return total
 
 
@@ -225,7 +236,8 @@ def optimize_system(system, select=("curvature",), fields=None,
 
 
 def optimize_grad(table, bundles, select=("curvature",), steps=100,
-                  lr=1e-4, optimizer=None, merit=None, callback=None):
+                  lr=1e-4, optimizer=None, merit=None, callback=None,
+                  mesh=None, axis="rays"):
     """Gradient-descent lens optimization.
 
     table:   initial SurfaceTable
@@ -233,14 +245,23 @@ def optimize_grad(table, bundles, select=("curvature",), steps=100,
     select:  which table fields are free variables
     merit:   optional callable(table) -> scalar (defaults to summed
              spot RMS over the bundles)
+    mesh:    optional jax.sharding.Mesh; the bundles' ray axes are
+             sharded over `axis`, the table/params replicate, and the
+             merit moments + parameter gradients ride ICI as the psums
+             XLA inserts (the multi-chip training step of
+             SURVEY.md section 5)
 
     Returns (optimized table, history of merit values).
     """
     import optax
     if optimizer is None:
         optimizer = optax.adam(lr)
+    if mesh is not None:
+        from .sharding import shard_bundles
+        bundles = shard_bundles(bundles, mesh, axis)
     if merit is None:
-        merit = functools.partial(trace_rms_merit, bundles=bundles)
+        merit = functools.partial(trace_rms_merit, bundles=bundles,
+                                  mesh=mesh, axis=axis)
 
     params = {k: jnp.asarray(getattr(table, k)) for k in select}
     # distance is a derived length; the trace consumes offset, so tie

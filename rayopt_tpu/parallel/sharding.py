@@ -48,7 +48,32 @@ def sharded_trace(table, y, u, mesh, clip=False, axis="rays"):
     return jax.jit(fn)(table, y, u)
 
 
-def _rms_local(table, y, u, w, clip, axis):
+def _substitute_dead(table, y, u, w, clip, axis):
+    """Replace vignetted/missed rays by a surviving ray at zero weight.
+
+    Reverse-mode AD turns any NaN primal into NaN cotangents even at
+    zero weight, so the dead rays must not trace at all.  The stand-in
+    ray is found globally: each shard nominates its first survivor and
+    the first nominating shard wins (a few floats over ICI).
+    """
+    tab0 = jax.tree_util.tree_map(jax.lax.stop_gradient, table)
+    yp, up, _ = trace_rays_final(tab0, y, u, clip=clip)
+    # final u included: an image-surface clip NaNs u after y is set
+    alive = (jnp.all(jnp.isfinite(yp[:, :2]), axis=1)
+             & jnp.all(jnp.isfinite(up), axis=1))
+    pick = jnp.argmax(alive)
+    flags = jax.lax.all_gather(alive[pick], axis)
+    cand_y = jax.lax.all_gather(y[pick], axis)
+    cand_u = jax.lax.all_gather(u[pick], axis)
+    winner = jnp.argmax(flags)
+    y = jnp.where(alive[:, None], y, cand_y[winner])
+    u = jnp.where(alive[:, None], u, cand_u[winner])
+    return y, u, jnp.where(alive, w, 0.)
+
+
+def _rms_local(table, y, u, w, clip, axis, nan_safe=False):
+    if nan_safe:
+        y, u, w = _substitute_dead(table, y, u, w, clip, axis)
     yf, uf, t = trace_rays_final(table, y, u, clip=clip)
     pt = yf[:, :2]
     good = jnp.all(jnp.isfinite(pt), axis=1)
@@ -59,7 +84,7 @@ def _rms_local(table, y, u, w, clip, axis):
     mean = jax.lax.psum((wg[:, None]*pt).sum(0), axis)/wsum
     r2 = jax.lax.psum(
         (wg*jnp.square(pt - mean).sum(1)).sum(), axis)/wsum
-    return jnp.sqrt(r2)
+    return jnp.sqrt(r2 + 1e-30)
 
 
 def sharded_rms(table, y, u, w, mesh, clip=False, axis="rays"):
@@ -72,3 +97,33 @@ def sharded_rms(table, y, u, w, mesh, clip=False, axis="rays"):
         out_specs=P(),
     )
     return jax.jit(fn)(table, y, u, w)
+
+
+def sharded_spot_rms(table, y, u, w, mesh, clip=False, axis="rays",
+                     nan_safe=True):
+    """Differentiable sharded spot RMS: the mesh twin of
+    parallel.grad.spot_rms.  Traceable (no jit inside) so it can sit
+    under jax.grad/jit in an optimization step; rays are sharded over
+    `axis`, the table is replicated, gradients of the table psum over
+    ICI automatically."""
+    return shard_map(
+        functools.partial(_rms_local, clip=clip, axis=axis,
+                          nan_safe=nan_safe),
+        mesh=mesh,
+        in_specs=(P(), P(axis, None), P(axis, None), P(axis)),
+        out_specs=P(),
+    )(table, y, u, w)
+
+
+def shard_bundles(bundles, mesh, axis="rays"):
+    """Place the ray arrays of (y, u, w[, chroma]) merit bundles onto
+    the mesh (chroma overrides stay replicated)."""
+    ray_sh = NamedSharding(mesh, P(axis, None))
+    w_sh = NamedSharding(mesh, P(axis))
+    out = []
+    for bundle in bundles:
+        y, u, w = (jax.device_put(bundle[0], ray_sh),
+                   jax.device_put(bundle[1], ray_sh),
+                   jax.device_put(bundle[2], w_sh))
+        out.append((y, u, w) + tuple(bundle[3:]))
+    return out

@@ -59,6 +59,68 @@ def test_shard_rays_placement(setup):
     assert len(ys.sharding.device_set) == 8
 
 
+def test_sharded_spot_rms_grad_matches(setup):
+    """The sharded differentiable merit agrees with the single-device
+    spot_rms in value AND gradient (psum'd table cotangents)."""
+    import jax.numpy as jnp
+    from rayopt_tpu.parallel import sharded_spot_rms
+    from rayopt_tpu.parallel.grad import spot_rms
+    tab, y, u, w = setup
+    mesh = ray_mesh()
+
+    def merit_single(curv):
+        return spot_rms(tab.replace(curvature=curv), y, u, w)
+
+    def merit_sharded(curv):
+        return sharded_spot_rms(tab.replace(curvature=curv),
+                                jnp.asarray(y), jnp.asarray(u),
+                                jnp.asarray(w), mesh)
+
+    curv = np.asarray(tab.curvature)
+    v0, g0 = jax.value_and_grad(merit_single)(curv)
+    v1, g1 = jax.jit(jax.value_and_grad(merit_sharded))(curv)
+    nptest.assert_allclose(float(v1), float(v0), rtol=1e-13)
+    nptest.assert_allclose(np.asarray(g1), np.asarray(g0),
+                           rtol=1e-10, atol=1e-14)
+
+
+def test_sharded_spot_rms_nan_safe(setup):
+    """Vignetting (clipped rays -> NaN) must not poison the sharded
+    gradient."""
+    import jax.numpy as jnp
+    from rayopt_tpu.parallel import sharded_spot_rms
+    tab, y, u, w = setup
+    # shrink an aperture so a fraction of rays is clipped away
+    radius = np.asarray(tab.radius).copy()
+    radius[3] = radius[3]*.05
+    tab = tab.replace(radius=radius)
+    mesh = ray_mesh()
+
+    def merit(curv):
+        return sharded_spot_rms(tab.replace(curvature=curv),
+                                jnp.asarray(y), jnp.asarray(u),
+                                jnp.asarray(w), mesh, clip=True)
+
+    v, g = jax.jit(jax.value_and_grad(merit))(np.asarray(tab.curvature))
+    assert np.isfinite(float(v))
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_optimize_grad_mesh_parity(setup):
+    """One full optimization (5 adam steps) sharded over the 8-device
+    mesh reproduces the single-device trajectory."""
+    from rayopt_tpu.parallel import optimize_grad
+    tab, y, u, w = setup
+    bundles = [(y, u, w)]
+    t0, h0 = optimize_grad(tab, bundles, steps=5, lr=1e-5)
+    mesh = ray_mesh()
+    t1, h1 = optimize_grad(tab, bundles, steps=5, lr=1e-5, mesh=mesh)
+    nptest.assert_allclose(h1, h0, rtol=1e-12)
+    nptest.assert_allclose(np.asarray(t1.curvature),
+                           np.asarray(t0.curvature), rtol=1e-12,
+                           atol=1e-15)
+
+
 def test_dryrun_multichip():
     import importlib.util
     spec = importlib.util.spec_from_file_location(
