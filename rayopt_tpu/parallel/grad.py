@@ -140,18 +140,10 @@ def wavefront_rms(table, y0, u0, w=None, ref=0, radius=None,
 
 
 def _device_pupils(system, fields, wavelength):
-    """All-field pupil solve in one dispatch (ops.aiming); only for
-    aimed infinite rectilinear conjugates."""
-    from ..ops.aiming import pupil_batched
-    from ..ops.kernels import specialize
-    tab = system.table(wavelength)
-    tangents = np.tan(system.object.angle)*np.asarray(
-        [(0., h) for h in fields])
-    z, boxes = pupil_batched(tab, tangents,
-                             system.object.pupil.distance,
-                             system.object.pupil.radius,
-                             system.stop, specs=specialize(tab))
-    return np.asarray(z), np.asarray(boxes)
+    """All-field pupil solve in one dispatch (System.pupils over
+    ops.aiming: finite/infinite conjugates, all projections, residual-
+    checked with host fallback)."""
+    return system.pupils([(0., h) for h in fields], l=wavelength)
 
 
 def bundles_from_system(system, fields=None, wavelengths=None,
@@ -177,11 +169,8 @@ def bundles_from_system(system, fields=None, wavelengths=None,
     ref, yp, w = pupil_distribution(distribution, nrays)
     if w is None:
         w = np.ones(yp.shape[0])/yp.shape[0]
-    from ..conjugates import InfiniteConjugate
-    use_device = (device_aim and
-                  isinstance(system.object, InfiniteConjugate) and
-                  system.object.projection == "rectilinear" and
-                  system.object.pupil.aim)
+    use_device = (device_aim and system.object.pupil.aim and
+                  not system.object.pupil.telecentric)
     out = []
     for l in wavelengths:
         tab_l = system.table(l)

@@ -705,3 +705,52 @@ class System(list):
             self._pupil_cache[key] = solver
         state = solver(*yo)
         return state[0], state[1:].reshape(2, 2)
+
+    def pupils(self, fields, l=None, stop=None, tol=1e-6):
+        """Batched pupil solve for many field points at once.
+
+        fields: (F, 2) fractional field coordinates.  Eligible systems
+        (aimed, non-telecentric conjugates; stop mode or rim mode
+        stop=-1) solve every field in ONE device dispatch via
+        ops.aiming (Newton through the jitted trace + bracketed
+        bisection); fields whose converged residual exceeds `tol` --
+        and ineligible systems -- fall back to the host scipy path.
+        Returns (z (F,), boxes (F, 2, 2)).
+        """
+        import warnings
+        fields = np.atleast_2d(np.asarray(fields, dtype=float))
+        pupil = self.object.pupil
+        rim = stop == -1
+        eligible = pupil.aim and not pupil.telecentric
+        if eligible:
+            from .ops.aiming import pupil_batched
+            from .ops.kernels import specialize
+            if l is None:
+                l = self.wavelengths[0]
+            table = self.table(l)
+            kw = dict(finite=bool(self.object.finite), rim=rim,
+                      projection=self.object.projection)
+            if self.object.finite:
+                kw["radius"] = self.object.radius
+            else:
+                kw["slope"] = np.tan(self.object.angle)
+            z, boxes, (chief_r, width) = pupil_batched(
+                table, fields, pupil.distance, pupil.radius,
+                self.stop if stop in (-1, None) else stop,
+                specs=specialize(table), with_residuals=True, **kw)
+            z, boxes = np.array(z), np.array(boxes)
+            bad = (np.asarray(chief_r) > tol) | (np.asarray(width) > tol)
+        else:
+            z = np.empty(len(fields))
+            boxes = np.empty((len(fields), 2, 2))
+            bad = np.ones(len(fields), bool)
+        if bad.any():
+            if eligible:
+                warnings.warn(
+                    "batched aiming did not converge for %d/%d fields; "
+                    "using the host solver there"
+                    % (bad.sum(), len(fields)))
+            for i in np.flatnonzero(bad):
+                z[i], boxes[i] = self.pupil(tuple(fields[i]), l=l,
+                                            stop=stop)
+        return z, boxes

@@ -87,6 +87,74 @@ def test_marginal_batched_matches_host():
             nptest.assert_allclose(abs(ab), host, rtol=2e-2)
 
 
+def test_finite_conjugate_matches_host():
+    """Device aiming covers finite conjugates (previously host-only,
+    reference system.py:557-583)."""
+    from rayopt_tpu.models import doublet
+    s = doublet()
+    s.object.pupil.aim = True
+    s.update()
+    fields = np.array([(0., 0.), (0., .5), (0., 1.), (.6, .3)])
+    z, boxes = s.pupils(fields)
+    assert np.isfinite(z).all() and np.isfinite(boxes).all()
+    for i, f in enumerate(fields):
+        zh, ph = s.pupil(tuple(f))
+        if np.any(f):
+            nptest.assert_allclose(z[i], zh, rtol=1e-3)
+        nptest.assert_allclose(boxes[i], ph, rtol=2e-2, atol=1e-9)
+
+
+def test_rim_mode_matches_host():
+    """Rim (stop=-1) vignetting mode: the batched clearance maxes over
+    all interior surfaces like the host (reference system.py:528-555);
+    this is the solve behind rays_clipping."""
+    s = cooke_triplet()
+    fields = np.array([(0., .7), (0., 1.)])
+    z, boxes = s.pupils(fields, stop=-1)
+    for i, f in enumerate(fields):
+        zh, ph = s.pupil(tuple(f), stop=-1)
+        nptest.assert_allclose(z[i], zh, rtol=1e-3)
+        nptest.assert_allclose(boxes[i], ph, rtol=2e-2, atol=1e-9)
+
+
+def test_wideangle_projection_matches_host():
+    """Non-rectilinear projections run device-side."""
+    s = cooke_triplet()
+    s.object.projection = "stereographic"
+    s._pupil_cache.clear()
+    fields = np.array([(0., .5), (0., 1.)])
+    z, boxes = s.pupils(fields)
+    for i, f in enumerate(fields):
+        zh, ph = s.pupil(tuple(f))
+        nptest.assert_allclose(z[i], zh, rtol=1e-3)
+        nptest.assert_allclose(boxes[i], ph, rtol=2e-2, atol=1e-9)
+
+
+def test_residuals_bounded():
+    """Convergence is certified by residuals, not iteration count."""
+    from rayopt_tpu.ops.aiming import pupil_batched
+    s = cooke_triplet()
+    tab = s.table()
+    fields = np.array([(0., .3), (0., .7), (0., 1.)])
+    z, boxes, (chief_r, width) = pupil_batched(
+        tab, fields, s.object.pupil.distance, s.object.pupil.radius,
+        s.stop, specs=specialize(tab),
+        slope=np.tan(s.object.angle), with_residuals=True)
+    assert (np.asarray(chief_r) < 1e-8).all()
+    assert (np.asarray(width) < 1e-9).all()
+
+
+def test_pupils_host_fallback():
+    """Unaimed pupils take the host path (and agree with it)."""
+    from rayopt_tpu.models import doublet
+    s = doublet()   # aim defaults to False
+    fields = np.array([(0., 1.)])
+    z, boxes = s.pupils(fields)
+    zh, ph = s.pupil((0., 1.))
+    nptest.assert_allclose(z[0], zh)
+    nptest.assert_allclose(boxes[0], ph)
+
+
 def test_pupil_batched_matches_host():
     from rayopt_tpu.ops.aiming import pupil_batched
     s = cooke_triplet()
