@@ -1,0 +1,70 @@
+"""Hardcoded golden numbers for the model zoo (the pattern of
+reference test_poly.py:62-89): first-order properties and transverse
+third-order (Seidel + chromatic) sums pinned to fixed vectors so the
+trace-engine internals can be rewritten or optimized without silent
+drift.  Values were produced by this implementation and cross-checked
+against the paraxial/Seidel physics (Cooke numbers also match the OSLO
+example the prescription comes from)."""
+
+import numpy as np
+from numpy import testing as nptest
+import pytest
+
+from rayopt_tpu.models import cooke_triplet, double_gauss, petzval
+
+
+@pytest.fixture(scope="module")
+def gauss():
+    return double_gauss().paraxial
+
+
+@pytest.fixture(scope="module")
+def petz():
+    return petzval().paraxial
+
+
+def test_double_gauss_first_order(gauss):
+    p = gauss
+    nptest.assert_allclose(p.focal_length, [-92.37162897, 92.37162897],
+                           rtol=1e-8)
+    nptest.assert_allclose(p.working_f_number[1], 2.8268482, rtol=1e-7)
+    nptest.assert_allclose(p.numerical_aperture[1], 0.17692446,
+                           rtol=1e-6)
+    nptest.assert_allclose(p.pupil_distance,
+                           [23.77010616, -56.96627503], rtol=1e-7)
+    nptest.assert_allclose(p.pupil_height, [16.6, 21.16224988],
+                           rtol=1e-7)
+    nptest.assert_allclose(p.lagrange, -4.139992031, rtol=1e-8)
+
+
+def test_double_gauss_seidel_sums(gauss):
+    # SA3 CMA3 AST3 PTZ3 DIS3 TACHC TCHC, transverse, OSLO scaling
+    nptest.assert_allclose(
+        gauss.transverse3.sum(0),
+        [-0.08547613, -0.06149775, 0.12825301, -0.07418908,
+         -0.01837551, -0.00520328, 0.00524783], rtol=1e-5)
+
+
+def test_petzval_first_order(petz):
+    p = petz
+    nptest.assert_allclose(p.focal_length, [-82.14826746, 82.14826746],
+                           rtol=1e-8)
+    nptest.assert_allclose(p.working_f_number[1], 3.32375399, rtol=1e-7)
+    nptest.assert_allclose(p.pupil_distance,
+                           [7.2894326, -36.03767947], rtol=1e-7)
+    nptest.assert_allclose(p.lagrange, -1.5352324212, rtol=1e-8)
+
+
+def test_petzval_seidel_sums(petz):
+    nptest.assert_allclose(
+        petz.transverse3.sum(0),
+        [0.07710752, 0.03964621, -0.09436252, -0.08962473,
+         -0.03100777, 0.03073426, 0.04631249], rtol=1e-5)
+
+
+def test_cooke_seidel_sums():
+    p = cooke_triplet().paraxial
+    nptest.assert_allclose(
+        p.transverse3.sum(0),
+        [-0.06190225, -0.00817398, 0.06232948, -0.1416536,
+         0.05831643, -0.01051561, -0.00939998], rtol=1e-5)
