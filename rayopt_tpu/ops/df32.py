@@ -1,0 +1,301 @@
+"""Double-single ("df32") arithmetic and the extended-precision trace.
+
+TPU v5e has no hardware float64: jax f64 is software-emulated and
+~70x slower than f32 on the VPU.  This module implements the classic
+double-word arithmetic (Dekker 1971 / Knuth two_sum; the float32
+analog of double-double) on (hi, lo) pairs of f32 arrays: ~2^-47
+relative accuracy (~7e-15) per operation at a small constant multiple
+of f32 cost, all of it perfectly-tiled elementwise VPU work.
+
+Used by `trace_df32_final` -- the parity-grade throughput engine: the
+same transfer-intercept-refract chain as ops.kernels, evaluated in
+df32, specialized/unrolled per surface.  Spot positions agree with the
+f64 trace to ~1e-12 relative (vs ~1e-6 for plain f32), satisfying the
+<= 1e-9 spot-RMS parity target at f32-class speed.
+
+All error-free transforms require round-to-nearest f32 without
+reassociation; XLA does not reassociate floats by default, and the
+CPU/TPU results are cross-checked in tests/test_df32.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+F32 = jnp.float32
+_SPLITTER = 4097.  # 2^12 + 1 (f32 has a 24-bit significand)
+
+
+# -- error-free transforms -------------------------------------------------
+
+def two_sum(a, b):
+    s = a + b
+    bb = s - a
+    return s, (a - (s - bb)) + (b - bb)
+
+
+def quick_two_sum(a, b):
+    """Assumes |a| >= |b| (or a == 0)."""
+    s = a + b
+    return s, b - (s - a)
+
+
+def _split(a):
+    t = _SPLITTER*a
+    hi = t - (t - a)
+    return hi, a - hi
+
+
+def two_prod(a, b):
+    p = a*b
+    ah, al = _split(a)
+    bh, bl = _split(b)
+    return p, ((ah*bh - p) + ah*bl + al*bh) + al*bl
+
+
+# -- df32 numbers: (hi, lo) pairs ------------------------------------------
+
+def const(v):
+    """Split a float64 scalar into an exact (hi, lo) f32 pair of
+    NumPy scalars (literals under tracing, Pallas-embeddable)."""
+    hi = np.float32(v)
+    lo = np.float32(np.float64(v) - np.float64(hi))
+    return hi, lo
+
+
+def from_f64(x):
+    """Split a float64 array into an (hi, lo) f32 pair, exactly."""
+    x = np.asarray(x, np.float64)
+    hi = x.astype(np.float32)
+    lo = (x - hi.astype(np.float64)).astype(np.float32)
+    return jnp.asarray(hi), jnp.asarray(lo)
+
+
+def to_f64(a):
+    return np.asarray(a[0], np.float64) + np.asarray(a[1], np.float64)
+
+
+def zero_like(a):
+    z = jnp.zeros_like(a[0])
+    return z, z
+
+
+def neg(a):
+    return -a[0], -a[1]
+
+
+def add(a, b):
+    s, e = two_sum(a[0], b[0])
+    return quick_two_sum(s, e + (a[1] + b[1]))
+
+
+def sub(a, b):
+    return add(a, neg(b))
+
+
+def mul(a, b):
+    p, e = two_prod(a[0], b[0])
+    return quick_two_sum(p, e + (a[0]*b[1] + a[1]*b[0]))
+
+
+def sqr(a):
+    p, e = two_prod(a[0], a[0])
+    return quick_two_sum(p, e + 2*(a[0]*a[1]))
+
+
+def scale(a, s):
+    """Multiply by an exact power of two (or other exact f32)."""
+    return a[0]*s, a[1]*s
+
+
+def div(a, b):
+    """Two refinement rounds: TPU f32 divide is reciprocal-based and
+    only ~1e-6 accurate, so a single remainder step is not enough to
+    reach full df32 precision."""
+    zero = jnp.zeros_like(a[0])
+    q1 = a[0]/b[0]
+    r = sub(a, mul((q1, zero), b))
+    q = quick_two_sum(q1, (r[0] + r[1])/b[0])
+    r = sub(a, mul(q, b))
+    return add(q, ((r[0] + r[1])/b[0], zero))
+
+
+def sqrt(a):
+    """Two Karp-Markstein rounds: TPU f32 sqrt comes from an rsqrt
+    approximation with ~1e-4 relative error, so one residual
+    correction only reaches ~1e-8; the second lands at ~(err)^2 of
+    that.  NaN-deliberate: negative inputs yield NaN like jnp.sqrt."""
+    zero = jnp.zeros_like(a[0])
+    s1 = jnp.sqrt(a[0])
+    ok = s1 > 0
+    inv2 = jnp.where(ok, .5/jnp.where(ok, s1, 1.), 0.)
+    r = sub(a, sqr((s1, zero)))
+    s = quick_two_sum(s1, (r[0] + r[1])*inv2)
+    r = sub(a, sqr(s))
+    return add(s, ((r[0] + r[1])*inv2, zero))
+
+
+def where(cond, a, b):
+    return jnp.where(cond, a[0], b[0]), jnp.where(cond, a[1], b[1])
+
+
+# -- the extended-precision surface chain ----------------------------------
+
+def _dot3(ax, ay, az, bx, by, bz):
+    return add(add(mul(ax, bx), mul(ay, by)), mul(az, bz))
+
+
+def _surface_df(state, c, mu, dz, kind, flat):
+    """One transfer-intercept-refract step in df32 for an axial
+    spherical (or flat) surface.  `c`, `mu`, `dz` are df32 constants;
+    kind: 0 passthrough, 1 refract, 2 mirror (see
+    kernels.SurfaceSpec).  Mirrors the math of
+    kernels.intercept_spec/refract_spec."""
+    x, y, z, ux, uy, uz = state
+    z = sub(z, dz)
+    if flat:
+        s = neg(div(z, uz))
+    else:
+        # closed-form sphere intercept, unit |u|; the two algebraically
+        # equal root forms -(d+g)/c and f/(g-d) are each stable in the
+        # complementary sign regime of d (cancellation-free choice)
+        uy_ = _dot3(ux, uy, uz, x, y, z)
+        yy = _dot3(x, y, z, x, y, z)
+        d = sub(mul(c, uy_), uz)
+        f = sub(mul(c, yy), scale(z, 2.))
+        disc = sub(sqr(d), mul(c, f))
+        g = sqrt(disc)
+        stable = d[0] < 0
+        cb = (jnp.broadcast_to(c[0], d[0].shape),
+              jnp.broadcast_to(c[1], d[0].shape))
+        num = where(stable, f, neg(add(d, g)))
+        den = where(stable, sub(g, d), cb)
+        s = div(num, den)
+    x = add(x, mul(s, ux))
+    y = add(y, mul(s, uy))
+    z = add(z, mul(s, uz))
+    if kind == 0:
+        return (x, y, z, ux, uy, uz), s
+    # surface normal (nx, ny, 1)*e with e = -c/sqrt(1 - c^2 r^2)
+    if not flat:
+        r2 = add(sqr(x), sqr(y))
+        e = neg(div(c, sqrt(sub(_ONE, mul(sqr(c), r2)))))
+        nx, ny = mul(x, e), mul(y, e)
+        nn = add(add(sqr(nx), sqr(ny)), _ONE)
+        dot = add(add(mul(ux, nx), mul(uy, ny)), uz)
+    else:
+        nn = _ONE
+        dot = uz
+    if kind == 2:
+        a2 = scale(div(dot, nn), 2.)
+        if flat:
+            return (x, y, z, ux, uy, sub(uz, a2)), s
+        return (x, y, z, sub(ux, mul(a2, nx)), sub(uy, mul(a2, ny)),
+                sub(uz, a2)), s
+    # refraction: mu > 0 here (mirror handled above)
+    a = div(mul(mu, dot), nn)
+    b = div(sub(sqr(mu), _ONE), nn)
+    disc = sub(sqr(a), b)
+    g = sub(sqrt(disc), a)
+    if flat:
+        return (x, y, z, mul(mu, ux), mul(mu, uy),
+                add(mul(mu, uz), g)), s
+    return (x, y, z,
+            add(mul(mu, ux), mul(g, nx)),
+            add(mul(mu, uy), mul(g, ny)),
+            add(mul(mu, uz), g)), s
+
+
+_ONE = (np.float32(1.), np.float32(0.))
+
+
+def plan(table):
+    """Host-side: per-surface df32 constants + static flags from a
+    float64 SurfaceTable.  Only axial, unrotated, spherical/flat
+    surfaces are supported (the throughput benchmark class); anything
+    else raises."""
+    curv = np.asarray(table.curvature, np.float64)
+    conic = np.asarray(table.conic, np.float64)
+    mu = np.asarray(table.mu, np.float64)
+    off = np.asarray(table.offset, np.float64)
+    rot = np.asarray(table.rot, np.float64)
+    asp = np.asarray(table.aspherics, np.float64)
+    steps = []
+    for j in range(1, curv.shape[0]):
+        if conic[j] or (asp.shape[1] and asp[j].any()):
+            raise NotImplementedError("df32 engine: spherical only")
+        if off[j, 0] or off[j, 1] or not np.allclose(rot[j], np.eye(3)):
+            raise NotImplementedError("df32 engine: axial only")
+        kind = 0 if mu[j] == 1. else (2 if mu[j] == -1. else 1)
+        steps.append(dict(
+            c=const(curv[j]), mu=const(abs(mu[j])),
+            dz=const(off[j, 2]), kind=kind, flat=curv[j] == 0.))
+    return steps
+
+
+def trace_df32_final(steps, state):
+    """Unrolled df32 trace over the planned surface chain.
+
+    state: six (hi, lo) component pairs.  Returns the final state.
+    Trace inside jit; `steps` constants close over the function."""
+    for st in steps:
+        state, _ = _surface_df(state, st["c"], st["mu"], st["dz"],
+                               st["kind"], st["flat"])
+    return state
+
+
+def state_from_f64(y, u):
+    """(N, 3) float64 position/direction -> df32 component state."""
+    comps = []
+    for arr in (y, u):
+        arr = np.asarray(arr, np.float64)
+        for k in range(3):
+            comps.append(from_f64(arr[:, k]))
+    return tuple(comps)
+
+
+def pallas_trace_df32(steps, state, tile=8*1024, interpret=False):
+    """The df32 trace as one Pallas TPU kernel.
+
+    This is the load-bearing path, not an optimization: XLA (CPU and
+    TPU alike) contracts a product feeding an error-free add/sub into
+    a fused multiply-add of the *exact* product, silently breaking the
+    double-word renormalization (observed: the lo words degrade to
+    ~f32 level).  Mosaic emits the VPU ops exactly as written, so the
+    kernel keeps full df32 precision -- and stages each ray tile
+    through VMEM once for the whole unrolled surface chain.
+
+    state: 6-tuple of (hi, lo) pairs of (N,) f32 arrays.
+    Returns the final state in the same layout.
+    """
+    import functools
+    from jax.experimental import pallas as pl
+
+    n = state[0][0].shape[0]
+    assert n % tile == 0 and tile % 128 == 0, (n, tile)
+    rows = tile // 128
+
+    def kernel(*refs):
+        ins, outs = refs[:12], refs[12:]
+        st = tuple((ins[2*i][:], ins[2*i + 1][:]) for i in range(6))
+        for stp in steps:
+            st, _ = _surface_df(st, stp["c"], stp["mu"], stp["dz"],
+                                stp["kind"], stp["flat"])
+        for i in range(6):
+            outs[2*i][:] = st[i][0]
+            outs[2*i + 1][:] = st[i][1]
+
+    flat = [jnp.asarray(w).reshape(n // 128, 128)
+            for comp in state for w in comp]
+    spec = pl.BlockSpec((rows, 128), lambda i: (i, 0))
+    out_shape = [jax.ShapeDtypeStruct((n // 128, 128), jnp.float32)
+                 for _ in range(12)]
+    # Mosaic rejects i64 index maps when jax_enable_x64 is on
+    with jax.enable_x64(False):
+        outs = pl.pallas_call(
+            kernel, grid=(n // tile,),
+            in_specs=[spec]*12, out_specs=[spec]*12,
+            out_shape=out_shape, interpret=interpret,
+        )(*flat)
+    outs = [o.reshape(n) for o in outs]
+    return tuple((outs[2*i], outs[2*i + 1]) for i in range(6))

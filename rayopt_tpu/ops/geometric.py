@@ -144,6 +144,30 @@ def trace_rays_final(table, y0, u0, clip=False, specs=None,
     return K.join(*out[:3]), K.join(*out[3:]), tacc
 
 
+def trace_rays_final_fast(table, y0, u0, clip=False, specs=None,
+                          tile=8*1024):
+    """Fastest final-state trace for the current backend.
+
+    On TPU this is the Pallas fused kernel (ops.pallas_trace): the
+    whole specialized surface chain runs on a VMEM-resident ray tile,
+    one HBM read+write per ray regardless of depth -- measured ~1.3x
+    the XLA-unrolled chain on v5e (bench.py logs both).  Elsewhere (or
+    for ray counts that don't tile) it falls back to
+    trace_rays_final.  Not differentiable on the Pallas path; use
+    trace_rays_final under jax.grad.
+    """
+    n = y0.shape[0]
+    if jax.default_backend() == "tpu" and n % tile == 0:
+        from .pallas_trace import pallas_trace_final
+        state = (*K.split(y0), *K.split(u0))
+        out, tacc = pallas_trace_final(table, state, clip=clip,
+                                       specs=specs, tile=tile)
+        return K.join(*out[:3]), K.join(*out[3:]), tacc
+    unroll = jax.default_backend() != "cpu"
+    return trace_rays_final(table, y0, u0, clip=clip, specs=specs,
+                            unroll=unroll)
+
+
 @functools.partial(jax.jit, static_argnames=("clip", "specs", "unroll"))
 def trace_rays_final_multi(tables, y0, u0, clip=False, specs=None,
                            unroll=False):

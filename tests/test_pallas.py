@@ -57,3 +57,35 @@ def test_pallas_clip(build=cooke_triplet):
                            equal_nan=True)
     # some rays must actually be vignetted for this to test anything
     assert np.isnan(got_u).any()
+
+
+@pytest.mark.tpu
+def test_pallas_real_tpu_smoke():
+    """Real-chip smoke: the Pallas fused kernel and the df32 kernel
+    compile and agree with the XLA engine on an actual TPU.  Skipped
+    on CPU-only runs; bench.py exercises this on every benchmark."""
+    import jax
+    if jax.default_backend() != "tpu":
+        pytest.skip("no TPU")
+    from rayopt_tpu.ops import df32
+    s = double_gauss()
+    tab = s.table()
+    n = 8192
+    rng = np.random.RandomState(0)
+    y = np.zeros((n, 3))
+    y[:, :2] = rng.uniform(-1, 1, (n, 2))*9
+    u = np.zeros((n, 3))
+    u[:, 2] = 1.
+    yf = np.asarray(trace_rays_final(tab, y, u)[0])
+    state = tuple(np.ascontiguousarray(c)
+                  for c in (*split(y), *split(u)))
+    import jax.numpy as jnp
+    tab32 = jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float32),
+                                   tab)
+    out, t = pallas_trace_final(
+        tab32, tuple(c.astype(np.float32) for c in state),
+        specs=specialize(tab))
+    nptest.assert_allclose(np.asarray(out[0]), yf[:, 0], atol=1e-3)
+    out_df = df32.pallas_trace_df32(df32.plan(tab),
+                                    df32.state_from_f64(y, u))
+    nptest.assert_allclose(df32.to_f64(out_df[0]), yf[:, 0], atol=1e-9)
