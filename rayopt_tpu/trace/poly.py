@@ -18,7 +18,7 @@ from collections import namedtuple
 
 import numpy as np
 
-from ..ops.simplex import make_simplex, simplex_transform
+from ..ops.simplex import make_simplex
 from .base import Trace
 
 PolyState = namedtuple("PolyState", "f n r p k s t v w o")
@@ -217,11 +217,14 @@ class PolyTrace(Trace):
         if telecentric:
             r = -obj.radius
             a, c = c, a
-        m = np.array([[r**2, 0, 0], [a**2, c**2, 2*a*c],
-                      [r*a, 0, r*c]])
-        st = np.dot([[r, a], [0, c]], self.stvwof[i, :2])
-        bst = simplex_transform(self.Simplex.i.ravel(),
-                                self.Simplex.j, st, m)
+        # fast path: the transform matrix [[r^2,0,0],[a^2,c^2,2ac],
+        # [ra,0,rc]] has closed-form expansion coefficients
+        # (reference simplex_accel.pyx:185 finite_object_fast)
+        from ..ops.simplex import finite_object_table, finite_object_np
+        tab = finite_object_table(self.Simplex.d, self.Simplex.n)
+        bst = finite_object_np(tab, r, -a, -c,
+                               np.asarray(self.stvwof[i, 0]),
+                               np.asarray(self.stvwof[i, 1]))
         if telecentric:
             ii, jj, kk = self.Simplex.j.T
             perm = self.Simplex.i[jj, ii, kk]

@@ -132,3 +132,25 @@ def test_simplex_class():
     c[1] = 1.
     v = c(np.array([2.]), np.array([0.]), np.array([0.]))
     nptest.assert_allclose(v, [2.])
+
+
+def test_finite_object_matches_generic():
+    """The finite-object fast transform (precomputed closed-form
+    scatter, reference simplex_accel.pyx:185-209) equals the generic
+    simplex_transform with the structured matrix."""
+    import numpy as np
+    from rayopt_tpu.ops.simplex import (
+        make_simplex, simplex_transform, finite_object_table,
+        finite_object_np)
+    S = make_simplex(3, 7)
+    rng = np.random.default_rng(3)
+    s = rng.standard_normal(S.q)
+    t = rng.standard_normal(S.q)
+    for r, a, c in ((1.7, .3, -.8), (2., -.1, .5), (.4, .9, .2)):
+        m = np.array([[r**2, 0, 0], [a**2, c**2, 2*a*c],
+                      [r*a, 0, r*c]])
+        st = np.dot([[r, a], [0, c]], np.stack([s, t]))
+        want = simplex_transform(S.i.ravel(), S.j, st, m)
+        tab = finite_object_table(S.d, S.n)
+        got = finite_object_np(tab, r, -a, -c, s, t)
+        np.testing.assert_allclose(got, want, atol=1e-10, rtol=1e-12)
