@@ -63,7 +63,7 @@ def main():
         lambda a: jnp.asarray(a, dtype=dtype), tab64)
 
     on_tpu = backend == "tpu"
-    n = 1 << 25 if on_tpu else 1 << 18
+    n = 1 << 27 if on_tpu else 1 << 18
     chain = 8
     rng = np.random.RandomState(0)
     comps = (jnp.asarray(rng.uniform(-11.6, 11.6, n).astype(dtype)),
@@ -87,8 +87,11 @@ def main():
         tab, st, specs=specs, unroll=on_tpu))
     engines = [("xla_f32", xla_chain)]
     if on_tpu:
+        # tile=16k measured fastest across the 2^25..2^27 x 8k..64k
+        # sweep (docs/STATUS.md)
         engines.append(("pallas_f32", chain_of(
-            lambda st: pallas_trace_final(tab, st, specs=specs))))
+            lambda st: pallas_trace_final(tab, st, specs=specs,
+                                          tile=16*1024))))
 
     log("warming the compiler (cold remote compile can take "
         "minutes)...")
@@ -174,8 +177,11 @@ def main():
         log("df32 spot RMS parity vs f64 CPU: %.3g "
             "(f64 %.15g df32 %.15g)" % (parity, r_cpu, r_df))
 
+        # df32 carries 2x the arrays; measure at 2^25 to stay well
+        # inside HBM next to the f32 buffers (rate is size-stable)
+        n_df = 1 << 25
         state_df = df32.state_from_f64(
-            np.concatenate([yp]*(n//m)), np.concatenate([up]*(n//m)))
+            np.concatenate([yp]*(n_df//m)), np.concatenate([up]*(n_df//m)))
         state_df = jax.tree_util.tree_map(jnp.asarray, state_df)
 
         def df_chain(state):
@@ -192,7 +198,7 @@ def main():
         df_chain = jax.jit(df_chain)
         log("timing pallas_df32 (parity-grade)...")
         tb = best_of(lambda a: float(df_chain(a)), state_df)
-        rate_df = chain*n*nsurf/tb
+        rate_df = chain*n_df*nsurf/tb
         log("  pallas_df32: %.1f ms -> %.3f G intersections/s "
             "(>= 1e9 target: %s)" % (tb*1e3, rate_df/1e9,
                                      rate_df >= 1e9))

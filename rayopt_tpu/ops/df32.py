@@ -145,65 +145,160 @@ def _dot3(ax, ay, az, bx, by, bz):
     return add(add(mul(ax, bx), mul(ay, by)), mul(az, bz))
 
 
-def _surface_df(state, c, mu, dz, kind, flat):
+def _broadcast(cst, like):
+    return (jnp.broadcast_to(cst[0], like.shape),
+            jnp.broadcast_to(cst[1], like.shape))
+
+
+def _poly_even_df(r2, coeffs):
+    """Horner over even powers: sum coeffs[i] * r2^(i+1)."""
+    acc = None
+    for ci in coeffs[::-1]:
+        acc = ci if acc is None else add(mul(acc, r2), ci)
+    return mul(acc, r2)
+
+
+def _dpoly_even_df(r2, coeffs):
+    """d/d(r) of the even polynomial divided by r:
+    sum 2(i+1) coeffs[i] r2^i."""
+    acc = None
+    for i in range(len(coeffs) - 1, -1, -1):
+        ci = scale(coeffs[i], np.float32(2*(i + 1)))
+        acc = ci if acc is None else add(mul(acc, r2), ci)
+    return acc
+
+
+def _sag_df(x, y, z, c, k1, asp):
+    """z - surface_sag(x, y) (kernels.sag in df32)."""
+    r2 = add(sqr(x), sqr(y))
+    cr2 = mul(c, r2)
+    den = add(_ONE, sqrt(sub(_ONE, mul(k1, mul(c, cr2)))))
+    e = sub(z, div(cr2, den))
+    if asp:
+        e = sub(e, _poly_even_df(r2, asp))
+    return e
+
+
+def _normal_radial_df(x, y, c, k1, asp):
+    """Radial factor of the normal (kernels.normal_radial in df32)."""
+    r2 = add(sqr(x), sqr(y))
+    e = neg(div(c, sqrt(sub(_ONE, mul(k1, mul(sqr(c), r2))))))
+    if asp:
+        e = sub(e, _dpoly_even_df(r2, asp))
+    return e
+
+
+ASPHERIC_ITERS = 8
+
+
+def _apply_signed(R, vx, vy, vz):
+    """Apply a signed permutation matrix (one +-1 per row) to a
+    component triple -- exact in df32 (pure sign flips/swaps)."""
+    comps = (vx, vy, vz)
+    out = []
+    for row in R:
+        k = int(np.flatnonzero(row)[0])
+        out.append(comps[k] if row[k] > 0 else neg(comps[k]))
+    return tuple(out)
+
+
+def _surface_df(state, c, mu, dz, kind, flat, k1=None, asp=None,
+                alternate=False, rotm=None):
     """One transfer-intercept-refract step in df32 for an axial
-    spherical (or flat) surface.  `c`, `mu`, `dz` are df32 constants;
-    kind: 0 passthrough, 1 refract, 2 mirror (see
+    surface (flat / spherical / conic / even-aspheric).  `c`, `mu`,
+    `dz`, `k1` (= 1+conic) are df32 constants, `asp` a tuple of df32
+    aspheric constants; kind: 0 passthrough, 1 refract, 2 mirror (see
     kernels.SurfaceSpec).  Mirrors the math of
-    kernels.intercept_spec/refract_spec."""
+    kernels.intercept/intercept_spec/refract_spec."""
     x, y, z, ux, uy, uz = state
     z = sub(z, dz)
+    if rotm is not None:
+        # exact axis-flip frame change (mirror folds): to_normal
+        x, y, z = _apply_signed(rotm, x, y, z)
+        ux, uy, uz = _apply_signed(rotm, ux, uy, uz)
+    conic = k1 is not None
+    kk = k1 if conic else const(1.)
     if flat:
         s = neg(div(z, uz))
     else:
-        # closed-form sphere intercept, unit |u|; the two algebraically
-        # equal root forms -(d+g)/c and f/(g-d) are each stable in the
+        # closed-form conic intercept, unit |u|; the two algebraically
+        # equal root forms -(d+g)/e and f/(g-d) are each stable in the
         # complementary sign regime of d (cancellation-free choice)
-        uy_ = _dot3(ux, uy, uz, x, y, z)
-        yy = _dot3(x, y, z, x, y, z)
+        if conic:
+            kz = mul(k1, z)
+            uy_ = _dot3(ux, uy, uz, x, y, kz)
+            uu = add(add(sqr(ux), sqr(uy)), mul(k1, sqr(uz)))
+            yy = _dot3(x, y, z, x, y, kz)
+            e_q = mul(c, uu)
+        else:
+            uy_ = _dot3(ux, uy, uz, x, y, z)
+            yy = _dot3(x, y, z, x, y, z)
+            e_q = _broadcast(c, x[0])
         d = sub(mul(c, uy_), uz)
         f = sub(mul(c, yy), scale(z, 2.))
-        disc = sub(sqr(d), mul(c, f))
+        disc = sub(sqr(d), mul(e_q, f))
         g = sqrt(disc)
-        stable = d[0] < 0
-        cb = (jnp.broadcast_to(c[0], d[0].shape),
-              jnp.broadcast_to(c[1], d[0].shape))
-        num = where(stable, f, neg(add(d, g)))
-        den = where(stable, sub(g, d), cb)
-        s = div(num, den)
+        if alternate:
+            s = div(neg(sub(d, g)), e_q)
+        else:
+            stable = d[0] < 0
+            num = where(stable, f, neg(add(d, g)))
+            den = where(stable, sub(g, d), e_q)
+            s = div(num, den)
+    if asp:
+        # Newton-polish against the full aspheric sag
+        for _ in range(ASPHERIC_ITERS):
+            px = add(x, mul(s, ux))
+            py = add(y, mul(s, uy))
+            pz = add(z, mul(s, uz))
+            fn = _sag_df(px, py, pz, c, kk, asp)
+            en = _normal_radial_df(px, py, c, kk, asp)
+            fp = add(add(mul(ux, mul(px, en)),
+                         mul(uy, mul(py, en))), uz)
+            s = sub(s, div(fn, fp))
     x = add(x, mul(s, ux))
     y = add(y, mul(s, uy))
     z = add(z, mul(s, uz))
+    plane = flat and not asp
     if kind == 0:
-        return (x, y, z, ux, uy, uz), s
-    # surface normal (nx, ny, 1)*e with e = -c/sqrt(1 - c^2 r^2)
-    if not flat:
-        r2 = add(sqr(x), sqr(y))
-        e = neg(div(c, sqrt(sub(_ONE, mul(sqr(c), r2)))))
-        nx, ny = mul(x, e), mul(y, e)
-        nn = add(add(sqr(nx), sqr(ny)), _ONE)
-        dot = add(add(mul(ux, nx), mul(uy, ny)), uz)
+        vx, vy, vz = ux, uy, uz
     else:
-        nn = _ONE
-        dot = uz
-    if kind == 2:
-        a2 = scale(div(dot, nn), 2.)
-        if flat:
-            return (x, y, z, ux, uy, sub(uz, a2)), s
-        return (x, y, z, sub(ux, mul(a2, nx)), sub(uy, mul(a2, ny)),
-                sub(uz, a2)), s
-    # refraction: mu > 0 here (mirror handled above)
-    a = div(mul(mu, dot), nn)
-    b = div(sub(sqr(mu), _ONE), nn)
-    disc = sub(sqr(a), b)
-    g = sub(sqrt(disc), a)
-    if flat:
-        return (x, y, z, mul(mu, ux), mul(mu, uy),
-                add(mul(mu, uz), g)), s
-    return (x, y, z,
-            add(mul(mu, ux), mul(g, nx)),
-            add(mul(mu, uy), mul(g, ny)),
-            add(mul(mu, uz), g)), s
+        if not plane:
+            # surface normal (nx, ny, 1)*e
+            e = _normal_radial_df(x, y, c, kk, asp)
+            nx, ny = mul(x, e), mul(y, e)
+            nn = add(add(sqr(nx), sqr(ny)), _ONE)
+            dot = add(add(mul(ux, nx), mul(uy, ny)), uz)
+        else:
+            nn = _ONE
+            dot = uz
+        if kind == 2:
+            a2 = scale(div(dot, nn), 2.)
+            if plane:
+                vx, vy, vz = ux, uy, sub(uz, a2)
+            else:
+                vx = sub(ux, mul(a2, nx))
+                vy = sub(uy, mul(a2, ny))
+                vz = sub(uz, a2)
+        else:
+            # refraction: mu > 0 here (mirror handled above)
+            a = div(mul(mu, dot), nn)
+            b = div(sub(sqr(mu), _ONE), nn)
+            gdisc = sub(sqr(a), b)
+            g = sub(sqrt(gdisc), a)
+            if plane:
+                vx, vy = mul(mu, ux), mul(mu, uy)
+                vz = add(mul(mu, uz), g)
+            else:
+                vx = add(mul(mu, ux), mul(g, nx))
+                vy = add(mul(mu, uy), mul(g, ny))
+                vz = add(mul(mu, uz), g)
+    if rotm is not None:
+        # back to the running (global) frame: from_normal = R^T
+        rt = rotm.T
+        x, y, z = _apply_signed(rt, x, y, z)
+        vx, vy, vz = _apply_signed(rt, vx, vy, vz)
+    return (x, y, z, vx, vy, vz), s
 
 
 _ONE = (np.float32(1.), np.float32(0.))
@@ -211,36 +306,63 @@ _ONE = (np.float32(1.), np.float32(0.))
 
 def plan(table):
     """Host-side: per-surface df32 constants + static flags from a
-    float64 SurfaceTable.  Only axial, unrotated, spherical/flat
-    surfaces are supported (the throughput benchmark class); anything
-    else raises."""
+    float64 SurfaceTable.  Axial flat/spherical/conic/even-aspheric
+    surfaces (including mirrors and alternate intersections) are
+    supported; tilted/decentered surfaces raise."""
     curv = np.asarray(table.curvature, np.float64)
     conic = np.asarray(table.conic, np.float64)
     mu = np.asarray(table.mu, np.float64)
     off = np.asarray(table.offset, np.float64)
     rot = np.asarray(table.rot, np.float64)
     asp = np.asarray(table.aspherics, np.float64)
+    alt = np.asarray(table.alternate, np.float64)
     steps = []
     for j in range(1, curv.shape[0]):
-        if conic[j] or (asp.shape[1] and asp[j].any()):
-            raise NotImplementedError("df32 engine: spherical only")
-        if off[j, 0] or off[j, 1] or not np.allclose(rot[j], np.eye(3)):
+        if off[j, 0] or off[j, 1]:
             raise NotImplementedError("df32 engine: axial only")
+        rotm = None
+        if not np.allclose(rot[j], np.eye(3)):
+            # exact axis-flip frames (mirror folds) are supported:
+            # the rotation must round to a signed permutation
+            ri = np.rint(rot[j]).astype(int)
+            ok = (np.abs(rot[j] - ri).max() < 1e-12
+                  and (np.abs(ri).sum(0) == 1).all()
+                  and (np.abs(ri).sum(1) == 1).all())
+            if not ok:
+                raise NotImplementedError(
+                    "df32 engine: only axis-flip rotations")
+            rotm = ri
         kind = 0 if mu[j] == 1. else (2 if mu[j] == -1. else 1)
+        coeffs = asp[j] if asp.shape[1] else np.zeros(0)
+        nz = int(np.max(np.nonzero(coeffs)[0]) + 1) if coeffs.any() \
+            else 0
         steps.append(dict(
             c=const(curv[j]), mu=const(abs(mu[j])),
-            dz=const(off[j, 2]), kind=kind, flat=curv[j] == 0.))
+            dz=const(off[j, 2]), kind=kind, flat=curv[j] == 0.,
+            k1=const(1. + conic[j]) if conic[j] else None,
+            asp=tuple(const(a) for a in coeffs[:nz]),
+            alternate=bool(alt[j]), rotm=rotm))
     return steps
+
+
+def _run_step(state, st):
+    return _surface_df(state, st["c"], st["mu"], st["dz"], st["kind"],
+                       st["flat"], st.get("k1"), st.get("asp"),
+                       st.get("alternate", False), st.get("rotm"))
 
 
 def trace_df32_final(steps, state):
     """Unrolled df32 trace over the planned surface chain.
 
-    state: six (hi, lo) component pairs.  Returns the final state.
+    state: six (hi, lo) component pairs.  Returns the final state in
+    the last surface's normal frame (like trace_components_final).
     Trace inside jit; `steps` constants close over the function."""
     for st in steps:
-        state, _ = _surface_df(state, st["c"], st["mu"], st["dz"],
-                               st["kind"], st["flat"])
+        state, _ = _run_step(state, st)
+    last = steps[-1].get("rotm")
+    if last is not None:
+        state = (*_apply_signed(last, *state[:3]),
+                 *_apply_signed(last, *state[3:]))
     return state
 
 
@@ -279,8 +401,12 @@ def pallas_trace_df32(steps, state, tile=8*1024, interpret=False):
         ins, outs = refs[:12], refs[12:]
         st = tuple((ins[2*i][:], ins[2*i + 1][:]) for i in range(6))
         for stp in steps:
-            st, _ = _surface_df(st, stp["c"], stp["mu"], stp["dz"],
-                                stp["kind"], stp["flat"])
+            st, _ = _run_step(st, stp)
+        last = steps[-1].get("rotm")
+        if last is not None:
+            # express the final state in the image surface's frame
+            st = (*_apply_signed(last, *st[:3]),
+                  *_apply_signed(last, *st[3:]))
         for i in range(6):
             outs[2*i][:] = st[i][0]
             outs[2*i + 1][:] = st[i][1]

@@ -2,6 +2,10 @@ from .sharding import (  # noqa: F401
     ray_mesh, shard_rays, sharded_trace, sharded_rms,
     sharded_spot_rms, shard_bundles,
 )
+from .tolerancing import (  # noqa: F401
+    tolerance_analysis, monte_carlo_rms, sharded_monte_carlo_rms,
+    perturbed_tables,
+)
 from .grad import (  # noqa: F401
     trace_rms_merit, optimize_grad, optimize_system, spot_rms,
     wavefront_rms, opd_rays, bundles_from_system,

@@ -63,18 +63,51 @@ def monte_carlo_rms(tables, y0, u0, w, clip=False):
     return jax.vmap(rms_one)(tables)
 
 
+def sharded_monte_carlo_rms(tables, y0, u0, w, mesh, clip=False,
+                            axis="samples"):
+    """Batch-farm the Monte-Carlo samples over a device mesh: the
+    stacked tables shard over their leading sample axis, rays are
+    replicated, every chip traces its own slice of the design
+    perturbations with no cross-chip communication at all (the
+    SURVEY.md section 5 "farm independent traces over hosts" pattern;
+    over multi-host meshes the same sharding rides DCN)."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    def local(tabs, y0, u0, w):
+        # rays are replicated but feed a scan carry that varies over
+        # the sample axis; mark them varying for shard_map's checker
+        if hasattr(jax.lax, "pcast"):
+            y0, u0, w = jax.lax.pcast((y0, u0, w), (axis,),
+                                      to="varying")
+        return monte_carlo_rms.__wrapped__(tabs, y0, u0, w, clip=clip)
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis), P(), P(), P()),
+        out_specs=P(axis),
+    )
+    return jax.jit(fn)(tables, y0, u0, w)
+
+
 def tolerance_analysis(table, y0, u0, w=None, sigmas=None,
-                       n_samples=256, seed=0, clip=False):
+                       n_samples=256, seed=0, clip=False, mesh=None):
     """Monte-Carlo tolerance run; returns dict with the merit
-    distribution and its quantiles."""
+    distribution and its quantiles.  With `mesh`, samples are farmed
+    over the devices (sample count must divide by the mesh size)."""
     if w is None:
         w = np.ones(y0.shape[0])/y0.shape[0]
     if sigmas is None:
         sigmas = {"curvature": 1e-6, "distance": 5e-3}
     key = jax.random.PRNGKey(seed)
     tables = perturbed_tables(table, key, n_samples, sigmas)
-    rms = np.asarray(monte_carlo_rms(tables, y0, u0, jnp.asarray(w),
-                                     clip=clip))
+    if mesh is None:
+        rms = monte_carlo_rms(tables, y0, u0, jnp.asarray(w), clip=clip)
+    else:
+        rms = sharded_monte_carlo_rms(tables, jnp.asarray(y0),
+                                      jnp.asarray(u0), jnp.asarray(w),
+                                      mesh, clip=clip)
+    rms = np.asarray(rms)
     good = rms[np.isfinite(rms)]
     return {
         "rms": rms,

@@ -71,9 +71,53 @@ def test_sqrt_nan_deliberate():
 
 def test_plan_rejects_unsupported():
     s = cooke_triplet()
-    s[2].conic = .5
+    s[2].angles = (.1, 0., 0.)
     with pytest.raises(NotImplementedError):
         df32.plan(s.table())
+
+
+def test_trace_parity_conic_aspheric(rng):
+    """Conic + even-aspheric surfaces (Newton-polished intercept in
+    df32) match the f64 engine."""
+    s = double_gauss()
+    s[2].conic = -.7
+    s[5].conic = .4
+    s[7].aspherics = [0., 1.2e-7, -3e-11]
+    s.update()
+    tab = s.table()
+    n = 512
+    y = np.zeros((n, 3))
+    y[:, :2] = rng.uniform(-1, 1, (n, 2))*8.
+    u = np.zeros((n, 3))
+    u[:, 2] = 1.
+    yf = np.asarray(trace_rays_final(tab, y, u)[0])
+    out = df32.trace_df32_final(df32.plan(tab),
+                                df32.state_from_f64(y, u))
+    xd, yd = df32.to_f64(out[0]), df32.to_f64(out[1])
+    good = np.isfinite(yf[:, 0])
+    assert good.sum() > n//2
+    nptest.assert_allclose(xd[good], yf[good, 0], atol=1e-9)
+    nptest.assert_allclose(yd[good], yf[good, 1], atol=1e-9)
+
+
+def test_trace_parity_mirror(rng):
+    """Axial mirror systems (parabolic primary) trace in df32."""
+    from rayopt_tpu.models import parabolic_mirror
+    s = parabolic_mirror()
+    tab = s.table()
+    n = 256
+    y = np.zeros((n, 3))
+    y[:, :2] = rng.uniform(-1, 1, (n, 2))*40.
+    u = np.zeros((n, 3))
+    u[:, 2] = 1.
+    yf = np.asarray(trace_rays_final(tab, y, u)[0])
+    out = df32.trace_df32_final(df32.plan(tab),
+                                df32.state_from_f64(y, u))
+    xd, yd = df32.to_f64(out[0]), df32.to_f64(out[1])
+    good = np.isfinite(yf[:, 0])
+    assert good.sum() > n//2
+    nptest.assert_allclose(xd[good], yf[good, 0], atol=1e-9)
+    nptest.assert_allclose(yd[good], yf[good, 1], atol=1e-9)
 
 
 @pytest.mark.parametrize("model", [double_gauss, cooke_triplet])

@@ -43,3 +43,28 @@ def test_zero_sigma_is_nominal():
                               {"curvature": 0.})
     rms = np.asarray(monte_carlo_rms(tables, y0, u0, w))
     assert np.allclose(rms, rms[0])
+
+
+def test_sharded_farm_matches_single():
+    """Monte-Carlo samples farmed over the 8-device mesh reproduce the
+    single-device distribution exactly (pure batch parallelism, no
+    collectives)."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+    from rayopt_tpu.models import cooke_triplet
+    from rayopt_tpu.parallel import tolerance_analysis
+    s = cooke_triplet()
+    tab = s.table()
+    n = 128
+    rng = np.random.RandomState(0)
+    y = np.zeros((n, 3))
+    y[:, :2] = rng.uniform(-1, 1, (n, 2))
+    u = np.zeros((n, 3))
+    u[:, 2] = 1.
+    single = tolerance_analysis(tab, y, u, n_samples=64, seed=3)
+    mesh = Mesh(np.asarray(jax.devices()), ("samples",))
+    farmed = tolerance_analysis(tab, y, u, n_samples=64, seed=3,
+                                mesh=mesh)
+    np.testing.assert_allclose(farmed["rms"], single["rms"],
+                               rtol=1e-12)

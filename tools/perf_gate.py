@@ -2,7 +2,7 @@
 
 Reads the one-line bench JSON (from a file argument or stdin) and
 fails unless `vs_baseline` meets the pinned floor.  The fused-engine
-guard from the development notes ("bench vs_baseline >= 29") is
+guard (Pallas headline, round 2: vs_baseline 41.8) is
 enforced here with a 10% variance allowance for run-to-run TPU noise.
 
 Usage:
@@ -13,7 +13,7 @@ Usage:
 import json
 import sys
 
-FLOOR = 29.0
+FLOOR = 41.0
 VARIANCE = 0.9  # tolerate 10% run-to-run noise
 
 
