@@ -36,32 +36,41 @@ def try_get(line, columns, field, default=None):
     return _Row(columns, line).get(field, default)
 
 
+def _surface_from_row(row, material_map):
+    """One table row -> a Spheroid (curvature from `curvature` or
+    `roc`, radius from `radius` or half `diameter`)."""
+    el = Spheroid()
+    curv = row.get("curvature")
+    if curv is None:
+        roc = row.get("roc", 0.)
+        curv = 1./roc if roc else 0.
+    el.curvature = curv
+    el.distance = row.get("distance", 0.)
+    el.radius = row.get("radius", 0.) or row.get("diameter", 0.)/2.
+    mat = row.get("material")
+    el.material = Material.make(material_map.get(mat, mat))
+    return el
+
+
 def system_from_array(data,
                       columns="type roc distance diameter material".split(),
                       shifts={}, material_map={}, **kwargs):
     """Build a System from a column table (reference formats.py:40):
     one row per surface, column meanings given by `columns`."""
-    data = np.array(data)
-    assert data.ndim == 2
+    table = np.array(data)
+    assert table.ndim == 2
     for field, amount in shifts.items():
-        i = columns.index(field)
-        data[:, i] = np.roll(data[:, i], amount)
+        col = columns.index(field)
+        table[:, col] = np.roll(table[:, col], amount)
     s = System(**kwargs)
-    for line in data:
+    for line in table:
         row = _Row(columns, line)
-        el = Spheroid()
+        el = _surface_from_row(row, material_map)
         s.append(el)
-        typ = row.get("type", "S")
-        if typ == "A":
+        kind = row.get("type", "S")
+        if kind == "A":
             s.aperture = el
-        curv = row.get("curvature")
-        if curv is None:
-            roc = row.get("roc", 0.)
-            curv = 1./roc if roc else 0.
-        el.curvature = curv
-        el.distance = row.get("distance", 0.)
-        el.radius = row.get("radius", 0.) or row.get("diameter", 0.)/2.
-        if typ == "O" and el.radius:
+        elif kind == "O" and el.radius:
             # the object row's aperture describes the field: an angular
             # radius for an infinite conjugate, a height otherwise
             # (reference formats.py:69 stored this on a dead attribute)
@@ -69,8 +78,6 @@ def system_from_array(data,
                 s.object.radius = el.radius
             else:
                 s.object.angle = el.radius
-        mat = row.get("material")
-        el.material = Material.make(material_map.get(mat, mat))
     return s
 
 

@@ -1,4 +1,8 @@
-"""Code V XML glass catalogs (reference codev.py:32-67)."""
+"""Code V XML glass catalogs (reference codev.py:32-67).
+
+The XML element paths and the equation-name mapping are dictated by
+the format; records are built declaratively from the parsed tree.
+"""
 
 import xml.etree.ElementTree as et
 
@@ -13,27 +17,30 @@ def register_parsers():
     LibMaterial.parsers["codev"] = codevxml_to_material
 
 
+def _text(node, path):
+    return node.find(path).text
+
+
 def codevxml_read(file, session):
     from .library import Catalog, LibMaterial
     cat = Catalog()
-    data = cat.load(file)
+    root = et.fromstring(cat.load(file))
     cat.type, cat.source, cat.format = "material", "codev", "codev"
-    data = et.fromstring(data)
-    cat.name = data.find("./Name").text
-    cat.comment = data.find("./ID").text
+    cat.name = _text(root, "./Name")
+    cat.comment = prefix = _text(root, "./ID")
     session.add(cat)
-    for glass in data.iterfind("./Glasses/Glass"):
-        rec = LibMaterial()
-        cat.materials.append(rec)
-        name = glass.find("./GlassName").text
-        assert name.startswith(cat.comment), (cat.comment, name)
-        rec.name = name[len(cat.comment):]
-        rec.comment = glass.find("./NumericName").text
-        rec.status = int(glass.find("./Availability").text)
-        rec.data = et.tostring(glass).decode()
+    for glass in root.iterfind("./Glasses/Glass"):
+        full_name = _text(glass, "./GlassName")
+        assert full_name.startswith(prefix), (prefix, full_name)
+        cat.materials.append(LibMaterial(
+            name=full_name[len(prefix):],
+            comment=_text(glass, "./NumericName"),
+            status=int(_text(glass, "./Availability")),
+            data=et.tostring(glass).decode()))
     return cat
 
 
+#: Code V equation names -> dispersion formula names
 _EQ_MAP = {
     "Standard Sellmeier": "sellmeier",
     "Glass Manufacturer Sellmeier": "sellmeier_squared_offset",
@@ -45,23 +52,38 @@ _EQ_MAP = {
 
 
 def codevxml_to_material(data, item=None):
-    data = et.fromstring(data)
-    mat = CoefficientsMaterial(coefficients=[])
-    mat.typ = _EQ_MAP[data.find("./EquationType").text]
-    mat.name = data.find("./GlassName").text[2:]
-    mat.coefficients = np.array([
-        float(c.text) for c in data.iterfind(
-            "./DispersionCoefficients/Coefficient")])
+    node = et.fromstring(data)
+    coeffs = [float(c.text) for c in node.iterfind(
+        "./DispersionCoefficients/Coefficient")]
+    mat = CoefficientsMaterial(coefficients=np.asarray(coeffs))
+    mat.typ = _EQ_MAP[_text(node, "./EquationType")]
+    mat.name = _text(node, "./GlassName")[2:]
     return mat
+
+
+def _load_tree(lib, location):
+    """Import every catalog file under a directory or zip archive."""
+    import os
+    import shutil
+    import tempfile
+    import zipfile
+
+    if os.path.isdir(location):
+        for name in sorted(os.listdir(location)):
+            lib.load(os.path.join(location, name))
+        return
+    scratch = tempfile.mkdtemp()
+    try:
+        with zipfile.ZipFile(location, "r") as archive:
+            for member in archive.namelist():
+                lib.load(archive.extract(member, scratch))
+    finally:
+        shutil.rmtree(scratch)
 
 
 def main(argv=None):
     """CLI: import Code V XML glass catalogs from a zip or directory."""
     import argparse
-    import zipfile
-    import tempfile
-    import shutil
-    import os
     from .library import Library
 
     parser = argparse.ArgumentParser()
@@ -69,18 +91,7 @@ def main(argv=None):
                         "glass-catalog XML files")
     parser.add_argument("-d", "--db", default=None)
     opts = parser.parse_args(argv)
-    lib = Library(opts.db)
-    if os.path.isdir(opts.location):
-        for f in os.listdir(opts.location):
-            lib.load(os.path.join(opts.location, f))
-        return
-    tmp = tempfile.mkdtemp()
-    try:
-        with zipfile.ZipFile(opts.location, "r") as zf:
-            for cat in zf.namelist():
-                lib.load(zf.extract(cat, tmp))
-    finally:
-        shutil.rmtree(tmp)
+    _load_tree(Library(opts.db), opts.location)
 
 
 if __name__ == "__main__":

@@ -3,7 +3,10 @@ binary lens catalogs.
 
 Behavioral parity with reference zemax.py:40-269 (command coverage,
 the XOR de-obfuscation of .zmf descriptions, the 13-entry AGF
-dispersion-formula map, UTF-16 BOM handling).
+dispersion-formula map, UTF-16 BOM handling).  The line formats and
+command vocabulary are dictated by the file formats; parsing here is
+organized as per-command handler registries dispatched over a small
+parse context.
 """
 
 import codecs
@@ -26,6 +29,21 @@ def register_parsers():
     LibMaterial.parsers["agf"] = agf_to_material
 
 
+def _registry():
+    table = {}
+
+    def bind(*names):
+        def reg(fn):
+            for name in names:
+                table[name] = fn
+            return fn
+        return reg
+
+    return table, bind
+
+
+# -- .zmf binary lens catalogs -------------------------------------------
+
 def zmf_obfuscate(data, a, b):
     """Undo the .zmf description obfuscation (XOR keystream derived
     from efl/enp, reference zemax.py:79)."""
@@ -40,6 +58,14 @@ def zmf_obfuscate(data, a, b):
     return data.tobytes()
 
 
+#: fixed 132-byte .zmf lens header (reference zemax.py:47)
+_ZMF_HEAD = struct.Struct("<I")
+_ZMF_LENS = struct.Struct("<100sIIIIIIIdd")
+_ZMF_FIELDS = ("name", "version", "elements", "shape", "aspheric",
+               "grin", "toroidal", "_desclen", "efl", "enp")
+_ZMF_SHAPES = "?EBPM"
+
+
 def zmf_read(file, session):
     """Read a Zemax binary lens catalog into the library
     (reference zemax.py:40)."""
@@ -48,37 +74,32 @@ def zmf_read(file, session):
     cat.load(file)
     cat.name = os.path.splitext(os.path.basename(file))[0]
     cat.type, cat.source, cat.format = "lens", "zemax", "zmx"
-    head = struct.Struct("<I")
-    lens = struct.Struct("<100sIIIIIIIdd")
-    shapes = "?EBPM"
-    f = open(file, "rb")
-    cat.version, = head.unpack(f.read(head.size))
-    assert cat.version in (1001,)
-    session.add(cat)
-    while True:
-        li = f.read(lens.size)
-        if len(li) != lens.size:
-            break
-        li = list(lens.unpack(li))
-        rec = LibLens()
-        rec.name = li[0].decode("latin1").strip("\0")
-        rec.version = li[1]
-        rec.elements = li[2]
-        rec.shape = shapes[li[3]]
-        rec.aspheric = li[4]
-        rec.grin = li[5]
-        rec.toroidal = li[6]
-        rec.efl = li[8]
-        rec.enp = li[9]
-        description = f.read(li[7])
-        assert len(description) == li[7]
-        description = zmf_obfuscate(description, rec.efl, rec.enp)
-        description = description.decode("latin1")
-        assert description.startswith(f"VERS {rec.version:06d}\n")
-        rec.data = description
-        cat.lenses.append(rec)
+    with open(file, "rb") as f:
+        cat.version, = _ZMF_HEAD.unpack(f.read(_ZMF_HEAD.size))
+        assert cat.version in (1001,)
+        session.add(cat)
+        while True:
+            raw = f.read(_ZMF_LENS.size)
+            if len(raw) != _ZMF_LENS.size:
+                break
+            rec = LibLens()
+            fields = dict(zip(_ZMF_FIELDS, _ZMF_LENS.unpack(raw)))
+            desclen = fields.pop("_desclen")
+            fields["name"] = fields["name"].decode("latin1").strip("\0")
+            fields["shape"] = _ZMF_SHAPES[fields["shape"]]
+            for key, val in fields.items():
+                setattr(rec, key, val)
+            description = f.read(desclen)
+            assert len(description) == desclen
+            description = zmf_obfuscate(description, rec.efl, rec.enp)
+            description = description.decode("latin1")
+            assert description.startswith(f"VERS {rec.version:06d}\n")
+            rec.data = description
+            cat.lenses.append(rec)
     return cat
 
+
+# -- .zmx prescriptions -----------------------------------------------
 
 _ZMX_IGNORED = set("""
 GCAT OPDX RAIM CONF ENPD PUPD EFFL VERS MODE NOTE TYPE HIDE MIRR SQAP
@@ -90,76 +111,136 @@ MNCA MNEA MNCG MNEG MXCA MXCG RGLA TRAC FLAP TCMM FLOA PMAG TOTR SLAB
 POPS COMM PZUP LANG FIMP
 """.split())
 
+_ZMX_SCALES = {"MM": 1e-3, "INCH": 25.4e-3, "IN": 25.4e-3}
+
+_ZMX, _zmx_on = _registry()
+
+
+@_zmx_on("UNIT")
+def _zmx_unit(ctx, args):
+    ctx.system.scale = _ZMX_SCALES[args.split()[0]]
+
+
+@_zmx_on("NAME")
+def _zmx_name(ctx, args):
+    ctx.system.description = args.strip("\"")
+
+
+@_zmx_on("SURF")
+def _zmx_surf(ctx, args):
+    ctx.system.append(Spheroid(distance=ctx.next_pos, material=air))
+
+
+@_zmx_on("CURV")
+def _zmx_curv(ctx, args):
+    ctx.surface.curvature = float(args.split()[0])
+
+
+@_zmx_on("DISZ")
+def _zmx_disz(ctx, args):
+    ctx.next_pos = float(args)
+
+
+@_zmx_on("GLAS")
+def _zmx_glas(ctx, args):
+    args = args.split()
+    name = args[0]
+    try:
+        ctx.surface.material = Material.make(name)
+    except KeyError:
+        try:
+            ctx.surface.material = Material.make(
+                (float(args[3]), float(args[4])))
+        except Exception as exc:
+            print("material not found", name, exc)
+
+
+@_zmx_on("DIAM")
+def _zmx_diam(ctx, args):
+    ctx.surface.radius = float(args.split()[0])
+
+
+@_zmx_on("STOP")
+def _zmx_stop(ctx, args):
+    ctx.surface.stop = True
+    ctx.system.stop = len(ctx.system) - 1
+
+
+@_zmx_on("WAVL")
+def _zmx_wavl(ctx, args):
+    ctx.system.wavelengths = [float(i)*1e-6
+                              for i in args.split() if i]
+
+
+@_zmx_on("COAT")
+def _zmx_coat(ctx, args):
+    ctx.surface.coating = args.split()[0]
+
+
+@_zmx_on("CONI")
+def _zmx_coni(ctx, args):
+    ctx.surface.conic = float(args.split()[0])
+
+
+@_zmx_on("PARM")
+def _zmx_parm(ctx, args):
+    i, j = args.split()
+    i = int(i) - 1
+    j = float(j)
+    if i < 0:
+        if j:
+            print("aspheric 0 degree not supported", args)
+        return
+    e = ctx.surface
+    if e.aspherics is None:
+        e.aspherics = []
+    while len(e.aspherics) <= i:
+        e.aspherics.append(0.)
+    e.aspherics[i] = j
+
+
+class _ZmxContext:
+    def __init__(self):
+        self.system = System()
+        self.system.append(Spheroid(material=air))
+        self.next_pos = 0.
+
+    @property
+    def surface(self):
+        return self.system[-1]
+
 
 def zmx_to_system(data, item=None):
     """Parse a .zmx prescription into a System
     (reference zemax.py:90; command coverage identical, with the STOP
     command additionally wired to System.stop)."""
-    s = System()
-    next_pos = 0.
-    s.append(Spheroid(material=air))
+    ctx = _ZmxContext()
     for line in data.splitlines():
-        e = s[-1]
         if not line.strip():
             continue
-        line = line.strip().split(" ", 1)
-        cmd = line[0]
-        args = line[1] if len(line) == 2 else ""
-        if cmd == "UNIT":
-            s.scale = {"MM": 1e-3, "INCH": 25.4e-3,
-                       "IN": 25.4e-3}[args.split()[0]]
-        elif cmd == "NAME":
-            s.description = args.strip("\"")
-        elif cmd == "SURF":
-            s.append(Spheroid(distance=next_pos, material=air))
-        elif cmd == "CURV":
-            e.curvature = float(args.split()[0])
-        elif cmd == "DISZ":
-            next_pos = float(args)
-        elif cmd == "GLAS":
-            args = args.split()
-            name = args[0]
-            try:
-                e.material = Material.make(name)
-            except KeyError:
-                try:
-                    e.material = Material.make((float(args[3]),
-                                                float(args[4])))
-                except Exception as exc:
-                    print("material not found", name, exc)
-        elif cmd == "DIAM":
-            e.radius = float(args.split()[0])
-        elif cmd == "STOP":
-            e.stop = True
-            s.stop = len(s) - 1
-        elif cmd == "WAVL":
-            s.wavelengths = [float(i)*1e-6 for i in args.split() if i]
-        elif cmd == "COAT":
-            e.coating = args.split()[0]
-        elif cmd == "CONI":
-            e.conic = float(args.split()[0])
-        elif cmd == "PARM":
-            i, j = args.split()
-            i = int(i) - 1
-            j = float(j)
-            if i < 0:
-                if j:
-                    print("aspheric 0 degree not supported", cmd, args)
-                continue
-            if e.aspherics is None:
-                e.aspherics = []
-            while len(e.aspherics) <= i:
-                e.aspherics.append(0.)
-            e.aspherics[i] = j
-        elif cmd in _ZMX_IGNORED:
-            pass
-        else:
+        cmd, _, args = line.strip().partition(" ")
+        handler = _ZMX.get(cmd)
+        if handler is not None:
+            handler(ctx, args)
+        elif cmd not in _ZMX_IGNORED:
             print(cmd, "not handled", args)
-    return s
+    return ctx.system
+
+
+# -- .agf glass catalogs ------------------------------------------------
+
+def _agf_open(fil):
+    """AGF files come UTF-16 (BOM) or latin1."""
+    with open(fil, "rb") as probe:
+        bom = probe.read(len(codecs.BOM_UTF16))
+    enc = "utf-16" if bom == codecs.BOM_UTF16 else "latin1"
+    return open(fil, encoding=enc)
 
 
 def agf_read(fil, session):
-    """Read a Zemax glass catalog (.agf) into the library
+    """Read a Zemax glass catalog (.agf) into the library: one
+    LibMaterial per NM block, nd/vd/status from NM, thermal/density
+    from ED, raw block retained for lazy parsing
     (reference zemax.py:186)."""
     from .library import Catalog, LibMaterial
     cat = Catalog()
@@ -168,44 +249,95 @@ def agf_read(fil, session):
     cat.type, cat.source, cat.format = "material", "zemax", "agf"
     cat.version = 0
     session.add(cat)
-    raw = open(fil, "rb").read(32)
-    if raw.startswith(codecs.BOM_UTF16):
-        dat = open(fil, encoding="utf-16")
-    else:
-        dat = open(fil, encoding="latin1")
     mat = None
-    for line in dat:
+    for line in _agf_open(fil):
         if not line.strip() or line.startswith("!"):
             continue
-        cmd, args = line.split(" ", 1)
+        cmd, _, args = line.partition(" ")
         if cmd == "CC":
             continue
         if cmd == "NM":
-            mat = LibMaterial()
+            mat = LibMaterial(data="")
             cat.materials.append(mat)
-            args = args.split()
-            mat.name = args[0]
-            mat.nd = sfloat(args[3])
-            mat.vd = sfloat(args[4])
-            mat.code = args[2]
-            if len(args) >= 7:
-                mat.status = sint(args[6])
-            mat.data = ""
-        elif cmd == "GC":
+            head = args.split()
+            mat.name = head[0]
+            mat.code = head[2]
+            mat.nd = sfloat(head[3])
+            mat.vd = sfloat(head[4])
+            if len(head) >= 7:
+                mat.status = sint(head[6])
+        elif cmd == "GC" and mat is not None:
             mat.comment = args
-        elif cmd == "ED":
-            args = args.split()
-            mat.tce = sfloat(args[0])
-            mat.density = sfloat(args[2])
+        elif cmd == "ED" and mat is not None:
+            vals = args.split()
+            mat.tce = sfloat(vals[0])
+            mat.density = sfloat(vals[2])
         if mat is not None:
             mat.data += line
     return cat
 
 
+#: AGF dispersion formula number -> dispersion name (1-based,
+#: reference zemax.py:218)
 _AGF_TYPES = ("schott sellmeier_squared herzberger sellmeier2 conrady "
               "sellmeier_squared handbook_of_optics1 handbook_of_optics2 "
               "sellmeier_squared_offset extended1 sellmeier5 extended2 "
               "hikari").split()
+
+_AGF, _agf_on = _registry()
+
+
+@_agf_on("NM")
+def _agf_nm(g, args):
+    args = args.split()
+    g.typ = _AGF_TYPES[int(float(args[1])) - 1]
+    g.glasscode = sfloat(args[2])
+    g.name = args[0]
+
+
+@_agf_on("GC")
+def _agf_gc(g, args):
+    g.comment = args.strip()
+
+
+@_agf_on("ED")
+def _agf_ed(g, args):
+    vals = [sfloat(v) for v in args.split()]
+    g.alpham3070, g.alpha20300, g.density = vals[:3]
+
+
+@_agf_on("CD")
+def _agf_cd(g, args):
+    g.coefficients = np.array([sfloat(v) for v in args.split()])
+
+
+@_agf_on("TD")
+def _agf_td(g, args):
+    vals = [sfloat(v) for v in args.split()]
+    g.thermal = Thermal(vals[:3], vals[3:5], *vals[5:])
+
+
+@_agf_on("OD")
+def _agf_od(g, args):
+    # price then relative-cost/CR/FR/SR/AR fields (the reference
+    # sliced the raw string per character here, zemax.py:257)
+    vals = args.split()
+    g.price = sfloat(vals[0])
+    g.chemical = [sfloat(v) for v in vals[1:]]
+
+
+@_agf_on("LD")
+def _agf_ld(g, args):
+    g.lambda_min, g.lambda_max = (sfloat(v)
+                                  for v in args.split()[:2])
+
+
+@_agf_on("IT")
+def _agf_it(g, args):
+    vals = [sfloat(v) for v in args.split()]
+    if not hasattr(g, "transmission"):
+        g.transmission = {}
+    g.transmission[(vals[0], tuple(vals[2:]))] = vals[1]
 
 
 def agf_to_material(dat, item=None):
@@ -216,32 +348,9 @@ def agf_to_material(dat, item=None):
         if not line:
             continue
         cmd, args = line[:2], line[3:]
-        if cmd == "NM":
-            args = args.split()
-            g.typ = _AGF_TYPES[int(float(args[1])) - 1]
-            g.glasscode = sfloat(args[2])
-            g.name = args[0]
-        elif cmd == "GC":
-            g.comment = args.strip()
-        elif cmd == "ED":
-            args = list(map(sfloat, args.split()))
-            g.alpham3070, g.alpha20300, g.density = args[0:3]
-        elif cmd == "CD":
-            g.coefficients = np.array([sfloat(v) for v in args.split()])
-        elif cmd == "TD":
-            v = [sfloat(x) for x in args.split()]
-            g.thermal = Thermal(v[:3], v[3:5], *v[5:])
-        elif cmd == "OD":
-            g.chemical = list(map(sfloat, args[1:]))
-            g.price = sfloat(args[0])
-        elif cmd == "LD":
-            g.lambda_min = sfloat(args[0])
-            g.lambda_max = sfloat(args[1])
-        elif cmd == "IT":
-            v = list(map(sfloat, args.split()))
-            if not hasattr(g, "transmission"):
-                g.transmission = {}
-            g.transmission[(v[0], tuple(v[2:]))] = v[1]
+        handler = _AGF.get(cmd)
+        if handler is not None:
+            handler(g, args)
         else:
             print(cmd, args, "not handled")
     return g

@@ -112,17 +112,20 @@ class GaussianTrace(Trace):
         return qi_from_waist(l, n, waist, position, angle,
                              self.system.scale)
 
+    def _seed_from_object(self, l, n):
+        """Default input beam: waist at a finite object, or a waist of
+        the pupil radius back at the entrance pupil."""
+        obj = self.system.object
+        if obj.finite:
+            return self.make_qi(l, n, obj.radius)
+        pd = obj.pupil.distance
+        return self.make_qi(l, n, obj.pupil.radius, (-pd, -pd))
+
     def rays(self, qi=None, l=None):
-        if l is None:
-            l = self.system.wavelengths[0]
+        l = self.system.wavelengths[0] if l is None else l
         n = self.system.refractive_index(l, 0)
         if qi is None:
-            obj = self.system.object
-            if obj.finite:
-                qi = self.make_qi(l, n, obj.radius)
-            else:
-                pd = obj.pupil.distance
-                qi = self.make_qi(l, n, obj.pupil.radius, (-pd, -pd))
+            qi = self._seed_from_object(l, n)
         assert np.allclose(qi.T, qi), qi
         self.wavelength = l
         self.n[0] = n
@@ -130,12 +133,13 @@ class GaussianTrace(Trace):
 
     def propagate(self, start=1, stop=None):
         super().propagate()
-        first = start - 1
-        qi, n = self.qi[first], self.n[first]
-        for j, (qi, n) in enumerate(self.system.propagate_gaussian(
-                qi, n, self.wavelength, start, stop)):
-            self.qi[start + j] = qi
-            self.n[start + j] = n
+        j = start
+        for qi, n in self.system.propagate_gaussian(
+                self.qi[start - 1], self.n[start - 1],
+                self.wavelength, start, stop):
+            self.qi[j] = qi
+            self.n[j] = n
+            j += 1
 
     def qin_at(self, z=None):
         """Inverse-q and index sampled at axial positions z (after the
@@ -156,20 +160,26 @@ class GaussianTrace(Trace):
     def normal(self, qi):
         return to_principal(qi)
 
+    @staticmethod
+    def _axes_of(part, normal):
+        """Per-axis values of a symmetric 2x2 batch: principal-frame
+        diagonal (+angles) or the raw diagonal."""
+        if normal:
+            return to_principal(part)
+        return np.diagonal(part, 0, 1, 2), None
+
     def spot_radius_at(self, z=None, normal=False):
         qi, n = self.qin_at(z)
         c = self.wavelength/(self.system.scale*np.pi)
-        if normal:
-            r, ang = to_principal(-qi.imag)
-            return np.sqrt(c/r), ang
-        return np.sqrt(c/np.diagonal(-qi.imag, 0, 1, 2))
+        vals, ang = self._axes_of(-qi.imag, normal)
+        radii = np.sqrt(c/vals)
+        return (radii, ang) if normal else radii
 
     def curvature_radius_at(self, z=None, normal=False):
         qi, n = self.qin_at(z)
-        if normal:
-            r, ang = to_principal(qi.real)
-            return n[:, None]/r, ang
-        return n[:, None]/np.diagonal(qi.real, 0, 1, 2)
+        vals, ang = self._axes_of(qi.real, normal)
+        radii = n[:, None]/vals
+        return (radii, ang) if normal else radii
 
     @property
     def spot_radius(self):
@@ -215,25 +225,29 @@ class GaussianTrace(Trace):
         n, m = self.system.paraxial_matrix(self.wavelength)
         symplectic_check(m)
 
+    def _round_trip(self):
+        n, m = self.system.paraxial_matrix(self.wavelength)
+        assert is_simple_astigmatic(m)
+        return m
+
     @property
     def eigenmodes(self):
         """Self-consistent cavity q per mode and axis (simple
-        astigmatic matrices only; reference gaussian_trace.py:189)."""
-        n, m = self.system.paraxial_matrix(self.wavelength)
-        assert is_simple_astigmatic(m)
-        roots = []
-        for axis in (0, 1):
-            a, b, c, d = m[axis::2, axis::2].flat
-            roots.append(np.roots((c, d - a, -b)))
-        q = np.eye(2)[None, :]/np.array(roots).T[:, :, None]
-        return q
+        astigmatic matrices only; reference gaussian_trace.py:189):
+        the fixed points q of the per-axis Moebius map, i.e. the roots
+        of c q^2 + (d - a) q - b."""
+        m = self._round_trip()
+        per_axis = [np.roots((m[2 + ax, ax],
+                              m[2 + ax, 2 + ax] - m[ax, ax],
+                              -m[ax, 2 + ax]))
+                    for ax in (0, 1)]
+        return np.eye(2)[None, :]/np.array(per_axis).T[:, :, None]
 
     @property
     def m(self):
-        n, m = self.system.paraxial_matrix(self.wavelength)
-        assert is_simple_astigmatic(m)
-        a0, a1, d0, d1 = np.diag(m)
-        return np.array([a0 + d0, a1 + d1])/2
+        """Half-trace per axis of the round-trip matrix."""
+        diag = np.diag(self._round_trip())
+        return (diag[:2] + diag[2:])/2
 
     @property
     def eigenvalues(self):
@@ -263,11 +277,8 @@ class GaussianTrace(Trace):
 
     def print_trace(self):
         spot, ang = self.spot_radius_at(z=None, normal=True)
-        wp = self.waist_position
-        wr = self.waist_radius
-        cols = np.c_[self.path, spot[:, 0], spot[:, 1],
-                     np.rad2deg(ang), wp[:, 0], wp[:, 1],
-                     wr[:, 0], wr[:, 1]]
+        cols = np.column_stack((self.path, spot, np.rad2deg(ang),
+                                self.waist_position, self.waist_radius))
         return self.print_coeffs(
             cols, "path/spot a/spot b/spot ang/waistx dz/waisty dz/"
             "waist x/waist y".split("/"), sum=False)
@@ -275,33 +286,41 @@ class GaussianTrace(Trace):
     def __str__(self):
         return "\n".join(itertools.chain(self.print_trace(), ("",)))
 
-    def plot(self, ax, axis=1, npoints=5001, waist=True, scale=10,
-             **kwargs):
-        kwargs.setdefault("color", "red")
+    def _beam_envelopes(self, npoints, scale):
+        """(npoints, 4, 3) axial polylines: +-x and +-y beam edges,
+        sign-flipped through mirror segments so folds draw correctly."""
         z = np.linspace(self.path[0], self.path[-1], npoints)
         flip = self.mirrored[np.searchsorted(self.path, z) - 1, ]
         wx, wy = self.spot_radius_at(z).T*scale*flip
-        trajs = np.array([
+        edges = np.array([
             [wx, wx, z], [wy, wy, z], [-wx, -wx, z], [-wy, -wy, z],
         ]).transpose(2, 0, 1)
-        trajs = self.from_axis(trajs)
+        return self.from_axis(edges)
+
+    def _waist_marks(self, ax, plot_axis, line_axis, style, scale,
+                     **kwargs):
+        """Waist bars plus Rayleigh-range ticks inside each gap."""
+        root2 = 2**.5
+        for j, (el, oi) in enumerate(zip(self.system[1:],
+                                         self.origins[1:])):
+            wp = self.waist_position[j, line_axis]
+            wr = self.waist_radius[j, line_axis]*scale
+            zr = self.rayleigh_range[j, line_axis]
+            for dz, h, ls in ((0, wr, style),
+                              (zr, root2*wr, ":"),
+                              (-zr, root2*wr, ":")):
+                v = wp + dz - el.distance
+                if -el.distance <= v <= 0:
+                    seg = el.from_axis(
+                        np.array([[h, h, v], [-h, -h, v]])) + oi
+                    ax.plot(seg[:, 2], seg[:, plot_axis], ls, **kwargs)
+
+    def plot(self, ax, axis=1, npoints=5001, waist=True, scale=10,
+             **kwargs):
+        kwargs.setdefault("color", "red")
+        edges = self._beam_envelopes(npoints, scale)
         for i, ls in zip((axis, 0 if axis else 1), ("-", "--")):
-            ax.plot(trajs[:, i::2, 2], trajs[:, i::2, axis], ls,
+            ax.plot(edges[:, i::2, 2], edges[:, i::2, axis], ls,
                     **kwargs)
-        if not waist:
-            return
-        wp = self.waist_position.T
-        wr = self.waist_radius.T*scale
-        zr = self.rayleigh_range.T
-        for i, ls in zip((axis, 0 if axis else 1), ("-", "--")):
-            for j, (el, oi) in enumerate(zip(self.system[1:],
-                                             self.origins[1:])):
-                marks = [(0, wr[i, j], ls),
-                         (zr[i, j], 2**.5*wr[i, j], ":"),
-                         (-zr[i, j], 2**.5*wr[i, j], ":")]
-                for dz, h, mls in marks:
-                    v = wp[i, j] + dz - el.distance
-                    if -el.distance <= v <= 0:
-                        seg = np.array([[h, h, v], [-h, -h, v]])
-                        seg = el.from_axis(seg) + oi
-                        ax.plot(seg[:, 2], seg[:, axis], mls, **kwargs)
+            if waist:
+                self._waist_marks(ax, axis, i, ls, scale, **kwargs)
