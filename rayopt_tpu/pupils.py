@@ -101,14 +101,19 @@ class Pupil(NameMixin):
         """Fractional pupil coordinates -> the (possibly asymmetric)
         aperture box a = [[-sag, -mer], [+sag, +mer]], elliptically
         filtered (reference pupils.py:97)."""
-        box_scale = np.fabs(a).max()
-        pts = np.atleast_2d(y)*box_scale
+        pts = np.atleast_2d(y)*np.fabs(a).max()
         if not filter:
             return pts
-        center = a.sum(axis=0)/2
+        return pts[self.inside(y, a)]
+
+    def inside(self, y, a):
+        """Elliptical-aperture mask of fractional pupil coordinates
+        against the box `a` (the filter `map` applies); callers use it
+        to keep per-ray weights aligned with a filtered bundle."""
+        pts = np.atleast_2d(y)*np.fabs(a).max()
+        center = np.sum(a, axis=0)/2
         half = np.diff(a, axis=0)/2
-        inside = ((pts - center)**2/half**2).sum(1) <= 1
-        return pts[inside]
+        return ((pts - center)**2/half**2).sum(1) <= 1
 
     # -- serialization -----------------------------------------------------
 

@@ -218,8 +218,23 @@ class GeometricTrace(Trace):
 
     def _seed_aimed(self, yo, yp, wavelength, stop, filter,
                     weight=None, ref=0, clip=False):
-        """Aim a pupil-coordinate bundle through the stop and load it."""
+        """Aim a pupil-coordinate bundle through the stop and load it.
+
+        With filtering on, the pupil map drops rays outside the
+        elliptical aperture box; the per-ray weights and the reference
+        index are filtered alongside (the reference left them
+        misaligned, reference geometric_trace.py:195-209)."""
         z, p = self.system.pupil(yo, l=wavelength, stop=stop)
+        if filter and yp is not None:
+            # same box the aim mapping filters against (angular for
+            # finite conjugates, conjugates._map_pupil)
+            box = np.arctan2(p, z) if self.system.object.finite else p
+            keep = self.system.object.pupil.inside(yp, box)
+            if not keep.all():
+                if weight is not None:
+                    weight = np.asarray(weight)[keep]
+                    weight = weight/weight.sum()
+                ref = int(keep[:ref].sum()) if keep[ref] else 0
         seed = self.system.aim(yo, yp, z, p, filter=filter)
         self.rays_given(*seed, l=wavelength, w=weight, ref=ref)
         self.propagate(clip=clip)

@@ -203,3 +203,17 @@ def test_opd_psf(cooke):
     p, q, psf = g.psf()
     assert np.isfinite(psf).all()
     nptest.assert_allclose(psf.sum(), 1, rtol=.05)
+
+
+def test_filtered_weights_stay_aligned(cooke):
+    """Pupil filtering drops rays outside the vignetted aperture box;
+    the quadrature weights and the reference index must be filtered
+    alongside (the reference left them misaligned and rms() crashed
+    for weighted distributions at vignetted fields)."""
+    g = GeometricTrace(cooke)
+    g.rays_point((0, 1.), nrays=13, distribution="radau")  # filter on
+    assert g.w.shape[0] == g.nrays
+    nptest.assert_allclose(g.w.sum(), 1.)
+    assert 0 <= g.ref < g.nrays
+    r = g.rms()
+    assert np.isfinite(r) and 0 < r < 1
