@@ -94,7 +94,7 @@ def first_order(table, y0, u0):
     as pure differentiable functions (reference
     paraxial_trace.py:110-211)."""
     y, u = paraxial_trace(table, y0, u0)
-    n = table.n_after
+    n = jnp.asarray(table.n_after)
     lagrange = u0[0]*y0[1] - u0[1]*y0[0]
     denom = u[0, 1]*u[-2, 0] - u[0, 0]*u[-2, 1]
     efl = lagrange/denom

@@ -80,6 +80,49 @@ def trace_rms_merit(table, bundles, mesh=None, axis="rays"):
     return total
 
 
+def paraxial_seed(system):
+    """(y0, u0) marginal/chief paraxial seeds of a System, for the
+    differentiable first-order merit."""
+    p = system.paraxial
+    return np.asarray(p.y[0]), np.asarray(p.u[0])
+
+
+def first_order_penalty(table, seed, targets, weights=None):
+    """Weighted quadratic penalty on differentiable first-order
+    properties (the operand-style constraints of classical merit
+    functions, reference optimize.py:60-90, expressed through
+    jax.grad instead of finite differences).
+
+    seed: (y0, u0) from paraxial_seed; targets: dict mapping a
+    property name from ops.paraxial.first_order -- e.g.
+    "focal_length", "pupil_distance", "pupil_height", "lagrange" --
+    to (index, value) for per-end properties or a bare value for
+    scalars.
+    """
+    from ..ops.paraxial import first_order
+    y0, u0 = seed
+    props = first_order(table, jnp.asarray(y0), jnp.asarray(u0))
+    total = 0.
+    for name, want in targets.items():
+        got = props[name]
+        if isinstance(want, tuple):
+            idx, value = want
+            got = got[idx]
+        else:
+            value = want
+        w = 1. if weights is None else weights.get(name, 1.)
+        total = total + w*jnp.square(got - value)
+    return total
+
+
+def composite_merit(*parts):
+    """Sum of merit callables table -> scalar (e.g. spot RMS bundles
+    plus first-order penalties)."""
+    def merit(table):
+        return sum(part(table) for part in parts)
+    return merit
+
+
 def opd_rays(table, y0, u0, ref=0, radius=None, wavelength=None,
              scale=1e-3, finite=False, sphere_offset=None):
     """Per-ray optical path difference on the exit-pupil reference

@@ -88,3 +88,33 @@ def test_grad_with_nan_rays():
 
     g = jax.grad(merit)(jnp.asarray(tab.curvature))
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_first_order_constrained_optimization():
+    """Differentiable first-order operands: spot RMS drops while a
+    quadratic EFL penalty holds the focal length (the operand-style
+    merit of classical optimizers, via jax.grad)."""
+    import functools
+    import jax.numpy as jnp
+    from rayopt_tpu.models import cooke_triplet
+    from rayopt_tpu.parallel.grad import (
+        optimize_grad, bundles_from_system, paraxial_seed,
+        first_order_penalty, composite_merit, trace_rms_merit)
+    from rayopt_tpu.ops.paraxial import first_order
+
+    s = cooke_triplet()
+    tab = s.table()
+    seed = paraxial_seed(s)
+    bundles = bundles_from_system(s, nrays=16)
+    efl0 = float(s.paraxial.focal_length[1])
+    merit = composite_merit(
+        functools.partial(trace_rms_merit, bundles=bundles),
+        functools.partial(first_order_penalty, seed=seed,
+                          targets={"focal_length": (1, efl0)},
+                          weights={"focal_length": 10.}))
+    tab1, hist = optimize_grad(tab, bundles, merit=merit, steps=25,
+                               lr=3e-6)
+    assert hist[-1] < hist[0]
+    f1 = float(first_order(tab1, jnp.asarray(seed[0]),
+                           jnp.asarray(seed[1]))["focal_length"][1])
+    assert abs(f1 - efl0) < .05
