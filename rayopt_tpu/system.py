@@ -706,7 +706,8 @@ class System(list):
         state = solver(*yo)
         return state[0], state[1:].reshape(2, 2)
 
-    def pupils(self, fields, l=None, stop=None, tol=1e-6):
+    def pupils(self, fields, l=None, stop=None, tol=1e-6,
+               chief_only=False):
         """Batched pupil solve for many field points at once.
 
         fields: (F, 2) fractional field coordinates.  Eligible systems
@@ -723,21 +724,31 @@ class System(list):
         rim = stop == -1
         eligible = pupil.aim and not pupil.telecentric
         if eligible:
-            from .ops.aiming import pupil_batched
+            from .ops.aiming import pupil_batched, aim_chief_batched
             from .ops.kernels import specialize
             if l is None:
                 l = self.wavelengths[0]
             table = self.table(l)
-            kw = dict(finite=bool(self.object.finite), rim=rim,
-                      projection=self.object.projection)
+            kw = dict(finite=bool(self.object.finite),
+                      projection=self.object.projection,
+                      specs=specialize(table))
             if self.object.finite:
                 kw["radius"] = self.object.radius
             else:
                 kw["slope"] = np.tan(self.object.angle)
-            z, boxes, (chief_r, width) = pupil_batched(
-                table, fields, pupil.distance, pupil.radius,
-                self.stop if stop in (-1, None) else stop,
-                specs=specialize(table), with_residuals=True, **kw)
+            stop_idx = self.stop if stop in (-1, None) else stop
+            if chief_only:
+                z, chief_r = aim_chief_batched(
+                    table, fields, pupil.distance, stop_idx,
+                    with_residual=True, **kw)
+                boxes = np.broadcast_to(
+                    pupil.radius*np.array([[-1., -1.], [1., 1.]]),
+                    (len(fields), 2, 2)).copy()
+                width = np.zeros(len(fields))
+            else:
+                z, boxes, (chief_r, width) = pupil_batched(
+                    table, fields, pupil.distance, pupil.radius,
+                    stop_idx, rim=rim, with_residuals=True, **kw)
             z, boxes = np.array(z), np.array(boxes)
             bad = (np.asarray(chief_r) > tol) | (np.asarray(width) > tol)
         else:

@@ -264,16 +264,26 @@ class GeometricTrace(Trace):
 
     def rays_line(self, yo, wavelength=None, nrays=21, eps=1e-2):
         """Chief/meridional/sagittal triplets along a field line
-        (reference geometric_trace.py:217)."""
+        (reference geometric_trace.py:217).  The per-field chief-ray
+        distances come from the batched device solver when the system
+        is eligible (one dispatch for all points, System.pupils);
+        otherwise each is solved host-side."""
         field = np.linspace(0, 1, nrays)[:, None] * np.atleast_2d(yo)
         # pupil offsets: chief, +eps meridional, +eps sagittal
         probes = np.array([[0., 0.], [0., eps], [eps, 0.]])
         z, p = self.system.pupil((0, 0), l=wavelength)
-        pmax = np.abs(p).max()
-        bundles = []
-        for pt in field:
-            z = self.system.aim_chief(pt, z, pmax, l=wavelength)
-            bundles.append(self.system.aim(pt, probes, z, p))
+        pupil = self.system.object.pupil
+        if pupil.aim and not pupil.telecentric:
+            zs, _ = self.system.pupils(field, l=wavelength,
+                                       chief_only=True)
+        else:
+            pmax = np.abs(p).max()
+            zs = []
+            for pt in field:
+                z = self.system.aim_chief(pt, z, pmax, l=wavelength)
+                zs.append(z)
+        bundles = [self.system.aim(pt, probes, zi, p)
+                   for pt, zi in zip(field, zs)]
         seed_y = np.stack([b[0] for b in bundles], axis=1)
         seed_u = np.stack([b[1] for b in bundles], axis=1)
         self.rays_given(seed_y.reshape(-1, 3), seed_u.reshape(-1, 3),

@@ -217,3 +217,13 @@ def test_filtered_weights_stay_aligned(cooke):
     assert 0 <= g.ref < g.nrays
     r = g.rms()
     assert np.isfinite(r) and 0 < r < 1
+
+
+def test_rays_line_unaimed_fallback():
+    """rays_line works on systems without pupil aiming (host path)."""
+    from rayopt_tpu.models import doublet
+    s = doublet()
+    g = GeometricTrace(s)
+    g.rays_line((0., 1.), nrays=5)
+    assert g.y.shape[1] == 15
+    assert np.isfinite(g.y[-1]).all()
