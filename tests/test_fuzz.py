@@ -68,3 +68,28 @@ def test_engines_agree(seed):
     # most rays make it through a sane random system
     frac = np.isfinite(y1[:, 0]).mean()
     assert frac > .5, frac
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_df32_engine_agrees(seed):
+    """The eager df32 trace matches the f64 engine at ~1e-10 on random
+    spherical/conic systems (the fourth independent implementation)."""
+    from rayopt_tpu.ops import df32
+    rng = np.random.RandomState(100 + seed)
+    tab = random_system(rng)
+    nrays = 128
+    y = np.zeros((nrays, 3))
+    y[:, :2] = rng.uniform(-3, 3, (nrays, 2))
+    u = np.zeros((nrays, 3))
+    u[:, :2] = rng.uniform(-.1, .1, (nrays, 2))
+    u[:, 2] = np.sqrt(1 - np.square(u[:, :2]).sum(1))
+    y1 = np.asarray(trace_rays_final(tab, y, u)[0])
+    out = df32.trace_df32_final(df32.plan(tab),
+                                df32.state_from_f64(y, u))
+    xd, yd = df32.to_f64(out[0]), df32.to_f64(out[1])
+    good = np.isfinite(y1[:, 0])
+    assert good.sum() > nrays//2
+    nptest.assert_allclose(xd[good], y1[good, 0], atol=1e-9)
+    nptest.assert_allclose(yd[good], y1[good, 1], atol=1e-9)
+    # NaN pattern (missed rays) agrees too
+    nptest.assert_array_equal(np.isfinite(xd), good)
