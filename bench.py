@@ -114,6 +114,8 @@ def main():
     details = {"config": "double_gauss f/2.8 (12 traced surfaces)",
                "rays": n, "chained_traces": chain, "backend": backend}
     rates = {}
+    import os
+    profile_dir = os.environ.get("BENCH_PROFILE")
     for name, fn in engines:
         log("timing %s..." % name)
         tb = best_of(lambda a, fn=fn: float(fn(a)), comps)
@@ -121,6 +123,13 @@ def main():
         details[name] = {"best_time_s": tb, "rate": rates[name]}
         log("  %s: %.1f ms -> %.3f G intersections/s"
             % (name, tb*1e3, rates[name]/1e9))
+        if profile_dir:
+            # BENCH_PROFILE=<dir>: capture an xprof device trace of
+            # one timed run per engine for roofline inspection
+            from rayopt_tpu.utils.profiling import xprof
+            with xprof(os.path.join(profile_dir, name)):
+                float(fn(comps))
+            log("  profile written to %s/%s" % (profile_dir, name))
 
     headline = max(rates.values())
     details["f32_engine"] = max(rates, key=rates.get)
@@ -187,7 +196,7 @@ def main():
         def df_chain(state):
             acc = 0.
             for _ in range(chain):
-                out = df32.pallas_trace_df32(steps, state, tile=32*1024)
+                out = df32.pallas_trace_df32(steps, state, tile=8*1024)
                 acc = acc + jnp.nanmean(out[0][0]**2 + out[1][0]**2)
                 state = ((out[0][0]*np.float32(1e-3),
                           out[0][1]*np.float32(1e-3)),

@@ -212,7 +212,10 @@ def intercept_spec(x, y, z, ux, uy, uz, c, k, alternate, spec):
     if spec.alternate:
         g = -g
     if spec.spherical:
-        s = -(d + g)/e
+        # e == c, a per-surface scalar: the reciprocal is computed
+        # once (constant-folded when c is baked in), turning the
+        # per-ray divide into a multiply
+        s = (d + g)*(-1./c)
     else:
         e_safe = jnp.where(e == 0, 1., e)
         gd_safe = jnp.where(g == d, 1., g - d)
