@@ -7,15 +7,27 @@ analog of double-double) on (hi, lo) pairs of f32 arrays: ~2^-47
 relative accuracy (~7e-15) per operation at a small constant multiple
 of f32 cost, all of it perfectly-tiled elementwise VPU work.
 
-Used by `trace_df32_final` -- the parity-grade throughput engine: the
-same transfer-intercept-refract chain as ops.kernels, evaluated in
-df32, specialized/unrolled per surface.  Spot positions agree with the
-f64 trace to ~1e-12 relative (vs ~1e-6 for plain f32), satisfying the
-<= 1e-9 spot-RMS parity target at f32-class speed.
+Used by the parity-grade throughput engine: the same
+transfer-intercept-refract chain as ops.kernels (axial flat/spherical/
+conic/even-aspheric surfaces, mirrors, alternate intersections,
+axis-flip folds), evaluated in df32 and unrolled per surface
+(`plan` + `trace_df32_final`), with `pallas_trace_df32` as the
+device kernel.  Spot positions agree with the f64 trace to ~1e-12
+(vs ~1e-6 for plain f32), i.e. the <= 1e-9 spot-RMS parity target at
+f32-class speed (4.65e9 intersections/s/chip on v5e, 11x emulated
+f64).
 
-All error-free transforms require round-to-nearest f32 without
-reassociation; XLA does not reassociate floats by default, and the
-CPU/TPU results are cross-checked in tests/test_df32.py.
+CAUTION -- the error-free transforms require the compiler to emit the
+rounded f32 mul/add exactly as written.  XLA's fusion codegen (CPU and
+TPU alike) contracts a product feeding an add/sub into a fused
+multiply-add of the *exact* product, silently degrading the lo words
+to f32 level; `optimization_barrier` does not survive and the
+fast-math/excess-precision flags do not help.  Therefore: run this
+arithmetic eagerly (op-by-op) or inside the Pallas kernel (Mosaic
+emits VPU ops as written) -- never under a fused XLA jit.  TPU f32
+div/sqrt are additionally only ~1e-6/~1e-4 accurate, so div and sqrt
+refine twice.  tests/test_df32.py covers the eager path; bench.py
+verifies the real-TPU kernel parity on every run.
 """
 
 import jax
