@@ -201,6 +201,7 @@ def _normal_radial_df(x, y, c, k1, asp):
 
 
 ASPHERIC_ITERS = 8
+ASPHERIC_TOL = 1e-9  # matches kernels.ASPHERIC_TOL
 
 
 def _apply_signed(R, vx, vy, vz):
@@ -268,6 +269,12 @@ def _surface_df(state, c, mu, dz, kind, flat, k1=None, asp=None,
             fp = add(add(mul(ux, mul(px, en)),
                          mul(uy, mul(py, en))), uz)
             s = sub(s, div(fn, fp))
+        # non-converged rays are misses, like kernels.intercept
+        res = _sag_df(add(x, mul(s, ux)), add(y, mul(s, uy)),
+                      add(z, mul(s, uz)), c, kk, asp)
+        ok = jnp.abs(res[0]) <= ASPHERIC_TOL*(1 + jnp.abs(s[0]))
+        nanv = jnp.full_like(s[0], jnp.nan)
+        s = where(ok, s, (nanv, nanv))
     x = add(x, mul(s, ux))
     y = add(y, mul(s, uy))
     z = add(z, mul(s, uz))
