@@ -360,7 +360,8 @@ def plan(table):
             dz=const(off[j, 2]), kind=kind, flat=curv[j] == 0.,
             k1=const(1. + conic[j]) if conic[j] else None,
             asp=tuple(const(a) for a in coeffs[:nz]),
-            alternate=bool(alt[j]), rotm=rotm))
+            alternate=bool(alt[j]), rotm=rotm,
+            nb=const(np.asarray(table.n_before, np.float64)[j])))
     return steps
 
 
@@ -370,18 +371,25 @@ def _run_step(state, st):
                        st.get("alternate", False), st.get("rotm"))
 
 
-def trace_df32_final(steps, state):
+def trace_df32_final(steps, state, with_path=False):
     """Unrolled df32 trace over the planned surface chain.
 
     state: six (hi, lo) component pairs.  Returns the final state in
-    the last surface's normal frame (like trace_components_final).
-    Trace inside jit; `steps` constants close over the function."""
+    the last surface's normal frame (like trace_components_final);
+    with_path additionally returns the accumulated optical path as an
+    (hi, lo) pair.  Trace inside jit; `steps` constants close over
+    the function."""
+    tacc = zero_like(state[0])
     for st in steps:
-        state, _ = _run_step(state, st)
+        state, s = _run_step(state, st)
+        if with_path:
+            tacc = add(tacc, mul(s, st["nb"]))
     last = steps[-1].get("rotm")
     if last is not None:
         state = (*_apply_signed(last, *state[:3]),
                  *_apply_signed(last, *state[3:]))
+    if with_path:
+        return state, tacc
     return state
 
 
@@ -395,7 +403,8 @@ def state_from_f64(y, u):
     return tuple(comps)
 
 
-def pallas_trace_df32(steps, state, tile=8*1024, interpret=False):
+def pallas_trace_df32(steps, state, tile=8*1024, interpret=False,
+                      with_path=False):
     """The df32 trace as one Pallas TPU kernel.
 
     This is the load-bearing path, not an optimization: XLA (CPU and
@@ -407,7 +416,8 @@ def pallas_trace_df32(steps, state, tile=8*1024, interpret=False):
     through VMEM once for the whole unrolled surface chain.
 
     state: 6-tuple of (hi, lo) pairs of (N,) f32 arrays.
-    Returns the final state in the same layout.
+    Returns the final state in the same layout; with_path appends the
+    accumulated optical path (hi, lo) pair.
     """
     import functools
     from jax.experimental import pallas as pl
@@ -415,18 +425,24 @@ def pallas_trace_df32(steps, state, tile=8*1024, interpret=False):
     n = state[0][0].shape[0]
     assert n % tile == 0 and tile % 128 == 0, (n, tile)
     rows = tile // 128
+    nout = 14 if with_path else 12
 
     def kernel(*refs):
         ins, outs = refs[:12], refs[12:]
         st = tuple((ins[2*i][:], ins[2*i + 1][:]) for i in range(6))
+        tacc = zero_like(st[0])
         for stp in steps:
-            st, _ = _run_step(st, stp)
+            st, s = _run_step(st, stp)
+            if with_path:
+                tacc = add(tacc, mul(s, stp["nb"]))
         last = steps[-1].get("rotm")
         if last is not None:
             # express the final state in the image surface's frame
             st = (*_apply_signed(last, *st[:3]),
                   *_apply_signed(last, *st[3:]))
-        for i in range(6):
+        if with_path:
+            st = st + (tacc,)
+        for i in range(nout // 2):
             outs[2*i][:] = st[i][0]
             outs[2*i + 1][:] = st[i][1]
 
@@ -434,13 +450,13 @@ def pallas_trace_df32(steps, state, tile=8*1024, interpret=False):
             for comp in state for w in comp]
     spec = pl.BlockSpec((rows, 128), lambda i: (i, 0))
     out_shape = [jax.ShapeDtypeStruct((n // 128, 128), jnp.float32)
-                 for _ in range(12)]
+                 for _ in range(nout)]
     # Mosaic rejects i64 index maps when jax_enable_x64 is on
     with jax.enable_x64(False):
         outs = pl.pallas_call(
             kernel, grid=(n // tile,),
-            in_specs=[spec]*12, out_specs=[spec]*12,
+            in_specs=[spec]*12, out_specs=[spec]*nout,
             out_shape=out_shape, interpret=interpret,
         )(*flat)
     outs = [o.reshape(n) for o in outs]
-    return tuple((outs[2*i], outs[2*i + 1]) for i in range(6))
+    return tuple((outs[2*i], outs[2*i + 1]) for i in range(nout // 2))

@@ -145,19 +145,43 @@ def trace_rays_final(table, y0, u0, clip=False, specs=None,
 
 
 def trace_rays_final_fast(table, y0, u0, clip=False, specs=None,
-                          tile=8*1024):
+                          tile=8*1024, precision="fast"):
     """Fastest final-state trace for the current backend.
 
-    On TPU this is the Pallas fused kernel (ops.pallas_trace): the
-    whole specialized surface chain runs on a VMEM-resident ray tile,
-    one HBM read+write per ray regardless of depth -- measured ~1.3x
-    the XLA-unrolled chain on v5e (bench.py logs both).  Elsewhere (or
-    for ray counts that don't tile) it falls back to
-    trace_rays_final.  Not differentiable on the Pallas path; use
-    trace_rays_final under jax.grad.
+    precision="fast" (f32-class accuracy): on TPU the Pallas fused
+    kernel (ops.pallas_trace) -- the whole specialized surface chain
+    runs on a VMEM-resident ray tile, one HBM read+write per ray
+    regardless of depth, measured ~1.4x the XLA-unrolled chain on v5e
+    (bench.py logs both).  Elsewhere (or for ray counts that don't
+    tile) it falls back to trace_rays_final.
+
+    precision="parity" (float64-class accuracy, <= 1e-9 spot-RMS
+    agreement): on TPU the df32 double-single Pallas kernel
+    (ops.df32, ~11x the emulated-f64 rate; axial systems without
+    clip); on CPU, native f64.  Returns float64 arrays.
+
+    Not differentiable on the Pallas paths; use trace_rays_final
+    under jax.grad.
     """
     n = y0.shape[0]
-    if jax.default_backend() == "tpu" and n % tile == 0:
+    on_tpu = jax.default_backend() == "tpu"
+    if precision == "parity":
+        if on_tpu and n % tile == 0 and not clip:
+            from . import df32
+            try:
+                steps = df32.plan(table)
+            except NotImplementedError:
+                pass
+            else:
+                out = df32.pallas_trace_df32(
+                    steps, df32.state_from_f64(y0, u0), tile=tile,
+                    with_path=True)
+                comps = [df32.to_f64(c) for c in out]
+                return (K.join(*comps[:3]), K.join(*comps[3:6]),
+                        comps[6])
+        return trace_rays_final(table, y0, u0, clip=clip, specs=specs,
+                                unroll=on_tpu)
+    if on_tpu and n % tile == 0:
         from .pallas_trace import pallas_trace_final
         state = (*K.split(y0), *K.split(u0))
         out, tacc = pallas_trace_final(table, state, clip=clip,

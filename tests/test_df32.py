@@ -151,3 +151,38 @@ def test_trace_parity_vs_f64(model, rng):
     r64 = rms(yf[good, 0], yf[good, 1])
     rdf = rms(xd[good], yd[good])
     assert abs(rdf - r64)/r64 < 1e-11
+
+
+def test_path_accumulation(rng):
+    """with_path returns the optical path at df32 precision."""
+    s = double_gauss()
+    tab = s.table()
+    n = 256
+    y = np.zeros((n, 3))
+    y[:, :2] = rng.uniform(-1, 1, (n, 2))*8.
+    u = np.zeros((n, 3))
+    u[:, 2] = 1.
+    _, _, t64 = (np.asarray(a) for a in trace_rays_final(tab, y, u))
+    steps = df32.plan(tab)
+    state, tacc = df32.trace_df32_final(
+        steps, df32.state_from_f64(y, u), with_path=True)
+    nptest.assert_allclose(df32.to_f64(tacc), t64, rtol=1e-12)
+
+
+def test_fast_dispatcher_precision_kinds(rng):
+    """trace_rays_final_fast(precision=...) falls back sensibly on
+    CPU (parity -> native f64) and rejects nothing."""
+    from rayopt_tpu.ops.geometric import trace_rays_final_fast
+    s = double_gauss()
+    tab = s.table()
+    n = 128
+    y = np.zeros((n, 3))
+    y[:, :2] = rng.uniform(-1, 1, (n, 2))*8.
+    u = np.zeros((n, 3))
+    u[:, 2] = 1.
+    y64, u64, t64 = (np.asarray(a) for a in trace_rays_final(tab, y, u))
+    for precision in ("fast", "parity"):
+        yf, uf, tf = (np.asarray(a) for a in trace_rays_final_fast(
+            tab, y, u, precision=precision))
+        nptest.assert_allclose(yf, y64, atol=1e-9)
+        nptest.assert_allclose(tf, t64, atol=1e-9)
