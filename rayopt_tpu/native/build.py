@@ -70,6 +70,15 @@ def get_lib():
     lib.rsx_pow.argtypes = [c_i32p, c_i32p, c_i32p, ctypes.c_int64,
                             ctypes.c_int, c_f64p, ctypes.c_double,
                             c_f64p, ctypes.c_int64]
+    c_i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.rsx_mul_grouped.restype = None
+    lib.rsx_mul_grouped.argtypes = [c_i32p, c_i32p, c_i64p,
+                                    ctypes.c_int64, c_f64p, c_f64p,
+                                    c_f64p]
+    lib.rsx_pow_grouped.restype = None
+    lib.rsx_pow_grouped.argtypes = [c_i32p, c_i32p, c_i64p,
+                                    ctypes.c_int64, ctypes.c_int,
+                                    c_f64p, ctypes.c_double, c_f64p]
     lib.rsx_eval.restype = None
     lib.rsx_eval.argtypes = [c_i32p, ctypes.c_int64, ctypes.c_int,
                              c_f64p, c_f64p, ctypes.c_int64, c_f64p]
@@ -120,28 +129,44 @@ def simplex_enum(d, m):
     return idx, jdx
 
 
+def _i64p(a):
+    import ctypes as _ct
+    return a.ctypes.data_as(_ct.POINTER(_ct.c_int64))
+
+
 class BoundTable:
     """Multiplication table with ctypes pointers bound once, for
-    low-overhead repeated host calls (the PolyTrace hot path)."""
+    low-overhead repeated host calls (the PolyTrace hot path).
+
+    The table is re-sorted by output coefficient so the kernels
+    accumulate each c[o] in a register and store sequentially
+    (rsx_mul_grouped) instead of scatter-accumulating."""
 
     def __init__(self, table):
         self.lib = get_lib()
-        self.out, self.ia, self.ib = table
+        out, ia, ib = table
+        order = np.argsort(out, kind="stable")
+        self.out = np.ascontiguousarray(out[order])
+        self.ia = np.ascontiguousarray(ia[order])
+        self.ib = np.ascontiguousarray(ib[order])
         self.nterms = self.out.shape[0]
-        self._pout = _i32p(self.out)
+        self.q = int(self.out[-1]) + 1
+        self.starts = np.searchsorted(
+            self.out, np.arange(self.q + 1)).astype(np.int64)
         self._pia = _i32p(self.ia)
         self._pib = _i32p(self.ib)
+        self._pstarts = _i64p(self.starts)
 
     def mul(self, a, b, q):
         c = np.empty(q, np.float64)
-        self.lib.rsx_mul(self._pout, self._pia, self._pib, self.nterms,
-                         _f64p(a), _f64p(b), _f64p(c), q)
+        self.lib.rsx_mul_grouped(self._pia, self._pib, self._pstarts,
+                                 q, _f64p(a), _f64p(b), _f64p(c))
         return c
 
     def pow(self, order, a, p, q):
         z = np.empty(q, np.float64)
-        self.lib.rsx_pow(self._pout, self._pia, self._pib, self.nterms,
-                         order, _f64p(a), p, _f64p(z), q)
+        self.lib.rsx_pow_grouped(self._pia, self._pib, self._pstarts,
+                                 q, order, _f64p(a), p, _f64p(z))
         return z
 
 

@@ -126,6 +126,45 @@ void rsx_mul(const int32_t *out, const int32_t *ia, const int32_t *ib,
         c[out[t]] += a[ia[t]] * b[ib[t]];
 }
 
+// c = a * b through a table grouped by output coefficient:
+// starts[o]..starts[o+1] are the (ia, ib) pairs of c[o].  Register
+// accumulation + sequential stores instead of the scattered
+// read-modify-write of rsx_mul.
+void rsx_mul_grouped(const int32_t *ia, const int32_t *ib,
+                     const int64_t *starts, int64_t q,
+                     const double *a, const double *b, double *c) {
+    for (int64_t o = 0; o < q; o++) {
+        double acc = 0.0;
+        for (int64_t t = starts[o]; t < starts[o + 1]; t++)
+            acc += a[ia[t]] * b[ib[t]];
+        c[o] = acc;
+    }
+}
+
+// z = a ** p, binomial series, using the grouped table.
+void rsx_pow_grouped(const int32_t *ia, const int32_t *ib,
+                     const int64_t *starts, int64_t q, int order,
+                     const double *a, double p, double *z) {
+    std::vector<double> x(a, a + q), y(q), w(q);
+    x[0] = 0.0;
+    for (int64_t i = 0; i < q; i++) {
+        y[i] = p * x[i];
+        z[i] = y[i];
+    }
+    z[0] += 1.0;
+    for (int i = 1; i < order; i++) {
+        rsx_mul_grouped(ia, ib, starts, q, x.data(), y.data(),
+                        w.data());
+        double f = (p - i) / (i + 1.0);
+        for (int64_t jj = 0; jj < q; jj++) {
+            y[jj] = f * w[jj];
+            z[jj] += y[jj];
+        }
+    }
+    double a0p = std::pow(a[0], p);
+    for (int64_t i = 0; i < q; i++) z[i] *= a0p;
+}
+
 // z = a ** p as the binomial series around a[0]
 // (reference simplex_accel.pyx:49-72).
 void rsx_pow(const int32_t *out, const int32_t *ia, const int32_t *ib,
