@@ -25,9 +25,15 @@ if not os.environ.get("RAYOPT_TPU_NO_X64"):
     jax.config.update("jax_enable_x64", True)
 
 from .utils.math import (  # noqa: E402,F401
-    sinarctan, tanarcsin, norm, normalize, normalize_z, sagittal_meridional,
+    sinarctan, tanarcsin, norm, normalize, normalize_z,
+    sagittal_meridional, sfloat, sint,
 )
-from .utils.distributions import pupil_distribution  # noqa: E402,F401
+from .utils.distributions import (  # noqa: E402,F401
+    pupil_distribution, gl_roots, gr_roots, interval_to_circle,
+)
+from .utils.cachend import (  # noqa: E402,F401
+    CacheND, NearestCacheND, LinearCacheND, PolarCacheND,
+)
 from .materials import (  # noqa: E402,F401
     Material, ModelMaterial, AbbeMaterial, CoefficientsMaterial,
     vacuum, mirror, air, fraunhofer, Thermal,
@@ -56,5 +62,9 @@ from .io.library import (  # noqa: E402,F401
     Library, Catalog, LibMaterial, LibLens,
 )
 from .io import library  # noqa: E402,F401
+
+#: reference name for the stock-lens record (reference
+#: library_items.py:78)
+Lens = LibLens
 
 __version__ = "0.1.0"
