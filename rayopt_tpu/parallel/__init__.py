@@ -10,3 +10,7 @@ from .grad import (  # noqa: F401
     trace_rms_merit, optimize_grad, optimize_system, spot_rms,
     wavefront_rms, opd_rays, bundles_from_system,
 )
+from .diffraction import (  # noqa: F401
+    strehl_ratio, strehl_marechal, pupil_grid, psf_grid,
+    mtf_radial,
+)

@@ -124,7 +124,8 @@ def composite_merit(*parts):
 
 
 def opd_rays(table, y0, u0, ref=0, radius=None, wavelength=None,
-             scale=1e-3, finite=False, sphere_offset=None):
+             scale=1e-3, finite=False, sphere_offset=None,
+             with_pupil=False):
     """Per-ray optical path difference on the exit-pupil reference
     sphere, in waves -- the differentiable jnp mirror of
     GeometricTrace.opd without the grid resample (reference
@@ -162,7 +163,14 @@ def opd_rays(table, y0, u0, ref=0, radius=None, wavelength=None,
     ya = ya.at[:, 2].add(radius)
     ti = intercept_conic(ya, ua, 1./radius, 0.*radius, 0.)
     tsum = tsum + (ti - ti[ref])*table.n_before[-1]
-    return -tsum/(wavelength/scale)
+    waves = -tsum/(wavelength/scale)
+    if not with_pupil:
+        return waves
+    # transverse landing coordinates on the reference sphere,
+    # centered on the reference ray (the host opd's x, y)
+    landing = ya + ti[:, None]*ua
+    landing = landing - landing[ref]
+    return waves, landing[:, :2]
 
 
 def wavefront_rms(table, y0, u0, w=None, ref=0, radius=None,
