@@ -93,3 +93,32 @@ def test_mtf_normalized(setup):
     mx, my = np.asarray(mx), np.asarray(my)
     nptest.assert_allclose(mx[0], 1., rtol=1e-9)
     assert (mx <= 1 + 1e-9).all() and (my <= 1 + 1e-9).all()
+
+
+def test_strehl_optimization_recovers_detuned_lens(setup):
+    """Maximizing Strehl through jax.grad recovers a detuned surface
+    (direct diffraction-merit optimization)."""
+    import optax
+    s, g, tab, kw = setup
+    y0, u0 = jnp.asarray(g.y[0]), jnp.asarray(g.u[0])
+    curv0 = jnp.asarray(tab.curvature)
+    detuned = curv0.at[2].multiply(1.002)
+    S_det = float(strehl_ratio(tab.replace(curvature=detuned),
+                               y0, u0, **kw))
+    S_ref = float(strehl_ratio(tab, y0, u0, **kw))
+    assert S_det < S_ref - .01
+
+    def loss(curv):
+        return -strehl_ratio(tab.replace(curvature=curv), y0, u0, **kw)
+
+    opt = optax.adam(1e-6)
+    params = detuned
+    state = opt.init(params)
+    vg = jax.jit(jax.value_and_grad(loss))
+    for _ in range(40):
+        v, grad = vg(params)
+        updates, state = opt.update(grad, state, params)
+        params = optax.apply_updates(params, updates)
+    S_opt = float(strehl_ratio(tab.replace(curvature=params),
+                               y0, u0, **kw))
+    assert S_opt > S_det + .005
