@@ -70,18 +70,21 @@ def strehl_marechal(table, y0, u0, w=None, **opd_kw):
     return jnp.exp(-jnp.square(2*jnp.pi)*var)
 
 
-def pupil_grid(table, y0, u0, w=None, ngrid=64, **opd_kw):
+def pupil_grid(table, y0, u0, w=None, ngrid=64, half=None, **opd_kw):
     """Complex pupil function on an (ngrid, ngrid) grid.
 
     Rays deposit w * exp(-2 pi i W) with bilinear (cloud-in-cell)
     weights; the deposit is normalized by the deposited weight per
     cell, so nonuniform ray densities (hexapolar, quadrature bundles)
     do not imprint on the amplitude.  Returns (grid, cell_size).
+    `half` fixes the grid half-width (for summing wavelengths on a
+    common grid); default is the bundle's own footprint.
     Fully differentiable (scatter-add only).
     """
     opd, xy, wg, good = _pupil_samples(table, y0, u0, w, **opd_kw)
-    half = jax.lax.stop_gradient(
-        jnp.abs(jnp.where(good[:, None], xy, 0.)).max())*1.0001
+    if half is None:
+        half = jax.lax.stop_gradient(
+            jnp.abs(jnp.where(good[:, None], xy, 0.)).max())*1.0001
     pos = (xy/half + 1.)*((ngrid - 1)/2.)   # [0, ngrid-1]
     base = jnp.clip(jnp.floor(pos), 0, ngrid - 2).astype(jnp.int32)
     frac = pos - base
@@ -103,13 +106,13 @@ def pupil_grid(table, y0, u0, w=None, ngrid=64, **opd_kw):
 
 
 def psf_grid(table, y0, u0, w=None, ngrid=64, pad=2, wavelength=None,
-             radius=None, scale=1e-3, **opd_kw):
+             radius=None, scale=1e-3, half=None, **opd_kw):
     """Diffraction PSF on device: FFT of the gridded pupil function.
 
     Returns (p, q, psf): angular-ish frequency axes (cycles scaled by
     radius, matching GeometricTrace.psf) and the normalized intensity.
     """
-    grid, dx = pupil_grid(table, y0, u0, w, ngrid,
+    grid, dx = pupil_grid(table, y0, u0, w, ngrid, half=half,
                           wavelength=wavelength, radius=radius,
                           scale=scale, **opd_kw)
     shape = (pad*ngrid, pad*ngrid)
@@ -122,6 +125,33 @@ def psf_grid(table, y0, u0, w=None, ngrid=64, pad=2, wavelength=None,
                                                 else 1.))
     p, q = jnp.broadcast_arrays(freq[:, None], freq[None, :])
     return p, q, psf
+
+
+def psf_polychromatic(table, bundles, ngrid=64, pad=2, radius=None,
+                      scale=1e-3, spectral_weights=None, half=None,
+                      **opd_kw):
+    """Spectrally-weighted PSF: per-wavelength PSFs (each bundle is
+    (y0, u0, w, chroma) from bundles_from_system, chroma carrying the
+    table index overrides and a 'wavelength' key) summed on a common
+    pupil grid.  Returns (p, q, psf) on the first bundle's axes."""
+    if spectral_weights is None:
+        spectral_weights = jnp.ones(len(bundles))/len(bundles)
+    if half is None:
+        half = max(float(jnp.abs(b[0][:, :2]).max()) for b in bundles)
+    total = None
+    axes = None
+    for sw, bundle in zip(spectral_weights, bundles):
+        y0, u0, w, chroma = bundle
+        chroma = dict(chroma)
+        l = chroma.pop("wavelength")
+        tab = table.replace(**chroma)
+        p, q, psf = psf_grid(tab, y0, u0, w, ngrid, pad,
+                             wavelength=l, radius=radius, scale=scale,
+                             half=half, **opd_kw)
+        total = psf*sw if total is None else total + psf*sw
+        if axes is None:
+            axes = (p, q)
+    return axes[0], axes[1], total/total.sum()
 
 
 def mtf_radial(table, y0, u0, w=None, ngrid=64, pad=2, **kw):

@@ -67,7 +67,9 @@ def trace_rms_merit(table, bundles, mesh=None, axis="rays"):
     for bundle in bundles:
         if len(bundle) == 4:
             y0, u0, w, chroma = bundle
-            tab = table.replace(**chroma)
+            overrides = {k: v for k, v in chroma.items()
+                         if k != "wavelength"}
+            tab = table.replace(**overrides)
         else:
             y0, u0, w = bundle
             tab = table
@@ -227,7 +229,8 @@ def bundles_from_system(system, fields=None, wavelengths=None,
         tab_l = system.table(l)
         chroma = {"mu": jnp.asarray(tab_l.mu),
                   "n_before": jnp.asarray(tab_l.n_before),
-                  "n_after": jnp.asarray(tab_l.n_after)}
+                  "n_after": jnp.asarray(tab_l.n_after),
+                  "wavelength": l}
         if use_device:
             zs, boxes = _device_pupils(system, fields, l)
         for i, h in enumerate(fields):

@@ -122,3 +122,20 @@ def test_strehl_optimization_recovers_detuned_lens(setup):
     S_opt = float(strehl_ratio(tab.replace(curvature=params),
                                y0, u0, **kw))
     assert S_opt > S_det + .005
+
+
+def test_polychromatic_psf(setup):
+    """Spectrally-weighted PSF over the system's three wavelengths on
+    a common grid."""
+    from rayopt_tpu.parallel.grad import bundles_from_system
+    from rayopt_tpu.parallel.diffraction import psf_polychromatic
+    s, g, tab, kw = setup
+    bundles = bundles_from_system(s, fields=[0.], nrays=64,
+                                  distribution="hexapolar")
+    assert len(bundles) == 3  # three design wavelengths
+    p, q, psf = psf_polychromatic(
+        tab, bundles, ngrid=32, pad=2,
+        radius=kw["radius"], scale=kw["scale"], finite=kw["finite"])
+    psf = np.asarray(psf)
+    nptest.assert_allclose(psf.sum(), 1., rtol=1e-6)
+    assert np.isfinite(psf).all()
