@@ -73,7 +73,8 @@ def test_bundles_shapes():
         assert y0.shape == u0.shape
         assert y0.shape[0] == w.shape[0]
         nptest.assert_allclose(np.asarray(w).sum(), 1, rtol=1e-12)
-        assert set(chroma) == {"mu", "n_before", "n_after"}
+        assert set(chroma) == {"mu", "n_before", "n_after",
+                               "wavelength"}
     # the two wavelengths carry different dispersion
     assert not np.allclose(np.asarray(bundles[0][3]["mu"]),
                            np.asarray(bundles[-1][3]["mu"]))
