@@ -280,7 +280,8 @@ def optimize_system(system, select=("curvature",), fields=None,
 
 def optimize_grad(table, bundles, select=("curvature",), steps=100,
                   lr=1e-4, optimizer=None, merit=None, callback=None,
-                  mesh=None, axis="rays"):
+                  mesh=None, axis="rays", checkpoint_dir=None,
+                  checkpoint_every=50):
     """Gradient-descent lens optimization.
 
     table:   initial SurfaceTable
@@ -293,6 +294,10 @@ def optimize_grad(table, bundles, select=("curvature",), steps=100,
              merit moments + parameter gradients ride ICI as the psums
              XLA inserts (the multi-chip training step of
              SURVEY.md section 5)
+    checkpoint_dir: optional path; (step, params, optimizer state,
+             history) are saved every `checkpoint_every` steps with
+             orbax and the run RESUMES from the latest checkpoint if
+             one exists -- kill-safe long optimizations.
 
     Returns (optimized table, history of merit values).
     """
@@ -325,11 +330,38 @@ def optimize_grad(table, bundles, select=("curvature",), steps=100,
     value_and_grad = jax.jit(jax.value_and_grad(loss))
     state = optimizer.init(params)
     history = []
-    for i in range(steps):
+    start = 0
+    ckpt = None
+    if checkpoint_dir is not None:
+        import json
+        import os
+        import orbax.checkpoint as ocp
+        checkpoint_dir = os.path.abspath(checkpoint_dir)
+        hist_file = os.path.join(checkpoint_dir, "history.json")
+        ckpt = ocp.CheckpointManager(checkpoint_dir)
+        latest = ckpt.latest_step()
+        if latest is not None:
+            restored = ckpt.restore(latest, args=ocp.args.StandardRestore(
+                {"params": params, "state": state}))
+            params, state = restored["params"], restored["state"]
+            history = json.load(open(hist_file))[:latest]
+            start = latest
+
+        def _save(step, params, state):
+            ckpt.save(step, args=ocp.args.StandardSave(
+                {"params": params, "state": state}))
+            json.dump(history, open(hist_file, "w"))
+    for i in range(start, steps):
         value, grads = value_and_grad(params)
         updates, state = optimizer.update(grads, state, params)
         params = optax.apply_updates(params, updates)
         history.append(float(value))
         if callback:
             callback(i, value, params)
+        if ckpt is not None and (i + 1) % checkpoint_every == 0:
+            _save(i + 1, params, state)
+    if ckpt is not None:
+        if ckpt.latest_step() != steps:
+            _save(steps, params, state)
+        ckpt.wait_until_finished()
     return table.replace(**params), np.asarray(history)

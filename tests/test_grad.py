@@ -118,3 +118,35 @@ def test_first_order_constrained_optimization():
     f1 = float(first_order(tab1, jnp.asarray(seed[0]),
                            jnp.asarray(seed[1]))["focal_length"][1])
     assert abs(f1 - efl0) < .05
+
+
+def test_checkpoint_resume(tmp_path):
+    """optimize_grad(checkpoint_dir=...) resumes exactly: killing a
+    run at step 6 and restarting reproduces the uninterrupted
+    10-step trajectory."""
+    import numpy as np
+    from rayopt_tpu.models import cooke_triplet
+    from rayopt_tpu.parallel.grad import optimize_grad
+    s = cooke_triplet()
+    tab = s.table()
+    n = 64
+    rng = np.random.RandomState(0)
+    y = np.zeros((n, 3))
+    y[:, :2] = rng.uniform(-1, 1, (n, 2))
+    u = np.zeros((n, 3))
+    u[:, 2] = 1.
+    bundles = [(y, u, np.ones(n)/n)]
+    t_full, h_full = optimize_grad(tab, bundles, steps=10, lr=1e-5)
+
+    ckdir = str(tmp_path/"ck")
+    # "crash" after 6 steps (checkpoint_every=3 -> checkpoint at 6)
+    optimize_grad(tab, bundles, steps=6, lr=1e-5,
+                  checkpoint_dir=ckdir, checkpoint_every=3)
+    # resume to 10
+    t_res, h_res = optimize_grad(tab, bundles, steps=10, lr=1e-5,
+                                 checkpoint_dir=ckdir,
+                                 checkpoint_every=3)
+    np.testing.assert_allclose(h_res, h_full, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(t_res.curvature),
+                               np.asarray(t_full.curvature),
+                               rtol=1e-12)
