@@ -304,6 +304,24 @@ def plot_field_curves(system, ax, height=1., wavelengths=None,
         _finish_axes(axi)
 
 
+def plot_vignetting(system, ax, nfields=16, wavelength=None):
+    """Relative meridional/sagittal aperture vs field height: the
+    vignetting diagram, from the batched rim solve (System.pupils,
+    stop=-1 -- one device dispatch for all field points)."""
+    _style_axes(ax, "OY", "rel. aperture", "VIGNETTING",
+                yzero=False, xzero=False)
+    heights = np.linspace(0, 1, nfields)
+    fields = np.stack([np.zeros(nfields), heights], 1)
+    z, boxes = system.pupils(fields, l=wavelength, stop=-1)
+    full = np.abs(boxes[0]).max()
+    ax.plot(heights, boxes[:, 1, 1]/full, "k-", label="+mer")
+    ax.plot(heights, -boxes[:, 0, 1]/full, "k--", label="-mer")
+    ax.plot(heights, boxes[:, 1, 0]/full, "k:", label="sag")
+    ax.set_xlim(0, 1)
+    ax.legend(fontsize="small", loc="lower left")
+    _finish_axes(ax)
+
+
 # -- the report driver --------------------------------------------------
 
 class Analysis:
@@ -330,6 +348,7 @@ class Analysis:
     defocus = 5
     plot_opds = True
     plot_longitudinal = True
+    plot_vignetting = False
     print_zernike = False
     zernike_terms = 15
 
@@ -419,6 +438,12 @@ class Analysis:
                 squeeze=False)
             self.figures.append(fig)
             plot_wavefront_panels(s, ax[::-1], s.fields)
+
+        if self.plot_vignetting:
+            fig, ax = plt.subplots(
+                figsize=(self.figwidth/2, self.figwidth/2))
+            self.figures.append(fig)
+            plot_vignetting(s, ax)
 
         return self.text, self.figures
 

@@ -167,3 +167,33 @@ def test_focal_length_solve():
     s.paraxial.focal_length_solve(55.)
     s.update()
     nptest.assert_allclose(s.paraxial.focal_length[1], 55., rtol=1e-6)
+
+
+def test_vignetting_panel():
+    """The vignetting diagram renders from the batched rim solve and
+    shows vignetting at the field edge for the Cooke triplet."""
+    import matplotlib
+    matplotlib.use("agg")
+    import matplotlib.pyplot as plt
+    from rayopt_tpu.models import cooke_triplet
+    from rayopt_tpu.analysis import plot_vignetting
+    s = cooke_triplet()
+    fig, ax = plt.subplots()
+    plot_vignetting(s, ax, nfields=6)
+    lines = ax.get_lines()
+    assert len(lines) >= 3
+    upper = lines[0].get_ydata()
+    assert upper[0] > upper[-1]  # rim shrinks toward the field edge
+    plt.close(fig)
+
+
+def test_analysis_vignetting_flag():
+    import matplotlib
+    matplotlib.use("agg")
+    import matplotlib.pyplot as plt
+    from rayopt_tpu.models import cooke_triplet
+    from rayopt_tpu import Analysis
+    a = Analysis(cooke_triplet(), print=False, plot_vignetting=True,
+                 defocus=3)
+    assert len(a.figures) == 6
+    plt.close("all")
