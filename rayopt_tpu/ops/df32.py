@@ -215,8 +215,21 @@ def _apply_signed(R, vx, vy, vz):
     return tuple(out)
 
 
+def _apply_rot_df(R, vx, vy, vz):
+    """Full 3x3 rotation in df32: R is a 3x3 nest of (hi, lo) consts.
+    9 df muls + 6 df adds -- only emitted for tilted surfaces."""
+    out = []
+    for r in range(3):
+        acc = mul(R[r][0], vx)
+        acc = add(acc, mul(R[r][1], vy))
+        acc = add(acc, mul(R[r][2], vz))
+        out.append(acc)
+    return tuple(out)
+
+
 def _surface_df(state, c, mu, dz, kind, flat, k1=None, asp=None,
-                alternate=False, rotm=None):
+                alternate=False, rotm=None, rot_df=None, dxy=None,
+                radius=None, clip=False):
     """One transfer-intercept-refract step in df32 for an axial
     surface (flat / spherical / conic / even-aspheric).  `c`, `mu`,
     `dz`, `k1` (= 1+conic) are df32 constants, `asp` a tuple of df32
@@ -225,10 +238,17 @@ def _surface_df(state, c, mu, dz, kind, flat, k1=None, asp=None,
     kernels.intercept/intercept_spec/refract_spec."""
     x, y, z, ux, uy, uz = state
     z = sub(z, dz)
+    if dxy is not None:
+        x = sub(x, dxy[0])
+        y = sub(y, dxy[1])
     if rotm is not None:
         # exact axis-flip frame change (mirror folds): to_normal
         x, y, z = _apply_signed(rotm, x, y, z)
         ux, uy, uz = _apply_signed(rotm, ux, uy, uz)
+    elif rot_df is not None:
+        # general tilt: full df32 rotation into the normal frame
+        x, y, z = _apply_rot_df(rot_df, x, y, z)
+        ux, uy, uz = _apply_rot_df(rot_df, ux, uy, uz)
     conic = k1 is not None
     kk = k1 if conic else const(1.)
     if flat:
@@ -278,6 +298,14 @@ def _surface_df(state, c, mu, dz, kind, flat, k1=None, asp=None,
     x = add(x, mul(s, ux))
     y = add(y, mul(s, uy))
     z = add(z, mul(s, uz))
+    if clip and radius is not None:
+        # aperture clip: NaN the direction of rays outside the radius
+        # (membership decided on the hi words -- f32 edge precision)
+        bad = x[0]*x[0] + y[0]*y[0] > radius
+        nanv = (jnp.full_like(x[0], jnp.nan),)*2
+        ux = where(bad, nanv, ux)
+        uy = where(bad, nanv, uy)
+        uz = where(bad, nanv, uz)
     plane = flat and not asp
     if kind == 0:
         vx, vy, vz = ux, uy, uz
@@ -317,17 +345,24 @@ def _surface_df(state, c, mu, dz, kind, flat, k1=None, asp=None,
         rt = rotm.T
         x, y, z = _apply_signed(rt, x, y, z)
         vx, vy, vz = _apply_signed(rt, vx, vy, vz)
+    elif rot_df is not None:
+        rt = tuple(tuple(rot_df[r][col] for r in range(3))
+                   for col in range(3))
+        x, y, z = _apply_rot_df(rt, x, y, z)
+        vx, vy, vz = _apply_rot_df(rt, vx, vy, vz)
     return (x, y, z, vx, vy, vz), s
 
 
 _ONE = (np.float32(1.), np.float32(0.))
 
 
-def plan(table):
+def plan(table, clip=False):
     """Host-side: per-surface df32 constants + static flags from a
-    float64 SurfaceTable.  Axial flat/spherical/conic/even-aspheric
-    surfaces (including mirrors and alternate intersections) are
-    supported; tilted/decentered surfaces raise."""
+    float64 SurfaceTable.  Covers the full surface vocabulary:
+    flat/spherical/conic/even-aspheric, mirrors, alternate
+    intersections, decenters, and rotations (exact signed-permutation
+    folds take the cheap sign-flip path, general tilts a full df32
+    3x3 rotation); `clip` adds the aperture NaN-clip per surface."""
     curv = np.asarray(table.curvature, np.float64)
     conic = np.asarray(table.conic, np.float64)
     mu = np.asarray(table.mu, np.float64)
@@ -335,22 +370,24 @@ def plan(table):
     rot = np.asarray(table.rot, np.float64)
     asp = np.asarray(table.aspherics, np.float64)
     alt = np.asarray(table.alternate, np.float64)
+    rad = np.asarray(table.radius, np.float64)
     steps = []
     for j in range(1, curv.shape[0]):
-        if off[j, 0] or off[j, 1]:
-            raise NotImplementedError("df32 engine: axial only")
-        rotm = None
+        rotm = rot_df = None
         if not np.allclose(rot[j], np.eye(3)):
-            # exact axis-flip frames (mirror folds) are supported:
-            # the rotation must round to a signed permutation
             ri = np.rint(rot[j]).astype(int)
-            ok = (np.abs(rot[j] - ri).max() < 1e-12
-                  and (np.abs(ri).sum(0) == 1).all()
-                  and (np.abs(ri).sum(1) == 1).all())
-            if not ok:
-                raise NotImplementedError(
-                    "df32 engine: only axis-flip rotations")
-            rotm = ri
+            exact_flip = (np.abs(rot[j] - ri).max() < 1e-12
+                          and (np.abs(ri).sum(0) == 1).all()
+                          and (np.abs(ri).sum(1) == 1).all())
+            if exact_flip:
+                rotm = ri
+            else:
+                rot_df = tuple(tuple(const(rot[j][r, cc])
+                                     for cc in range(3))
+                               for r in range(3))
+        dxy = None
+        if off[j, 0] or off[j, 1]:
+            dxy = (const(off[j, 0]), const(off[j, 1]))
         kind = 0 if mu[j] == 1. else (2 if mu[j] == -1. else 1)
         coeffs = asp[j] if asp.shape[1] else np.zeros(0)
         nz = int(np.max(np.nonzero(coeffs)[0]) + 1) if coeffs.any() \
@@ -360,7 +397,11 @@ def plan(table):
             dz=const(off[j, 2]), kind=kind, flat=curv[j] == 0.,
             k1=const(1. + conic[j]) if conic[j] else None,
             asp=tuple(const(a) for a in coeffs[:nz]),
-            alternate=bool(alt[j]), rotm=rotm,
+            alternate=bool(alt[j]), rotm=rotm, rot_df=rot_df,
+            dxy=dxy,
+            radius=(np.float32(rad[j])**2 if clip
+                    and np.isfinite(rad[j]) else None),
+            clip=clip,
             nb=const(np.asarray(table.n_before, np.float64)[j])))
     return steps
 
@@ -368,7 +409,22 @@ def plan(table):
 def _run_step(state, st):
     return _surface_df(state, st["c"], st["mu"], st["dz"], st["kind"],
                        st["flat"], st.get("k1"), st.get("asp"),
-                       st.get("alternate", False), st.get("rotm"))
+                       st.get("alternate", False), st.get("rotm"),
+                       st.get("rot_df"), st.get("dxy"),
+                       st.get("radius"), st.get("clip", False))
+
+
+def _to_last_frame(steps, state):
+    """Rotate the running-frame state into the last surface's normal
+    frame (what trace_components_final returns)."""
+    last = steps[-1]
+    if last.get("rotm") is not None:
+        return (*_apply_signed(last["rotm"], *state[:3]),
+                *_apply_signed(last["rotm"], *state[3:]))
+    if last.get("rot_df") is not None:
+        return (*_apply_rot_df(last["rot_df"], *state[:3]),
+                *_apply_rot_df(last["rot_df"], *state[3:]))
+    return state
 
 
 def trace_df32_final(steps, state, with_path=False):
@@ -384,10 +440,7 @@ def trace_df32_final(steps, state, with_path=False):
         state, s = _run_step(state, st)
         if with_path:
             tacc = add(tacc, mul(s, st["nb"]))
-    last = steps[-1].get("rotm")
-    if last is not None:
-        state = (*_apply_signed(last, *state[:3]),
-                 *_apply_signed(last, *state[3:]))
+    state = _to_last_frame(steps, state)
     if with_path:
         return state, tacc
     return state
@@ -435,11 +488,8 @@ def pallas_trace_df32(steps, state, tile=8*1024, interpret=False,
             st, s = _run_step(st, stp)
             if with_path:
                 tacc = add(tacc, mul(s, stp["nb"]))
-        last = steps[-1].get("rotm")
-        if last is not None:
-            # express the final state in the image surface's frame
-            st = (*_apply_signed(last, *st[:3]),
-                  *_apply_signed(last, *st[3:]))
+        # express the final state in the image surface's frame
+        st = _to_last_frame(steps, st)
         if with_path:
             st = st + (tacc,)
         for i in range(nout // 2):

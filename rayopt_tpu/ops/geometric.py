@@ -157,8 +157,9 @@ def trace_rays_final_fast(table, y0, u0, clip=False, specs=None,
 
     precision="parity" (float64-class accuracy, <= 1e-9 spot-RMS
     agreement): on TPU the df32 double-single Pallas kernel
-    (ops.df32, ~11x the emulated-f64 rate; axial systems without
-    clip); on CPU, native f64.  Returns float64 arrays.
+    (ops.df32, ~11x the emulated-f64 rate; full surface vocabulary
+    incl. tilts/decenters and clipping); on CPU, native f64.  Returns
+    float64 arrays.
 
     Not differentiable on the Pallas paths; use trace_rays_final
     under jax.grad.
@@ -166,19 +167,15 @@ def trace_rays_final_fast(table, y0, u0, clip=False, specs=None,
     n = y0.shape[0]
     on_tpu = jax.default_backend() == "tpu"
     if precision == "parity":
-        if on_tpu and n % tile == 0 and not clip:
+        if on_tpu and n % tile == 0:
             from . import df32
-            try:
-                steps = df32.plan(table)
-            except NotImplementedError:
-                pass
-            else:
-                out = df32.pallas_trace_df32(
-                    steps, df32.state_from_f64(y0, u0), tile=tile,
-                    with_path=True)
-                comps = [df32.to_f64(c) for c in out]
-                return (K.join(*comps[:3]), K.join(*comps[3:6]),
-                        comps[6])
+            steps = df32.plan(table, clip=clip)
+            out = df32.pallas_trace_df32(
+                steps, df32.state_from_f64(y0, u0), tile=tile,
+                with_path=True)
+            comps = [df32.to_f64(c) for c in out]
+            return (K.join(*comps[:3]), K.join(*comps[3:6]),
+                    comps[6])
         return trace_rays_final(table, y0, u0, clip=clip, specs=specs,
                                 unroll=on_tpu)
     if on_tpu and n % tile == 0:

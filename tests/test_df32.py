@@ -69,11 +69,50 @@ def test_sqrt_nan_deliberate():
     assert np.asarray(hi)[1] == 2.
 
 
-def test_plan_rejects_unsupported():
+def test_trace_parity_tilted_decentered(rng):
+    """General tilts (full df32 3x3 rotation) and decenters match the
+    f64 engine."""
     s = cooke_triplet()
-    s[2].angles = (.1, 0., 0.)
-    with pytest.raises(NotImplementedError):
-        df32.plan(s.table())
+    s[2].angles = (.05, -.02, 0.)
+    s[4].direction = (.01, 0., 1.)
+    tab = s.table()
+    n = 512
+    y = np.zeros((n, 3))
+    y[:, :2] = rng.uniform(-1, 1, (n, 2))*4.
+    u = np.zeros((n, 3))
+    u[:, 2] = 1.
+    yf = np.asarray(trace_rays_final(tab, y, u)[0])
+    out = df32.trace_df32_final(df32.plan(tab),
+                                df32.state_from_f64(y, u))
+    xd, yd = df32.to_f64(out[0]), df32.to_f64(out[1])
+    good = np.isfinite(yf[:, 0])
+    assert good.sum() > n//2
+    nptest.assert_allclose(xd[good], yf[good, 0], atol=1e-9)
+    nptest.assert_allclose(yd[good], yf[good, 1], atol=1e-9)
+
+
+def test_trace_clip(rng):
+    """plan(clip=True) NaNs rays outside each aperture like the f64
+    engine (edge membership decided at f32)."""
+    s = cooke_triplet()
+    tab = s.table()
+    n = 512
+    y = np.zeros((n, 3))
+    y[:, :2] = rng.uniform(-1, 1, (n, 2))*7.   # overfills the stop
+    u = np.zeros((n, 3))
+    u[:, 2] = 1.
+    yf = np.asarray(trace_rays_final(tab, y, u, clip=True)[0])
+    good64 = np.isfinite(yf[:, 0])
+    assert 0 < good64.sum() < n
+    out = df32.trace_df32_final(df32.plan(tab, clip=True),
+                                df32.state_from_f64(y, u))
+    xd, yd = df32.to_f64(out[0]), df32.to_f64(out[1])
+    gooddf = np.isfinite(xd)
+    # membership may differ only for rays within f32 eps of an edge
+    assert (good64 != gooddf).mean() < .01
+    both = good64 & gooddf
+    nptest.assert_allclose(xd[both], yf[both, 0], atol=1e-9)
+    nptest.assert_allclose(yd[both], yf[both, 1], atol=1e-9)
 
 
 def test_trace_parity_conic_aspheric(rng):
