@@ -316,11 +316,14 @@ class Spheroid(Interface):
     (reference elements.py:413)."""
 
     def __init__(self, curvature=0., conic=0., aspherics=None, roc=None,
-                 alternate_intersection=False, **kwargs):
+                 alternate_intersection=False, aspherics_odd=None,
+                 **kwargs):
         super().__init__(**kwargs)
         self.curvature = curvature if roc is None else 1./roc
         self.conic = conic
         self.aspherics = None if aspherics is None else list(aspherics)
+        self.aspherics_odd = (None if aspherics_odd is None
+                              else list(aspherics_odd))
         self.alternate_intersection = alternate_intersection
         if self.curvature and np.isfinite(self.radius) and self.conic > -1:
             # the aperture must not extend past the conic's equator
@@ -333,6 +336,8 @@ class Spheroid(Interface):
                 dat[key] = float(getattr(self, key))
         if self.aspherics is not None:
             dat["aspherics"] = list(map(float, self.aspherics))
+        if self.aspherics_odd is not None:
+            dat["aspherics_odd"] = list(map(float, self.aspherics_odd))
         if self.alternate_intersection:
             dat["alternate_intersection"] = True
         return dat
@@ -343,34 +348,49 @@ class Spheroid(Interface):
             return np.zeros(0)
         return np.asarray(self.aspherics, dtype=float)
 
+    @property
+    def _aspheric_odd_arr(self):
+        if self.aspherics_odd is None:
+            return np.zeros(0)
+        return np.asarray(self.aspherics_odd, dtype=float)
+
     def surface_sag(self, xyz):
         with on_host():
             return _np(_ops.surface_sag(np.asarray(xyz, dtype=float),
                                         self.curvature, self.conic,
-                                        self._aspheric_arr))
+                                        self._aspheric_arr,
+                                        self._aspheric_odd_arr))
 
     def surface_normal(self, xyz):
         with on_host():
             return _np(_ops.surface_normal(np.asarray(xyz, dtype=float),
                                            self.curvature, self.conic,
-                                           self._aspheric_arr))
+                                           self._aspheric_arr,
+                                           self._aspheric_odd_arr))
 
     def intercept(self, y, u):
         with on_host():
             return _np(_ops.intercept(
                 np.asarray(y, dtype=float), np.asarray(u, dtype=float),
                 self.curvature, self.conic, self._aspheric_arr,
-                alternate=1. if self.alternate_intersection else 0.))
+                alternate=1. if self.alternate_intersection else 0.,
+                aspherics_odd=self._aspheric_odd_arr))
 
     def refract(self, y, u0, mu):
         with on_host():
             return _np(_ops.refract(np.asarray(y, dtype=float),
                                     np.asarray(u0, dtype=float), mu,
                                     self.curvature, self.conic,
-                                    self._aspheric_arr))
+                                    self._aspheric_arr,
+                                    aspherics_odd=self._aspheric_odd_arr))
 
     def _vertex_power(self):
-        """Paraxial curvature: base + the r^2 aspheric term."""
+        """Paraxial curvature: base + the r^2 aspheric term.
+
+        Odd aspheric terms are ignored: r**(2j+1) figures are not
+        twice differentiable at the vertex (an r**1 term is a cone),
+        so they contribute no well-defined paraxial power.
+        """
         if self.aspherics:
             return self.curvature + 2*self.aspherics[0]
         return self.curvature
@@ -415,6 +435,8 @@ class Spheroid(Interface):
         self.curvature = -self.curvature
         if self.aspherics is not None:
             self.aspherics = [-ai for ai in self.aspherics]
+        if self.aspherics_odd is not None:
+            self.aspherics_odd = [-ai for ai in self.aspherics_odd]
 
     def rescale(self, scale):
         super().rescale(scale)
@@ -422,6 +444,10 @@ class Spheroid(Interface):
         if self.aspherics is not None:
             self.aspherics = [ai/scale**(2*i + 1) for i, ai
                               in enumerate(self.aspherics)]
+        if self.aspherics_odd is not None:
+            # o_j multiplies r**(2j+1): units length**(-2j)
+            self.aspherics_odd = [ai/scale**(2*i) for i, ai
+                                  in enumerate(self.aspherics_odd)]
 
     def aberration(self, y, u0, u, n0, n, v0, v):
         """Per-surface third-order (Seidel) transverse contributions

@@ -102,7 +102,7 @@ def zmf_read(file, session):
 # -- .zmx prescriptions -----------------------------------------------
 
 _ZMX_IGNORED = set("""
-GCAT OPDX RAIM CONF ENPD PUPD EFFL VERS MODE NOTE TYPE HIDE MIRR SQAP
+GCAT OPDX RAIM CONF ENPD PUPD EFFL VERS MODE NOTE HIDE MIRR SQAP
 XDAT YDAT OBNA PKUP MAZH CLAP PPAR VPAR EDGE VCON UDAD USAP TOLE PFIL
 TCED FNUM TOL MNUM MOFF FTYP SDMA GFAC PUSH PICB ROPD PWAV POLS GLRS
 BLNK COFN NSCD GSTD DMFS ISNA VDSZ ENVD ZVDX ZVDY ZVCX ZVCY ZVAN XFLN
@@ -129,6 +129,19 @@ def _zmx_name(ctx, args):
 @_zmx_on("SURF")
 def _zmx_surf(ctx, args):
     ctx.system.append(Spheroid(distance=ctx.next_pos, material=air))
+    ctx.surf_type = "STANDARD"
+
+
+#: surface TYPEs whose PARM rows we can map onto the Spheroid model
+_ZMX_TYPES = {"STANDARD", "EVENASPH", "ODDASPHE"}
+
+
+@_zmx_on("TYPE")
+def _zmx_type(ctx, args):
+    typ = args.split()[0]
+    ctx.surf_type = typ
+    if typ not in _ZMX_TYPES:
+        print("surface type not supported, treating as STANDARD:", typ)
 
 
 @_zmx_on("CURV")
@@ -185,18 +198,32 @@ def _zmx_coni(ctx, args):
 @_zmx_on("PARM")
 def _zmx_parm(ctx, args):
     i, j = args.split()
-    i = int(i) - 1
+    i = int(i)
     j = float(j)
-    if i < 0:
+    e = ctx.surface
+    if ctx.surf_type == "ODDASPHE":
+        # odd asphere: PARM i is the coefficient of r**i
+        # (all integer powers); route even powers to the even array
+        # (r**(2m) -> aspherics[m-1]) and odd powers to
+        # aspherics_odd (r**(2m+1) -> aspherics_odd[m])
+        if i % 2 == 0:
+            attr, idx = "aspherics", i//2 - 1
+        else:
+            attr, idx = "aspherics_odd", (i - 1)//2
+    else:
+        # even asphere: PARM i is the coefficient of r**(2i)
+        attr, idx = "aspherics", i - 1
+    if idx < 0:
         if j:
             print("aspheric 0 degree not supported", args)
         return
-    e = ctx.surface
-    if e.aspherics is None:
-        e.aspherics = []
-    while len(e.aspherics) <= i:
-        e.aspherics.append(0.)
-    e.aspherics[i] = j
+    coeffs = getattr(e, attr)
+    if coeffs is None:
+        coeffs = []
+        setattr(e, attr, coeffs)
+    while len(coeffs) <= idx:
+        coeffs.append(0.)
+    coeffs[idx] = j
 
 
 class _ZmxContext:
@@ -204,6 +231,7 @@ class _ZmxContext:
         self.system = System()
         self.system.append(Spheroid(material=air))
         self.next_pos = 0.
+        self.surf_type = "STANDARD"
 
     @property
     def surface(self):

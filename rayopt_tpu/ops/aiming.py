@@ -126,7 +126,7 @@ def _seed_finite(table, fx, fy, z, px, py, scale, radius):
     oy = -fy*radius
     pos = jnp.stack([ox, oy, jnp.zeros_like(ox)], -1)
     oz = -S.surface_sag(pos, table.curvature[0], table.conic[0],
-                        table.aspherics[0])
+                        table.aspherics[0], table.aspherics_odd[0])
     ux = -ox
     uy = -oy
     uz = z - oz

@@ -369,6 +369,13 @@ def plan(table, clip=False):
     off = np.asarray(table.offset, np.float64)
     rot = np.asarray(table.rot, np.float64)
     asp = np.asarray(table.aspherics, np.float64)
+    asp_odd = np.asarray(getattr(table, "aspherics_odd",
+                                 np.zeros((curv.shape[0], 0))),
+                         np.float64)
+    if asp_odd.size and np.any(asp_odd != 0):
+        raise NotImplementedError(
+            "odd aspherics are not supported by the df32 kernel; "
+            "use the f64 engines (trace_rays_final)")
     alt = np.asarray(table.alternate, np.float64)
     rad = np.asarray(table.radius, np.float64)
     steps = []

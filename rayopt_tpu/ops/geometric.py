@@ -166,8 +166,10 @@ def trace_rays_final_fast(table, y0, u0, clip=False, specs=None,
     """
     n = y0.shape[0]
     on_tpu = jax.default_backend() == "tpu"
+    import numpy as _np
+    has_odd = bool(_np.any(_np.asarray(table.aspherics_odd)))
     if precision == "parity":
-        if on_tpu and n % tile == 0:
+        if on_tpu and n % tile == 0 and not has_odd:
             from . import df32
             steps = df32.plan(table, clip=clip)
             out = df32.pallas_trace_df32(

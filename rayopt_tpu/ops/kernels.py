@@ -51,22 +51,50 @@ def _dpoly_even(r2, coeffs):
     return d
 
 
-def sag(x, y, z, c, k, aspherics):
+def _poly_odd(r2, coeffs):
+    """sum_j coeffs[j] * r**(2j+1) with r = sqrt(r2): odd-power
+    aspheric figure (the odd half of a Zemax ODDASPHE sag)."""
+    d = jnp.zeros_like(r2)
+    for j in range(coeffs.shape[-1] - 1, -1, -1):
+        d = d*r2 + coeffs[..., j]
+    return jnp.sqrt(r2)*d
+
+
+def _dpoly_odd(r2, coeffs):
+    """2 * d/d(r2) of _poly_odd: P(r2)/r + 2 r P'(r2).  The r**1 term
+    has a cusp at the vertex; the axis value is clamped through a tiny
+    floor on r (normals exactly on the vertex of a coned surface are
+    genuinely undefined)."""
+    p = jnp.zeros_like(r2)
+    for j in range(coeffs.shape[-1] - 1, -1, -1):
+        p = p*r2 + coeffs[..., j]
+    dp = jnp.zeros_like(r2)
+    for j in range(coeffs.shape[-1] - 1, 0, -1):
+        dp = dp*r2 + j*coeffs[..., j]
+    r = jnp.maximum(jnp.sqrt(r2), TINY)
+    return p/r + 2*r*dp
+
+
+def sag(x, y, z, c, k, aspherics, aspherics_odd=None):
     """z - surface_sag(x, y) (reference elements.py:440)."""
     r2 = x*x + y*y
     e = z - c*r2/(1 + _sqrt0(1 - (1 + k)*c*c*r2))
     if aspherics.shape[-1]:
         e = e - _poly_even(r2, aspherics)
+    if aspherics_odd is not None and aspherics_odd.shape[-1]:
+        e = e - _poly_odd(r2, aspherics_odd)
     return e
 
 
-def normal_radial(x, y, c, k, aspherics):
+def normal_radial(x, y, c, k, aspherics, aspherics_odd=None):
     """The radial factor e of the surface normal (nx, ny, nz) =
     (x*e, y*e, 1) (reference elements.py:457)."""
     r2 = x*x + y*y
     e = -c/_sqrt0(1 - (1 + k)*c*c*r2)
     if aspherics.shape[-1]:
         e = e - _dpoly_even(r2, aspherics)
+    if aspherics_odd is not None and aspherics_odd.shape[-1]:
+        e = e - _dpoly_odd(r2, aspherics_odd)
     return e
 
 
@@ -93,28 +121,30 @@ def intercept_conic(x, y, z, ux, uy, uz, c, k, alternate):
 
 
 def intercept(x, y, z, ux, uy, uz, c, k, aspherics, alternate,
-              iters=ASPHERIC_ITERS, tol=ASPHERIC_TOL):
+              iters=ASPHERIC_ITERS, tol=ASPHERIC_TOL,
+              aspherics_odd=None):
     s = intercept_conic(x, y, z, ux, uy, uz, c, k, alternate)
-    if aspherics.shape[-1]:
+    odd = aspherics_odd is not None and aspherics_odd.shape[-1]
+    if aspherics.shape[-1] or odd:
         s0 = s
         for _ in range(iters):
             px, py, pz = x + s*ux, y + s*uy, z + s*uz
-            fn = sag(px, py, pz, c, k, aspherics)
-            e = normal_radial(px, py, c, k, aspherics)
+            fn = sag(px, py, pz, c, k, aspherics, aspherics_odd)
+            e = normal_radial(px, py, c, k, aspherics, aspherics_odd)
             fp = ux*px*e + uy*py*e + uz
             fp = jnp.where(fp == 0, 1., fp)
             s = s - fn/fp
         px, py, pz = x + s*ux, y + s*uy, z + s*uz
-        res = sag(px, py, pz, c, k, aspherics)
+        res = sag(px, py, pz, c, k, aspherics, aspherics_odd)
         s = jnp.where(jnp.abs(res) <= tol*(1 + jnp.abs(s)), s, jnp.nan)
         s = jnp.where(jnp.isnan(s0) & (c != 0), jnp.nan, s)
     return s
 
 
-def refract(x, y, ux, uy, uz, mu, c, k, aspherics):
+def refract(x, y, ux, uy, uz, mu, c, k, aspherics, aspherics_odd=None):
     """Vector Snell / mirror reflection on components
     (reference elements.py:351)."""
-    e = normal_radial(x, y, c, k, aspherics)
+    e = normal_radial(x, y, c, k, aspherics, aspherics_odd)
     nx, ny = x*e, y*e
     r2 = nx*nx + ny*ny + 1.
     muf = jnp.abs(mu)
@@ -149,13 +179,14 @@ class SurfaceSpec(NamedTuple):
 
     flat: bool        # curvature == 0
     spherical: bool   # conic == 0 (and not flat)
-    aspheric: bool    # any aspheric coefficient nonzero
+    aspheric: bool    # any even-aspheric coefficient nonzero
     rotated: bool     # rot != identity
     off_axis: bool    # offset has nonzero x/y
     alternate: bool   # alternate (far) conic intersection
     kind: int
     finite_aperture: bool
     off_sign: int     # sign of the axial offset (static geometry)
+    odd: bool = False  # any odd-aspheric coefficient nonzero
 
 
 def specialize(table):
@@ -168,6 +199,8 @@ def specialize(table):
         c = float(np.asarray(table.curvature)[j])
         k = float(np.asarray(table.conic)[j])
         asp = np.asarray(table.aspherics)[j]
+        asp_odd = np.asarray(getattr(table, "aspherics_odd",
+                                     np.zeros((s, 0))))[j]
         rot = np.asarray(table.rot)[j]
         off = np.asarray(table.offset)[j]
         mu = float(np.asarray(table.mu)[j])
@@ -184,6 +217,7 @@ def specialize(table):
             kind=kind,
             finite_aperture=bool(np.isfinite(rad)),
             off_sign=int(np.sign(off[2])) or 1,
+            odd=bool(asp_odd.size and np.any(asp_odd != 0)),
         ))
     return tuple(specs)
 
@@ -224,11 +258,13 @@ def intercept_spec(x, y, z, ux, uy, uz, c, k, alternate, spec):
     return s
 
 
-def refract_spec(x, y, ux, uy, uz, mu, c, k, aspherics, spec):
+def refract_spec(x, y, ux, uy, uz, mu, c, k, aspherics, spec,
+                 aspherics_odd=None):
     """Specialized Snell/mirror refraction."""
     if spec.kind == 0:
         return ux, uy, uz
-    if spec.flat and not spec.aspheric:
+    figured = spec.aspheric or spec.odd
+    if spec.flat and not figured:
         # plane: normal is exactly +z
         if spec.kind == 2:
             return ux, uy, -uz
@@ -239,12 +275,14 @@ def refract_spec(x, y, ux, uy, uz, mu, c, k, aspherics, spec):
         g = jnp.where(disc < 0, jnp.nan, g)
         return muf*ux, muf*uy, muf*uz + g
     r2s = x*x + y*y
-    if spec.spherical and not spec.aspheric:
+    if spec.spherical and not figured:
         e = -c*jax.lax.rsqrt(jnp.maximum(1 - c*c*r2s, TINY))
     else:
         e = -c*jax.lax.rsqrt(jnp.maximum(1 - (1 + k)*c*c*r2s, TINY))
         if spec.aspheric:
             e = e - _dpoly_even(r2s, aspherics)
+        if spec.odd:
+            e = e - _dpoly_odd(r2s, aspherics_odd)
     nx, ny = x*e, y*e
     r2 = nx*nx + ny*ny + 1.
     ir2 = 1./r2
@@ -273,9 +311,10 @@ def surface_step_spec(state, surf, spec, clip):
         r = surf.rot
         x, y, z = rot_apply(r, x, y, z)
         ux, uy, uz = rot_apply(r, ux, uy, uz)
-    if spec.aspheric:
+    if spec.aspheric or spec.odd:
         t = intercept(x, y, z, ux, uy, uz, surf.curvature, surf.conic,
-                      surf.aspherics, surf.alternate)
+                      surf.aspherics, surf.alternate,
+                      aspherics_odd=surf.aspherics_odd)
     else:
         t = intercept_spec(x, y, z, ux, uy, uz, surf.curvature,
                            surf.conic, surf.alternate, spec)
@@ -289,7 +328,8 @@ def surface_step_spec(state, surf, spec, clip):
         uz0 = jnp.where(bad, nan, uz0)
     ux1, uy1, uz1 = refract_spec(x1, y1, ux0, uy0, uz0, surf.mu,
                                  surf.curvature, surf.conic,
-                                 surf.aspherics, spec)
+                                 surf.aspherics, spec,
+                                 aspherics_odd=surf.aspherics_odd)
     out = ((x1, y1, z1), (ux1, uy1, uz1), (ux, uy, uz),
            t*surf.n_before)
     if spec.rotated:
@@ -312,7 +352,8 @@ def surface_step(state, surf, clip):
     x, y, z = rot_apply(r, x - ox, y - oy, z - oz)
     ix, iy, iz = rot_apply(r, ux, uy, uz)
     t = intercept(x, y, z, ix, iy, iz, surf.curvature, surf.conic,
-                  surf.aspherics, surf.alternate)
+                  surf.aspherics, surf.alternate,
+                  aspherics_odd=surf.aspherics_odd)
     x1, y1, z1 = x + t*ix, y + t*iy, z + t*iz
     ux0, uy0, uz0 = ix, iy, iz
     if clip:
@@ -322,7 +363,8 @@ def surface_step(state, surf, clip):
         uy0 = jnp.where(bad, nan, uy0)
         uz0 = jnp.where(bad, nan, uz0)
     ux1, uy1, uz1 = refract(x1, y1, ux0, uy0, uz0, surf.mu,
-                            surf.curvature, surf.conic, surf.aspherics)
+                            surf.curvature, surf.conic, surf.aspherics,
+                            aspherics_odd=surf.aspherics_odd)
     out = ((x1, y1, z1), (ux1, uy1, uz1), (ix, iy, iz),
            t*surf.n_before)
     nx, ny, nz = rot_apply_t(r, x1, y1, z1)

@@ -34,15 +34,17 @@ class _SurfRow:
         self._dtype = dtype
 
     def __getattr__(self, name):
-        if name == "aspherics" and "aspherics" not in self._refs:
+        if (name in ("aspherics", "aspherics_odd")
+                and name not in self._refs):
             # zero-width blocks are not representable; absent
             # aspherics are a static property of the table
             return jnp.zeros((0,), self._dtype)
         return self._refs[name][self._j]
 
 
-_FIELDS = ("curvature", "conic", "aspherics", "offset", "rot",
-           "radius", "alternate", "mu", "n_before", "n_after")
+_FIELDS = ("curvature", "conic", "aspherics", "aspherics_odd",
+           "offset", "rot", "radius", "alternate", "mu", "n_before",
+           "n_after")
 
 
 def _trace_kernel(specs, clip, nsurf, fields, *refs):
@@ -90,7 +92,8 @@ def pallas_trace_final(table, state, clip=False, specs=None,
     state2 = tuple(c.reshape(n // 128, 128) for c in state)
 
     fields = tuple(f for f in _FIELDS
-                   if f != "aspherics" or table.aspherics.shape[1])
+                   if f not in ("aspherics", "aspherics_odd")
+                   or getattr(table, f).shape[1])
     param_specs = [
         pl.BlockSpec(a.shape, lambda i, nd=a.ndim: (0,)*nd)
         for a in (getattr(table, f) for f in fields)]

@@ -131,6 +131,11 @@ def poly_trace_table(table, specs, kmax, pupil_distance,
     coefficient vectors per surface, n the index after each surface —
     the jnp mirror of PolyTrace.stvwof (reference poly_trace.py:85-95).
     """
+    import numpy as _np
+    if _np.any(_np.asarray(table.aspherics_odd)):
+        raise NotImplementedError(
+            "odd aspherics cannot be represented in the "
+            "aberration-polynomial basis")
     alg = algebra(3, kmax)
     S = alg.box
     nsurf = table.curvature.shape[0]

@@ -46,7 +46,30 @@ def _dpoly_even(r2, coeffs):
     return d
 
 
-def surface_sag(xyz, curvature, conic, aspherics):
+def _poly_odd(r2, coeffs):
+    """sum_j coeffs[j] * r**(2j+1): the odd-power aspheric figure
+    (the odd half of a Zemax ODDASPHE sag)."""
+    d = jnp.zeros_like(r2)
+    for j in range(coeffs.shape[-1] - 1, -1, -1):
+        d = d*r2 + coeffs[..., j]
+    return jnp.sqrt(r2)*d
+
+
+def _dpoly_odd(r2, coeffs):
+    """2 * d/d(r2) of _poly_odd = P(r2)/r + 2 r P'(r2); the r**1 term
+    is a cone whose vertex normal is undefined -- r is floored at a
+    tiny value there."""
+    p = jnp.zeros_like(r2)
+    for j in range(coeffs.shape[-1] - 1, -1, -1):
+        p = p*r2 + coeffs[..., j]
+    dp = jnp.zeros_like(r2)
+    for j in range(coeffs.shape[-1] - 1, 0, -1):
+        dp = dp*r2 + j*coeffs[..., j]
+    r = jnp.maximum(jnp.sqrt(r2), 1e-30)
+    return p/r + 2*r*dp
+
+
+def surface_sag(xyz, curvature, conic, aspherics, aspherics_odd=None):
     """Signed distance along z from the surface: z - sag(x, y).
 
     Zero on the surface; matches reference elements.py:440.
@@ -58,10 +81,13 @@ def surface_sag(xyz, curvature, conic, aspherics):
     e = e - c*r2/(1 + sq)
     if aspherics.shape[-1]:
         e = e - _poly_even(r2, aspherics)
+    if aspherics_odd is not None and aspherics_odd.shape[-1]:
+        e = e - _poly_odd(r2, aspherics_odd)
     return e
 
 
-def surface_normal(xyz, curvature, conic, aspherics):
+def surface_normal(xyz, curvature, conic, aspherics,
+                   aspherics_odd=None):
     """(Unnormalized) surface normal of the sag function, pointing +z
     (reference elements.py:457)."""
     r2 = jnp.square(xyz[..., :2]).sum(-1)
@@ -69,6 +95,8 @@ def surface_normal(xyz, curvature, conic, aspherics):
     e = -c/_safe_sqrt(1 - (1 + k)*c**2*r2)
     if aspherics.shape[-1]:
         e = e - _dpoly_even(r2, aspherics)
+    if aspherics_odd is not None and aspherics_odd.shape[-1]:
+        e = e - _dpoly_odd(r2, aspherics_odd)
     q = jnp.stack([xyz[..., 0]*e, xyz[..., 1]*e,
                    jnp.ones_like(e)], axis=-1)
     return q
@@ -103,7 +131,8 @@ def intercept_conic(y, u, curvature, conic, alternate):
 
 
 def intercept(y, u, curvature, conic, aspherics,
-              iters=ASPHERIC_ITERS, tol=ASPHERIC_TOL, alternate=0.):
+              iters=ASPHERIC_ITERS, tol=ASPHERIC_TOL, alternate=0.,
+              aspherics_odd=None):
     """Ray length from y along unit u to the surface.
 
     Conic part is closed-form; if aspheric coefficients are present
@@ -112,30 +141,35 @@ def intercept(y, u, curvature, conic, aspherics,
     reference elements.py:333-349).  Non-converged rays become NaN.
     """
     s = intercept_conic(y, u, curvature, conic, alternate)
-    if aspherics.shape[-1]:
+    odd = aspherics_odd is not None and aspherics_odd.shape[-1]
+    if aspherics.shape[-1] or odd:
         s0 = s
         for _ in range(iters):
             p = y + s[..., None]*u
-            fn = surface_sag(p, curvature, conic, aspherics)
-            fp = (surface_normal(p, curvature, conic, aspherics)*u).sum(-1)
+            fn = surface_sag(p, curvature, conic, aspherics,
+                             aspherics_odd)
+            fp = (surface_normal(p, curvature, conic, aspherics,
+                                 aspherics_odd)*u).sum(-1)
             fp = jnp.where(fp == 0, 1., fp)
             s = s - fn/fp
         p = y + s[..., None]*u
-        res = surface_sag(p, curvature, conic, aspherics)
+        res = surface_sag(p, curvature, conic, aspherics,
+                          aspherics_odd)
         scale = 1 + jnp.abs(s)
         s = jnp.where(jnp.abs(res) <= tol*scale, s, jnp.nan)
         s = jnp.where(jnp.isnan(s0) & (curvature != 0), jnp.nan, s)
     return s
 
 
-def refract(y, u0, mu, curvature, conic, aspherics):
+def refract(y, u0, mu, curvature, conic, aspherics,
+            aspherics_odd=None):
     """Vector Snell refraction / mirror reflection at the intercept
     (Spencer & Murty 1962; reference elements.py:351-369).
 
     mu = n_before/n_after; mu == -1 reflects, mu == 1 passes through.
     Total internal reflection produces NaN.
     """
-    r = surface_normal(y, curvature, conic, aspherics)
+    r = surface_normal(y, curvature, conic, aspherics, aspherics_odd)
     r2 = jnp.square(r).sum(-1)
     muf = jnp.abs(mu)
     a = muf*(u0*r).sum(-1)/r2
@@ -168,11 +202,12 @@ def propagate_surface(y, u, surf, clip=False):
     for the optical path, as the trace engine does).
     """
     t = intercept(y, u, surf.curvature, surf.conic, surf.aspherics,
-                  alternate=surf.alternate)
+                  alternate=surf.alternate,
+                  aspherics_odd=surf.aspherics_odd)
     y1 = y + t[..., None]*u
     u0 = u
     if clip:
         u0 = clip_aperture(y1, u0, surf.radius)
     u1 = refract(y1, u0, surf.mu, surf.curvature, surf.conic,
-                 surf.aspherics)
+                 surf.aspherics, aspherics_odd=surf.aspherics_odd)
     return y1, u1, t

@@ -23,7 +23,11 @@ class SurfaceTable(NamedTuple):
 
     curvature:  (S,)    vertex curvature 1/roc
     conic:      (S,)    conic constant kappa
-    aspherics:  (S, K)  even-asphere coefficients (padded with zeros)
+    aspherics:  (S, K)  even-asphere coefficients (padded with zeros);
+                        aspherics[:, i] multiplies r**(2*i + 2)
+    aspherics_odd: (S, K2) odd-asphere coefficients;
+                        aspherics_odd[:, j] multiplies r**(2*j + 1)
+                        (the odd-power half of Zemax ODDASPHE terms)
     offset:     (S, 3)  vertex offset from previous vertex (lab frame)
     rot:        (S,3,3) surface-normal rotation matrix (identity if none)
     radius:     (S,)    aperture radius for clipping (inf = open)
@@ -39,6 +43,7 @@ class SurfaceTable(NamedTuple):
     curvature: jnp.ndarray
     conic: jnp.ndarray
     aspherics: jnp.ndarray
+    aspherics_odd: jnp.ndarray
     offset: jnp.ndarray
     rot: jnp.ndarray
     radius: jnp.ndarray
@@ -66,7 +71,7 @@ class SurfaceTable(NamedTuple):
 def make_table(curvature, conic=None, aspherics=None, offset=None,
                rot=None, radius=None, alternate=None, mu=None,
                n_before=None, n_after=None, distance=None,
-               dtype=np.float64):
+               aspherics_odd=None, dtype=np.float64):
     """Assemble a SurfaceTable from plain arrays, filling defaults."""
     curvature = np.asarray(curvature, dtype=dtype)
     s = curvature.shape[0]
@@ -86,6 +91,11 @@ def make_table(curvature, conic=None, aspherics=None, offset=None,
         aspherics = np.zeros((s, 0), dtype=dtype)
     else:
         aspherics = np.asarray(aspherics, dtype=dtype).reshape(s, -1)
+    if aspherics_odd is None:
+        aspherics_odd = np.zeros((s, 0), dtype=dtype)
+    else:
+        aspherics_odd = np.asarray(aspherics_odd,
+                                   dtype=dtype).reshape(s, -1)
     if offset is None and distance is not None:
         offset = np.zeros((s, 3), dtype=dtype)
         offset[:, 2] = distance
@@ -95,6 +105,7 @@ def make_table(curvature, conic=None, aspherics=None, offset=None,
         curvature=np.ascontiguousarray(curvature),
         conic=arr(conic, 0., (s,)),
         aspherics=np.ascontiguousarray(aspherics),
+        aspherics_odd=np.ascontiguousarray(aspherics_odd),
         offset=arr(offset, 0., (s, 3)),
         rot=arr(rot, np.eye(3, dtype=dtype), (s, 3, 3)),
         radius=arr(radius, np.inf, (s,)),

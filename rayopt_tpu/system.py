@@ -437,9 +437,12 @@ class System(list):
         s = len(self)
         kmax = max((len(getattr(e, "aspherics", None) or ())
                     for e in self), default=0)
+        kmax_odd = max((len(getattr(e, "aspherics_odd", None) or ())
+                        for e in self), default=0)
         curvature = np.zeros(s)
         conic = np.zeros(s)
         aspherics = np.zeros((s, kmax))
+        aspherics_odd = np.zeros((s, kmax_odd))
         offset = np.zeros((s, 3))
         rot = np.tile(np.eye(3), (s, 1, 1))
         radius = np.full(s, np.inf)
@@ -454,6 +457,8 @@ class System(list):
             conic[j] = getattr(e, "conic", 0.)
             asp = getattr(e, "aspherics", None) or ()
             aspherics[j, :len(asp)] = asp
+            asp_odd = getattr(e, "aspherics_odd", None) or ()
+            aspherics_odd[j, :len(asp_odd)] = asp_odd
             offset[j] = e.offset
             if e.rotated:
                 rot[j] = e.rot_normal
@@ -467,8 +472,9 @@ class System(list):
             n_after[j] = n0
         return make_table(
             curvature=curvature, conic=conic, aspherics=aspherics,
-            offset=offset, rot=rot, radius=radius, alternate=alternate,
-            mu=mu, n_before=n_before, n_after=n_after,
+            aspherics_odd=aspherics_odd, offset=offset, rot=rot,
+            radius=radius, alternate=alternate, mu=mu,
+            n_before=n_before, n_after=n_after,
             distance=distance, dtype=dtype)
 
     def tables(self, wavelengths=None, dtype=np.float64):

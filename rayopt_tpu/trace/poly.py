@@ -85,6 +85,11 @@ def intercept_poly_spheroid(element, S, r, p, k):
     """Conic + aspheric intercept in simplex algebra
     (reference elements.py:589-620, Andersen eqs 44-47 plus the
     aspheric fixed-point iteration of eq 28)."""
+    if getattr(element, "aspherics_odd", None):
+        raise NotImplementedError(
+            "odd aspherics (|r| powers) are not analytic at the axis "
+            "and cannot be represented in the aberration-polynomial "
+            "basis; use the geometric trace")
     u = element.curvature*np.sign(element.offset[2])
     if u == 0.:
         r, f, fr, g = intercept_poly_plane(S, r, p, k)

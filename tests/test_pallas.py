@@ -59,6 +59,42 @@ def test_pallas_clip(build=cooke_triplet):
     assert np.isnan(got_u).any()
 
 
+def test_pallas_odd_aspherics():
+    """The fused kernel traces odd-aspheric (ODDASPHE-style) surfaces
+    identically to the XLA engine."""
+    from rayopt_tpu.elements import Spheroid
+    from rayopt_tpu.system import System
+    from rayopt_tpu.materials import air
+    s = System()
+    s.append(Spheroid(material=air, radius=9.))
+    s.append(Spheroid(distance=8., curvature=1/45., conic=-.3,
+                      aspherics=[0., 2e-7],
+                      aspherics_odd=[0., 1e-5, -2e-8],
+                      material=1.6, radius=9.))
+    s.append(Spheroid(distance=5., curvature=-1/80., material=air,
+                      radius=9.))
+    s.append(Spheroid(distance=70., material=None, radius=9.))
+    s.wavelengths = [587.56e-9]
+    tab = s.table()
+    specs = specialize(tab)
+    n = 128
+    y = np.zeros((n, 3))
+    y[:, 1] = np.linspace(-8, 8, n)
+    u = np.zeros((n, 3))
+    u[:, 2] = 1.
+    state = (*[np.ascontiguousarray(c) for c in split(y)],
+             *[np.ascontiguousarray(c) for c in split(u)])
+    out, t = pallas_trace_final(tab, state, specs=specs, tile=128,
+                                interpret=True)
+    yf, uf, tf = trace_rays_final(tab, y, u)
+    got_y = np.stack([np.asarray(c) for c in out[:3]], -1)
+    got_u = np.stack([np.asarray(c) for c in out[3:]], -1)
+    nptest.assert_allclose(got_y, np.asarray(yf), atol=1e-12,
+                           equal_nan=True)
+    nptest.assert_allclose(got_u, np.asarray(uf), atol=1e-12,
+                           equal_nan=True)
+
+
 @pytest.mark.tpu
 def test_pallas_real_tpu_smoke():
     """Real-chip smoke: the Pallas fused kernel and the df32 kernel
