@@ -1,20 +1,27 @@
-"""Code V XML glass catalogs (reference codev.py:32-67).
+"""Code V import: XML glass catalogs (reference codev.py:32-67) and
+.seq lens-sequence files (beyond the reference, which covers only the
+glass catalogs).
 
-The XML element paths and the equation-name mapping are dictated by
-the format; records are built declaratively from the parsed tree.
+The XML element paths, the equation-name mapping, and the .seq command
+vocabulary are dictated by the formats; records are built
+declaratively from the parsed tree / command stream.
 """
+
+import re
 
 import xml.etree.ElementTree as et
 
 import numpy as np
 
-from ..materials import CoefficientsMaterial
+from ..materials import CoefficientsMaterial, Material, AbbeMaterial, air
 
 
 def register_parsers():
-    from .library import Catalog, LibMaterial
+    from .library import Catalog, LibMaterial, LibLens
     Catalog.parsers[".xml"] = codevxml_read
+    Catalog.parsers[".seq"] = seq_read
     LibMaterial.parsers["codev"] = codevxml_to_material
+    LibLens.parsers["seq"] = seq_to_system
 
 
 def _text(node, path):
@@ -59,6 +66,184 @@ def codevxml_to_material(data, item=None):
     mat.typ = _EQ_MAP[_text(node, "./EquationType")]
     mat.name = _text(node, "./GlassName")[2:]
     return mat
+
+
+# -- .seq lens sequences ------------------------------------------------
+
+#: DIM argument -> System.scale (metres per lens unit); Code V 'M'
+#: means millimetres
+_SEQ_SCALES = {"M": 1e-3, "MM": 1e-3, "C": 1e-2, "CM": 1e-2,
+               "I": 25.4e-3, "IN": 25.4e-3}
+
+#: object thickness at least this large is an infinite conjugate
+_SEQ_INFINITE = 1e8
+
+#: asphere letter -> even-aspheric index (A multiplies r**4 ->
+#: aspherics[1]; the r**2 slot is index 0)
+_SEQ_ASP = {letter: i + 1 for i, letter in enumerate("ABCDEFGHIJ")}
+
+#: commands consumed but deliberately without effect (solves, variable
+#: codes, tolerances, apertures beyond CIR, render/plot state)
+_SEQ_IGNORED = set("""
+PIM RDM CCY THC GLC CUY SLB DRW EDC COC CCR THR NRD DAR WTW INI XOB
+YOB ZOB WTF VUX VUY VLX VLY POL CA FNO NAO RMD DER XIM YIM ZIM
+""".split())
+
+
+def _seq_material(token):
+    """Resolve a Code V glass token: NAME_CATALOG, a bare name, a
+    fictitious nnn.nnn code (nd = 1.nnn, vd = nn.n), or AIR."""
+    token = token.strip()
+    if not token or token.upper() == "AIR":
+        return air
+    m = re.fullmatch(r"(\d{3})\.(\d{3})", token)
+    if m:
+        return AbbeMaterial(n=1 + float(m.group(1))/1000,
+                            v=float(m.group(2))/10)
+    name, _, catalog = token.partition("_")
+    tries = [f"{catalog}/{name}"] if catalog else []
+    tries.append(name)
+    if catalog and name[:1].upper() == "N" and "-" not in name:
+        tries.append(f"{catalog}/N-{name[1:]}")
+    for t in tries:
+        try:
+            return Material.make(t)
+        except KeyError:
+            continue
+    print("material not found", token)
+    return air
+
+
+def seq_to_system(data, item=None):
+    """Parse a Code V .seq lens sequence into a System.
+
+    Covers the interchange core of the format: LEN/TI/DIM/EPD/WL/REF,
+    XAN/YAN field angles, SO/S/SI surface rows (radius, thickness,
+    glass), STO stop marker, K conics and A..J even-asphere
+    coefficients (r**4 ... r**22), CIR clear apertures.  Solves,
+    zoom, tolerance, and decenter commands are ignored with a notice.
+    """
+    from ..elements import Spheroid
+    from ..system import System
+    from ..conjugates import InfiniteConjugate, FiniteConjugate
+
+    system = System()
+    fields_deg = None
+    epd = None
+    ref = None
+    object_thickness = None
+
+    def surface():
+        return system[-1]
+
+    def add_surface(args, is_object=False):
+        vals = args.split()
+        roc = float(vals[0]) if vals else 0.
+        thick = float(vals[1]) if len(vals) > 1 else 0.
+        mat = _seq_material(vals[2]) if len(vals) > 2 else air
+        e = Spheroid(curvature=1/roc if roc else 0., material=mat)
+        system.append(e)
+        return thick
+
+    pending = 0.
+    for line in data.splitlines():
+        line = line.split("!", 1)[0]
+        for chunk in line.split(";"):
+            chunk = chunk.strip()
+            if not chunk:
+                continue
+            cmd, _, args = chunk.partition(" ")
+            cmd = cmd.upper()
+            args = args.strip()
+            if cmd == "LEN":
+                continue
+            elif cmd in ("TI", "TITLE"):
+                system.description = args.strip("'\"")
+            elif cmd == "DIM":
+                system.scale = _SEQ_SCALES[args.split()[0].upper()]
+            elif cmd == "EPD":
+                epd = float(args.split()[0])
+            elif cmd == "WL":
+                system.wavelengths = [float(v)*1e-9
+                                      for v in args.split()]
+            elif cmd == "REF":
+                ref = int(args.split()[0])
+            elif cmd in ("YAN", "XAN"):
+                vals = [float(v) for v in args.split()]
+                if fields_deg is None or (max(map(abs, vals))
+                                          > max(map(abs, fields_deg))):
+                    fields_deg = vals
+            elif cmd == "SO":
+                object_thickness = add_surface(args, is_object=True)
+                pending = object_thickness
+            elif cmd == "S":
+                thick = add_surface(args)
+                surface().distance = pending
+                pending = thick
+            elif cmd == "SI":
+                add_surface(args)
+                surface().distance = pending
+                pending = 0.
+            elif cmd == "STO":
+                system.stop = len(system) - 1
+            elif cmd == "K":
+                surface().conic = float(args.split()[0])
+            elif cmd == "ASP":
+                continue
+            elif cmd == "CON":
+                continue
+            elif cmd == "CIR":
+                surface().radius = float(args.split()[0])
+            elif cmd in _SEQ_ASP and args:
+                e = surface()
+                idx = _SEQ_ASP[cmd]
+                if e.aspherics is None:
+                    e.aspherics = []
+                while len(e.aspherics) <= idx:
+                    e.aspherics.append(0.)
+                e.aspherics[idx] = float(args.split()[0])
+            elif cmd == "GO":
+                break
+            elif cmd not in _SEQ_IGNORED:
+                print(cmd, "not handled", args)
+
+    if ref and system.wavelengths and ref <= len(system.wavelengths):
+        wl = list(system.wavelengths)
+        system.wavelengths = [wl.pop(ref - 1)] + wl
+    angle_max = max(map(abs, fields_deg)) if fields_deg else 0.
+    if object_thickness is None or object_thickness >= _SEQ_INFINITE:
+        system.object = InfiniteConjugate(
+            angle_deg=angle_max, pupil=system.object.pupil)
+        if len(system) > 1:
+            system[1].distance = 0.
+    else:
+        system.object = FiniteConjugate(pupil=system.object.pupil)
+    if fields_deg and angle_max:
+        system.fields = sorted(abs(v)/angle_max for v in fields_deg)
+    if epd:
+        system.object.pupil.radius = epd/2
+        system.object.pupil.update_radius = False
+    return system
+
+
+def seq_read(file, session):
+    """Wrap one .seq file as a single-lens catalog row."""
+    import os
+    from .library import Catalog, LibLens
+    cat = Catalog()
+    data = cat.load(file)
+    cat.name = os.path.splitext(os.path.basename(file))[0]
+    cat.type, cat.source, cat.format = "lens", "codev", "seq"
+    cat.version = 0
+    session.add(cat)
+    rec = LibLens()
+    rec.name = cat.name
+    rec.data = data if isinstance(data, str) else data.decode("latin1")
+    m = re.search(r"(?:TI|TITLE)\s+'([^']*)'", rec.data)
+    if m:
+        rec.comment = m.group(1)
+    cat.lenses.append(rec)
+    return cat
 
 
 def _load_tree(lib, location):

@@ -1,0 +1,107 @@
+"""Code V .seq lens-sequence import (beyond the reference, which
+covers only the XML glass catalogs)."""
+
+import numpy as np
+from numpy import testing as nptest
+
+from rayopt_tpu.io.codev import seq_to_system
+
+
+SEQ = """! a hand-written interchange-core sample
+LEN NEW
+TI 'Seq Triplet'
+DIM M
+EPD 12.5
+WL 656.27 587.56 486.13
+REF 2
+YAN 0.0 10.0 14.0
+SO 0.0 0.1e12
+S 21.25 2.0 NSK16_SCHOTT
+S -158.65 6.0
+STO
+S -20.25 1.0 620.603
+S 19.3 6.0
+S 141.25 2.0 NSK16_SCHOTT
+  ASP; K -0.5; A 1.5E-06; B -2.0E-09
+  CIR 6.5
+S -17.285 42.95
+SI 0.0 0.0
+GO
+"""
+
+
+def test_seq_structure():
+    s = seq_to_system(SEQ)
+    assert s.description == "Seq Triplet"
+    assert s.scale == 1e-3
+    # object + 6 surfaces + image (STO marks the preceding row)
+    assert len(s) == 8
+    assert s.stop == 2
+    # REF 2 rotates the d line to the front
+    nptest.assert_allclose(
+        s.wavelengths, [587.56e-9, 656.27e-9, 486.13e-9])
+    assert not s.object.finite
+    nptest.assert_allclose(np.rad2deg(s.object.angle), 14.)
+    nptest.assert_allclose(s.fields, [0., 10/14, 1.])
+    nptest.assert_allclose(s.object.pupil.radius, 6.25)
+
+
+def test_seq_surfaces():
+    s = seq_to_system(SEQ)
+    nptest.assert_allclose(s[1].curvature, 1/21.25)
+    assert s[1].material.solid
+    # infinite object: leading gap dropped
+    nptest.assert_allclose(s[1].distance, 0.)
+    nptest.assert_allclose(s[2].distance, 2.0)
+    nptest.assert_allclose(s[2].curvature, -1/158.65)
+    assert not s[2].material.solid
+    # fictitious nnn.nnn glass -> Abbe model
+    m = s[3].material
+    nptest.assert_allclose(m.nd, 1.620, atol=2e-3)
+    # conic + A/B asphere rows on surface 5
+    e = s[5]
+    nptest.assert_allclose(e.conic, -0.5)
+    nptest.assert_allclose(e.aspherics, [0., 1.5e-6, -2.0e-9])
+    nptest.assert_allclose(e.radius, 6.5)
+
+
+def test_seq_traces():
+    """The imported system must update and trace."""
+    from rayopt_tpu.trace.paraxial import ParaxialTrace
+    s = seq_to_system(SEQ)
+    for e in s[1:-1]:
+        if not np.isfinite(e.radius):
+            e.radius = 8.
+    s[-1].radius = 30.
+    s.update()
+    p = ParaxialTrace(s)
+    assert np.isfinite(p.focal_length[1])
+    assert abs(p.focal_length[1]) > 1.
+
+
+def test_seq_library_roundtrip(tmp_path):
+    from rayopt_tpu.io.library import Library
+    f = tmp_path/"sample.seq"
+    f.write_text(SEQ)
+    lib = Library(str(tmp_path/"lib.sqlite"))
+    lib.load(str(f))
+    recs = list(lib.get_all("lens", name="sample"))
+    assert recs, "lens record not found"
+    s = recs[0]
+    assert s.description == "Seq Triplet"
+    assert len(s) == 8
+
+
+def test_seq_finite_object():
+    seq = """LEN
+TI 'finite'
+WL 587.56
+SO 0.0 200.0
+S 50.0 5.0 NBK7_SCHOTT
+S -50.0 95.0
+SI 0.0 0.0
+GO
+"""
+    s = seq_to_system(seq)
+    assert s.object.finite
+    nptest.assert_allclose(s[1].distance, 200.)
