@@ -192,3 +192,42 @@ def test_system_from_text():
     s = ro.system_from_text(txt)
     assert len(s) == 4
     nptest.assert_allclose(s[1].curvature, 1/50.)
+
+
+def test_zmf_end_to_end(tmp_path):
+    """Synthesize a real .zmf binary catalog (header + obfuscated
+    zmx descriptions) and run the whole import chain: binary read,
+    de-obfuscation, library storage, lazy zmx parse to a System."""
+    import struct
+    from rayopt_tpu.io.zemax import (zmf_obfuscate, _ZMF_LENS,
+                                     _ZMF_HEAD)
+    from rayopt_tpu.io.library import Library
+
+    def lens_record(name, efl, enp, zmx):
+        desc = f"VERS 001001\n{zmx}"
+        raw = desc.encode("latin1")
+        blob = zmf_obfuscate(raw, efl, enp)
+        head = _ZMF_LENS.pack(name.encode("latin1"), 1001, 2, 1, 0,
+                              0, 0, len(blob), efl, enp)
+        return head + blob
+
+    zmx1 = ("UNIT MM\nSURF 0\nSURF 1\nCURV 0.02\nDISZ 5\n"
+            "GLAS N-BK7 0 0 1.5168 64.17\nSURF 2\nDISZ 40\n")
+    zmx2 = ("UNIT MM\nSURF 0\nSURF 1\nTYPE ODDASPHE\nCURV 0.01\n"
+            "PARM 3 1E-06\nDISZ 3\nSURF 2\nDISZ 60\n")
+    payload = _ZMF_HEAD.pack(1001)
+    payload += lens_record("LA100", 50., 2., zmx1)
+    payload += lens_record("ODD200", 100., 4., zmx2)
+    f = tmp_path/"vendor.zmf"
+    f.write_bytes(payload)
+
+    lib = Library(str(tmp_path/"zmf.sqlite"))
+    lib.load(str(f))
+    lenses = list(lib.get_all("lens", catalog="vendor"))
+    assert len(lenses) == 2
+    by_desc = {len(s): s for s in lenses}
+    s1 = lib.get("lens", "LA100", "vendor")
+    assert abs(s1[2].curvature - 0.02) < 1e-12
+    assert s1[2].material.nd == pytest.approx(1.5168, abs=1e-3)
+    s2 = lib.get("lens", "ODD200", "vendor")
+    assert s2[2].aspherics_odd == [0., 1e-6]
