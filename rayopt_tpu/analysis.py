@@ -304,6 +304,49 @@ def plot_field_curves(system, ax, height=1., wavelengths=None,
         _finish_axes(axi)
 
 
+def plot_mtf_vs_field(system, ax, nfields=7, fractions=(.125, .25, .5),
+                      wavelength=None, nrays=1000):
+    """MTF at fixed spatial frequencies (fractions of the incoherent
+    cutoff 1/airy) versus field height; solid = tangential, dashed =
+    sagittal.  The through-field summary complements the per-field MTF
+    curves of plot_wavefront_panels."""
+    paraxial = system.paraxial
+    if wavelength is None:
+        wavelength = system.wavelengths[0]
+    _style_axes(ax, "OY", "MTF", "MTF vs FIELD",
+                yzero=False, xzero=False)
+    airy = paraxial.airy_radius[1]/paraxial.wavelength*wavelength
+    freqs = np.asarray(fractions)/airy
+    heights = np.linspace(0, 1, nfields)
+    curves = np.full((len(freqs), 2, nfields), np.nan)
+    for i, hi in enumerate(heights):
+        t = GeometricTrace(system)
+        t.rays_point((0, hi), wavelength, nrays=nrays,
+                     distribution="hexapolar", clip=True)
+        try:
+            px, py, psf = map(np.fft.fftshift, t.psf())
+        except ValueError:
+            continue
+        step = px[1, 0] - px[0, 0]
+        for axis in (0, 1):
+            otf = np.fft.ifft(np.fft.ifftshift(psf.sum(axis)) *
+                              psf.size**.5)
+            freq = np.fft.fftfreq(otf.size, step)
+            half = otf.size//2
+            curves[:, axis, i] = np.interp(
+                freqs, freq[:half], np.absolute(otf)[:half])
+    for fi, row, frac in zip(freqs, curves, fractions):
+        # tangential sums over x (axis 0 leaves the y profile)
+        ax.plot(heights, row[0], "-", label="T %.3g/mm" % fi)
+        ax.plot(heights, row[1], "--", color=ax.lines[-1].get_color(),
+                label="S %.3g/mm" % fi)
+    ax.set_xlim(0, 1)
+    ax.set_ylim(0, 1)
+    ax.legend(fontsize="small", loc="lower left")
+    _finish_axes(ax)
+    return heights, curves
+
+
 def plot_vignetting(system, ax, nfields=16, wavelength=None):
     """Relative meridional/sagittal aperture vs field height: the
     vignetting diagram, from the batched rim solve (System.pupils,
@@ -349,7 +392,10 @@ class Analysis:
     plot_opds = True
     plot_longitudinal = True
     plot_vignetting = False
+    plot_mtf_field = False
     print_zernike = False
+    print_ghosts = False
+    ghost_limit = 10
     zernike_terms = 15
 
     def __init__(self, system, **kwargs):
@@ -394,6 +440,9 @@ class Analysis:
             self.text.append(str(t))
         if self.print_zernike:
             self.text.append("\n".join(self.zernike_text()))
+        if self.print_ghosts:
+            from .ghosts import ghost_text
+            self.text.append(ghost_text(s, limit=self.ghost_limit))
 
         fig, ax = plt.subplots(figsize=(self.figwidth, self.figwidth))
         self.figures.append(fig)
@@ -445,7 +494,43 @@ class Analysis:
             self.figures.append(fig)
             plot_vignetting(s, ax)
 
+        if self.plot_mtf_field:
+            fig, ax = plt.subplots(
+                figsize=(self.figwidth/2, self.figwidth/2))
+            self.figures.append(fig)
+            plot_mtf_vs_field(s, ax)
+
         return self.text, self.figures
+
+    def export_html(self, path=None, title=None):
+        """Self-contained HTML report: all text blocks and figures
+        (PNGs embedded base64).  Returns the HTML string; writes it to
+        `path` when given."""
+        import base64
+        import html as _html
+        import io as _io
+        title = title or (self.system.description or "rayopt_tpu report")
+        parts = ["<!DOCTYPE html><html><head><meta charset='utf-8'>",
+                 "<title>%s</title>" % _html.escape(title),
+                 "<style>body{font-family:sans-serif;max-width:1100px;"
+                 "margin:2em auto}pre{background:#f6f6f6;padding:1em;"
+                 "overflow-x:auto}img{max-width:100%}</style>",
+                 "</head><body>",
+                 "<h1>%s</h1>" % _html.escape(title)]
+        for block in self.text:
+            parts.append("<pre>%s</pre>" % _html.escape(str(block)))
+        for fig in self.figures:
+            buf = _io.BytesIO()
+            fig.savefig(buf, format="png", dpi=100,
+                        bbox_inches="tight")
+            b64 = base64.b64encode(buf.getvalue()).decode("ascii")
+            parts.append("<img src='data:image/png;base64,%s'>" % b64)
+        parts.append("</body></html>")
+        doc = "\n".join(parts)
+        if path:
+            with open(path, "w") as f:
+                f.write(doc)
+        return doc
 
     def zernike_text(self, nrays=400):
         """Noll-Zernike wavefront tables per field (in waves)."""

@@ -197,3 +197,40 @@ def test_analysis_vignetting_flag():
                  defocus=3)
     assert len(a.figures) == 6
     plt.close("all")
+
+
+def test_analysis_mtf_field_and_ghosts():
+    import matplotlib
+    matplotlib.use("agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+    from rayopt_tpu.models import cooke_triplet
+    from rayopt_tpu import Analysis
+    from rayopt_tpu.analysis import plot_mtf_vs_field
+    a = Analysis(cooke_triplet(), print=False, plot_mtf_field=True,
+                 print_ghosts=True, defocus=3)
+    assert len(a.figures) == 6
+    assert any("ghost analysis" in t for t in a.text)
+    heights, curves = plot_mtf_vs_field(a.system, plt.gca(), nfields=3)
+    assert curves.shape == (3, 2, 3)
+    finite = curves[np.isfinite(curves)]
+    assert finite.size and (finite >= 0).all() and (finite <= 1.01).all()
+    # lowest frequency has the highest MTF on axis
+    on_axis = curves[:, 0, 0]
+    assert on_axis[0] >= on_axis[-1]
+    plt.close("all")
+
+
+def test_analysis_export_html(tmp_path):
+    import matplotlib
+    matplotlib.use("agg")
+    import matplotlib.pyplot as plt
+    from rayopt_tpu.models import cooke_triplet
+    from rayopt_tpu import Analysis
+    a = Analysis(cooke_triplet(), print=False, defocus=3)
+    out = tmp_path/"report.html"
+    doc = a.export_html(str(out))
+    assert out.exists()
+    assert doc.count("data:image/png;base64,") == len(a.figures)
+    assert "<pre>" in doc and "focal length" in doc
+    plt.close("all")
