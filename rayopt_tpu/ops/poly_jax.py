@@ -131,8 +131,10 @@ def poly_trace_table(table, specs, kmax, pupil_distance,
     coefficient vectors per surface, n the index after each surface —
     the jnp mirror of PolyTrace.stvwof (reference poly_trace.py:85-95).
     """
-    import numpy as _np
-    if _np.any(_np.asarray(table.aspherics_odd)):
+    # odd aspherics (|r| powers) are not representable in the
+    # polynomial basis; the check keys on the static width so it is
+    # trace/vmap-safe (zero-width = none present)
+    if table.aspherics_odd.shape[-1]:
         raise NotImplementedError(
             "odd aspherics cannot be represented in the "
             "aberration-polynomial basis")

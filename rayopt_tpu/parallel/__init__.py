@@ -4,7 +4,7 @@ from .sharding import (  # noqa: F401
 )
 from .tolerancing import (  # noqa: F401
     tolerance_analysis, monte_carlo_rms, sharded_monte_carlo_rms,
-    perturbed_tables,
+    perturbed_tables, aberration_tolerance,
 )
 from .grad import (  # noqa: F401
     trace_rms_merit, optimize_grad, optimize_system, spot_rms,

@@ -19,13 +19,17 @@ import jax.numpy as jnp
 from ..ops.geometric import trace_rays_final
 
 
-def perturbed_tables(table, key, n_samples, sigmas):
+def perturbed_tables(table, key, n_samples, sigmas,
+                     preserve_zeros=()):
     """Stack n_samples perturbed copies of `table`.
 
     sigmas: dict field -> per-surface std-dev array (broadcastable to
     the field's shape), e.g. {"curvature": 1e-5, "distance": 1e-3}.
     Gaussian perturbations; offset z follows distance when distance is
-    perturbed.
+    perturbed.  Fields named in `preserve_zeros` keep exact zeros
+    unperturbed (so flat surfaces stay flat -- required when the
+    downstream consumer was specialized on the nominal table's static
+    structure, e.g. the polynomial trace).
     """
     keys = jax.random.split(key, len(sigmas))
     out = {}
@@ -33,6 +37,8 @@ def perturbed_tables(table, key, n_samples, sigmas):
         base = jnp.asarray(getattr(table, field))
         noise = sigma*jax.random.normal(k, (n_samples,) + base.shape,
                                         base.dtype)
+        if field in preserve_zeros:
+            noise = jnp.where(base[None] == 0, 0., noise)
         out[field] = base[None] + noise
     if "distance" in out and "offset" not in out:
         off = jnp.broadcast_to(jnp.asarray(table.offset)[None],
@@ -88,6 +94,79 @@ def sharded_monte_carlo_rms(tables, y0, u0, w, mesh, clip=False,
         out_specs=P(axis),
     )
     return jax.jit(fn)(tables, y0, u0, w)
+
+
+#: linear (s, t) combinations forming the Seidel sums s1..s5
+#: (same table as trace/poly.py SEIDEL_COMBOS, reference
+#: poly_trace.py:150-156)
+_SEIDEL5 = (
+    (("s", 1, 1.),),
+    (("t", 1, -1.),),
+    (("t", 3, .5),),
+    (("s", 2, 1.), ("t", 3, -.5)),
+    (("t", 2, -1.),),
+)
+
+
+def _seidel5(s, t):
+    """s1..s5 from the final (s, t) coefficient vectors."""
+    st = {"s": s, "t": t}
+    return jnp.stack([sum(w*st[which][idx] for which, idx, w in combo)
+                      for combo in _SEIDEL5])
+
+
+def aberration_tolerance(table, pupil_distance, sigmas=None,
+                         n_samples=256, kmax=3, seed=0,
+                         telecentric=False, mesh=None, axis="samples"):
+    """Monte-Carlo tolerancing of the third-order (Seidel) aberration
+    coefficients: perturb the table, run the jittable aberration-
+    polynomial trace (ops.poly_jax) vmapped over samples, and return
+    the distribution of s1..s5.
+
+    Coefficients are in the raw (unnormalized) trace invariants --
+    identical to PolyTrace.seidel for infinite conjugates; finite
+    conjugates skip the field/pupil normalization (deltas across
+    samples remain directly comparable).
+
+    Flat surfaces stay flat under perturbation (the polynomial trace
+    is specialized on the nominal static structure).  With `mesh`, the
+    sample axis is farmed over devices exactly like the ray-based
+    Monte-Carlo (no cross-chip communication).
+    """
+    from ..ops.kernels import specialize
+    from ..ops.poly_jax import poly_trace_table
+
+    specs = specialize(table)
+    if sigmas is None:
+        sigmas = {"curvature": 1e-6, "distance": 5e-3}
+    key = jax.random.PRNGKey(seed)
+    tables = perturbed_tables(table, key, n_samples, sigmas,
+                              preserve_zeros=("curvature", "conic"))
+
+    def one(tab):
+        stvwof, n = poly_trace_table(tab, specs, kmax, pupil_distance,
+                                     telecentric=telecentric)
+        return _seidel5(stvwof[-1, 0], stvwof[-1, 1])
+
+    if mesh is None:
+        vals = jax.jit(jax.vmap(one))(tables)
+    else:
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+        fn = shard_map(jax.vmap(one), mesh=mesh,
+                       in_specs=(P(axis),), out_specs=P(axis))
+        vals = jax.jit(fn)(tables)
+    vals = np.asarray(vals)
+    nominal = np.asarray(one(table))
+    good = vals[np.all(np.isfinite(vals), axis=1)]
+    return {
+        "seidel": vals,
+        "nominal": nominal,
+        "mean": good.mean(0),
+        "std": good.std(0),
+        "p90_abs_delta": np.percentile(
+            np.abs(good - nominal), 90, axis=0),
+    }
 
 
 def tolerance_analysis(table, y0, u0, w=None, sigmas=None,

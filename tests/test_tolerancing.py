@@ -68,3 +68,47 @@ def test_sharded_farm_matches_single():
                                 mesh=mesh)
     np.testing.assert_allclose(farmed["rms"], single["rms"],
                                rtol=1e-12)
+
+
+def test_aberration_tolerance_nominal_matches_host():
+    """The vmapped Seidel tolerancing nominal row equals the host
+    PolyTrace seidel sums."""
+    import numpy as np
+    from numpy import testing as nptest
+    from rayopt_tpu import PolyTrace
+    from rayopt_tpu.models import cooke_triplet
+    from rayopt_tpu.parallel import aberration_tolerance
+    s = cooke_triplet()
+    s.update()
+    tab = s.table(s.wavelengths[0])
+    host = PolyTrace(s, 3)
+    want = dict(host.seidel(*host.st()))
+    out = aberration_tolerance(tab, s.object.pupil.distance,
+                               n_samples=16, kmax=3,
+                               telecentric=host.telecentric())
+    got = out["nominal"]
+    for i, name in enumerate(("s1", "s2", "s3", "s4", "s5")):
+        nptest.assert_allclose(got[i], want[name], rtol=1e-9,
+                               atol=1e-12, err_msg=name)
+    assert out["seidel"].shape == (16, 5)
+    assert np.all(out["std"] >= 0)
+
+
+def test_aberration_tolerance_mesh_parity():
+    """Sample farming over the 8-device mesh returns the same Seidel
+    distribution as the single-device vmap."""
+    import numpy as np
+    from numpy import testing as nptest
+    from rayopt_tpu import system_from_yaml
+    from rayopt_tpu.parallel import aberration_tolerance
+    from rayopt_tpu.parallel.sharding import ray_mesh
+    from tests.test_poly import DOUBLET
+    s = system_from_yaml(DOUBLET)
+    tab = s.table(s.wavelengths[0])
+    pd = s.object.pupil.distance
+    single = aberration_tolerance(tab, pd, n_samples=16, kmax=3)
+    mesh = ray_mesh(axis="samples")
+    farmed = aberration_tolerance(tab, pd, n_samples=16, kmax=3,
+                                  mesh=mesh)
+    nptest.assert_allclose(farmed["seidel"], single["seidel"],
+                           rtol=1e-12)
