@@ -453,6 +453,16 @@ def trace_df32_final(steps, state, with_path=False):
     return state
 
 
+def trace_df32_final_multi(plans, state, with_path=False):
+    """Polychromatic df32 trace: the same input rays through several
+    planned surface chains (one `plan` per wavelength -- the geometry
+    is shared, the baked refraction constants differ).  Returns one
+    final state per plan.  Eager reference implementation; the device
+    kernel is pallas_trace_df32_multi."""
+    return tuple(trace_df32_final(p, state, with_path=with_path)
+                 for p in plans)
+
+
 def state_from_f64(y, u):
     """(N, 3) float64 position/direction -> df32 component state."""
     comps = []
@@ -517,3 +527,52 @@ def pallas_trace_df32(steps, state, tile=8*1024, interpret=False,
         )(*flat)
     outs = [o.reshape(n) for o in outs]
     return tuple((outs[2*i], outs[2*i + 1]) for i in range(nout // 2))
+
+
+def pallas_trace_df32_multi(plans, state, tile=8*1024,
+                            interpret=False, with_path=False):
+    """Polychromatic df32 Pallas kernel: trace one ray tile through
+    every wavelength plan while it is VMEM-resident (the input is read
+    from HBM once for all wavelengths).  Returns a tuple of final
+    states, one per plan, each shaped like pallas_trace_df32's."""
+    from jax.experimental import pallas as pl
+
+    n = state[0][0].shape[0]
+    assert n % tile == 0 and tile % 128 == 0, (n, tile)
+    rows = tile // 128
+    per = 14 if with_path else 12
+    nout = per*len(plans)
+
+    def kernel(*refs):
+        ins, outs = refs[:12], refs[12:]
+        st0 = tuple((ins[2*i][:], ins[2*i + 1][:]) for i in range(6))
+        for li, steps in enumerate(plans):
+            st = st0
+            tacc = zero_like(st[0])
+            for stp in steps:
+                st, s = _run_step(st, stp)
+                if with_path:
+                    tacc = add(tacc, mul(s, stp["nb"]))
+            st = _to_last_frame(steps, st)
+            if with_path:
+                st = st + (tacc,)
+            for i in range(per // 2):
+                outs[li*per + 2*i][:] = st[i][0]
+                outs[li*per + 2*i + 1][:] = st[i][1]
+
+    flat = [jnp.asarray(w).reshape(n // 128, 128)
+            for comp in state for w in comp]
+    spec = pl.BlockSpec((rows, 128), lambda i: (i, 0))
+    out_shape = [jax.ShapeDtypeStruct((n // 128, 128), jnp.float32)
+                 for _ in range(nout)]
+    with jax.enable_x64(False):
+        outs = pl.pallas_call(
+            kernel, grid=(n // tile,),
+            in_specs=[spec]*12, out_specs=[spec]*nout,
+            out_shape=out_shape, interpret=interpret,
+        )(*flat)
+    outs = [o.reshape(n) for o in outs]
+    return tuple(
+        tuple((outs[li*per + 2*i], outs[li*per + 2*i + 1])
+              for i in range(per // 2))
+        for li in range(len(plans)))

@@ -225,3 +225,37 @@ def test_fast_dispatcher_precision_kinds(rng):
             tab, y, u, precision=precision))
         nptest.assert_allclose(yf, y64, atol=1e-9)
         nptest.assert_allclose(tf, t64, atol=1e-9)
+
+
+def test_multi_plan_matches_single(rng):
+    """The polychromatic df32 trace equals per-plan single traces
+    (eager) and the multi-output Pallas kernel wires its outputs to
+    the right wavelengths (interpret mode, f32-level check)."""
+    s = double_gauss()
+    plans = [df32.plan(s.table(l)) for l in s.wavelengths]
+    n = 256
+    y = np.zeros((n, 3))
+    y[:, :2] = rng.uniform(-1, 1, (n, 2))*8.
+    u = np.zeros((n, 3))
+    u[:, 2] = 1.
+    state = df32.state_from_f64(y, u)
+    multi = df32.trace_df32_final_multi(plans, state, with_path=True)
+    assert len(multi) == len(plans)
+    for p, (got, tacc) in zip(plans, multi):
+        want, twant = df32.trace_df32_final(p, state, with_path=True)
+        for a, b in zip(got, want):
+            nptest.assert_allclose(df32.to_f64(a), df32.to_f64(b),
+                                   rtol=0, atol=0)
+        nptest.assert_allclose(df32.to_f64(tacc), df32.to_f64(twant),
+                               rtol=0, atol=0)
+    # wavelengths actually differ (chromatic spread at the image)
+    y0 = df32.to_f64(multi[0][0][1])
+    y1 = df32.to_f64(multi[1][0][1])
+    assert np.nanmax(np.abs(y0 - y1)) > 1e-6
+    # kernel wiring (interpret mode; EFT precision is checked on-chip)
+    pk = df32.pallas_trace_df32_multi(plans, state, tile=128,
+                                      interpret=True)
+    for (got_e, _), got_k in zip(multi, pk):
+        for a, b in zip(got_e[:6], got_k):
+            nptest.assert_allclose(df32.to_f64(b), df32.to_f64(a),
+                                   atol=1e-5)
