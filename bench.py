@@ -56,7 +56,8 @@ def main():
     s = double_gauss()
     tab64 = s.table()
     specs = specialize(tab64)
-    steps = df32.plan(tab64)
+    steps = df32.plan(tab64, fast=True)
+    steps_exact = df32.plan(tab64)
     nsurf = tab64.curvature.shape[0] - 1
     dtype = np.float32
     tab = jax.tree_util.tree_map(
@@ -183,8 +184,12 @@ def main():
         out = df32.pallas_trace_df32(steps, df32.state_from_f64(yp, up))
         r_df = rms_xy(df32.to_f64(out[0]), df32.to_f64(out[1]))
         parity = abs(r_df - r_cpu)/max(r_cpu, 1e-30)
-        log("df32 spot RMS parity vs f64 CPU: %.3g "
-            "(f64 %.15g df32 %.15g)" % (parity, r_cpu, r_df))
+        out_e = df32.pallas_trace_df32(steps_exact,
+                                       df32.state_from_f64(yp, up))
+        r_e = rms_xy(df32.to_f64(out_e[0]), df32.to_f64(out_e[1]))
+        parity_exact = abs(r_e - r_cpu)/max(r_cpu, 1e-30)
+        log("df32 spot RMS parity vs f64 CPU: fast %.3g, exact %.3g "
+            "(f64 %.15g)" % (parity, parity_exact, r_cpu))
 
         # df32 carries 2x the arrays; measure at 2^25 to stay well
         # inside HBM next to the f32 buffers (rate is size-stable)
@@ -215,6 +220,8 @@ def main():
             "best_time_s": tb, "rate": rate_df,
             "vs_target": rate_df/BASELINE_RATE,
             "spot_rms_parity_vs_f64": parity,
+            "mode": "fast (one-round div/sqrt refinements)",
+            "spot_rms_parity_exact_mode": parity_exact,
         }
     else:
         # CPU fallback: verify the df32 algorithm eagerly

