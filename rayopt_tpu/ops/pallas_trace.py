@@ -121,3 +121,107 @@ def pallas_trace_final(table, state, clip=False, specs=None,
             interpret=interpret,
         )(*params, *state2)
     return tuple(o.reshape(n) for o in outs[:6]), outs[6].reshape(n)
+
+
+def _merit_kernel(specs, clip, nsurf, fields, *refs):
+    """Trace a tile and reduce it to spot-moment partial sums in-
+    kernel: (count, sum x, sum y, sum x^2, sum y^2) per grid step.
+    NaN (vignetted/missed) rays are masked out of every moment."""
+    param_refs = dict(zip(fields, refs[:len(fields)]))
+    comp_refs = refs[len(fields):len(fields) + 6]
+    out_ref = refs[len(fields) + 6]
+    state = tuple(r[:] for r in comp_refs)
+    dtype = state[0].dtype
+    if specs is None or specs[0].rotated:
+        r0 = param_refs["rot"][0]
+        state = (*K.rot_apply_t(r0, *state[:3]),
+                 *K.rot_apply_t(r0, *state[3:]))
+    for j in range(1, nsurf):
+        surf = _SurfRow(param_refs, j, dtype)
+        if specs is None:
+            state, _ = K.surface_step(state, surf, clip)
+        else:
+            state, _ = K.surface_step_spec(state, surf, specs[j],
+                                           clip)
+    if specs is None or specs[nsurf - 1].rotated:
+        rl = param_refs["rot"][nsurf - 1]
+        yl = K.rot_apply(rl, *state[:3])
+        ul = K.rot_apply(rl, *state[3:])
+    else:
+        yl, ul = state[:3], state[3:]
+    x, y = yl[0], yl[1]
+    good = jnp.isfinite(x) & jnp.isfinite(y) & jnp.isfinite(ul[2])
+    xg = jnp.where(good, x, 0.)
+    yg = jnp.where(good, y, 0.)
+    moments = (good.astype(dtype).sum(), xg.sum(), yg.sum(),
+               (xg*xg).sum(), (yg*yg).sum())
+    # moments land in lanes 0..4 of row 0 of an (8, 128) output
+    # block (Mosaic wants 8x128-aligned output tiles)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    row = jnp.zeros((8, 128), dtype)
+    for i, v in enumerate(moments):
+        row = jnp.where((rowi == 0) & (lane == i), v, row)
+    out_ref[:, :] = row
+
+
+@functools.partial(jax.jit, static_argnames=("clip", "specs", "tile",
+                                             "interpret"))
+def pallas_trace_merit(table, state, clip=False, specs=None,
+                       tile=DEFAULT_TILE, interpret=False):
+    """Fused trace + spot-moment reduction: each ray tile is traced
+    VMEM-resident and collapsed to five partial sums before leaving
+    the kernel, so HBM sees only the 6 input reads -- no per-ray
+    writeback at all (vs 7 (N,) outputs for pallas_trace_final).
+
+    Measured on v5e the trace is VPU-bound, so this is NOT faster
+    than trace-then-reduce (67.0 vs 67.2 ms at 2^27 rays); its value
+    is memory footprint -- no (7, N) output ever materializes, so
+    merit evaluation fits ~2x the rays per chip.
+
+    Returns (count, sum_x, sum_y, sum_xx, sum_yy) totals over the
+    bundle; spot_rms_from_moments turns them into the RMS.  Forward
+    (monitoring/merit) use only -- not differentiable."""
+    n = state[0].shape[0]
+    nsurf = table.curvature.shape[0]
+    assert n % tile == 0 and tile % 128 == 0, (n, tile)
+    rows = tile // 128
+    grid = (n // tile,)
+    dtype = state[0].dtype
+    state2 = tuple(c.reshape(n // 128, 128) for c in state)
+
+    fields = tuple(f for f in _FIELDS
+                   if f not in ("aspherics", "aspherics_odd")
+                   or getattr(table, f).shape[1])
+    param_specs = [
+        pl.BlockSpec(a.shape, lambda i, nd=a.ndim: (0,)*nd)
+        for a in (getattr(table, f) for f in fields)]
+    comp_spec = pl.BlockSpec((rows, 128), lambda i: (i, 0))
+    out_spec = pl.BlockSpec((8, 128), lambda i: (i, 0))
+    out_shape = jax.ShapeDtypeStruct((n // tile*8, 128), dtype)
+    params = [jnp.asarray(getattr(table, f), dtype=dtype)
+              if getattr(table, f).dtype.kind == "f"
+              else getattr(table, f) for f in fields]
+
+    import contextlib
+    ctx = (jax.enable_x64(False) if dtype == jnp.float32
+           else contextlib.nullcontext())
+    with ctx:
+        out = pl.pallas_call(
+            functools.partial(_merit_kernel, specs, clip, nsurf,
+                              fields),
+            grid=grid,
+            in_specs=param_specs + [comp_spec]*6,
+            out_specs=out_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(*params, *state2)
+    tot = out.sum(0)
+    return tot[0], tot[1], tot[2], tot[3], tot[4]
+
+
+def spot_rms_from_moments(count, sx, sy, sxx, syy):
+    """Centroid-referenced spot RMS from the fused-kernel moments."""
+    cx, cy = sx/count, sy/count
+    var = (sxx + syy)/count - (cx*cx + cy*cy)
+    return jnp.sqrt(jnp.maximum(var, 0.))

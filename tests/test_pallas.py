@@ -125,3 +125,32 @@ def test_pallas_real_tpu_smoke():
     out_df = df32.pallas_trace_df32(df32.plan(tab),
                                     df32.state_from_f64(y, u))
     nptest.assert_allclose(df32.to_f64(out_df[0]), yf[:, 0], atol=1e-9)
+
+
+def test_pallas_merit_matches_trace():
+    """The fused trace+moments kernel reproduces the spot RMS of the
+    plain trace (interpret mode; vignetting NaNs masked)."""
+    from rayopt_tpu.ops.pallas_trace import (pallas_trace_merit,
+                                             spot_rms_from_moments)
+    s = cooke_triplet()
+    tab = s.table()
+    specs = specialize(tab)
+    n = 512
+    rng = np.random.RandomState(2)
+    y = np.zeros((n, 3))
+    y[:, :2] = rng.uniform(-1, 1, (n, 2))*8.
+    u = np.zeros((n, 3))
+    u[:, 2] = 1.
+    state = tuple(np.ascontiguousarray(c)
+                  for c in (*split(y), *split(u)))
+    cnt, sx, sy, sxx, syy = pallas_trace_merit(
+        tab, state, specs=specs, clip=True, tile=128, interpret=True)
+    rms = float(spot_rms_from_moments(cnt, sx, sy, sxx, syy))
+    yf, uf, tf = trace_rays_final(tab, y, u, clip=True)
+    pts = np.asarray(yf)[:, :2]
+    good = np.isfinite(pts).all(1) & np.isfinite(np.asarray(uf)[:, 2])
+    assert good.sum() == float(cnt)
+    pts = pts[good]
+    want = np.sqrt(((pts - pts.mean(0))**2).sum(1).mean())
+    nptest.assert_allclose(rms, want, rtol=1e-9)
+    assert good.sum() < n  # clip actually vignetted something
