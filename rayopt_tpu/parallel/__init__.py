@@ -6,6 +6,9 @@ from .tolerancing import (  # noqa: F401
     tolerance_analysis, monte_carlo_rms, sharded_monte_carlo_rms,
     perturbed_tables, aberration_tolerance,
 )
+from .multihost import (  # noqa: F401
+    farm_mesh, farmed_monte_carlo_rms,
+)
 from .grad import (  # noqa: F401
     trace_rms_merit, optimize_grad, optimize_system, spot_rms,
     wavefront_rms, opd_rays, bundles_from_system,
