@@ -56,8 +56,13 @@ from .formats import (  # noqa: E402,F401
 )
 from .analysis import Analysis  # noqa: E402,F401
 from .optimize import optimize, Variable, PathVariable, Operand, FuncOp  # noqa: E402,F401
-from .io.zemax import zmx_to_system  # noqa: E402,F401
+from .io.zemax import zmx_to_system, system_to_zmx  # noqa: E402,F401
 from .io.oslo import len_to_system, olc_to_system  # noqa: E402,F401
+from .io.codev import seq_to_system  # noqa: E402,F401
+from .ghosts import ghost_table, ghost_text, ghost_system  # noqa: E402,F401
+from .thermal import (  # noqa: E402,F401
+    at_temperature, thermal_defocus, thermal_text,
+)
 from .io.library import (  # noqa: E402,F401
     Library, Catalog, LibMaterial, LibLens,
 )

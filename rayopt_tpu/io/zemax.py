@@ -255,6 +255,76 @@ def zmx_to_system(data, item=None):
     return ctx.system
 
 
+# -- .zmx writer (beyond the reference: export for interchange) --------
+
+def system_to_zmx(system):
+    """Serialize a System to Zemax .zmx text (the command subset the
+    importer reads back: UNIT/NAME/WAVL/SURF/TYPE/CURV/CONI/PARM/
+    DISZ/DIAM/GLAS/STOP).
+
+    Zemax SURF j maps to system[j] (SURF 0 = the object surface with
+    the object gap as its DISZ).  Because zmx_to_system seeds an
+    implicit object row before SURF 0, a round trip reproduces the
+    system with one extra leading passthrough row: imported[j+1]
+    corresponds to system[j] and the stop index shifts by one."""
+    inv_scales = {v: k for k, v in _ZMX_SCALES.items()}
+    out = ["VERS 1.0 rayopt_tpu"]
+    if system.description:
+        out.append('NAME "%s"' % system.description)
+    unit = inv_scales.get(system.scale)
+    if unit:
+        out.append("UNIT %s IN IN IN" % unit)
+    out.append("WAVL " + " ".join("%.9g" % (w*1e6)
+                                  for w in system.wavelengths))
+    import numpy as np
+    for j, e in enumerate(system):
+        out.append("SURF %d" % j)
+        odd = getattr(e, "aspherics_odd", None)
+        even = getattr(e, "aspherics", None)
+        if odd:
+            out.append("  TYPE ODDASPHE")
+        elif even:
+            out.append("  TYPE EVENASPH")
+        else:
+            out.append("  TYPE STANDARD")
+        if j == system.stop:
+            out.append("  STOP")
+        c = getattr(e, "curvature", 0.)
+        if c:
+            out.append("  CURV %.17g" % c)
+        k = getattr(e, "conic", 0.)
+        if k:
+            out.append("  CONI %.17g" % k)
+        if odd:
+            for i, v in enumerate(odd):
+                if v:
+                    out.append("  PARM %d %.17g" % (2*i + 1, v))
+            for i, v in enumerate(even or ()):
+                if v:
+                    out.append("  PARM %d %.17g" % (2*i + 2, v))
+        elif even:
+            for i, v in enumerate(even):
+                if v:
+                    out.append("  PARM %d %.17g" % (i + 1, v))
+        mat = getattr(e, "material", None)
+        if mat is not None and not getattr(mat, "mirror", False) \
+                and str(mat) not in ("basic/air", "air"):
+            try:
+                nd, vd = float(mat.nd), float(mat.vd)
+            except Exception:
+                nd = vd = 0.
+            out.append("  GLAS %s 0 0 %.9g %.9g"
+                       % (str(mat).split("/")[-1].upper(), nd, vd))
+        if mat is not None and getattr(mat, "mirror", False):
+            out.append("  GLAS MIRROR 0 0 0 0")
+        if np.isfinite(e.radius) and e.radius:
+            out.append("  DIAM %.17g 1 0 0" % e.radius)
+        nxt = system[j + 1] if j + 1 < len(system) else None
+        out.append("  DISZ %.17g" % (nxt.distance if nxt is not None
+                                     else 0.))
+    return "\n".join(out) + "\n"
+
+
 # -- .agf glass catalogs ------------------------------------------------
 
 def _agf_open(fil):

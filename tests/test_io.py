@@ -231,3 +231,63 @@ def test_zmf_end_to_end(tmp_path):
     assert s1[2].material.nd == pytest.approx(1.5168, abs=1e-3)
     s2 = lib.get("lens", "ODD200", "vendor")
     assert s2[2].aspherics_odd == [0., 1e-6]
+
+
+def test_zmx_writer_roundtrip():
+    """system_to_zmx -> zmx_to_system reproduces the geometry (with
+    the documented one-row shift from the importer's implicit object)
+    and the re-imported system traces to the same spot RMS."""
+    import numpy as np
+    from rayopt_tpu.models import cooke_triplet
+    from rayopt_tpu.io.zemax import system_to_zmx, zmx_to_system
+    from rayopt_tpu import GeometricTrace
+    s = cooke_triplet()
+    s.update()
+    text = system_to_zmx(s)
+    s2 = zmx_to_system(text)
+    assert len(s2) == len(s) + 1
+    assert s2.stop == s.stop + 1
+    for j, e in enumerate(s):
+        e2 = s2[j + 1]
+        np.testing.assert_allclose(getattr(e2, "curvature", 0.),
+                                   getattr(e, "curvature", 0.),
+                                   rtol=1e-12)
+        np.testing.assert_allclose(e2.distance, e.distance, rtol=1e-12)
+        np.testing.assert_allclose(e2.radius, e.radius)
+    # zmx carries the prescription, not rayopt-side seeding flags:
+    # restore conjugate/pupil settings before comparing traces
+    s2.wavelengths = s.wavelengths
+    s2.object.angle = s.object.angle
+    s2.object.pupil.radius = s.object.pupil.radius
+    s2.object.pupil.update_radius = False
+    s2.object.pupil.aim = s.object.pupil.aim
+    s2.fields = s.fields
+    s2.update()
+    g = GeometricTrace(s)
+    g.rays_point((0, 1.), nrays=13, distribution="radau", filter=False)
+    g2 = GeometricTrace(s2)
+    g2.rays_point((0, 1.), nrays=13, distribution="radau",
+                  filter=False)
+    np.testing.assert_allclose(g2.rms(), g.rms(), rtol=1e-4)
+
+
+def test_zmx_writer_odd_aspheres():
+    from rayopt_tpu.io.zemax import system_to_zmx, zmx_to_system
+    from rayopt_tpu.elements import Spheroid
+    from rayopt_tpu.system import System
+    from rayopt_tpu.materials import air
+    import numpy as np
+    s = System()
+    s.append(Spheroid(material=air, radius=8.))
+    s.append(Spheroid(distance=10., curvature=.02, conic=-.4,
+                      aspherics=[0., 1e-6],
+                      aspherics_odd=[0., 2e-5], material=1.6,
+                      radius=8.))
+    s.append(Spheroid(distance=4., material=air, radius=8.))
+    s.append(Spheroid(distance=50., material=None, radius=20.))
+    s.wavelengths = [550e-9]
+    s2 = zmx_to_system(system_to_zmx(s))
+    e = s2[2]
+    np.testing.assert_allclose(e.conic, -.4)
+    np.testing.assert_allclose(e.aspherics, [0., 1e-6])
+    np.testing.assert_allclose(e.aspherics_odd, [0., 2e-5])
