@@ -169,6 +169,31 @@ class TransformMixin:
         return self._rotate(self.rot_normal, True, self.rotated, y)
 
 
+def set_pose(element, offset, matrix):
+    """Pose `element` so its vertex offset (global frame, from the
+    previous vertex) is `offset` and its global->local rotation
+    (rot_normal) equals `matrix`.
+
+    TransformMixin couples direction to the offset vector and
+    composes rot_normal = rot_axis(direction) @ euler(angles); the
+    residual euler factor is solved for here.  Used by importers that
+    fold cumulative coordinate transforms (Zemax COORDBRK) into
+    per-surface poses."""
+    element.offset = np.asarray(offset, dtype=float)
+    matrix = np.asarray(matrix, dtype=float)
+    residual = (matrix if element.rot_axis is None
+                else element.rot_axis.T @ matrix)
+    if np.allclose(residual, np.eye(3)):
+        angles = (0., 0., 0.)
+    else:
+        angles = euler_from_matrix(residual, "rxyz")
+    element.update(element.distance, element.direction, angles)
+    got = element.rot_normal if element.rot_normal is not None \
+        else np.eye(3)
+    assert np.allclose(got, matrix, atol=1e-12), (got, matrix)
+    return element
+
+
 class Element(NameMixin, TransformMixin):
     """A bare reference plane with an aperture
     (reference elements.py:179)."""

@@ -16,8 +16,9 @@ import struct
 import numpy as np
 
 from ..utils.math import sfloat, sint
+from ..utils.geometry import euler_matrix
 from ..materials import Material, air, CoefficientsMaterial, Thermal
-from ..elements import Spheroid
+from ..elements import Spheroid, set_pose
 from ..system import System
 
 
@@ -128,19 +129,30 @@ def _zmx_name(ctx, args):
 
 @_zmx_on("SURF")
 def _zmx_surf(ctx, args):
-    ctx.system.append(Spheroid(distance=ctx.next_pos, material=air))
+    if ctx.break_row is not None:
+        ctx.apply_break()
+    e = Spheroid(material=air)
+    ctx.system.append(e)
+    ctx.place(e)
     ctx.surf_type = "STANDARD"
 
 
 #: surface TYPEs whose PARM rows we can map onto the Spheroid model
-_ZMX_TYPES = {"STANDARD", "EVENASPH", "ODDASPHE"}
+_ZMX_TYPES = {"STANDARD", "EVENASPH", "ODDASPHE", "COORDBRK"}
 
 
 @_zmx_on("TYPE")
 def _zmx_type(ctx, args):
     typ = args.split()[0]
     ctx.surf_type = typ
-    if typ not in _ZMX_TYPES:
+    if typ == "COORDBRK":
+        # the just-appended row is a coordinate break, not a surface:
+        # remember its (already placed) origin and collect its PARMs;
+        # the frame change applies when the next surface arrives
+        e = ctx.system.pop()
+        ctx.pending = np.asarray(e.offset, dtype=float)
+        ctx.break_row = [0.]*6
+    elif typ not in _ZMX_TYPES:
         print("surface type not supported, treating as STANDARD:", typ)
 
 
@@ -200,6 +212,12 @@ def _zmx_parm(ctx, args):
     i, j = args.split()
     i = int(i)
     j = float(j)
+    if ctx.break_row is not None:
+        # COORDBRK: PARM 1,2 = decenter x,y; 3,4,5 = tilt x,y,z in
+        # degrees; 6 = order (0: decenter-then-tilt)
+        if 1 <= i <= 6:
+            ctx.break_row[i - 1] = j
+        return
     e = ctx.surface
     if ctx.surf_type == "ODDASPHE":
         # odd asphere: PARM i is the coefficient of r**i
@@ -232,6 +250,45 @@ class _ZmxContext:
         self.system.append(Spheroid(material=air))
         self.next_pos = 0.
         self.surf_type = "STANDARD"
+        #: cumulative global->axis rotation from coordinate breaks
+        self.axis_rot = np.eye(3)
+        #: global-frame shift accumulated by pending breaks
+        self.pending = np.zeros(3)
+        #: PARMs of a coordinate break awaiting the next surface
+        self.break_row = None
+
+    def place(self, e):
+        """Pose the freshly appended surface: its vertex sits
+        next_pos along the current axis (plus any pending break
+        shift), its local frame is the current axis frame."""
+        off = (self.axis_rot.T @ np.array([0., 0., self.next_pos])
+               + self.pending)
+        if np.allclose(self.axis_rot, np.eye(3)) and \
+                not self.pending.any():
+            e.distance = self.next_pos   # exact straight-path floats
+        else:
+            set_pose(e, off, self.axis_rot)
+        self.pending = np.zeros(3)
+        self.next_pos = 0.
+
+    def apply_break(self):
+        """Fold the recorded coordinate break into the running frame:
+        decenter and tilt per the order flag, then advance the break's
+        thickness (next_pos) along the new axis."""
+        dx, dy, ax, ay, az, order = self.break_row
+        dec = np.array([dx, dy, 0.])
+        tilt = euler_matrix(np.deg2rad(ax), np.deg2rad(ay),
+                            np.deg2rad(az), axes="rxyz")
+        a_old = self.axis_rot
+        a_new = tilt.T @ a_old
+        if order == 0:
+            self.pending += a_old.T @ dec
+        else:
+            self.pending += a_new.T @ dec
+        self.pending += a_new.T @ np.array([0., 0., self.next_pos])
+        self.axis_rot = a_new
+        self.next_pos = 0.
+        self.break_row = None
 
     @property
     def surface(self):
@@ -252,6 +309,8 @@ def zmx_to_system(data, item=None):
             handler(ctx, args)
         elif cmd not in _ZMX_IGNORED:
             print(cmd, "not handled", args)
+    if ctx.break_row is not None:
+        ctx.apply_break()
     return ctx.system
 
 

@@ -291,3 +291,89 @@ def test_zmx_writer_odd_aspheres():
     np.testing.assert_allclose(e.conic, -.4)
     np.testing.assert_allclose(e.aspherics, [0., 1e-6])
     np.testing.assert_allclose(e.aspherics_odd, [0., 2e-5])
+
+
+def test_zmx_coordbrk_tilted_plate():
+    """Coordinate breaks: tilt(+t) / plane plate / tilt(-t) must
+    displace an axial ray laterally by the textbook plate formula
+    d sin t (1 - cos t/(n cos t')) and leave it exactly parallel."""
+    import numpy as np
+    from rayopt_tpu.io.zemax import zmx_to_system
+    theta, n, d = 10., 1.5, 5.
+    zmx = "\n".join([
+        "UNIT MM",
+        "SURF 0", "  DISZ 10",
+        "SURF 1", "  TYPE COORDBRK", "  PARM 3 %g" % theta,
+        "  DISZ 0",
+        "SURF 2", "  GLAS FAKE 0 0 %g 60" % n, "  DISZ %g" % d,
+        "SURF 3", "  DISZ 0",
+        "SURF 4", "  TYPE COORDBRK", "  PARM 3 %g" % -theta,
+        "  DISZ 30",
+        "SURF 5", "  DISZ 0",
+    ])
+    s = zmx_to_system(zmx)
+    # breaks fold away: object row + implicit + 2 plate + image
+    assert len(s) == 5
+    s.wavelengths = [587.56e-9]
+    y0 = np.zeros((1, 3))
+    u0 = np.array([[0., 0., 1.]])
+    ys, us, _, _ = s.trace_table(y0, u0, s.wavelengths[0])
+    from rayopt_tpu.materials import air as _air
+    t = np.deg2rad(theta)
+    n_rel = n/_air.refractive_index(s.wavelengths[0])
+    tp = np.arcsin(np.sin(t)/n_rel)
+    want = d*np.sin(t)*(1 - np.cos(t)/(n_rel*np.cos(tp)))
+    # the restore break recovers the direction but the axis stays
+    # laterally displaced (Zemax semantics): global lateral = local
+    # image coordinate plus the accumulated vertex offset
+    lateral = ys[-1, 0, 1] + s.origins[-1][1]
+    np.testing.assert_allclose(abs(lateral), want, rtol=1e-9)
+    np.testing.assert_allclose(ys[-1, 0, 0], 0., atol=1e-12)
+    # exit ray exactly parallel to the axis again
+    np.testing.assert_allclose(us[-1, 0], [0., 0., 1.], atol=1e-12)
+
+
+def test_zmx_coordbrk_decenter_matches_manual_offset():
+    """A decenter-only break equals building the surface with the
+    same lab-frame vertex offset directly."""
+    import numpy as np
+    from rayopt_tpu.io.zemax import zmx_to_system
+    from rayopt_tpu.elements import Spheroid
+    from rayopt_tpu.system import System
+    from rayopt_tpu.materials import air
+    dx, gap = 2., 10.
+    zmx = "\n".join([
+        "UNIT MM",
+        "SURF 0", "  DISZ 0",
+        "SURF 1", "  TYPE COORDBRK", "  PARM 1 %g" % dx, "  DISZ %g" % gap,
+        "SURF 2", "  CURV 0.02", "  GLAS FAKE 0 0 1.5 60", "  DISZ 5",
+        "SURF 3", "  DISZ 40",
+        "SURF 4", "  DISZ 0",
+    ])
+    s = zmx_to_system(zmx)
+    s.wavelengths = [587.56e-9]
+    from rayopt_tpu.elements import set_pose
+    m = System()
+    m.append(Spheroid(material=air))
+    m.append(Spheroid(material=air))       # the implicit zemax object
+    e = Spheroid(curvature=0.02, material=1.5)
+    # decentered but NOT tilted: bare `offset =` would follow the
+    # heading with a swung local frame; pin the frame to identity
+    set_pose(e, np.array([dx, 0., gap]), np.eye(3))
+    m.append(e)
+    e2 = Spheroid(material=air)
+    e2.offset = np.array([0., 0., 5.])
+    m.append(e2)
+    e3 = Spheroid(material=None)
+    e3.offset = np.array([0., 0., 40.])
+    m.append(e3)
+    m.wavelengths = [587.56e-9]
+    rng = np.random.RandomState(0)
+    y0 = np.zeros((8, 3))
+    y0[:, :2] = rng.uniform(-1, 1, (8, 2))
+    u0 = np.zeros((8, 3))
+    u0[:, 2] = 1.
+    ys, us, _, _ = s.trace_table(y0, u0, s.wavelengths[0])
+    ym, um, _, _ = m.trace_table(y0, u0, m.wavelengths[0])
+    np.testing.assert_allclose(ys[-1], ym[-1], atol=1e-10)
+    np.testing.assert_allclose(us[-1], um[-1], atol=1e-12)
