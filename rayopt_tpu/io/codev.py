@@ -114,14 +114,55 @@ def _seq_material(token):
     return air
 
 
+def _fold_seq_frames(system):
+    """Convert per-surface Code V decenters/tilts (XDE/YDE/ZDE,
+    ADE/BDE/CDE, DAR) into global per-surface poses: a plain
+    decenter/tilt re-aims the axis for every following surface
+    (thicknesses run along the new z), DAR restores the original
+    frame after the surface (decenter-and-return)."""
+    from ..elements import set_pose
+    from ..utils.geometry import euler_matrix
+
+    axis = np.eye(3)
+    carry = np.zeros(3)
+    for e in system:
+        dec = getattr(e, "_seq_dec", None)
+        tilt = getattr(e, "_seq_tilt", None)
+        dar = getattr(e, "_seq_dar", False)
+        off = axis.T @ np.array([0., 0., e.distance]) + carry
+        carry = np.zeros(3)
+        a_prev = axis
+        a_surf = axis
+        if tilt is not None:
+            rb = euler_matrix(*np.deg2rad(tilt), axes="rxyz")
+            a_surf = rb.T @ a_prev
+        d = np.zeros(3)
+        if dec is not None:
+            d = a_prev.T @ np.asarray(dec, dtype=float)
+            off = off + d
+        if not (np.allclose(a_surf, np.eye(3)) and
+                np.allclose(off[:2], 0.) and
+                np.allclose(a_prev, np.eye(3))):
+            set_pose(e, off, a_surf)
+        if dar:
+            carry = -d
+        else:
+            axis = a_surf
+        for attr in ("_seq_dec", "_seq_tilt", "_seq_dar"):
+            if hasattr(e, attr):
+                delattr(e, attr)
+
+
 def seq_to_system(data, item=None):
     """Parse a Code V .seq lens sequence into a System.
 
     Covers the interchange core of the format: LEN/TI/DIM/EPD/WL/REF,
     XAN/YAN field angles, SO/S/SI surface rows (radius, thickness,
     glass), STO stop marker, K conics and A..J even-asphere
-    coefficients (r**4 ... r**22), CIR clear apertures.  Solves,
-    zoom, tolerance, and decenter commands are ignored with a notice.
+    coefficients (r**4 ... r**22), CIR clear apertures, and
+    decenters/tilts (XDE/YDE/ZDE, ADE/BDE/CDE, DAR -- folded into
+    per-surface global poses; BEN is not supported).  Solves, zoom,
+    and tolerance commands are ignored with a notice.
     """
     from ..elements import Spheroid
     from ..system import System
@@ -194,6 +235,21 @@ def seq_to_system(data, item=None):
                 continue
             elif cmd == "CIR":
                 surface().radius = float(args.split()[0])
+            elif cmd in ("XDE", "YDE", "ZDE"):
+                e = surface()
+                if getattr(e, "_seq_dec", None) is None:
+                    e._seq_dec = [0., 0., 0.]
+                e._seq_dec["XYZ".index(cmd[0])] = float(args.split()[0])
+            elif cmd in ("ADE", "BDE", "CDE"):
+                e = surface()
+                if getattr(e, "_seq_tilt", None) is None:
+                    e._seq_tilt = [0., 0., 0.]
+                e._seq_tilt["ABC".index(cmd[0])] = float(args.split()[0])
+            elif cmd == "DAR":
+                surface()._seq_dar = True
+            elif cmd == "BEN":
+                print("BEN (bend) not supported; tilt folded without "
+                      "the post-reflection axis bend")
             elif cmd in _SEQ_ASP and args:
                 e = surface()
                 idx = _SEQ_ASP[cmd]
@@ -223,6 +279,10 @@ def seq_to_system(data, item=None):
     if epd:
         system.object.pupil.radius = epd/2
         system.object.pupil.update_radius = False
+    if any(getattr(e, "_seq_dec", None) is not None
+           or getattr(e, "_seq_tilt", None) is not None
+           for e in system):
+        _fold_seq_frames(system)
     return system
 
 

@@ -105,3 +105,78 @@ GO
     s = seq_to_system(seq)
     assert s.object.finite
     nptest.assert_allclose(s[1].distance, 200.)
+
+
+def test_seq_tilted_plate_displacement():
+    """ADE tilts fold like Zemax breaks: a tilted plane plate
+    displaces an axial ray by the textbook formula and exits
+    parallel."""
+    theta, n, d = 8., 1.5, 6.
+    seq = """LEN
+TI 'tilted plate'
+WL 587.56
+SO 0.0 0.1e12
+S 0.0 10.0
+S 0.0 %g 500.600
+  ADE %g
+S 0.0 0.0
+S 0.0 30.0
+  ADE %g
+SI 0.0 0.0
+GO
+""" % (d, theta, -theta)
+    s = seq_to_system(seq)
+    y0 = np.zeros((1, 3))
+    u0 = np.array([[0., 0., 1.]])
+    ys, us, _, _ = s.trace_table(y0, u0, s.wavelengths[0])
+    from rayopt_tpu.materials import air as _air
+    t = np.deg2rad(theta)
+    n_rel = n/_air.refractive_index(s.wavelengths[0])
+    tp = np.arcsin(np.sin(t)/n_rel)
+    want = d*np.sin(t)*(1 - np.cos(t)/(n_rel*np.cos(tp)))
+    lateral = ys[-1, 0, 1] + s.origins[-1][1]
+    nptest.assert_allclose(abs(lateral), want, rtol=1e-9)
+    nptest.assert_allclose(us[-1, 0], [0., 0., 1.], atol=1e-12)
+
+
+def test_seq_dar_decenter_matches_manual():
+    """A DAR (decenter-and-return) lens equals the manual build:
+    the surface shifts, the chain does not."""
+    from rayopt_tpu.elements import Spheroid, set_pose
+    from rayopt_tpu.system import System
+    from rayopt_tpu.materials import air
+    dx, gap, thick = 1.5, 10., 4.
+    seq = """LEN
+WL 587.56
+SO 0.0 0.1e12
+S 40.0 %g 500.600
+  XDE %g
+  DAR
+S -40.0 50.0
+SI 0.0 0.0
+GO
+""" % (thick, dx)
+    s = seq_to_system(seq)
+    # note: the object gap collapses for infinite conjugates, so the
+    # decentered front sits at distance 0 like the import
+    m = System()
+    m.append(Spheroid(material=air))
+    e1 = Spheroid(curvature=1/40., material=1.5)
+    set_pose(e1, np.array([dx, 0., 0.]), np.eye(3))
+    m.append(e1)
+    e2 = Spheroid(curvature=-1/40., material=air)
+    set_pose(e2, np.array([-dx, 0., thick]), np.eye(3))
+    m.append(e2)
+    e3 = Spheroid(material=air)
+    e3.distance = 50.
+    m.append(e3)
+    m.wavelengths = s.wavelengths
+    rng = np.random.RandomState(1)
+    y0 = np.zeros((8, 3))
+    y0[:, :2] = rng.uniform(-1, 1, (8, 2))
+    u0 = np.zeros((8, 3))
+    u0[:, 2] = 1.
+    ys, us, _, _ = s.trace_table(y0, u0, s.wavelengths[0])
+    ym, um, _, _ = m.trace_table(y0, u0, m.wavelengths[0])
+    nptest.assert_allclose(ys[-1], ym[-1], atol=1e-10)
+    nptest.assert_allclose(us[-1], um[-1], atol=1e-12)
