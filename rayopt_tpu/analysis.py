@@ -442,7 +442,10 @@ class Analysis:
             self.text.append("\n".join(self.zernike_text()))
         if self.print_ghosts:
             from .ghosts import ghost_text
-            self.text.append(ghost_text(s, limit=self.ghost_limit))
+            try:
+                self.text.append(ghost_text(s, limit=self.ghost_limit))
+            except NotImplementedError as exc:
+                self.text.append("ghost analysis skipped: %s" % exc)
 
         fig, ax = plt.subplots(figsize=(self.figwidth, self.figwidth))
         self.figures.append(fig)

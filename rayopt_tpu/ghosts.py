@@ -79,6 +79,10 @@ def ghost_system(system, a, b):
     then a+1 .. image as usual.  Negative gaps encode the reversed
     travel; the engines trace them exactly."""
     assert 1 <= a < b < len(system) - 1
+    if any(getattr(e, "rotated", False) for e in system):
+        raise NotImplementedError(
+            "ghost unfolding currently assumes an axial system "
+            "(no tilts/decenters)")
     mat = [getattr(e, "material", None) for e in system]
     g = System(description="ghost (%d, %d) of %s"
                % (a, b, system.description))
