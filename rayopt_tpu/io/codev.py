@@ -96,6 +96,8 @@ def _seq_material(token):
     token = token.strip()
     if not token or token.upper() == "AIR":
         return air
+    if token.upper() in ("REFL", "MIRROR"):
+        return Material.make("mirror")
     m = re.fullmatch(r"(\d{3})\.(\d{3})", token)
     if m:
         return AbbeMaterial(n=1 + float(m.group(1))/1000,
@@ -114,21 +116,49 @@ def _seq_material(token):
     return air
 
 
+def _axis_toward(v):
+    """Minimal proper rotation A (global->local) whose local z axis
+    points along v: A.T @ ez == v/|v|."""
+    from ..utils.geometry import rotation_matrix
+    v = np.asarray(v, dtype=float)
+    v = v/np.linalg.norm(v)
+    ez = np.array([0., 0., 1.])
+    c = float(ez @ v)
+    axis = np.cross(ez, v)
+    norm = np.linalg.norm(axis)
+    if norm < 1e-15:
+        if c > 0:
+            return np.eye(3)
+        return np.diag([1., -1., -1.])   # 180deg about x
+    ang = np.arctan2(norm, c)
+    r = rotation_matrix(ang, axis/norm)
+    # rotation_matrix gives an active rotation carrying ez onto v:
+    # as a frame it is local->global, so the global->local map is r.T
+    a = r.T if np.allclose(r.T.T @ ez, v, atol=1e-12) else r
+    assert np.allclose(a.T @ ez, v, atol=1e-10), (a.T @ ez, v)
+    return a
+
+
 def _fold_seq_frames(system):
     """Convert per-surface Code V decenters/tilts (XDE/YDE/ZDE,
-    ADE/BDE/CDE, DAR) into global per-surface poses: a plain
+    ADE/BDE/CDE, DAR, BEN) into global per-surface poses: a plain
     decenter/tilt re-aims the axis for every following surface
     (thicknesses run along the new z), DAR restores the original
-    frame after the surface (decenter-and-return)."""
+    frame after the surface (decenter-and-return), and BEN on a
+    tilted mirror bends the axis along the reflected direction
+    (subsequent thicknesses are negative, per Code V's mirror-space
+    convention)."""
     from ..elements import set_pose
     from ..utils.geometry import euler_matrix
 
     axis = np.eye(3)
     carry = np.zeros(3)
+    sign = 1.
     for e in system:
         dec = getattr(e, "_seq_dec", None)
         tilt = getattr(e, "_seq_tilt", None)
         dar = getattr(e, "_seq_dar", False)
+        ben = getattr(e, "_seq_ben", False)
         off = axis.T @ np.array([0., 0., e.distance]) + carry
         carry = np.zeros(3)
         a_prev = axis
@@ -144,11 +174,20 @@ def _fold_seq_frames(system):
                 np.allclose(off[:2], 0.) and
                 np.allclose(a_prev, np.eye(3))):
             set_pose(e, off, a_surf)
-        if dar:
+        if ben:
+            # reflect the propagation direction at the tilted mirror
+            d_in = sign*(a_prev.T @ np.array([0., 0., 1.]))
+            nrm = a_surf.T @ np.array([0., 0., 1.])
+            d_out = d_in - 2*(d_in @ nrm)*nrm
+            sign = -sign
+            # the next (sign-flipped) thickness must advance along
+            # d_out: local z points along sign*d_out
+            axis = _axis_toward(sign*d_out)
+        elif dar:
             carry = -d
         else:
             axis = a_surf
-        for attr in ("_seq_dec", "_seq_tilt", "_seq_dar"):
+        for attr in ("_seq_dec", "_seq_tilt", "_seq_dar", "_seq_ben"):
             if hasattr(e, attr):
                 delattr(e, attr)
 
@@ -248,8 +287,7 @@ def seq_to_system(data, item=None):
             elif cmd == "DAR":
                 surface()._seq_dar = True
             elif cmd == "BEN":
-                print("BEN (bend) not supported; tilt folded without "
-                      "the post-reflection axis bend")
+                surface()._seq_ben = True
             elif cmd in _SEQ_ASP and args:
                 e = surface()
                 idx = _SEQ_ASP[cmd]
@@ -281,6 +319,7 @@ def seq_to_system(data, item=None):
         system.object.pupil.update_radius = False
     if any(getattr(e, "_seq_dec", None) is not None
            or getattr(e, "_seq_tilt", None) is not None
+           or getattr(e, "_seq_ben", False)
            for e in system):
         _fold_seq_frames(system)
     return system

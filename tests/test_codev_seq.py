@@ -180,3 +180,39 @@ GO
     ym, um, _, _ = m.trace_table(y0, u0, m.wavelengths[0])
     nptest.assert_allclose(ys[-1], ym[-1], atol=1e-10)
     nptest.assert_allclose(us[-1], um[-1], atol=1e-12)
+
+
+def test_seq_ben_periscope():
+    """BEN mirrors bend the axis: a 45/-45 Z-periscope folds twice,
+    preserves the bundle, and exits parallel to the input, displaced
+    by the mirror separation."""
+    seq = """LEN
+WL 587.56
+SO 0.0 0.1e12
+S 0.0 10.0
+S 0.0 -15.0 REFL
+  ADE 45
+  BEN
+S 0.0 15.0 REFL
+  ADE -45
+  BEN
+S 0.0 20.0
+SI 0.0 0.0
+GO
+"""
+    s = seq_to_system(seq)
+    # vertex chain: up 10, over 15 in -y, forward 20+20
+    nptest.assert_allclose(s.origins[3], [0., -15., 10.], atol=1e-12)
+    nptest.assert_allclose(s.origins[-1], [0., -15., 45.], atol=1e-12)
+    y0 = np.zeros((3, 3))
+    y0[:, 1] = (0., .5, -.5)
+    u0 = np.tile([0., 0., 1.], (3, 1))
+    ys, us, _, ts = s.trace_table(y0, u0, s.wavelengths[0])
+    # bundle preserved through the even number of reflections
+    nptest.assert_allclose(ys[-1][:, 1], (0., .5, -.5), atol=1e-10)
+    nptest.assert_allclose(us[-1][0], [0., 0., 1.], atol=1e-12)
+    # geometric path: 10 + 15 + 15 + 20 (t is optical; divide by air)
+    from rayopt_tpu.materials import air as _air
+    n_air = _air.refractive_index(s.wavelengths[0])
+    nptest.assert_allclose(np.abs(ts[1:, 0]).sum()/n_air, 60.,
+                           rtol=1e-9)
