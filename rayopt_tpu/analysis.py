@@ -347,6 +347,37 @@ def plot_mtf_vs_field(system, ax, nfields=7, fractions=(.125, .25, .5),
     return heights, curves
 
 
+def plot_footprint(system, ax, surface, wavelengths=None,
+                   nrays=150, colors=COLORS):
+    """Beam footprint on one surface: local hit coordinates of a
+    hexapolar bundle per field, with the surface's clear aperture
+    circle.  The classic element-sizing diagnostic."""
+    import matplotlib as mpl
+    if wavelengths is None:
+        wavelengths = system.wavelengths[:1]
+    _xy_axes(ax)
+    surface = surface % len(system)
+    radius = system[surface].radius
+    if np.isfinite(radius):
+        ax.add_patch(mpl.patches.Circle((0, 0), radius,
+                                        edgecolor="black",
+                                        facecolor="none"))
+    for fi, hi in enumerate(system.fields):
+        ci = colors[fi % len(colors)]
+        for wi in wavelengths:
+            t = GeometricTrace(system)
+            t.rays_point((0, hi), wi, nrays=nrays,
+                         distribution="hexapolar", clip=True)
+            # filter on the local hit (a ray vignetted downstream
+            # still has a valid footprint here)
+            pts = t.y[surface, :, :2]
+            good = np.isfinite(pts).all(1)
+            ax.plot(pts[good, 0], pts[good, 1], "." + ci,
+                    markersize=2, label="OY=%s" % hi)
+    _label_row(ax, "surface %d" % surface, vertical=False)
+    _finish_axes(ax)
+
+
 def plot_vignetting(system, ax, nfields=16, wavelength=None):
     """Relative meridional/sagittal aperture vs field height: the
     vignetting diagram, from the batched rim solve (System.pupils,
@@ -393,8 +424,11 @@ class Analysis:
     plot_longitudinal = True
     plot_vignetting = False
     plot_mtf_field = False
+    plot_footprints = False
     print_zernike = False
     print_ghosts = False
+    print_thermal = False
+    thermal_temps = (0., 20., 40., 60.)
     ghost_limit = 10
     zernike_terms = 15
 
@@ -446,6 +480,9 @@ class Analysis:
                 self.text.append(ghost_text(s, limit=self.ghost_limit))
             except NotImplementedError as exc:
                 self.text.append("ghost analysis skipped: %s" % exc)
+        if self.print_thermal:
+            from .thermal import thermal_text
+            self.text.append(thermal_text(s, temps=self.thermal_temps))
 
         fig, ax = plt.subplots(figsize=(self.figwidth, self.figwidth))
         self.figures.append(fig)
@@ -502,6 +539,18 @@ class Analysis:
                 figsize=(self.figwidth/2, self.figwidth/2))
             self.figures.append(fig)
             plot_mtf_vs_field(s, ax)
+
+        if self.plot_footprints:
+            idx = [j for j in range(1, len(s) - 1)
+                   if np.isfinite(s[j].radius)]
+            fig, ax = plt.subplots(
+                1, max(len(idx), 1),
+                figsize=(self.figwidth,
+                         self.figwidth/max(len(idx), 1)),
+                squeeze=False)
+            self.figures.append(fig)
+            for axi, j in zip(ax[0], idx):
+                plot_footprint(s, axi, j)
 
         return self.text, self.figures
 

@@ -234,3 +234,16 @@ def test_analysis_export_html(tmp_path):
     assert doc.count("data:image/png;base64,") == len(a.figures)
     assert "<pre>" in doc and "focal length" in doc
     plt.close("all")
+
+
+def test_analysis_footprints_and_thermal():
+    import matplotlib
+    matplotlib.use("agg")
+    import matplotlib.pyplot as plt
+    from rayopt_tpu.models import cooke_triplet
+    from rayopt_tpu import Analysis
+    a = Analysis(cooke_triplet(), print=False, plot_footprints=True,
+                 print_thermal=True, defocus=3)
+    assert len(a.figures) == 6
+    assert any("thermal analysis" in t for t in a.text)
+    plt.close("all")
