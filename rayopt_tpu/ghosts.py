@@ -34,10 +34,15 @@ def _fresnel(n0, n1):
     return ((n0 - n1)/(n0 + n1))**2
 
 
-def ghost_pairs(system, wavelength=None):
+def ghost_pairs(system, wavelength=None, reflectances=None):
     """Yield (a, b, reflectance_product) for every surface pair that
     produces a nonzero two-reflection ghost (both surfaces refractive
-    with an index step)."""
+    with an index step).
+
+    reflectances: optional {surface index: R} overriding the
+    normal-incidence Fresnel value -- e.g. measured AR-coating
+    residuals (a typical broadband AR is R ~ 0.005 instead of the
+    ~0.04 of bare glass)."""
     if wavelength is None:
         wavelength = system.wavelengths[0]
     n = [_index(getattr(e, "material", None), wavelength)
@@ -46,7 +51,10 @@ def ghost_pairs(system, wavelength=None):
     for k in range(1, len(system) - 1):
         if n[k] is None or n[k - 1] is None:
             continue
-        r = _fresnel(n[k - 1], n[k])
+        if reflectances is not None and k in reflectances:
+            r = reflectances[k]
+        else:
+            r = _fresnel(n[k - 1], n[k])
         if r > 0:
             refl[k] = r
     for b in sorted(refl):
@@ -134,14 +142,16 @@ def ghost_trace(system, a, b, wavelength=None, eps=1e-4):
     return -yi/ui, abs(yi)/eps
 
 
-def ghost_table(system, wavelength=None, limit=None):
+def ghost_table(system, wavelength=None, limit=None,
+                reflectances=None):
     """Rows (a, b, z_offset, blur, strength) for every ghost pair,
     sorted by hazard (reflectance product / blur area -- small, bright
     ghost foci near the image plane rank first)."""
     if wavelength is None:
         wavelength = system.wavelengths[0]
     rows = []
-    for a, b, strength in ghost_pairs(system, wavelength):
+    for a, b, strength in ghost_pairs(system, wavelength,
+                                      reflectances):
         z, blur = ghost_trace(system, a, b, wavelength)
         rows.append((a, b, z, blur, strength))
     rows.sort(key=lambda r: -r[4]/(max(r[3], 1e-12)**2))
@@ -150,9 +160,9 @@ def ghost_table(system, wavelength=None, limit=None):
     return rows
 
 
-def ghost_text(system, wavelength=None, limit=10):
+def ghost_text(system, wavelength=None, limit=10, reflectances=None):
     """Formatted ghost report block."""
-    rows = ghost_table(system, wavelength, limit)
+    rows = ghost_table(system, wavelength, limit, reflectances)
     out = ["ghost analysis (two-reflection, normal-incidence "
            "reflectances):",
            " %3s %3s %10s %10s %10s" % ("a", "b", "dz", "blur", "R1*R2")]

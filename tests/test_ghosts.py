@@ -110,3 +110,15 @@ def test_ghost_table_ranks_and_formats():
     assert "R1*R2" in txt and len(txt.splitlines()) == 3
     hazard = [r[4]/max(r[3], 1e-12)**2 for r in rows]
     assert hazard == sorted(hazard, reverse=True)
+
+
+def test_ghost_coating_override():
+    s = _singlet()
+    s.update()
+    bare = ghost_table(s)
+    coated = ghost_table(s, reflectances={1: 0.005, 2: 0.005})
+    assert len(coated) == len(bare) == 1
+    nptest.assert_allclose(coated[0][4], 0.005**2)
+    # geometry unchanged, only strength rescaled
+    nptest.assert_allclose(coated[0][2], bare[0][2])
+    assert coated[0][4] < bare[0][4]
