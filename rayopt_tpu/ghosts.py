@@ -51,10 +51,13 @@ def ghost_pairs(system, wavelength=None, reflectances=None):
     for k in range(1, len(system) - 1):
         if n[k] is None or n[k - 1] is None:
             continue
+        r = _fresnel(n[k - 1], n[k])
+        if r <= 0:
+            # no index step, no interface: an override cannot make a
+            # bare aperture reflective
+            continue
         if reflectances is not None and k in reflectances:
             r = reflectances[k]
-        else:
-            r = _fresnel(n[k - 1], n[k])
         if r > 0:
             refl[k] = r
     for b in sorted(refl):
