@@ -61,7 +61,8 @@ from .io.oslo import len_to_system, olc_to_system  # noqa: E402,F401
 from .io.codev import seq_to_system  # noqa: E402,F401
 from .ghosts import ghost_table, ghost_text, ghost_system  # noqa: E402,F401
 from .thermal import (  # noqa: E402,F401
-    at_temperature, thermal_defocus, thermal_text,
+    at_temperature, thermal_defocus, thermal_text, heat_table,
+    thermal_model,
 )
 from .io.library import (  # noqa: E402,F401
     Library, Catalog, LibMaterial, LibLens,

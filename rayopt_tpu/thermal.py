@@ -109,6 +109,76 @@ def at_temperature(system, t, tref=20., housing_tce=HOUSING_TCE,
     return s
 
 
+def thermal_model(system, t, tref=20., wavelength=None,
+                  housing_tce=HOUSING_TCE,
+                  default_glass_tce=GLASS_TCE):
+    """Per-surface thermal arrays for `heat_table`: gap CTE (the
+    medium before each surface), figure CTE (the element's own
+    glass), and the exact index shifts at temperature t for the media
+    before/after each surface.  Host-side; arrays are constants of
+    the differentiable transform."""
+    if wavelength is None:
+        wavelength = system.wavelengths[0]
+    s = len(system)
+    alpha_gap = np.full(s, housing_tce)
+    alpha_elem = np.full(s, housing_tce)
+    dn_before = np.zeros(s)
+    dn_after = np.zeros(s)
+    prev_mat = None
+    for j, e in enumerate(system):
+        mat = getattr(e, "material", None)
+        if prev_mat is not None and getattr(prev_mat, "solid", False) \
+                and not getattr(prev_mat, "mirror", False):
+            alpha_gap[j] = material_tce(prev_mat, default_glass_tce)
+        if mat is not None and mat.solid and not mat.mirror:
+            alpha_elem[j] = material_tce(mat, default_glass_tce)
+
+        def shift(m):
+            if m is None or getattr(m, "thermal", None) is None \
+                    or getattr(m, "mirror", False):
+                return 0.
+            n = m.refractive_index(wavelength)
+            return float(m.thermal.dn_thermal(t, n, wavelength))
+        dn_before[j] = shift(prev_mat)
+        # bare (None) and mirror rows leave the medium unchanged
+        eff_after = (prev_mat if mat is None
+                     or getattr(mat, "mirror", False) else mat)
+        dn_after[j] = shift(eff_after)
+        prev_mat = eff_after
+    return alpha_gap, alpha_elem, dn_before, dn_after
+
+
+def heat_table(table, dt, alpha_gap, alpha_elem, dn_before,
+               dn_after):
+    """Differentiable thermal transform of a SurfaceTable: gaps grow
+    with their medium's CTE, figures (curvature, aspherics, aperture)
+    with the element's glass, indices shift by the given per-surface
+    deltas, and the refraction ratios are rebuilt.  Pure jnp over the
+    table pytree, so `jax.grad` flows through it -- the basis for
+    athermalization merits.  Mirrors keep mu = -1."""
+    import jax.numpy as jnp
+    gap_grow = 1. + alpha_gap*dt
+    fig_grow = 1. + alpha_elem*dt
+    curvature = table.curvature/fig_grow
+    conic = table.conic
+    k_even = jnp.arange(table.aspherics.shape[1])
+    aspherics = table.aspherics/fig_grow[:, None]**(2*k_even + 1)
+    k_odd = jnp.arange(table.aspherics_odd.shape[1])
+    aspherics_odd = table.aspherics_odd/fig_grow[:, None]**(2*k_odd)
+    offset = table.offset*gap_grow[:, None]
+    distance = table.distance*gap_grow
+    radius = table.radius*fig_grow
+    n_before = table.n_before + dn_before
+    n_after = table.n_after + dn_after
+    mirror = table.mu == -1.
+    mu = jnp.where(mirror, -1., n_before/n_after)
+    return table.replace(
+        curvature=curvature, conic=conic, aspherics=aspherics,
+        aspherics_odd=aspherics_odd, offset=offset,
+        distance=distance, radius=radius, n_before=n_before,
+        n_after=n_after, mu=mu)
+
+
 def thermal_defocus(system, temps, wavelength=None):
     """Paraxial defocus (image-side focal point minus the image
     plane, both in the heated system) per temperature.  Differences

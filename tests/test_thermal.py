@@ -97,3 +97,67 @@ def test_thermal_defocus_and_text():
     assert (np.diff(drift) > 0).all() or (np.diff(drift) < 0).all()
     txt = thermal_text(s)
     assert "EFL" in txt and len(txt.splitlines()) == 6
+
+
+def test_heat_table_matches_at_temperature():
+    """The differentiable table transform reproduces the host
+    at_temperature system exactly (same CTE model, exact dn at t)."""
+    from rayopt_tpu.thermal import heat_table, thermal_model
+    from rayopt_tpu.ops.geometric import trace_rays_final
+    s = _singlet(_glass_with_thermal())
+    s.update()
+    t = 75.
+    tab = s.table()
+    model = thermal_model(s, t)
+    hot = heat_table(tab, t - 20., *model)
+    st = at_temperature(s, t)
+    st.update()
+    tab_host = st.table()
+    for f in ("curvature", "distance", "radius", "n_before",
+              "n_after", "mu"):
+        nptest.assert_allclose(np.asarray(getattr(hot, f)),
+                               np.asarray(getattr(tab_host, f)),
+                               rtol=1e-12, err_msg=f)
+    y = np.zeros((16, 3))
+    y[:, 1] = np.linspace(-4, 4, 16)
+    u = np.zeros((16, 3))
+    u[:, 2] = 1.
+    yh = np.asarray(trace_rays_final(hot, y, u)[0])
+    yt = np.asarray(trace_rays_final(tab_host, y, u)[0])
+    nptest.assert_allclose(yh, yt, atol=1e-12)
+
+
+def test_heat_table_differentiable():
+    """Athermalization gradients: d(defocus spread)/d(curvature)
+    through the thermal transform matches finite differences."""
+    import jax
+    import jax.numpy as jnp
+    from rayopt_tpu.thermal import heat_table, thermal_model
+    from rayopt_tpu.ops.geometric import trace_rays_final
+    s = _singlet(_glass_with_thermal())
+    s.update()
+    tab = s.table()
+    temps = (0., 60.)
+    models = {t: thermal_model(s, t) for t in temps}
+    y = np.zeros((8, 3))
+    y[:, 1] = np.linspace(.5, 4., 8)
+    u = np.zeros((8, 3))
+    u[:, 2] = 1.
+
+    def spread(curv):
+        tb = tab.replace(curvature=curv)
+        rms = []
+        for t in temps:
+            hot = heat_table(tb, t - 20., *models[t])
+            yf, uf, _ = trace_rays_final(hot, y, u)
+            # paraxial-ish focus term: transverse extent at image
+            rms.append(jnp.mean(yf[:, 1]**2))
+        return rms[1] - rms[0]
+
+    curv = jnp.asarray(tab.curvature)
+    g = jax.grad(spread)(curv)
+    eps = 1e-7
+    i = 1
+    fd = (spread(curv.at[i].add(eps))
+          - spread(curv.at[i].add(-eps)))/(2*eps)
+    nptest.assert_allclose(g[i], fd, rtol=1e-5)
