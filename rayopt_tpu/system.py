@@ -9,17 +9,16 @@ per-surface loops (reference system.py:444-464) run as jitted
 wrap those engines for API compatibility.
 """
 
-import functools
 import itertools
 
 import numpy as np
-from scipy.optimize import newton, brentq
+from scipy.optimize import newton
 
+from .aiming import AimingMixin
 from .elements import Element
 from .conjugates import Conjugate, FiniteConjugate, InfiniteConjugate
 from .materials import fraunhofer
 from .pupils import RadiusPupil
-from .utils.cachend import PolarCacheND
 from .utils.jaxtools import placement, has_accelerator as _accel
 from .ops.tables import make_table
 from .ops.geometric import trace_rays
@@ -40,26 +39,27 @@ def _default_image():
                            pupil=_auto_pupil())
 
 
-class System(list):
+_DCF = "dCF"
+
+
+class System(AimingMixin, list):
     def __init__(self, elements=None, description="", scale=1e-3,
                  wavelengths=None, stop=1, fields=None,
                  object=None, image=None,
                  pickups=None, validators=None, solves=None):
         super().__init__(Element.make(e) for e in elements or [])
-        self.description = description
-        self.scale = scale
-        self.stop = stop
-        self.wavelengths = wavelengths or [fraunhofer[i] for i in "dCF"]
-        self.object = (Conjugate.make(object) if object
-                       else _default_object())
-        self.image = Conjugate.make(image) if image else _default_image()
+        vars(self).update(
+            description=description, scale=scale, stop=stop,
+            wavelengths=(wavelengths
+                         or [fraunhofer[i] for i in _DCF]),
+            object=(Conjugate.make(object) if object
+                    else _default_object()),
+            image=Conjugate.make(image) if image else _default_image(),
+            pickups=pickups or [], validators=validators or [],
+            solves=solves or [], _pupil_cache={})
         if fields is None:
             fields = [0.] if self.object.point else [0., .7, 1.]
         self.fields = fields
-        self.pickups = pickups or []
-        self.validators = validators or []
-        self.solves = solves or []
-        self._pupil_cache = {}
         self.paraxial = ParaxialTrace(self, update=False)
 
     def dict(self):
@@ -245,8 +245,7 @@ class System(list):
         self.object, self.image = self.image, self.object
 
     def rescale(self, scale=None):
-        if scale is None:
-            scale = self.scale/1e-3
+        scale = self.scale/1e-3 if scale is None else scale
         self.scale /= scale
         for part in itertools.chain(self, (self.object, self.image)):
             part.rescale(scale)
@@ -257,7 +256,8 @@ class System(list):
         return "\n".join(self.text())
 
     def text(self):
-        return itertools.chain(self.base_text(), ("",))
+        yield from self.base_text()
+        yield ""
 
     def _element_row(self, i, e):
         curv = getattr(e, "curvature", 0)
@@ -271,28 +271,27 @@ class System(list):
             np.inf if curv == 0 else 1./curv, e.radius*2, mat, n, nd,
             getattr(mat, "vd", np.nan))
 
+    _COLUMNS = ("{:>2} {:>1} {:>10} {:>10} {:>10} {:>17} "
+                "{:>7} {:>7} {:>7}")
+
     def base_text(self):
-        head = [
-            "System: %s" % self.description,
-            "Scale: %s mm" % (self.scale/1e-3),
-            "Wavelengths: %s nm" % ", ".join(
-                "%.0f" % (w/1e-9) for w in self.wavelengths),
-            "Fields: %s" % ", ".join("%g" % f for f in self.fields),
-        ]
-        yield from head
-        for name, conj in (("Object:", self.object),
-                           ("Image:", self.image)):
-            yield name
-            for line in conj.text():
-                yield " " + line
+        nm = ", ".join("%.0f" % (w/1e-9) for w in self.wavelengths)
+        fs = ", ".join("%g" % f for f in self.fields)
+        yield "System: %s" % self.description
+        yield "Scale: %s mm" % (self.scale/1e-3)
+        yield "Wavelengths: %s nm" % nm
+        yield "Fields: %s" % fs
+        for name in ("object", "image"):
+            yield name.capitalize() + ":"
+            yield from (" " + line
+                        for line in getattr(self, name).text())
         yield "Stop: %i" % self.stop
         yield "Elements:"
-        yield ("{:>2} {:>1} {:>10} {:>10} {:>10} {:>17} "
-               "{:>7} {:>7} {:>7}").format(
-                   "#", "T", "Distance", "Rad Curv", "Diameter",
-                   "Material", "n", "nd", "Vd")
-        for i, e in enumerate(self):
-            yield self._element_row(i, e)
+        yield self._COLUMNS.format("#", "T", "Distance", "Rad Curv",
+                                   "Diameter", "Material", "n", "nd",
+                                   "Vd")
+        yield from itertools.starmap(self._element_row,
+                                     enumerate(self))
 
     # -- geometry ------------------------------------------------------
 
@@ -309,13 +308,8 @@ class System(list):
         spacing = np.array([el.distance for el in self])
         return spacing - sags + np.concatenate([[0.], sags[:-1]])
 
-    @property
-    def edge_y(self):
-        return np.array(self.edge_thickness(axis=1))
-
-    @property
-    def edge_x(self):
-        return np.array(self.edge_thickness(axis=0))
+    edge_y = property(lambda self: self.edge_thickness(axis=1))
+    edge_x = property(lambda self: self.edge_thickness(axis=0))
 
     def resize_convex(self):
         """Enlarge convex surfaces to at least their closing surface
@@ -378,13 +372,14 @@ class System(list):
         ax.set_yticks(())
 
     def plot(self, ax, axis=1, npoints=31, adjust=True, **kwargs):
-        kwargs.setdefault("color", "black")
+        style = dict(color="black")
+        style.update(kwargs)
         if adjust:
             self._blank_axes(ax)
         for outline_x, outline_z in self.surfaces_cut(axis, npoints):
-            ax.plot(outline_z, outline_x, **kwargs)
+            ax.plot(outline_z, outline_x, **style)
         spine = self.origins
-        ax.plot(spine[:, 2], spine[:, axis], ":", **kwargs)
+        ax.plot(spine[:, 2], spine[:, axis], ":", **style)
 
     def paraxial_matrices(self, l, start=1, stop=None):
         n = self.refractive_index(l, start - 1)
@@ -400,14 +395,14 @@ class System(list):
 
     @property
     def origins(self):
-        return np.add.accumulate([el.offset for el in self], axis=0)
+        return np.cumsum([el.offset for el in self], axis=0)
 
     def close(self, index=-1):
         self[index].offset -= self.origins[-1]
 
     @property
     def path(self):
-        return np.add.accumulate([el.distance for el in self])
+        return np.cumsum([el.distance for el in self])
 
     @property
     def track(self):
@@ -416,17 +411,18 @@ class System(list):
     def align(self, n):
         """Re-aim every element's local frame at its successor's
         direction (scaled by the refraction ratio)."""
-        for i in range(len(self) - 1):
+        pairs = zip(self[:-1], self[1:])
+        for i, (el, succ) in enumerate(pairs):
             mu = (n[i - 1] if i else n[0])/n[i]
-            self[i].align(self[i + 1].direction, mu)
+            el.align(succ.direction, mu)
         self[-1].angles = 0, 0, 0.
 
     @property
     def mirrored(self):
-        flips = np.array([
-            bool(getattr(getattr(el, "material", None), "mirror", False))
-            for el in self])
-        return np.multiply.accumulate(np.where(flips, -1, 1))
+        signs = [-1. if getattr(getattr(el, "material", None),
+                                "mirror", False) else 1.
+                 for el in self]
+        return np.cumprod(signs)
 
     # -- lowering to the TPU compute plane -----------------------------
 
@@ -539,235 +535,3 @@ class System(list):
         for j in range(1, ys.shape[0]):
             yield (ys[j], us[j], n_after[start - 1 + j], iis[j], ts[j])
 
-    # -- scalar solvers (reference system.py:466-502) -------------------
-
-    def solve_newton(self, merit, a=0., tol=1e-3, maxiter=30):
-        """Newton root of `merit` with a NaN-escaping start search:
-        try a, then a+-1, a+-2, ... until the merit is finite."""
-        def offsets():
-            yield 0.
-            for width in range(1, maxiter):
-                yield -float(width)
-                yield float(width)
-
-        for da in offsets():
-            f = merit(a + da)
-            if not np.isnan(f):
-                start = a + da
-                break
-        else:
-            raise ValueError("no starting ray found")
-        if abs(f) <= tol:
-            return start
-        return newton(merit, start, tol=tol, maxiter=maxiter)
-
-    def solve_brentq(self, merit, a=0., b=1., tol=1e-3, maxiter=30):
-        b_nan = None
-        for i in range(maxiter):
-            fb = merit(b)
-            if abs(fb) <= tol:
-                return b
-            elif np.isnan(fb):
-                # rays started missing surfaces: remember the boundary
-                # and back off (the reference just halves,
-                # reference system.py:489, which can cycle forever
-                # against a nearby NaN ceiling)
-                b_nan = b if b_nan is None else min(b_nan, b)
-                b = (a + b)/2 if a else b/2
-            elif fb < 0:
-                a = b
-                bnext = b*(1 - fb)
-                if b_nan is not None and bnext >= b_nan:
-                    # expand only up to the NaN boundary
-                    b = (b + b_nan)/2
-                else:
-                    b = bnext
-                if b_nan is not None and abs(b_nan - a) < tol*max(a, 1):
-                    # the aperture edge is unreachable: the bundle
-                    # vignettes before filling it; aim at the
-                    # vignetting limit instead of failing
-                    import warnings
-                    warnings.warn("aperture edge unreachable; aiming "
-                                  "at the vignetting limit")
-                    return a
-            else:
-                break
-        if i == maxiter - 1:
-            if a and b_nan is not None:
-                import warnings
-                warnings.warn("aperture edge unreachable; aiming at "
-                              "the vignetting limit")
-                return a
-            raise ValueError("no viable interval found", a, b, fb)
-        fa = merit(a)
-        if abs(fa) <= tol:
-            return a
-        assert fa < 0
-        return brentq(merit, a, b, rtol=tol, xtol=tol, maxiter=maxiter)
-
-    # -- pupil aiming (reference system.py:504-593) ---------------------
-
-    def aim(self, *args, **kwargs):
-        return self.object.aim(*args, surface=self[0], **kwargs)
-
-    def _memoized(fn):
-        cache = {}
-
-        def wrapped(a):
-            if a not in cache:
-                cache[a] = fn(a)
-            return cache[a]
-
-        return wrapped
-
-    def aim_chief(self, yo, z, p, l=None, stop=None, **kwargs):
-        """Solve the chief-ray pupil distance: newton on the stop
-        height of the ray aimed at z + a*p
-        (reference system.py:507-526)."""
-        assert p
-        pupil = self.object.pupil
-        if pupil.telecentric or not pupil.aim:
-            return z
-        l = self.wavelengths[0] if l is None else l
-        last = self.stop if stop in (-1, None) else stop
-        rad = self.aperture.radius
-        assert rad
-        table = self.table(l)
-        field = np.asarray(yo)
-
-        @System._memoized
-        def height_at_stop(a):
-            seed = self.aim(yo, None, z + a*p, filter=False)
-            heights = self.trace_table(*seed, l, stop=last + 1,
-                                       table=table)[0]
-            return field @ heights[-1, 0, :2] / rad
-
-        return z + p*self.solve_newton(height_at_stop, **kwargs)
-
-    def aim_marginal(self, yo, yp, z, p, l=None, stop=None, **kwargs):
-        """Solve the marginal-ray scale: bracketed root of the edge
-        clearance at the limiting aperture; stop=-1 selects rim
-        (vignetting) mode over all surfaces
-        (reference system.py:528-555)."""
-        assert p
-        rim = stop == -1
-        if not self.object.pupil.aim and not rim:
-            return p
-        l = self.wavelengths[0] if l is None else l
-        if rim:
-            stop = len(self) - 1
-        elif stop is None:
-            stop = self.stop + 1
-        r2 = np.array([e.radius for e in self[1:stop]]) ** 2
-        table = self.table(l)
-
-        @System._memoized
-        def edge_clearance(a):
-            seed = self.aim(yo, yp, z, a*p, filter=False)
-            heights = self.trace_table(*seed, l, stop=stop,
-                                       table=table)[0]
-            hit2 = np.einsum("sc,sc->s", heights[1:, 0, :2],
-                             heights[1:, 0, :2])
-            excess = hit2/r2 - 1
-            return excess.max() if rim else excess[-1]
-
-        a = self.solve_brentq(edge_clearance, **kwargs)
-        assert a
-        return a*p
-
-    def _aim_pupil(self, xo, yo, guess, **kwargs):
-        field = np.array((xo, yo))
-        if guess is not None:
-            z = guess[0]
-            half = guess[1:].reshape(2, 2).copy()
-        else:
-            z = self.object.pupil.distance
-            half = np.full((2, 2), float(self.object.pupil.radius))
-        if not np.allclose(field, 0):
-            z1 = self.aim_chief(field, z, np.abs(half).max(), **kwargs)
-            if self.object.finite:
-                half *= np.abs(z1/z)  # rescale the rim guess with z
-            z = z1
-        # rim solves: (row=sign, col=axis); meridional first, and
-        # within each axis the upper rim first so it can seed the rest
-        for ax in (1, 0):
-            for sig in (1, 0):
-                probe = [0., 0.]
-                probe[ax] = 2.*sig - 1.
-                half[sig, ax] = self.aim_marginal(
-                    field, probe, z, half[sig, ax], **kwargs)
-                if sig == 1:
-                    half[0, ax] = -half[1, ax]
-                    if ax == 1 and guess is None:
-                        half[:, 0] = half[:, 1]
-        return np.r_[z, half.flat]
-
-    def pupil(self, yo, l=None, stop=None, **kwargs):
-        key = (l, stop)
-        solver = self._pupil_cache.get(key)
-        if solver is None:
-            solver = PolarCacheND(self._aim_pupil, l=l, stop=stop,
-                                  **kwargs)
-            self._pupil_cache[key] = solver
-        state = solver(*yo)
-        return state[0], state[1:].reshape(2, 2)
-
-    def pupils(self, fields, l=None, stop=None, tol=1e-6,
-               chief_only=False):
-        """Batched pupil solve for many field points at once.
-
-        fields: (F, 2) fractional field coordinates.  Eligible systems
-        (aimed, non-telecentric conjugates; stop mode or rim mode
-        stop=-1) solve every field in ONE device dispatch via
-        ops.aiming (Newton through the jitted trace + bracketed
-        bisection); fields whose converged residual exceeds `tol` --
-        and ineligible systems -- fall back to the host scipy path.
-        Returns (z (F,), boxes (F, 2, 2)).
-        """
-        import warnings
-        fields = np.atleast_2d(np.asarray(fields, dtype=float))
-        pupil = self.object.pupil
-        rim = stop == -1
-        eligible = pupil.aim and not pupil.telecentric
-        if eligible:
-            from .ops.aiming import pupil_batched, aim_chief_batched
-            from .ops.kernels import specialize
-            if l is None:
-                l = self.wavelengths[0]
-            table = self.table(l)
-            kw = dict(finite=bool(self.object.finite),
-                      projection=self.object.projection,
-                      specs=specialize(table))
-            if self.object.finite:
-                kw["radius"] = self.object.radius
-            else:
-                kw["slope"] = np.tan(self.object.angle)
-            stop_idx = self.stop if stop in (-1, None) else stop
-            if chief_only:
-                z, chief_r = aim_chief_batched(
-                    table, fields, pupil.distance, stop_idx,
-                    with_residual=True, **kw)
-                boxes = np.broadcast_to(
-                    pupil.radius*np.array([[-1., -1.], [1., 1.]]),
-                    (len(fields), 2, 2)).copy()
-                width = np.zeros(len(fields))
-            else:
-                z, boxes, (chief_r, width) = pupil_batched(
-                    table, fields, pupil.distance, pupil.radius,
-                    stop_idx, rim=rim, with_residuals=True, **kw)
-            z, boxes = np.array(z), np.array(boxes)
-            bad = (np.asarray(chief_r) > tol) | (np.asarray(width) > tol)
-        else:
-            z = np.empty(len(fields))
-            boxes = np.empty((len(fields), 2, 2))
-            bad = np.ones(len(fields), bool)
-        if bad.any():
-            if eligible:
-                warnings.warn(
-                    "batched aiming did not converge for %d/%d fields; "
-                    "using the host solver there"
-                    % (bad.sum(), len(fields)))
-            for i in np.flatnonzero(bad):
-                z[i], boxes[i] = self.pupil(tuple(fields[i]), l=l,
-                                            stop=stop)
-        return z, boxes
