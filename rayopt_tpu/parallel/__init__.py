@@ -4,7 +4,8 @@ from .sharding import (  # noqa: F401
 )
 from .tolerancing import (  # noqa: F401
     tolerance_analysis, monte_carlo_rms, sharded_monte_carlo_rms,
-    perturbed_tables, aberration_tolerance,
+    perturbed_tables, aberration_tolerance, sensitivity,
+    inverse_sensitivity,
 )
 from .multihost import (  # noqa: F401
     farm_mesh, farmed_monte_carlo_rms,

@@ -169,6 +169,216 @@ def aberration_tolerance(table, pupil_distance, sigmas=None,
     }
 
 
+def _rms_and_weight(table, y0, u0, w, clip=False):
+    """(weighted transverse spot RMS, surviving weight) of one traced
+    table; NaN (vignetted/missed) rays drop out of both."""
+    y, u, t = trace_rays_final(table, y0, u0, clip=clip)
+    pt = y[:, :2]
+    good = jnp.all(jnp.isfinite(pt), axis=1)
+    wg = jnp.where(good, w, 0.)
+    pt = jnp.where(good[:, None], pt, 0.)
+    wsum = wg.sum()
+    mean = (wg[:, None]*pt).sum(0)/wsum
+    r2 = (wg*jnp.square(pt - mean).sum(1)).sum()/wsum
+    return jnp.sqrt(r2), wsum
+
+
+def _rms_of_table(table, y0, u0, w, clip=False):
+    """Weighted transverse spot RMS of one traced table (NaN rays
+    dropped) -- the scalar merit all sensitivity machinery differentiates
+    or samples."""
+    return _rms_and_weight(table, y0, u0, w, clip=clip)[0]
+
+
+def _perturb_entry(table, field, idx, delta):
+    """Return `table` with entry `idx` of `field` shifted by `delta`
+    (delta may carry leading batch axes).  Perturbing `distance` moves
+    offset z with it, like perturbed_tables."""
+    base = jnp.asarray(getattr(table, field))
+    onehot = jnp.zeros(base.shape).at[idx].set(1.)
+    shaped = jnp.asarray(delta)[..., *(None,)*base.ndim]
+    out = {field: base + shaped*onehot}
+    if field == "distance":
+        off = jnp.asarray(table.offset)
+        zhot = jnp.zeros(off.shape).at[idx, 2].set(1.)
+        out["offset"] = off + shaped[..., None]*zhot
+    if delta_ndim := jnp.ndim(delta):
+        bshape = jnp.shape(delta)
+        rest = jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(jnp.asarray(a),
+                                       bshape + jnp.shape(a)), table)
+        return rest.replace(**out)
+    return table.replace(**out)
+
+
+def sensitivity(table, y0, u0, w=None, fields=("curvature", "distance"),
+                clip=False, second_order=True):
+    """Exact per-parameter sensitivities of the spot RMS.
+
+    One reverse pass gives every first derivative d(RMS)/dp (the
+    whole table is differentiated at once -- no finite differences,
+    no per-parameter loop); a vmapped forward-over-reverse pass over
+    one-hot tangents adds the diagonal second derivatives used by the
+    quadratic inverse-sensitivity model.
+
+    Returns {field: {"grad": (S,...), "hess": (S,...)}} with hess
+    omitted when second_order=False.
+    """
+    if w is None:
+        w = jnp.full(y0.shape[0], 1./y0.shape[0])
+    w = jnp.asarray(w)
+
+    def merit_from(deltas):
+        tab = table.replace(**{
+            f: jnp.asarray(getattr(table, f)) + deltas[f]
+            for f in fields})
+        if "distance" in fields:
+            off = jnp.asarray(table.offset)
+            tab = tab.replace(offset=off.at[:, 2].add(
+                deltas["distance"]))
+        return _rms_of_table(tab, y0, u0, w, clip=clip)
+
+    zeros = {f: jnp.zeros(jnp.shape(getattr(table, f)))
+             for f in fields}
+    grads = jax.jit(jax.grad(merit_from))(zeros)
+    out = {f: {"grad": np.asarray(grads[f])} for f in fields}
+    if second_order:
+        for f in fields:
+            shape = jnp.shape(getattr(table, f))
+            size = int(np.prod(shape))
+            eye = jnp.eye(size).reshape((size,) + shape)
+
+            def hvp(tangent, f=f):
+                g = jax.grad(merit_from)
+                _, gdot = jax.jvp(
+                    g, (zeros,), ({**zeros, f: tangent},))
+                return (gdot[f]*tangent).sum()
+
+            diag = jax.jit(jax.vmap(hvp))(eye)
+            out[f]["hess"] = np.asarray(diag).reshape(shape)
+    return out
+
+
+def inverse_sensitivity(table, y0, u0, budget, w=None,
+                        fields=("curvature", "distance"), clip=False,
+                        t_min=1e-9, t_max=None, n_grid=25):
+    """Per-parameter tolerances for a merit budget (reference TODO.rst
+    "tolerancing (mc, inverse sensitivity)" -- absent upstream).
+
+    For every perturbable entry p of the selected table fields, find
+    the magnitude t such that worst-sign degradation
+    max_s RMS(p0 + s*t) - RMS(p0) reaches `budget`.
+
+    Seed each entry from the quadratic model g*t + h/2*t^2 = budget
+    (g, h from `sensitivity`), then certify/correct on a geometric
+    magnitude grid around the seed: ALL entries x grid points x both
+    signs are traced as ONE vmapped batch, and the budget crossing is
+    log-interpolated per entry.  Returns {field: {"tolerance": (S,...),
+    "achieved": (S,...)}} where achieved is the re-traced degradation
+    at the returned tolerance.
+    """
+    if w is None:
+        w = jnp.full(y0.shape[0], 1./y0.shape[0])
+    w = jnp.asarray(w)
+    sens = sensitivity(table, y0, u0, w, fields=fields, clip=clip)
+    rms0, wsum0 = map(float, jax.jit(
+        _rms_and_weight, static_argnames=("clip",))(
+        table, y0, u0, w, clip=clip))
+
+    @functools.partial(jax.jit, static_argnames=("field", "clip"))
+    def degradation_grid(field, flat_idx, ts, clip=False):
+        """(P, G) degradations for entries `flat_idx` at magnitudes
+        `ts`, worst over both signs.  A magnitude that vignettes away
+        more than half the nominal surviving weight counts as an
+        infinite degradation (a one-ray 'perfect spot' is not a
+        tolerance pass)."""
+        shape = jnp.shape(getattr(table, field))
+
+        def one_entry(i, trow):
+            idx = jnp.unravel_index(i, shape)
+
+            def one_mag(t):
+                tabs = _perturb_entry(table, field, idx,
+                                      jnp.stack([t, -t]))
+                r, ws = jax.vmap(
+                    lambda tb: _rms_and_weight(tb, y0, u0, w,
+                                               clip=clip))(tabs)
+                ok = jnp.isfinite(r) & (ws >= .5*wsum0)
+                r = jnp.where(ok, r, jnp.inf)
+                return jnp.max(r) - rms0
+
+            return jax.vmap(one_mag)(trow)
+
+        return jax.vmap(one_entry)(flat_idx, ts)
+
+    out = {}
+    for f in fields:
+        g = np.abs(sens[f]["grad"]).ravel()
+        h = np.abs(sens[f].get("hess", np.zeros_like(g))).ravel()
+        # quadratic-model seed; linear fallback when h ~ 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            seed = np.where(
+                h > 1e-12*np.maximum(g, 1e-30),
+                (-g + np.sqrt(g*g + 2*h*budget))/np.where(h, h, 1.),
+                budget/np.where(g, g, np.inf))
+        cap = t_max if t_max is not None else 1e6
+        seed = np.where(np.isfinite(seed) & (seed > 0), seed, cap)
+        seed = np.clip(seed, t_min, cap)
+        # geometric certification grid spanning 2 decades around seed
+        span = np.logspace(-1., 1., n_grid)
+        ts = np.clip(seed[:, None]*span[None, :], t_min, cap)
+        idx = jnp.arange(g.size)
+        dgr = np.array(degradation_grid(f, jnp.asarray(idx),
+                                        jnp.asarray(ts), clip=clip))
+        # rescue entries already over budget at their smallest grid
+        # point (vignetting cliff far below the quadratic seed): one
+        # more batched pass on a full-range downward grid
+        lost = np.flatnonzero((dgr[:, 0] >= budget)
+                              & ~np.isfinite(dgr[:, 0]))
+        if lost.size:
+            wide = np.exp(np.linspace(
+                np.log(t_min), np.log(ts[lost, 0]), n_grid, axis=-1))
+            dgr_w = np.asarray(degradation_grid(
+                f, jnp.asarray(lost), jnp.asarray(wide), clip=clip))
+            ts[lost] = wide
+            dgr[lost] = dgr_w
+        # first grid point where the worst-sign degradation crosses
+        # the budget, log-interpolated against its predecessor
+        tol = np.empty(g.size)
+        ach = np.empty(g.size)
+        tgrid = np.asarray(ts)
+        for i in range(g.size):
+            d = dgr[i]
+            over = np.flatnonzero(d >= budget)
+            if not over.size:
+                tol[i] = tgrid[i, -1]  # insensitive within t_max
+                ach[i] = d[-1]
+                continue
+            j = over[0]
+            if not np.isfinite(d[j]) and j > 0:
+                # budget reached through a vignetting cliff: report
+                # the last magnitude proven below budget
+                tol[i] = tgrid[i, j - 1]
+                ach[i] = d[j - 1]
+                continue
+            if j == 0 or not np.isfinite(d[j]) or d[j - 1] <= 0:
+                tol[i] = tgrid[i, j]
+                ach[i] = d[j]
+                continue
+            # log-log interpolation of the crossing
+            lt = np.log(tgrid[i, j - 1:j + 1])
+            ld = np.log(d[j - 1:j + 1])
+            frac = (np.log(budget) - ld[0])/(ld[1] - ld[0])
+            tol[i] = float(np.exp(lt[0] + frac*(lt[1] - lt[0])))
+            ach[i] = float(np.exp(ld[0] + frac*(ld[1] - ld[0])))
+        out[f] = {
+            "tolerance": tol.reshape(np.shape(sens[f]["grad"])),
+            "achieved": ach.reshape(np.shape(sens[f]["grad"])),
+        }
+    out["nominal_rms"] = rms0
+    return out
+
+
 def tolerance_analysis(table, y0, u0, w=None, sigmas=None,
                        n_samples=256, seed=0, clip=False, mesh=None):
     """Monte-Carlo tolerance run; returns dict with the merit

@@ -112,3 +112,72 @@ def test_aberration_tolerance_mesh_parity():
                                   mesh=mesh)
     nptest.assert_allclose(farmed["seidel"], single["seidel"],
                            rtol=1e-12)
+
+
+def test_sensitivity_matches_finite_difference():
+    """jax.grad sensitivities agree with central differences of the
+    re-traced RMS for a couple of probe parameters."""
+    import jax
+    from rayopt_tpu.parallel.tolerancing import (
+        sensitivity, _rms_of_table)
+    s = doublet()
+    tab = s.table()
+    y0, u0, w = _bundle(s)
+    sens = sensitivity(tab, y0, u0, w, fields=("curvature",))
+    rms = jax.jit(lambda t: _rms_of_table(t, y0, u0, np.asarray(w)))
+    eps = 1e-7
+    for j in (1, 2):
+        c = np.array(tab.curvature)
+        up, dn = c.copy(), c.copy()
+        up[j] += eps
+        dn[j] -= eps
+        fd = (float(rms(tab.replace(curvature=up)))
+              - float(rms(tab.replace(curvature=dn))))/(2*eps)
+        np.testing.assert_allclose(sens["curvature"]["grad"][j], fd,
+                                   rtol=1e-5, atol=1e-8)
+
+
+def test_inverse_sensitivity_hits_budget():
+    """The returned tolerance, applied worst-sign, degrades the RMS by
+    (approximately) the requested budget -- certified by re-trace."""
+    import jax
+    from rayopt_tpu.parallel.tolerancing import (
+        inverse_sensitivity, _rms_and_weight)
+    s = doublet()
+    tab = s.table()
+    y0, u0, w = _bundle(s)
+    budget = 5e-4
+    inv = inverse_sensitivity(tab, y0, u0, budget, w=w,
+                              fields=("curvature",))
+    rms0 = inv["nominal_rms"]
+    tol = inv["curvature"]["tolerance"]
+    ach = inv["curvature"]["achieved"]
+    rms = jax.jit(lambda t: _rms_and_weight(t, y0, u0,
+                                            np.asarray(w))[0])
+    # surfaces with real glass power: check the certificate by
+    # re-tracing at +-tol and verifying the worst degradation is
+    # within 25% of the budget (grid + log interpolation error)
+    for j in np.flatnonzero(np.asarray(tab.mu) != 1.)[:3]:
+        if not np.isfinite(tol[j]) or ach[j] <= 0:
+            continue
+        worst = 0.
+        for sgn in (+1., -1.):
+            c = np.array(tab.curvature)
+            c[j] += sgn*tol[j]
+            worst = max(worst,
+                        float(rms(tab.replace(curvature=c))) - rms0)
+        np.testing.assert_allclose(worst, budget, rtol=.25)
+
+
+def test_inverse_sensitivity_insensitive_parameter():
+    """A parameter the merit ignores reports a capped tolerance, not a
+    spurious small one."""
+    from rayopt_tpu.parallel.tolerancing import inverse_sensitivity
+    s = doublet()
+    tab = s.table()
+    y0, u0, w = _bundle(s)
+    inv = inverse_sensitivity(tab, y0, u0, 5e-4, w=w,
+                              fields=("distance",), t_max=10.)
+    # element 1's distance (lens position vs the infinite object)
+    # does not move the spot: tolerance must ride the cap
+    assert inv["distance"]["tolerance"][1] >= 1.
