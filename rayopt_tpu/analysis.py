@@ -304,6 +304,31 @@ def plot_field_curves(system, ax, height=1., wavelengths=None,
         _finish_axes(axi)
 
 
+def _mtf_samples(system, field, wavelength, freqs, nrays):
+    """Tangential/sagittal MTF of one field point at the requested
+    spatial frequencies, from the diffraction PSF of a traced
+    hexapolar bundle.  Returns (2, len(freqs)) or NaNs when no rays
+    survive."""
+    out = np.full((2, len(freqs)), np.nan)
+    t = GeometricTrace(system)
+    t.rays_point(field, wavelength, nrays=nrays,
+                 distribution="hexapolar", clip=True)
+    try:
+        px, py, psf = map(np.fft.fftshift, t.psf())
+    except ValueError:
+        return out
+    step = px[1, 0] - px[0, 0]
+    for axis in (0, 1):
+        # tangential sums over x (axis 0 leaves the y profile)
+        otf = np.fft.ifft(np.fft.ifftshift(psf.sum(axis)) *
+                          psf.size**.5)
+        freq = np.fft.fftfreq(otf.size, step)
+        half = otf.size//2
+        out[axis] = np.interp(freqs, freq[:half],
+                              np.absolute(otf)[:half])
+    return out
+
+
 def plot_mtf_vs_field(system, ax, nfields=7, fractions=(.125, .25, .5),
                       wavelength=None, nrays=1000):
     """MTF at fixed spatial frequencies (fractions of the incoherent
@@ -320,21 +345,8 @@ def plot_mtf_vs_field(system, ax, nfields=7, fractions=(.125, .25, .5),
     heights = np.linspace(0, 1, nfields)
     curves = np.full((len(freqs), 2, nfields), np.nan)
     for i, hi in enumerate(heights):
-        t = GeometricTrace(system)
-        t.rays_point((0, hi), wavelength, nrays=nrays,
-                     distribution="hexapolar", clip=True)
-        try:
-            px, py, psf = map(np.fft.fftshift, t.psf())
-        except ValueError:
-            continue
-        step = px[1, 0] - px[0, 0]
-        for axis in (0, 1):
-            otf = np.fft.ifft(np.fft.ifftshift(psf.sum(axis)) *
-                              psf.size**.5)
-            freq = np.fft.fftfreq(otf.size, step)
-            half = otf.size//2
-            curves[:, axis, i] = np.interp(
-                freqs, freq[:half], np.absolute(otf)[:half])
+        curves[:, :, i] = _mtf_samples(system, (0, hi), wavelength,
+                                       freqs, nrays).T
     for fi, row, frac in zip(freqs, curves, fractions):
         # tangential sums over x (axis 0 leaves the y profile)
         ax.plot(heights, row[0], "-", label="T %.3g/mm" % fi)
@@ -345,6 +357,45 @@ def plot_mtf_vs_field(system, ax, nfields=7, fractions=(.125, .25, .5),
     ax.legend(fontsize="small", loc="lower left")
     _finish_axes(ax)
     return heights, curves
+
+
+def plot_mtf_through_focus(system, ax, height=1., wavelength=None,
+                           fractions=(.125, .25, .5), nrays=1000,
+                           nsteps=9, window=2.):
+    """MTF at fixed spatial frequencies versus focus shift at one
+    field height; solid = tangential, dashed = sagittal (reference
+    TODO.rst "analyze mtf through focus plot" -- absent upstream).
+
+    The image plane sweeps +-window Rayleigh ranges; each step
+    re-traces the bundle and evaluates the diffraction MTF.  Returns
+    (shifts, curves[(freq, T/S, step)])."""
+    paraxial = system.paraxial
+    if wavelength is None:
+        wavelength = system.wavelengths[0]
+    _style_axes(ax, "DZ", "MTF", "MTF vs FOCUS (OY=%g)" % height,
+                yzero=False, xzero=False)
+    airy = paraxial.airy_radius[1]/paraxial.wavelength*wavelength
+    freqs = np.asarray(fractions)/airy
+    span = window*paraxial.rayleigh_range[1]
+    shifts = np.linspace(-span, span, nsteps)
+    curves = np.full((len(freqs), 2, nsteps), np.nan)
+    image = system[-1]
+    base = image.distance
+    try:
+        for i, dz in enumerate(shifts):
+            image.distance = base + dz
+            curves[:, :, i] = _mtf_samples(
+                system, (0, height), wavelength, freqs, nrays).T
+    finally:
+        image.distance = base
+    for fi, row in zip(freqs, curves):
+        ax.plot(shifts, row[0], "-", label="T %.3g/mm" % fi)
+        ax.plot(shifts, row[1], "--", color=ax.lines[-1].get_color(),
+                label="S %.3g/mm" % fi)
+    ax.set_ylim(0, 1)
+    ax.legend(fontsize="small", loc="lower left")
+    _finish_axes(ax)
+    return shifts, curves
 
 
 def plot_footprint(system, ax, surface, wavelengths=None,
@@ -424,6 +475,7 @@ class Analysis:
     plot_longitudinal = True
     plot_vignetting = False
     plot_mtf_field = False
+    plot_mtf_focus = False
     plot_footprints = False
     print_zernike = False
     print_ghosts = False
@@ -539,6 +591,12 @@ class Analysis:
                 figsize=(self.figwidth/2, self.figwidth/2))
             self.figures.append(fig)
             plot_mtf_vs_field(s, ax)
+
+        if self.plot_mtf_focus:
+            fig, ax = plt.subplots(
+                figsize=(self.figwidth/2, self.figwidth/2))
+            self.figures.append(fig)
+            plot_mtf_through_focus(s, ax, max(s.fields))
 
         if self.plot_footprints:
             idx = [j for j in range(1, len(s) - 1)

@@ -247,3 +247,26 @@ def test_analysis_footprints_and_thermal():
     assert len(a.figures) == 6
     assert any("thermal analysis" in t for t in a.text)
     plt.close("all")
+
+
+def test_mtf_through_focus():
+    import matplotlib
+    matplotlib.use("agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+    from rayopt_tpu.models import cooke_triplet
+    from rayopt_tpu.analysis import plot_mtf_through_focus
+    s = cooke_triplet()
+    shifts, curves = plot_mtf_through_focus(
+        s, plt.gca(), height=0., nsteps=9, nrays=200, window=20.)
+    assert shifts.shape == (9,) and curves.shape == (3, 2, 9)
+    finite = curves[np.isfinite(curves)]
+    assert finite.size and (finite >= 0).all() and (finite <= 1.01).all()
+    # a wide sweep brackets best focus: the lowest-frequency
+    # tangential curve peaks strictly inside the window
+    c = curves[0, 0]
+    assert 0 < np.nanargmax(c) < len(c) - 1
+    # the image plane was restored
+    s2 = cooke_triplet()
+    assert s[-1].distance == s2[-1].distance
+    plt.close("all")
