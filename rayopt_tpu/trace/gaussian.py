@@ -31,6 +31,46 @@ def qi_from_waist(wavelength, n, waist, position=(0., 0.), angle=0.,
     return rot.T @ qq @ rot
 
 
+def _rot2(angle):
+    c, s = np.cos(angle), np.sin(angle)
+    return np.array([[c, -s], [s, c]])
+
+
+def qi_complete(wavelength, n, spot, curvature=None, spot_angle=0.,
+                curvature_angle=None, scale=1e-3):
+    """General-astigmatic inverse-q from measured beam data at a
+    plane: principal spot radii (+ their axes angle) and principal
+    phase-front curvature radii (+ their own, possibly different,
+    axes angle).
+
+    Completes the reference's "make_complete"/"angled" TODO
+    (reference gaussian_trace.py:233): intensity and phase ellipses
+    with independent orientations form the general-astigmatic beam a
+    plain waist constructor cannot express.  Conventions match the
+    trace: Im(1/q) = -lam/(pi w^2 scale), Re(1/q) = n/R; curvature
+    None means a flat phase front (beam waist in both axes).
+    """
+    spot = np.broadcast_to(np.asarray(spot, float), (2,))
+    rw = _rot2(spot_angle)
+    imag = -wavelength/(np.pi*scale*spot**2)
+    qi = 1j*(rw.T @ np.diag(imag) @ rw)
+    if curvature is not None:
+        curvature = np.broadcast_to(np.asarray(curvature, float), (2,))
+        if curvature_angle is None:
+            curvature_angle = spot_angle
+        rc = _rot2(curvature_angle)
+        qi = qi + rc.T @ np.diag(n/curvature) @ rc
+    return qi
+
+
+def is_general_astigmatic(qi):
+    """True when intensity and phase ellipses are not simultaneously
+    diagonalizable (their principal axes differ): the commutator of
+    Re(qi) and Im(qi) is nonzero."""
+    a, b = qi.real, qi.imag
+    return not np.allclose(a @ b - b @ a, 0, atol=1e-12)
+
+
 def qi_propagate_free(qi, dz):
     """General-astigmatic freespace step on a batch of inverse-q
     matrices (reference gaussian_trace.py:93-102)."""
@@ -111,6 +151,23 @@ class GaussianTrace(Trace):
     def make_qi(self, l, n, waist, position=(0, 0.), angle=0.):
         return qi_from_waist(l, n, waist, position, angle,
                              self.system.scale)
+
+    def make_complete(self, spot, curvature=None, spot_angle=0.,
+                      curvature_angle=None, l=None, n=None):
+        """Input beam from measured data at the object plane (the
+        reference's make_complete TODO): principal spot radii and
+        phase curvatures with independent axes angles."""
+        l = self.system.wavelengths[0] if l is None else l
+        if n is None:
+            n = self.system.refractive_index(l, 0)
+        return qi_complete(l, n, spot, curvature, spot_angle,
+                           curvature_angle, self.system.scale)
+
+    @property
+    def general_astigmatic(self):
+        """Per-surface flag: beam cross-section and phase ellipses
+        rotated against each other (general astigmatism)."""
+        return np.array([is_general_astigmatic(q) for q in self.qi])
 
     def _seed_from_object(self, l, n):
         """Default input beam: waist at a finite object, or a waist of

@@ -69,3 +69,51 @@ def test_resize_refocus():
     g = ro.GaussianTrace(s)
     g.resize(waists=2)
     assert all(e.radius > 0 for e in s[1:])
+
+
+def test_qi_complete_round_trips_a_propagated_waist():
+    """make_complete rebuilt from the spot/curvature readout of a
+    propagated simple-astigmatic beam reproduces that beam's qi."""
+    from rayopt_tpu.trace.gaussian import (
+        qi_from_waist, qi_propagate_free, qi_complete, to_principal)
+    lam, n, scale = 587e-9, 1., 1e-3
+    qi0 = qi_from_waist(lam, n, (.4, .9), scale=scale)[None]
+    dz = 700.
+    qi1 = qi_propagate_free(qi0, dz/n)[0]
+    # read the beam out the way a measurement would
+    (ispot, iang) = to_principal(-qi1.imag[None])
+    (icur, cang) = to_principal(qi1.real[None])
+    spot = np.sqrt(lam/(np.pi*scale)/ispot[0])
+    curv = n/icur[0]
+    rebuilt = qi_complete(lam, n, spot, curv, spot_angle=iang[0],
+                          curvature_angle=cang[0], scale=scale)
+    np.testing.assert_allclose(rebuilt, qi1, rtol=1e-12, atol=1e-15)
+
+
+def test_general_astigmatism_detector():
+    from rayopt_tpu.trace.gaussian import (
+        qi_complete, is_general_astigmatic)
+    lam = 633e-9
+    simple = qi_complete(lam, 1., (.3, .5), (900., 1200.),
+                         spot_angle=.3)
+    assert not is_general_astigmatic(simple)
+    angled = qi_complete(lam, 1., (.3, .5), (900., 1200.),
+                         spot_angle=.3, curvature_angle=.9)
+    assert is_general_astigmatic(angled)
+
+
+def test_make_complete_traces():
+    """A general-astigmatic input beam propagates through a system
+    and stays symmetric with positive spot radii."""
+    from rayopt_tpu.models import doublet
+    from rayopt_tpu import GaussianTrace
+    s = doublet()
+    t = GaussianTrace(s)
+    qi = t.make_complete((.5, .8), (1500., 2100.), spot_angle=.2,
+                         curvature_angle=.55)
+    t.rays(qi=qi)
+    t.propagate()
+    assert t.general_astigmatic[0]
+    for q in t.qi:
+        np.testing.assert_allclose(q, q.T, atol=1e-12)
+    assert np.isfinite(t.spot_radius).all() and (t.spot_radius > 0).all()
