@@ -60,6 +60,10 @@ from .io.zemax import zmx_to_system, system_to_zmx  # noqa: E402,F401
 from .io.oslo import len_to_system, olc_to_system  # noqa: E402,F401
 from .io.codev import seq_to_system  # noqa: E402,F401
 from .ghosts import ghost_table, ghost_text, ghost_system  # noqa: E402,F401
+from .polarization import (  # noqa: E402,F401
+    PolarizationTrace, trace_polarization, fresnel_coefficients,
+    jones_diattenuation, jones_retardance, jones_to_mueller,
+)
 from .thermal import (  # noqa: E402,F401
     at_temperature, thermal_defocus, thermal_text, heat_table,
     thermal_model,

@@ -1,0 +1,159 @@
+"""Polarization ray tracing: Fresnel physics, Jones chaining, and the
+derived diattenuation/retardance/transmittance maps."""
+
+import numpy as np
+from numpy import testing as nptest
+
+import rayopt_tpu as ro
+from rayopt_tpu.models import doublet
+from rayopt_tpu.polarization import (
+    PolarizationTrace, trace_polarization, fresnel_coefficients,
+    jones_diattenuation, jones_retardance, jones_to_mueller)
+
+
+def _fresnel_oracle(n1, n2, ci):
+    """Independent textbook Fresnel (amplitude) for the test."""
+    st2 = (n1/n2)**2*(1 - ci**2)
+    ct = np.sqrt(1 - st2 + 0j)
+    rs = (n1*ci - n2*ct)/(n1*ci + n2*ct)
+    rp = (n2*ci - n1*ct)/(n2*ci + n1*ct)
+    ts = 2*n1*ci/(n1*ci + n2*ct)
+    tp = 2*n1*ci/(n2*ci + n1*ct)
+    return rs, rp, ts, tp, ct
+
+
+def test_fresnel_energy_conservation():
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        n1, n2 = rng.uniform(1., 2., 2)
+        ci = np.cos(rng.uniform(0., 1.4))
+        rs, rp, ts, tp, ct = fresnel_coefficients(n1, n2, ci)
+        fac = np.real(n2*ct)/(n1*ci)
+        nptest.assert_allclose(abs(rs)**2 + fac*abs(ts)**2, 1.,
+                               rtol=1e-12)
+        nptest.assert_allclose(abs(rp)**2 + fac*abs(tp)**2, 1.,
+                               rtol=1e-12)
+
+
+def test_fresnel_brewster_and_normal():
+    n1, n2 = 1., 1.5
+    rs, rp, ts, tp, ct = fresnel_coefficients(
+        n1, n2, np.cos(np.arctan(n2/n1)))
+    nptest.assert_allclose(abs(rp), 0., atol=1e-12)
+    rs, rp, ts, tp, ct = fresnel_coefficients(n1, n2, 1.)
+    # normal incidence, module basis convention: rp = -rs
+    nptest.assert_allclose(complex(rs), (n1 - n2)/(n1 + n2),
+                           rtol=1e-12)
+    nptest.assert_allclose(complex(rp), (n2 - n1)/(n1 + n2),
+                           rtol=1e-12)
+
+
+def test_axial_transmittance_matches_product():
+    """Unpolarized throughput of the axial ray equals the product of
+    normal-incidence interface transmittances."""
+    s = doublet()
+    p = PolarizationTrace(s, nrays=16)
+    tab = s.table()
+    nb = np.abs(np.asarray(tab.n_before))
+    na = np.abs(np.asarray(tab.n_after))
+    mu = np.asarray(tab.mu)
+    want = 1.
+    for k in range(1, mu.size):
+        if mu[k] != 1.:
+            want *= 4*nb[k]*na[k]/(nb[k] + na[k])**2
+    nptest.assert_allclose(p.transmittance[p.geometric.ref], want,
+                           rtol=1e-12)
+    # dielectric-only: no retardance anywhere, tiny diattenuation
+    good = p.good
+    assert p.retardance[good].max() < 1e-9
+    assert p.diattenuation[good].max() < .02
+    assert p.diattenuation[p.geometric.ref] < 1e-12
+
+
+def test_tilted_plate_diattenuation_oracle():
+    """A 45-degree tilted plane-parallel plate: the traced Jones
+    matrix reproduces the two-interface textbook Fresnel product."""
+    n = 1.51
+    s = ro.System([
+        dict(material="vacuum"),
+        dict(material=ro.ModelMaterial(n=n, name="glass", solid=True),
+             distance=5., angles=(np.pi/4, 0, 0), radius=20.),
+        dict(material="vacuum", distance=3.,
+             angles=(np.pi/4, 0, 0), radius=20.),
+        dict(material="vacuum", distance=5., radius=20.),
+    ])
+    g = ro.GeometricTrace(s)
+    y = np.zeros((1, 3))
+    u = np.tile([0., 0., 1.], (1, 1))
+    g.rays_given(y, u)
+    g.propagate()
+    out = trace_polarization(s.table(g.l), g.y, g.u, g.i)
+    jones = np.asarray(out["jones"])[0]
+    # oracle: 45deg entry, refracted angle inside, exit = reverse
+    ci = np.cos(np.pi/4)
+    rs1, rp1, ts1, tp1, ct1 = _fresnel_oracle(1., n, ci)
+    rs2, rp2, ts2, tp2, ct2 = _fresnel_oracle(n, 1., ct1.real)
+    nptest.assert_allclose(abs(jones[0, 0]), abs(ts1*ts2), rtol=1e-9)
+    nptest.assert_allclose(abs(jones[1, 1]), abs(tp1*tp2), rtol=1e-9)
+    nptest.assert_allclose(abs(jones[0, 1]), 0., atol=1e-12)
+    nptest.assert_allclose(abs(jones[1, 0]), 0., atol=1e-12)
+    # transmittance: flux factors cancel through the plate
+    want_T = (abs(ts1*ts2)**2 + abs(tp1*tp2)**2)/2
+    nptest.assert_allclose(np.asarray(out["transmittance"])[0],
+                           want_T, rtol=1e-9)
+    d = jones_diattenuation(jones)
+    t_s, t_p = abs(ts1*ts2)**2, abs(tp1*tp2)**2
+    nptest.assert_allclose(d, (t_p - t_s)/(t_p + t_s), rtol=1e-9)
+
+
+def test_fold_mirror_retardance_pi():
+    """An ideal fold mirror: |rs| = |rp| = 1 with a pi phase split
+    (the s component flips, the p component does not, in the
+    s/p = s x d basis convention)."""
+    s = ro.System([
+        dict(material="vacuum"),
+        dict(material="mirror", distance=10.,
+             angles=(np.pi/4, 0, 0), radius=10.),
+        dict(material="vacuum", distance=-10.,
+             direction=(0, 1., 0), radius=5.),
+    ])
+    g = ro.GeometricTrace(s)
+    y = np.zeros((2, 3))
+    y[1, 1] = .5
+    u = np.tile([0., 0., 1.], (2, 1))
+    g.rays_given(y, u)
+    g.propagate()
+    out = trace_polarization(s.table(g.l), g.y, g.u, g.i)
+    jones = np.asarray(out["jones"])
+    geometry = np.asarray(out["geometry"])
+    nptest.assert_allclose(np.abs(jones[:, 0, 0]), 1., rtol=1e-12)
+    nptest.assert_allclose(np.abs(jones[:, 1, 1]), 1., rtol=1e-12)
+    ret = jones_retardance(jones, geometry)
+    nptest.assert_allclose(ret, np.pi, rtol=1e-12)
+    nptest.assert_allclose(np.asarray(out["transmittance"]), 1.,
+                           rtol=1e-12)
+
+
+def test_mueller_of_identity_and_polarizer():
+    eye = np.eye(2, dtype=complex)
+    m = jones_to_mueller(eye)
+    nptest.assert_allclose(m, np.eye(4), atol=1e-12)
+    pol = np.diag([1., 0.]).astype(complex)  # horizontal polarizer
+    m = jones_to_mueller(pol)
+    want = .5*np.array([[1, 1, 0, 0], [1, 1, 0, 0],
+                        [0, 0, 0, 0], [0, 0, 0, 0]])
+    nptest.assert_allclose(m, want, atol=1e-12)
+
+
+def test_skew_rays_finite_and_physical():
+    """Off-axis bundle through the doublet: all surviving rays give
+    symmetric-positive throughput <= 1 and finite maps."""
+    s = doublet()
+    p = PolarizationTrace(s, field=(0., 1.), nrays=32)
+    g = p.good
+    assert g.sum() > 10
+    t = p.transmittance[g]
+    assert np.isfinite(t).all() and (t > 0).all() and (t <= 1.).all()
+    assert np.isfinite(p.diattenuation[g]).all()
+    assert np.isfinite(p.retardance[g]).all()
+    assert "Polarization" in p.text()
