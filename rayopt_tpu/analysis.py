@@ -359,6 +359,64 @@ def plot_mtf_vs_field(system, ax, nfields=7, fractions=(.125, .25, .5),
     return heights, curves
 
 
+def plot_layout_3d(system, ax=None, nrad=8, nazi=33, fields=None,
+                   wavelength=None, nrays=5, elev=18., azim=-65.):
+    """3-D system layout: surface meshes in lab coordinates plus
+    clipping-ray bundles for the extreme fields (reference TODO.rst
+    "3d plot" -- absent upstream).
+
+    Surfaces render as wireframes on a polar (radius x azimuth) grid
+    evaluated through the exact sag (conic + aspherics) and each
+    element's pose (offset + rotation), so tilted/decentered systems
+    fold correctly.  Returns the Axes3D."""
+    import matplotlib.pyplot as plt
+    if ax is None:
+        fig = plt.figure(figsize=(10, 10))
+        ax = fig.add_subplot(projection="3d")
+    origins = system.origins
+    for k, el in enumerate(system):
+        radius = getattr(el, "radius", np.inf)
+        if not np.isfinite(radius) or radius <= 0:
+            continue
+        r = np.linspace(0., radius, nrad)[1:]
+        a = np.linspace(0., 2*np.pi, nazi)
+        rr, aa = np.meshgrid(r, a)
+        x, y = rr*np.cos(aa), rr*np.sin(aa)
+        z = np.zeros_like(x)
+        try:
+            sag = el.surface_sag(
+                np.stack([x, y, z], axis=-1).reshape(-1, 3))
+            z = -sag.reshape(x.shape)
+        except (AttributeError, NotImplementedError):
+            pass
+        pts = np.stack([x, y, z], axis=-1).reshape(-1, 3)
+        world = origins[k] + el.from_normal(pts)
+        wx, wy, wz = (world[:, i].reshape(x.shape) for i in range(3))
+        ax.plot_wireframe(wz, wx, wy, rstride=4, cstride=2,
+                          color="black", linewidth=.4)
+    if nrays:
+        if fields is None:
+            fields = (min(system.fields), max(system.fields))
+        for h in fields:
+            t = GeometricTrace(system)
+            t.rays_clipping((0, h), wavelength)
+            pts = np.stack([t.origins[k]
+                            + system[k].from_normal(t.y[k])
+                            for k in range(t.length)])
+            for ray in range(pts.shape[1]):
+                ax.plot(pts[:, ray, 2], pts[:, ray, 0],
+                        pts[:, ray, 1], color="green", linewidth=.7)
+    # isotropic axes around the traced volume
+    spans = []
+    for c in "xyz":
+        lo, hi = getattr(ax, "get_%slim" % c)()
+        spans.append(hi - lo)
+    ax.set_box_aspect(spans)
+    ax.view_init(elev=elev, azim=azim)
+    ax.set_axis_off()
+    return ax
+
+
 def plot_mtf_through_focus(system, ax, height=1., wavelength=None,
                            fractions=(.125, .25, .5), nrays=1000,
                            nsteps=9, window=2.):
@@ -476,6 +534,7 @@ class Analysis:
     plot_vignetting = False
     plot_mtf_field = False
     plot_mtf_focus = False
+    plot_3d = False
     plot_footprints = False
     print_zernike = False
     print_ghosts = False
@@ -591,6 +650,10 @@ class Analysis:
                 figsize=(self.figwidth/2, self.figwidth/2))
             self.figures.append(fig)
             plot_mtf_vs_field(s, ax)
+
+        if self.plot_3d:
+            ax3 = plot_layout_3d(s)
+            self.figures.append(ax3.figure)
 
         if self.plot_mtf_focus:
             fig, ax = plt.subplots(

@@ -270,3 +270,34 @@ def test_mtf_through_focus():
     s2 = cooke_triplet()
     assert s[-1].distance == s2[-1].distance
     plt.close("all")
+
+
+def test_layout_3d():
+    import matplotlib
+    matplotlib.use("agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+    from rayopt_tpu.models import cooke_triplet
+    from rayopt_tpu import Analysis, System
+    from rayopt_tpu.analysis import plot_layout_3d
+    ax = plot_layout_3d(cooke_triplet())
+    # wireframes for the 7 finite-radius surfaces + ray polylines
+    assert len(ax.collections) >= 7
+    assert len(ax.lines) > 0
+    # a tilted fold mirror folds the drawn geometry off the z axis:
+    # some mesh y extents must be comparable to the fold arm length
+    s = System([
+        dict(material="vacuum"),
+        dict(material="mirror", distance=10.,
+             angles=(np.pi/4, 0, 0), radius=4.),
+        dict(material="vacuum", distance=-10.,
+             direction=(0, 1., 0), radius=2.),
+    ])
+    ax2 = plot_layout_3d(s, nrays=0)
+    assert len(ax2.collections) >= 2
+    # the fold arm runs along +y: the drawn volume is y-extended
+    ylo, yhi = ax2.get_zlim()  # plot maps lab y -> matplotlib z
+    assert yhi - ylo > 5.
+    a = Analysis(cooke_triplet(), print=False, plot_3d=True, defocus=3)
+    assert len(a.figures) == 6
+    plt.close("all")
