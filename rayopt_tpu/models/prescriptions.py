@@ -114,6 +114,29 @@ elements:
 """
 
 
+# afocal keplerian 2x beam expander: two plano-convex BK7 singlets,
+# separation solved so the marginal exit slope is exactly zero (the
+# reference TODO.rst "afocal ... last conjugate" case); the image
+# conjugate is infinite and output quality lives in angle space
+# (GeometricTrace.angular_rms)
+BEAM_EXPANDER_YAML = """
+description: keplerian 2x beam expander (afocal)
+object: {angle_deg: 0.25, pupil: {radius: 4}}
+image: {type: infinite, pupil: {radius: 8}}
+elements:
+- {material: air}
+- {roc: 25.84, distance: 10., material: SCHOTT-BK|N-BK7, radius: 7}
+- {distance: 3., material: air, radius: 7}
+- {distance: 145., material: SCHOTT-BK|N-BK7, radius: 13}
+- {roc: -51.68, distance: 4., material: air, radius: 13}
+- {distance: 10., radius: 13}
+solves:
+- set: [3, distance]
+  get_eval: "self.paraxial.update() or float(self.paraxial.u[-2, 0])"
+  init: 145.
+"""
+
+
 def _build(yaml_text, update=True):
     s = system_from_yaml(yaml_text)
     if update:
@@ -145,6 +168,10 @@ def hene_cavity(update=False):
     return _build(HENE_CAVITY_YAML, update)
 
 
+def beam_expander(update=True):
+    return _build(BEAM_EXPANDER_YAML, update)
+
+
 PRESCRIPTIONS = {
     "doublet": doublet,
     "cooke": cooke_triplet,
@@ -152,4 +179,5 @@ PRESCRIPTIONS = {
     "petzval": petzval,
     "parabolic": parabolic_mirror,
     "hene_cavity": hene_cavity,
+    "beam_expander": beam_expander,
 }

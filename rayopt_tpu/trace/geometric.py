@@ -201,6 +201,18 @@ class GeometricTrace(Trace):
         r2 = np.einsum("ij,ij->i", pts - center, pts - center)
         return np.sqrt(r2 @ self._weights())
 
+    def angular_rms(self, i=-1, ref=None):
+        """Weighted RMS angular spread (tan space, radians for small
+        angles) of the exit directions about the centroid direction
+        (or a reference ray): the afocal-output analog of the spot
+        RMS (reference TODO.rst afocal conjugates -- absent
+        upstream)."""
+        slopes = tanarcsin(self.u[i])
+        center = (np.nanmean(slopes, 0) if ref is None
+                  else slopes[ref])
+        r2 = np.einsum("ij,ij->i", slopes - center, slopes - center)
+        return np.sqrt(np.nansum(r2 * self._weights()))
+
     # -- bundle factories ---------------------------------------------
 
     def rays_paraxial(self, paraxial=None):

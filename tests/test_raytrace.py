@@ -227,3 +227,31 @@ def test_rays_line_unaimed_fallback():
     g.rays_line((0., 1.), nrays=5)
     assert g.y.shape[1] == 15
     assert np.isfinite(g.y[-1]).all()
+
+
+def test_afocal_beam_expander():
+    """Afocal (infinite image conjugate) support: the keplerian 2x
+    expander solves to an exactly-zero exit marginal slope, doubles
+    the beam, and reports its quality in angle space (reference
+    TODO.rst afocal conjugates -- absent upstream)."""
+    import rayopt_tpu as ro
+    from rayopt_tpu.models import beam_expander
+    s = beam_expander()
+    # the separation solve drives the system exactly afocal
+    assert abs(s.paraxial.u[-2, 0]) < 1e-12
+    # 2x expander: angular magnification -1/2, beam diameter doubles
+    nptest.assert_allclose(s.paraxial.magnification[1], -.5,
+                           rtol=1e-6)
+    nptest.assert_allclose(s.paraxial.y[-2, 0]/s.paraxial.y[0, 0],
+                           -2., rtol=1e-2)
+    g = ro.GeometricTrace(s)
+    g.rays_point((0, 0.), nrays=13, distribution="radau",
+                 filter=False)
+    a = g.angular_rms()
+    assert 0 < a < 1e-3  # singlet spherical, sub-mrad collimation
+    # serialization round trip keeps the infinite image conjugate
+    s2 = ro.system_from_yaml(ro.system_to_yaml(s))
+    s2.update()
+    assert not s2.image.finite
+    nptest.assert_allclose(s2.paraxial.magnification[1], -.5,
+                           rtol=1e-6)
