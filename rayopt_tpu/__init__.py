@@ -64,6 +64,9 @@ from .polarization import (  # noqa: E402,F401
     PolarizationTrace, trace_polarization, fresnel_coefficients,
     jones_diattenuation, jones_retardance, jones_to_mueller,
 )
+from .coatings import (  # noqa: E402,F401
+    CoatingStack, quarter_wave,
+)
 from .thermal import (  # noqa: E402,F401
     at_temperature, thermal_defocus, thermal_text, heat_table,
     thermal_model,

@@ -79,15 +79,19 @@ def _perp_fallback(d):
     return _unit(v)
 
 
-def trace_polarization(table, y, u, i, coatings=None):
+def trace_polarization(table, y, u, i, coatings=None,
+                       wavelength=None):
     """Chain the per-interface Jones matrices along a traced bundle.
 
     table: the SurfaceTable used for the trace (rot/mu/n gives frames
     and media).  y, u, i: (S, N, 3) local-frame position/exit/incident
     history from the geometric engines.  coatings: optional
-    {surface_index: complex_n} overriding the second medium's index at
-    that interface (a thin-metal or idealized coating hook; the
-    geometric refraction is unchanged).
+    {surface_index: value} where value is a complex index overriding
+    the second medium at that interface (thin-metal idealization) or
+    a coatings.CoatingStack evaluated with the multilayer
+    characteristic-matrix method (requires `wavelength`, in the same
+    unit as the stack thicknesses -- meters for System tables).  The
+    geometric refraction is unchanged in either case.
 
     Returns a dict:
       jones          (N, 2, 2) complex cumulative amplitude matrix
@@ -138,11 +142,29 @@ def trace_polarization(table, y, u, i, coatings=None):
 
         n1 = abs(n_before[k])
         n2 = coatings.get(k, abs(n_after[k]))
+        stack = n2 if hasattr(n2, "coefficients") else None
         if mu[k] == -1. and k not in coatings:
             # perfect mirror: the n2 -> inf Fresnel limit
             a_s = jnp.full(N, -1.+0j)
             a_p = jnp.full(N, 1.+0j)
             step_flux = jnp.ones(N)
+        elif stack is not None:
+            # multilayer coating (characteristic matrices)
+            if wavelength is None:
+                raise ValueError(
+                    "CoatingStack coatings need wavelength=")
+            n_sub = (stack.substrate if stack.substrate is not None
+                     else (n1 if mu[k] == -1. else abs(n_after[k])))
+            rs, rp, ts, tp = stack.coefficients(
+                n1, n_sub, cos_i, wavelength)
+            if mu[k] == -1.:
+                a_s, a_p = rs, rp
+                step_flux = jnp.ones(N)
+            else:
+                a_s, a_p = ts, tp
+                from .coatings import _cos_in_medium
+                cos_t = _cos_in_medium(n1, cos_i, n_sub)
+                step_flux = jnp.real(n_sub*cos_t)/(n1*cos_i)
         else:
             rs, rp, ts, tp, cos_t = fresnel_coefficients(
                 n1, n2, cos_i)
@@ -259,7 +281,7 @@ class PolarizationTrace:
         table = system.table(t.l)
         out = trace_polarization(table, jnp.asarray(t.y),
                                  jnp.asarray(t.u), jnp.asarray(t.i),
-                                 coatings=coatings)
+                                 coatings=coatings, wavelength=t.l)
         self.jones = np.asarray(out["jones"])
         self.geometry = np.asarray(out["geometry"])
         self.transmittance = np.asarray(out["transmittance"])
