@@ -58,6 +58,12 @@ def ghost_pairs(system, wavelength=None, reflectances=None):
             continue
         if reflectances is not None and k in reflectances:
             r = reflectances[k]
+            if hasattr(r, "reflectance"):
+                # a coatings.CoatingStack: evaluate at normal
+                # incidence for the ghost-strength estimate
+                import numpy as _np
+                r = float(_np.asarray(r.reflectance(
+                    n[k - 1], n[k], 1., wavelength)))
         if r > 0:
             refl[k] = r
     for b in sorted(refl):

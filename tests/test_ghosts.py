@@ -122,3 +122,35 @@ def test_ghost_coating_override():
     # geometry unchanged, only strength rescaled
     nptest.assert_allclose(coated[0][2], bare[0][2])
     assert coated[0][4] < bare[0][4]
+
+
+def test_ghost_reflectance_from_coating_stack():
+    """A CoatingStack override feeds the ghost-strength estimate with
+    its normal-incidence reflectance."""
+    import numpy as np
+    from rayopt_tpu.models import doublet
+    from rayopt_tpu.ghosts import ghost_pairs
+    from rayopt_tpu.coatings import quarter_wave
+    s = doublet()
+    lam = s.wavelengths[0]
+    plain = {(a, b): r for a, b, r in ghost_pairs(s)}
+    qw = quarter_wave(1.38, lam)
+    coated = {(a, b): r for a, b, r in ghost_pairs(
+        s, reflectances={k: qw for k in range(1, len(s) - 1)})}
+    assert coated.keys() == plain.keys()
+    # exact oracle: the pair strength is the product of the stack's
+    # normal-incidence reflectances at the two surfaces
+    ns = [1.]
+    for e in s[1:]:
+        m = getattr(e, "material", None)
+        ns.append(float(m.refractive_index(lam)) if m else ns[-1])
+    want = {}
+    R = {k: float(np.asarray(qw.reflectance(ns[k - 1], ns[k], 1.,
+                                            lam)))
+         for k in range(1, len(s) - 1)}
+    for (a, b) in plain:
+        want[(a, b)] = R[a]*R[b]
+    for k in plain:
+        np.testing.assert_allclose(coated[k], want[k], rtol=1e-9)
+    # on the air-glass surfaces the AR coat weakens the ghost pair
+    assert coated[(1, 3)] < plain[(1, 3)]
