@@ -538,6 +538,7 @@ class Analysis:
     plot_footprints = False
     print_zernike = False
     print_ghosts = False
+    print_polarization = False
     print_thermal = False
     thermal_temps = (0., 20., 40., 60.)
     ghost_limit = 10
@@ -591,6 +592,13 @@ class Analysis:
                 self.text.append(ghost_text(s, limit=self.ghost_limit))
             except NotImplementedError as exc:
                 self.text.append("ghost analysis skipped: %s" % exc)
+        if self.print_polarization:
+            from .polarization import PolarizationTrace
+            blocks = []
+            for h in (min(s.fields), max(s.fields)):
+                p = PolarizationTrace(s, (0., h), nrays=16)
+                blocks.append("OY=%g  %s" % (h, p.text()))
+            self.text.append("\n".join(blocks))
         if self.print_thermal:
             from .thermal import thermal_text
             self.text.append(thermal_text(s, temps=self.thermal_temps))

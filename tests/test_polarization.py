@@ -157,3 +157,16 @@ def test_skew_rays_finite_and_physical():
     assert np.isfinite(p.diattenuation[g]).all()
     assert np.isfinite(p.retardance[g]).all()
     assert "Polarization" in p.text()
+
+
+def test_analysis_polarization_block():
+    import matplotlib
+    matplotlib.use("agg")
+    import matplotlib.pyplot as plt
+    from rayopt_tpu.models import cooke_triplet
+    from rayopt_tpu import Analysis
+    a = Analysis(cooke_triplet(), print=False,
+                 print_polarization=True, defocus=3)
+    assert any("Polarization" in t for t in a.text)
+    assert any("transmittance" in t for t in a.text)
+    plt.close("all")
