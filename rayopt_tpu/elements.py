@@ -506,3 +506,133 @@ class Spheroid(Interface):
         axial_chr, lateral_chr = -y[0]*inc/lag*(v0 - mu*v)
         return (spherical, coma, astig, petzval, distortion,
                 axial_chr, lateral_chr)
+
+
+@Element.register
+class Biconic(Spheroid):
+    """Anamorphic (biconic) surface: independent x/y vertex curvature
+    and conic, shared rotationally-symmetric aspheric terms (beyond
+    reference -- rayopt has no anamorphic surfaces).
+
+    sag = (cx x^2 + cy y^2) /
+          (1 + sqrt(1 - (1+kx) cx^2 x^2 - (1+ky) cy^2 y^2)) + poly(r^2)
+
+    `curvature`/`conic` are the y-axis figure (so a Biconic with
+    curvature_x == curvature behaves exactly like a Spheroid), and a
+    cylinder lens is curvature_x=0 (power in y) or curvature=0 (power
+    in x).  The exact engines (scan/unrolled/specialized) trace it via
+    the dedicated kernels; the paraxial 4x4 carries per-axis power;
+    the Pallas/df32/polynomial engines reject anamorphic rows.  The
+    third-order Seidel `aberration` of the base class applies the
+    y-axis figure (tangential plane).
+    """
+
+    _type = "biconic"
+
+    def __init__(self, curvature_x=0., conic_x=0., roc_x=None,
+                 **kwargs):
+        super().__init__(**kwargs)
+        self.curvature_x = (curvature_x if roc_x is None
+                            else 1./roc_x)
+        self.conic_x = conic_x
+
+    def dict(self):
+        dat = super().dict()
+        if self.curvature_x:
+            dat["curvature_x"] = float(self.curvature_x)
+        if self.conic_x:
+            dat["conic_x"] = float(self.conic_x)
+        return dat
+
+    def surface_sag(self, xyz):
+        from .ops import kernels as _K
+        xyz = np.asarray(xyz, dtype=float)
+        with on_host():
+            return _np(_K.sag_biconic(
+                xyz[..., 0], xyz[..., 1], xyz[..., 2],
+                self.curvature_x, self.conic_x,
+                self.curvature, self.conic,
+                self._aspheric_arr, self._aspheric_odd_arr))
+
+    def surface_normal(self, xyz):
+        from .ops import kernels as _K
+        xyz = np.asarray(xyz, dtype=float)
+        with on_host():
+            gx, gy = _K.normal_biconic(
+                xyz[..., 0], xyz[..., 1],
+                self.curvature_x, self.conic_x,
+                self.curvature, self.conic,
+                self._aspheric_arr, self._aspheric_odd_arr)
+            return np.stack([_np(gx), _np(gy),
+                             np.ones(np.shape(_np(gx)))], axis=-1)
+
+    def intercept(self, y, u):
+        from .ops import kernels as _K
+        y = np.atleast_2d(np.asarray(y, dtype=float))
+        u = np.atleast_2d(np.asarray(u, dtype=float))
+        with on_host():
+            return _np(_K.intercept_biconic(
+                y[..., 0], y[..., 1], y[..., 2],
+                u[..., 0], u[..., 1], u[..., 2],
+                self.curvature_x, self.conic_x,
+                self.curvature, self.conic, self._aspheric_arr,
+                1. if self.alternate_intersection else 0.,
+                aspherics_odd=self._aspheric_odd_arr))
+
+    def refract(self, y, u0, mu):
+        from .ops import kernels as _K
+        y = np.atleast_2d(np.asarray(y, dtype=float))
+        u0 = np.atleast_2d(np.asarray(u0, dtype=float))
+        with on_host():
+            ox, oy, oz = _K.refract_biconic(
+                y[..., 0], y[..., 1],
+                u0[..., 0], u0[..., 1], u0[..., 2], mu,
+                self.curvature_x, self.conic_x,
+                self.curvature, self.conic, self._aspheric_arr,
+                aspherics_odd=self._aspheric_odd_arr)
+            return np.stack([_np(ox), _np(oy), _np(oz)], axis=-1)
+
+    def _vertex_power_x(self):
+        if self.aspherics:
+            return self.curvature_x + 2*self.aspherics[0]
+        return self.curvature_x
+
+    def paraxial_matrix(self, n0, l):
+        """The Spheroid Massey-Siegman 4x4 with per-axis power: the
+        x (sagittal) slots carry curvature_x, the y (tangential)
+        slots carry curvature (= cy)."""
+        n, gap = Interface.paraxial_matrix(self, n0, l)
+        cx = self._vertex_power_x()
+        cy = self._vertex_power()
+        tilt = 0. if self.angles is None else self.angles[0]
+        ct = np.cos(tilt)
+        bend = np.eye(4)
+        if self.material is not None and self.material.mirror:
+            bend[2, 0] = 2*cx*ct
+            bend[3, 1] = 2*cy/ct
+        elif self.material is not None:
+            nr = n/n0
+            p = np.sqrt(nr*nr - 1 + ct*ct)
+            bend[1, 1] = p/(nr*ct)
+            bend[3, 3] = nr*ct/p
+            bend[2, 0] = n0*cx*(ct - p)
+            bend[3, 1] = nr*n0*cy*(ct - p)/(ct*p)
+        m = bend @ gap
+        roll = 0. if self.angles is None else self.angles[2]
+        if roll:
+            cr, sr = np.cos(roll), np.sin(roll)
+            spin = np.zeros((4, 4))
+            spin[0, 0] = spin[2, 2] = cr
+            spin[0, 1] = spin[2, 3] = -sr
+            spin[1, 0] = spin[3, 2] = sr
+            spin[1, 1] = spin[3, 3] = -cr
+            m = spin @ m @ spin.T
+        return n, m
+
+    def reverse(self):
+        super().reverse()
+        self.curvature_x = -self.curvature_x
+
+    def rescale(self, scale):
+        super().rescale(scale)
+        self.curvature_x /= scale

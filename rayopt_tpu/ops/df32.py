@@ -411,6 +411,12 @@ def plan(table, clip=False, fast=False):
         raise NotImplementedError(
             "odd aspherics are not supported by the df32 kernel; "
             "use the f64 engines (trace_rays_final)")
+    from .tables import is_anamorphic
+    if is_anamorphic(table):
+        raise NotImplementedError(
+            "anamorphic (biconic/cylindrical) surfaces are not "
+            "supported by the df32 kernel; use the f64 engines "
+            "(trace_rays_final with biconic=True)")
     alt = np.asarray(table.alternate, np.float64)
     rad = np.asarray(table.radius, np.float64)
     steps = []

@@ -41,8 +41,10 @@ def _entry(table, y0, u0):
     return (x, y, z, ux, uy, uz)
 
 
-@functools.partial(jax.jit, static_argnames=("clip", "specs", "unroll"))
-def trace_rays(table, y0, u0, clip=False, specs=None, unroll=False):
+@functools.partial(jax.jit, static_argnames=("clip", "specs", "unroll",
+                                             "biconic"))
+def trace_rays(table, y0, u0, clip=False, specs=None, unroll=False,
+               biconic=False):
     """Trace rays y0, u0 (N, 3; element-0 local frame) through all
     surfaces.  Returns (y, u, i, t): (S, N, 3) x3 and (S, N), surface 0
     holding the seed (t[0] = 0), matching GeometricTrace's layout
@@ -60,7 +62,7 @@ def trace_rays(table, y0, u0, clip=False, specs=None, unroll=False):
             surf = jax.tree_util.tree_map(lambda a: a[j], table)
             if specs is None:
                 state, (yl, ul, il, t) = K.surface_step(
-                    state, surf, clip)
+                    state, surf, clip, biconic)
             else:
                 state, (yl, ul, il, t) = K.surface_step_spec(
                     state, surf, specs[j], clip)
@@ -68,7 +70,8 @@ def trace_rays(table, y0, u0, clip=False, specs=None, unroll=False):
         y, u, i, t = (jnp.stack(v) for v in zip(*outs))
     else:
         def step(state, surf):
-            state, (yl, ul, il, t) = K.surface_step(state, surf, clip)
+            state, (yl, ul, il, t) = K.surface_step(state, surf, clip,
+                                                    biconic)
             return state, (K.join(*yl), K.join(*ul), K.join(*il), t)
 
         _, (y, u, i, t) = jax.lax.scan(step, state, _rows(table))
@@ -77,9 +80,10 @@ def trace_rays(table, y0, u0, clip=False, specs=None, unroll=False):
             cat(jnp.zeros(y0.shape[:-1], y0.dtype), t))
 
 
-@functools.partial(jax.jit, static_argnames=("clip", "specs", "unroll"))
+@functools.partial(jax.jit, static_argnames=("clip", "specs", "unroll",
+                                             "biconic"))
 def trace_components_final(table, state, clip=False, specs=None,
-                           unroll=False):
+                           unroll=False, biconic=False):
     """Carry-only trace on component state (x, y, z, ux, uy, uz), each
     (N,).  Returns (state_local, t_total) after the last surface.
 
@@ -110,7 +114,7 @@ def trace_components_final(table, state, clip=False, specs=None,
             surf = jax.tree_util.tree_map(lambda a: a[j], table)
             if specs is None:
                 state, (yl, ul, il, t) = K.surface_step(
-                    state, surf, clip)
+                    state, surf, clip, biconic)
             else:
                 state, (yl, ul, il, t) = K.surface_step_spec(
                     state, surf, specs[j], clip)
@@ -118,7 +122,8 @@ def trace_components_final(table, state, clip=False, specs=None,
     else:
         def step(carry, surf):
             state, tacc = carry
-            state, (yl, ul, il, t) = K.surface_step(state, surf, clip)
+            state, (yl, ul, il, t) = K.surface_step(state, surf, clip,
+                                                    biconic)
             return (state, tacc + t), None
 
         (state, tacc), _ = jax.lax.scan(step, (state, tacc),
@@ -133,14 +138,16 @@ def trace_components_final(table, state, clip=False, specs=None,
     return (*yl, *ul), tacc
 
 
-@functools.partial(jax.jit, static_argnames=("clip", "specs", "unroll"))
+@functools.partial(jax.jit, static_argnames=("clip", "specs", "unroll",
+                                             "biconic"))
 def trace_rays_final(table, y0, u0, clip=False, specs=None,
-                     unroll=False):
+                     unroll=False, biconic=False):
     """Carry-only trace: returns (y, u, t_total) after the last surface
     (local frame), with t_total the accumulated optical path."""
     state = (*K.split(y0), *K.split(u0))
     out, tacc = trace_components_final(table, state, clip=clip,
-                                       specs=specs, unroll=unroll)
+                                       specs=specs, unroll=unroll,
+                                       biconic=biconic)
     return K.join(*out[:3]), K.join(*out[3:]), tacc
 
 
@@ -167,7 +174,15 @@ def trace_rays_final_fast(table, y0, u0, clip=False, specs=None,
     n = y0.shape[0]
     on_tpu = jax.default_backend() == "tpu"
     import numpy as _np
+    from .tables import is_anamorphic
     has_odd = bool(_np.any(_np.asarray(table.aspherics_odd)))
+    anam = is_anamorphic(table)
+    if anam:
+        # the Pallas/df32 kernels implement the rotationally
+        # symmetric vocabulary; anamorphic tables take the XLA path
+        # (specs carry the per-surface biconic branch)
+        return trace_rays_final(table, y0, u0, clip=clip, specs=specs,
+                                unroll=on_tpu, biconic=specs is None)
     if precision == "parity":
         if on_tpu and n % tile == 0 and not has_odd:
             from . import df32
@@ -193,14 +208,15 @@ def trace_rays_final_fast(table, y0, u0, clip=False, specs=None,
                             unroll=unroll)
 
 
-@functools.partial(jax.jit, static_argnames=("clip", "specs", "unroll"))
+@functools.partial(jax.jit, static_argnames=("clip", "specs", "unroll",
+                                             "biconic"))
 def trace_rays_final_multi(tables, y0, u0, clip=False, specs=None,
-                           unroll=False):
+                           unroll=False, biconic=False):
     """Polychromatic/batched trace: `tables` is a SurfaceTable whose
     fields carry a leading batch axis (e.g. one row per wavelength,
     from System.tables), y0/u0 are (B, N, 3).  vmapped over the batch;
     the static specs are shared (the geometry is identical, only
     indices differ across wavelengths)."""
     fn = functools.partial(trace_rays_final.__wrapped__, clip=clip,
-                           specs=specs, unroll=unroll)
+                           specs=specs, unroll=unroll, biconic=biconic)
     return jax.vmap(fn)(tables, y0, u0)

@@ -98,6 +98,103 @@ def normal_radial(x, y, c, k, aspherics, aspherics_odd=None):
     return e
 
 
+def sag_biconic(x, y, z, cx, kx, cy, ky, aspherics,
+                aspherics_odd=None):
+    """z - biconic_sag(x, y): independent x/y curvature and conic,
+
+        sag = (cx x^2 + cy y^2) /
+              (1 + sqrt(1 - (1+kx) cx^2 x^2 - (1+ky) cy^2 y^2))
+
+    (the Zemax BICONICX convention restricted to conics), plus the
+    shared rotationally-symmetric aspheric terms.  Reduces exactly to
+    `sag` when cx == cy and kx == ky."""
+    x2, y2 = x*x, y*y
+    a = cx*x2 + cy*y2
+    b = (1 + kx)*cx*cx*x2 + (1 + ky)*cy*cy*y2
+    e = z - a/(1 + _sqrt0(1 - b))
+    r2 = x2 + y2
+    if aspherics.shape[-1]:
+        e = e - _poly_even(r2, aspherics)
+    if aspherics_odd is not None and aspherics_odd.shape[-1]:
+        e = e - _poly_odd(r2, aspherics_odd)
+    return e
+
+
+def normal_biconic(x, y, cx, kx, cy, ky, aspherics,
+                   aspherics_odd=None):
+    """Transverse components (gx, gy) of the unnormalized surface
+    normal (gx, gy, 1) = grad(z - sag).  In the symmetric limit
+    gx = -c x / sqrt(1 - (1+k) c^2 r^2) = x * normal_radial."""
+    x2, y2 = x*x, y*y
+    a = cx*x2 + cy*y2
+    b = (1 + kx)*cx*cx*x2 + (1 + ky)*cy*cy*y2
+    s = _sqrt0(1 - b)
+    s_safe = jnp.maximum(s, TINY)
+    inv = 1./(1 + s)
+    gx = -(2*cx*x*(1 + s) + a*(1 + kx)*cx*cx*x/s_safe)*inv*inv
+    gy = -(2*cy*y*(1 + s) + a*(1 + ky)*cy*cy*y/s_safe)*inv*inv
+    r2 = x2 + y2
+    if aspherics.shape[-1]:
+        d = _dpoly_even(r2, aspherics)
+        gx = gx - x*d
+        gy = gy - y*d
+    if aspherics_odd is not None and aspherics_odd.shape[-1]:
+        d = _dpoly_odd(r2, aspherics_odd)
+        gx = gx - x*d
+        gy = gy - y*d
+    return gx, gy
+
+
+def intercept_biconic(x, y, z, ux, uy, uz, cx, kx, cy, ky, aspherics,
+                      alternate, iters=ASPHERIC_ITERS,
+                      tol=ASPHERIC_TOL, aspherics_odd=None):
+    """Ray length to a biconic surface: the y-axis conic closed form
+    seeds a fixed-count Newton on the exact sag; rays whose conic
+    seed misses (e.g. a wide-x ray on a y-cylinder, where the
+    seeding sphere curves away but the cylinder does not) restart
+    from the vertex-plane intercept.  Non-converged rays give NaN."""
+    seed = intercept_conic(x, y, z, ux, uy, uz, cy, ky, alternate)
+    uz_safe = jnp.where(uz == 0, 1., uz)
+    seed = jnp.where(jnp.isnan(seed), -z/uz_safe, seed)
+    s = seed
+    for _ in range(iters):
+        px, py, pz = x + s*ux, y + s*uy, z + s*uz
+        fn = sag_biconic(px, py, pz, cx, kx, cy, ky, aspherics,
+                         aspherics_odd)
+        gx, gy = normal_biconic(px, py, cx, kx, cy, ky, aspherics,
+                                aspherics_odd)
+        fp = ux*gx + uy*gy + uz
+        fp = jnp.where(fp == 0, 1., fp)
+        s = s - fn/fp
+    px, py, pz = x + s*ux, y + s*uy, z + s*uz
+    res = sag_biconic(px, py, pz, cx, kx, cy, ky, aspherics,
+                      aspherics_odd)
+    return jnp.where(jnp.abs(res) <= tol*(1 + jnp.abs(s)), s, jnp.nan)
+
+
+def refract_biconic(x, y, ux, uy, uz, mu, cx, kx, cy, ky, aspherics,
+                    aspherics_odd=None):
+    """Snell/mirror refraction with the general biconic normal."""
+    gx, gy = normal_biconic(x, y, cx, kx, cy, ky, aspherics,
+                            aspherics_odd)
+    r2 = gx*gx + gy*gy + 1.
+    muf = jnp.abs(mu)
+    a = muf*(ux*gx + uy*gy + uz)/r2
+    rx, ry, rz = ux - 2*a*gx, uy - 2*a*gy, uz - 2*a
+    b = (mu*mu - 1)/r2
+    disc = a*a - b
+    g = -a + jnp.sign(mu)*_sqrt0(disc)
+    g = jnp.where(disc < 0, jnp.nan, g)
+    tx, ty, tz = muf*ux + g*gx, muf*uy + g*gy, muf*uz + g
+    ox = jnp.where(mu == -1, rx, tx)
+    oy = jnp.where(mu == -1, ry, ty)
+    oz = jnp.where(mu == -1, rz, tz)
+    ox = jnp.where(mu == 1, ux, ox)
+    oy = jnp.where(mu == 1, uy, oy)
+    oz = jnp.where(mu == 1, uz, oz)
+    return ox, oy, oz
+
+
 def intercept_conic(x, y, z, ux, uy, uz, c, k, alternate):
     """Closed-form conic intercept on components
     (reference elements.py:477; degenerate branches as in
@@ -187,6 +284,7 @@ class SurfaceSpec(NamedTuple):
     finite_aperture: bool
     off_sign: int     # sign of the axial offset (static geometry)
     odd: bool = False  # any odd-aspheric coefficient nonzero
+    biconic: bool = False  # x-axis figure differs from y (anamorphic)
 
 
 def specialize(table):
@@ -207,6 +305,10 @@ def specialize(table):
         alt = float(np.asarray(table.alternate)[j])
         rad = float(np.asarray(table.radius)[j])
         kind = 0 if mu == 1. else (2 if mu == -1. else 1)
+        cdx = np.asarray(getattr(table, "curvature_dx", None))
+        kdx = np.asarray(getattr(table, "conic_dx", None))
+        cdx = 0. if cdx.ndim == 0 else float(cdx[j])
+        kdx = 0. if kdx.ndim == 0 else float(kdx[j])
         specs.append(SurfaceSpec(
             flat=(c == 0.),
             spherical=(k == 0.),
@@ -218,6 +320,7 @@ def specialize(table):
             finite_aperture=bool(np.isfinite(rad)),
             off_sign=int(np.sign(off[2])) or 1,
             odd=bool(asp_odd.size and np.any(asp_odd != 0)),
+            biconic=bool(cdx != 0. or kdx != 0.),
         ))
     return tuple(specs)
 
@@ -311,7 +414,14 @@ def surface_step_spec(state, surf, spec, clip):
         r = surf.rot
         x, y, z = rot_apply(r, x, y, z)
         ux, uy, uz = rot_apply(r, ux, uy, uz)
-    if spec.aspheric or spec.odd:
+    if spec.biconic:
+        t = intercept_biconic(x, y, z, ux, uy, uz,
+                              surf.curvature + surf.curvature_dx,
+                              surf.conic + surf.conic_dx,
+                              surf.curvature, surf.conic,
+                              surf.aspherics, surf.alternate,
+                              aspherics_odd=surf.aspherics_odd)
+    elif spec.aspheric or spec.odd:
         t = intercept(x, y, z, ux, uy, uz, surf.curvature, surf.conic,
                       surf.aspherics, surf.alternate,
                       aspherics_odd=surf.aspherics_odd)
@@ -326,10 +436,18 @@ def surface_step_spec(state, surf, spec, clip):
         ux0 = jnp.where(bad, nan, ux0)
         uy0 = jnp.where(bad, nan, uy0)
         uz0 = jnp.where(bad, nan, uz0)
-    ux1, uy1, uz1 = refract_spec(x1, y1, ux0, uy0, uz0, surf.mu,
-                                 surf.curvature, surf.conic,
-                                 surf.aspherics, spec,
-                                 aspherics_odd=surf.aspherics_odd)
+    if spec.biconic:
+        ux1, uy1, uz1 = refract_biconic(
+            x1, y1, ux0, uy0, uz0, surf.mu,
+            surf.curvature + surf.curvature_dx,
+            surf.conic + surf.conic_dx,
+            surf.curvature, surf.conic, surf.aspherics,
+            aspherics_odd=surf.aspherics_odd)
+    else:
+        ux1, uy1, uz1 = refract_spec(x1, y1, ux0, uy0, uz0, surf.mu,
+                                     surf.curvature, surf.conic,
+                                     surf.aspherics, spec,
+                                     aspherics_odd=surf.aspherics_odd)
     out = ((x1, y1, z1), (ux1, uy1, uz1), (ux, uy, uz),
            t*surf.n_before)
     if spec.rotated:
@@ -341,19 +459,32 @@ def surface_step_spec(state, surf, spec, clip):
     return nstate, out
 
 
-def surface_step(state, surf, clip):
+def surface_step(state, surf, clip, biconic=False):
     """One transfer-intercept-refract step on component state
     (x, y, z, ux, uy, uz).  Returns (next_state, local_outputs) where
     local outputs are the per-surface (y, u, i, t) components in the
-    surface-normal frame (reference system.py:459-464)."""
+    surface-normal frame (reference system.py:459-464).
+
+    biconic (static): use the general anamorphic sag (x/y curvature
+    split via surf.curvature_dx/conic_dx) -- seed + Newton intercept
+    instead of the closed form.  Only set when the table actually
+    contains anamorphic rows (ops.tables.is_anamorphic)."""
     x, y, z, ux, uy, uz = state
     ox, oy, oz = surf.offset[0], surf.offset[1], surf.offset[2]
     r = surf.rot
     x, y, z = rot_apply(r, x - ox, y - oy, z - oz)
     ix, iy, iz = rot_apply(r, ux, uy, uz)
-    t = intercept(x, y, z, ix, iy, iz, surf.curvature, surf.conic,
-                  surf.aspherics, surf.alternate,
-                  aspherics_odd=surf.aspherics_odd)
+    if biconic:
+        t = intercept_biconic(x, y, z, ix, iy, iz,
+                              surf.curvature + surf.curvature_dx,
+                              surf.conic + surf.conic_dx,
+                              surf.curvature, surf.conic,
+                              surf.aspherics, surf.alternate,
+                              aspherics_odd=surf.aspherics_odd)
+    else:
+        t = intercept(x, y, z, ix, iy, iz, surf.curvature, surf.conic,
+                      surf.aspherics, surf.alternate,
+                      aspherics_odd=surf.aspherics_odd)
     x1, y1, z1 = x + t*ix, y + t*iy, z + t*iz
     ux0, uy0, uz0 = ix, iy, iz
     if clip:
@@ -362,9 +493,18 @@ def surface_step(state, surf, clip):
         ux0 = jnp.where(bad, nan, ux0)
         uy0 = jnp.where(bad, nan, uy0)
         uz0 = jnp.where(bad, nan, uz0)
-    ux1, uy1, uz1 = refract(x1, y1, ux0, uy0, uz0, surf.mu,
-                            surf.curvature, surf.conic, surf.aspherics,
-                            aspherics_odd=surf.aspherics_odd)
+    if biconic:
+        ux1, uy1, uz1 = refract_biconic(
+            x1, y1, ux0, uy0, uz0, surf.mu,
+            surf.curvature + surf.curvature_dx,
+            surf.conic + surf.conic_dx,
+            surf.curvature, surf.conic, surf.aspherics,
+            aspherics_odd=surf.aspherics_odd)
+    else:
+        ux1, uy1, uz1 = refract(x1, y1, ux0, uy0, uz0, surf.mu,
+                                surf.curvature, surf.conic,
+                                surf.aspherics,
+                                aspherics_odd=surf.aspherics_odd)
     out = ((x1, y1, z1), (ux1, uy1, uz1), (ix, iy, iz),
            t*surf.n_before)
     nx, ny, nz = rot_apply_t(r, x1, y1, z1)

@@ -85,6 +85,11 @@ def pallas_trace_final(table, state, clip=False, specs=None,
     n = state[0].shape[0]
     nsurf = table.curvature.shape[0]
     assert n % tile == 0 and tile % 128 == 0, (n, tile)
+    from .tables import is_anamorphic
+    if is_anamorphic(table):
+        raise NotImplementedError(
+            "anamorphic (biconic/cylindrical) surfaces are not "
+            "supported by the Pallas kernel; use trace_rays_final")
     # Mosaic wants >= 2-D blocks: view components as (N/128, 128)
     rows = tile // 128
     grid = (n // tile,)

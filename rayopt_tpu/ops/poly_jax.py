@@ -138,6 +138,15 @@ def poly_trace_table(table, specs, kmax, pupil_distance,
         raise NotImplementedError(
             "odd aspherics cannot be represented in the "
             "aberration-polynomial basis")
+    import numpy as _host_np
+    dx = getattr(table, "curvature_dx", None)
+    if dx is not None and not isinstance(
+            dx, jax.core.Tracer) and (
+            _host_np.any(_host_np.asarray(dx) != 0)
+            or _host_np.any(_host_np.asarray(table.conic_dx) != 0)):
+        raise NotImplementedError(
+            "anamorphic (biconic) surfaces break the rotational "
+            "symmetry of the aberration-polynomial basis")
     alg = algebra(3, kmax)
     S = alg.box
     nsurf = table.curvature.shape[0]

@@ -38,6 +38,14 @@ class SurfaceTable(NamedTuple):
     n_before:   (S,)    refractive index before the surface
     n_after:    (S,)    refractive index after the surface
     distance:   (S,)    |offset| along the axis (for path/track bookkeeping)
+    curvature_dx:(S,)   x-minus-y vertex-curvature split of anamorphic
+                        (biconic/cylindrical) surfaces: the x-axis
+                        curvature is curvature + curvature_dx.  Zero
+                        (the default) = rotationally symmetric row.
+                        Stored as a delta so shared edits -- replace/
+                        perturb/optimize on `curvature` -- move both
+                        axes rigidly, as a radius tolerance does
+    conic_dx:   (S,)    x-minus-y conic split (see curvature_dx)
     """
 
     curvature: jnp.ndarray
@@ -52,6 +60,8 @@ class SurfaceTable(NamedTuple):
     n_before: jnp.ndarray
     n_after: jnp.ndarray
     distance: jnp.ndarray
+    curvature_dx: jnp.ndarray = None
+    conic_dx: jnp.ndarray = None
 
     @property
     def nsurfaces(self):
@@ -71,7 +81,8 @@ class SurfaceTable(NamedTuple):
 def make_table(curvature, conic=None, aspherics=None, offset=None,
                rot=None, radius=None, alternate=None, mu=None,
                n_before=None, n_after=None, distance=None,
-               aspherics_odd=None, dtype=np.float64):
+               aspherics_odd=None, curvature_dx=None, conic_dx=None,
+               dtype=np.float64):
     """Assemble a SurfaceTable from plain arrays, filling defaults."""
     curvature = np.asarray(curvature, dtype=dtype)
     s = curvature.shape[0]
@@ -114,4 +125,21 @@ def make_table(curvature, conic=None, aspherics=None, offset=None,
         n_before=arr(n_before, 1., (s,)),
         n_after=arr(n_after, 1., (s,)),
         distance=arr(distance, 0., (s,)),
+        curvature_dx=arr(curvature_dx, 0., (s,)),
+        conic_dx=arr(conic_dx, 0., (s,)),
     )
+
+
+def is_anamorphic(table):
+    """Host-side: True when any row's x-axis figure differs from its
+    y-axis figure (cylindrical/biconic surfaces present).
+
+    Tracer-safe: a table whose fields are already traced (inside a
+    caller's jit) reports False -- the static engine flag must be
+    derived from the concrete table BEFORE entering jit."""
+    import jax
+    dx = getattr(table, "curvature_dx", None)
+    if dx is None or isinstance(dx, jax.core.Tracer):
+        return False
+    return bool(np.any(np.asarray(dx) != 0)
+                or np.any(np.asarray(table.conic_dx) != 0))

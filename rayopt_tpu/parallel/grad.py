@@ -18,7 +18,8 @@ import jax.numpy as jnp
 from ..ops.geometric import trace_rays_final
 
 
-def spot_rms(table, y0, u0, w=None, clip=False, nan_safe=True):
+def spot_rms(table, y0, u0, w=None, clip=False, nan_safe=True,
+             biconic=False):
     """Weighted RMS spot radius at the last surface.
 
     Vignetted/missed rays become NaN in the trace; masking their
@@ -36,7 +37,8 @@ def spot_rms(table, y0, u0, w=None, clip=False, nan_safe=True):
         w = jnp.asarray(w)
     if nan_safe:
         tab0 = jax.tree_util.tree_map(jax.lax.stop_gradient, table)
-        yp, up, tp = trace_rays_final(tab0, y0, u0, clip=clip)
+        yp, up, tp = trace_rays_final(tab0, y0, u0, clip=clip,
+                                      biconic=biconic)
         # the final u matters too: a clip at the image surface NaNs u
         # after y was already computed, and any NaN primal in a dead
         # ray's chain turns the shared-parameter cotangent sum to NaN
@@ -46,7 +48,8 @@ def spot_rms(table, y0, u0, w=None, clip=False, nan_safe=True):
         y0 = jnp.where(alive[:, None], y0, y0[i0])
         u0 = jnp.where(alive[:, None], u0, u0[i0])
         w = jnp.where(alive, w, 0.)
-    y, u, t = trace_rays_final(table, y0, u0, clip=clip)
+    y, u, t = trace_rays_final(table, y0, u0, clip=clip,
+                               biconic=biconic)
     pt = y[:, :2]
     good = jnp.all(jnp.isfinite(pt), axis=1)
     wg = jnp.where(good, w, 0.)
@@ -57,7 +60,8 @@ def spot_rms(table, y0, u0, w=None, clip=False, nan_safe=True):
     return jnp.sqrt(r2 + 1e-30)
 
 
-def trace_rms_merit(table, bundles, mesh=None, axis="rays"):
+def trace_rms_merit(table, bundles, mesh=None, axis="rays",
+                    biconic=False):
     """Sum of weighted spot RMS over several bundles: (y0, u0, w) or
     (y0, u0, w, chroma) with chroma a dict of per-wavelength table
     field overrides (mu/n_before/n_after).  With `mesh`, each bundle's
@@ -74,11 +78,12 @@ def trace_rms_merit(table, bundles, mesh=None, axis="rays"):
             y0, u0, w = bundle
             tab = table
         if mesh is None:
-            total = total + spot_rms(tab, y0, u0, w)
+            total = total + spot_rms(tab, y0, u0, w, biconic=biconic)
         else:
             from .sharding import sharded_spot_rms
             total = total + sharded_spot_rms(tab, y0, u0, w, mesh,
-                                             axis=axis)
+                                             axis=axis,
+                                             biconic=biconic)
     return total
 
 
@@ -308,8 +313,10 @@ def optimize_grad(table, bundles, select=("curvature",), steps=100,
         from .sharding import shard_bundles
         bundles = shard_bundles(bundles, mesh, axis)
     if merit is None:
+        from ..ops.tables import is_anamorphic
         merit = functools.partial(trace_rms_merit, bundles=bundles,
-                                  mesh=mesh, axis=axis)
+                                  mesh=mesh, axis=axis,
+                                  biconic=is_anamorphic(table))
 
     params = {k: jnp.asarray(getattr(table, k)) for k in select}
     # distance is a derived length; the trace consumes offset, so tie

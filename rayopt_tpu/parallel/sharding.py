@@ -48,7 +48,7 @@ def sharded_trace(table, y, u, mesh, clip=False, axis="rays"):
     return jax.jit(fn)(table, y, u)
 
 
-def _substitute_dead(table, y, u, w, clip, axis):
+def _substitute_dead(table, y, u, w, clip, axis, biconic=False):
     """Replace vignetted/missed rays by a surviving ray at zero weight.
 
     Reverse-mode AD turns any NaN primal into NaN cotangents even at
@@ -57,7 +57,8 @@ def _substitute_dead(table, y, u, w, clip, axis):
     the first nominating shard wins (a few floats over ICI).
     """
     tab0 = jax.tree_util.tree_map(jax.lax.stop_gradient, table)
-    yp, up, _ = trace_rays_final(tab0, y, u, clip=clip)
+    yp, up, _ = trace_rays_final(tab0, y, u, clip=clip,
+                                 biconic=biconic)
     # final u included: an image-surface clip NaNs u after y is set
     alive = (jnp.all(jnp.isfinite(yp[:, :2]), axis=1)
              & jnp.all(jnp.isfinite(up), axis=1))
@@ -71,10 +72,13 @@ def _substitute_dead(table, y, u, w, clip, axis):
     return y, u, jnp.where(alive, w, 0.)
 
 
-def _rms_local(table, y, u, w, clip, axis, nan_safe=False):
+def _rms_local(table, y, u, w, clip, axis, nan_safe=False,
+               biconic=False):
     if nan_safe:
-        y, u, w = _substitute_dead(table, y, u, w, clip, axis)
-    yf, uf, t = trace_rays_final(table, y, u, clip=clip)
+        y, u, w = _substitute_dead(table, y, u, w, clip, axis,
+                                   biconic=biconic)
+    yf, uf, t = trace_rays_final(table, y, u, clip=clip,
+                                 biconic=biconic)
     pt = yf[:, :2]
     good = jnp.all(jnp.isfinite(pt), axis=1)
     wg = jnp.where(good, w, 0.)
@@ -100,7 +104,7 @@ def sharded_rms(table, y, u, w, mesh, clip=False, axis="rays"):
 
 
 def sharded_spot_rms(table, y, u, w, mesh, clip=False, axis="rays",
-                     nan_safe=True):
+                     nan_safe=True, biconic=False):
     """Differentiable sharded spot RMS: the mesh twin of
     parallel.grad.spot_rms.  Traceable (no jit inside) so it can sit
     under jax.grad/jit in an optimization step; rays are sharded over
@@ -108,7 +112,7 @@ def sharded_spot_rms(table, y, u, w, mesh, clip=False, axis="rays",
     ICI automatically."""
     return shard_map(
         functools.partial(_rms_local, clip=clip, axis=axis,
-                          nan_safe=nan_safe),
+                          nan_safe=nan_safe, biconic=biconic),
         mesh=mesh,
         in_specs=(P(), P(axis, None), P(axis, None), P(axis)),
         out_specs=P(),

@@ -50,13 +50,14 @@ def perturbed_tables(table, key, n_samples, sigmas,
     return stacked.replace(**out)
 
 
-@functools.partial(jax.jit, static_argnames=("clip",))
-def monte_carlo_rms(tables, y0, u0, w, clip=False):
+@functools.partial(jax.jit, static_argnames=("clip", "biconic"))
+def monte_carlo_rms(tables, y0, u0, w, clip=False, biconic=False):
     """Spot RMS per perturbation sample: vmap over the stacked table
     (rays shared across samples).  Returns (n_samples,) RMS values."""
 
     def rms_one(tab):
-        y, u, t = trace_rays_final(tab, y0, u0, clip=clip)
+        y, u, t = trace_rays_final(tab, y0, u0, clip=clip,
+                                   biconic=biconic)
         pt = y[:, :2]
         good = jnp.all(jnp.isfinite(pt), axis=1)
         wg = jnp.where(good, w, 0.)
@@ -70,7 +71,7 @@ def monte_carlo_rms(tables, y0, u0, w, clip=False):
 
 
 def sharded_monte_carlo_rms(tables, y0, u0, w, mesh, clip=False,
-                            axis="samples"):
+                            axis="samples", biconic=False):
     """Batch-farm the Monte-Carlo samples over a device mesh: the
     stacked tables shard over their leading sample axis, rays are
     replicated, every chip traces its own slice of the design
@@ -86,7 +87,8 @@ def sharded_monte_carlo_rms(tables, y0, u0, w, mesh, clip=False,
         if hasattr(jax.lax, "pcast"):
             y0, u0, w = jax.lax.pcast((y0, u0, w), (axis,),
                                       to="varying")
-        return monte_carlo_rms.__wrapped__(tabs, y0, u0, w, clip=clip)
+        return monte_carlo_rms.__wrapped__(tabs, y0, u0, w, clip=clip,
+                                           biconic=biconic)
 
     fn = shard_map(
         local, mesh=mesh,
@@ -169,10 +171,11 @@ def aberration_tolerance(table, pupil_distance, sigmas=None,
     }
 
 
-def _rms_and_weight(table, y0, u0, w, clip=False):
+def _rms_and_weight(table, y0, u0, w, clip=False, biconic=False):
     """(weighted transverse spot RMS, surviving weight) of one traced
     table; NaN (vignetted/missed) rays drop out of both."""
-    y, u, t = trace_rays_final(table, y0, u0, clip=clip)
+    y, u, t = trace_rays_final(table, y0, u0, clip=clip,
+                               biconic=biconic)
     pt = y[:, :2]
     good = jnp.all(jnp.isfinite(pt), axis=1)
     wg = jnp.where(good, w, 0.)
@@ -183,11 +186,12 @@ def _rms_and_weight(table, y0, u0, w, clip=False):
     return jnp.sqrt(r2), wsum
 
 
-def _rms_of_table(table, y0, u0, w, clip=False):
+def _rms_of_table(table, y0, u0, w, clip=False, biconic=False):
     """Weighted transverse spot RMS of one traced table (NaN rays
     dropped) -- the scalar merit all sensitivity machinery differentiates
     or samples."""
-    return _rms_and_weight(table, y0, u0, w, clip=clip)[0]
+    return _rms_and_weight(table, y0, u0, w, clip=clip,
+                           biconic=biconic)[0]
 
 
 def _perturb_entry(table, field, idx, delta):
@@ -227,6 +231,8 @@ def sensitivity(table, y0, u0, w=None, fields=("curvature", "distance"),
     if w is None:
         w = jnp.full(y0.shape[0], 1./y0.shape[0])
     w = jnp.asarray(w)
+    from ..ops.tables import is_anamorphic
+    bic = is_anamorphic(table)
 
     def merit_from(deltas):
         tab = table.replace(**{
@@ -236,7 +242,7 @@ def sensitivity(table, y0, u0, w=None, fields=("curvature", "distance"),
             off = jnp.asarray(table.offset)
             tab = tab.replace(offset=off.at[:, 2].add(
                 deltas["distance"]))
-        return _rms_of_table(tab, y0, u0, w, clip=clip)
+        return _rms_of_table(tab, y0, u0, w, clip=clip, biconic=bic)
 
     zeros = {f: jnp.zeros(jnp.shape(getattr(table, f)))
              for f in fields}
@@ -281,9 +287,11 @@ def inverse_sensitivity(table, y0, u0, budget, w=None,
         w = jnp.full(y0.shape[0], 1./y0.shape[0])
     w = jnp.asarray(w)
     sens = sensitivity(table, y0, u0, w, fields=fields, clip=clip)
+    from ..ops.tables import is_anamorphic
+    bic = is_anamorphic(table)
     rms0, wsum0 = map(float, jax.jit(
-        _rms_and_weight, static_argnames=("clip",))(
-        table, y0, u0, w, clip=clip))
+        _rms_and_weight, static_argnames=("clip", "biconic"))(
+        table, y0, u0, w, clip=clip, biconic=bic))
 
     @functools.partial(jax.jit, static_argnames=("field", "clip"))
     def degradation_grid(field, flat_idx, ts, clip=False):
@@ -301,8 +309,8 @@ def inverse_sensitivity(table, y0, u0, budget, w=None,
                 tabs = _perturb_entry(table, field, idx,
                                       jnp.stack([t, -t]))
                 r, ws = jax.vmap(
-                    lambda tb: _rms_and_weight(tb, y0, u0, w,
-                                               clip=clip))(tabs)
+                    lambda tb: _rms_and_weight(
+                        tb, y0, u0, w, clip=clip, biconic=bic))(tabs)
                 ok = jnp.isfinite(r) & (ws >= .5*wsum0)
                 r = jnp.where(ok, r, jnp.inf)
                 return jnp.max(r) - rms0
@@ -388,21 +396,24 @@ def tolerance_analysis(table, y0, u0, w=None, sigmas=None,
         w = np.ones(y0.shape[0])/y0.shape[0]
     if sigmas is None:
         sigmas = {"curvature": 1e-6, "distance": 5e-3}
+    from ..ops.tables import is_anamorphic
+    bic = is_anamorphic(table)
     key = jax.random.PRNGKey(seed)
     tables = perturbed_tables(table, key, n_samples, sigmas)
     if mesh is None:
-        rms = monte_carlo_rms(tables, y0, u0, jnp.asarray(w), clip=clip)
+        rms = monte_carlo_rms(tables, y0, u0, jnp.asarray(w),
+                              clip=clip, biconic=bic)
     else:
         rms = sharded_monte_carlo_rms(tables, jnp.asarray(y0),
                                       jnp.asarray(u0), jnp.asarray(w),
-                                      mesh, clip=clip)
+                                      mesh, clip=clip, biconic=bic)
     rms = np.asarray(rms)
     good = rms[np.isfinite(rms)]
     return {
         "rms": rms,
         "nominal": float(np.asarray(monte_carlo_rms(
             jax.tree_util.tree_map(lambda a: a[None], table),
-            y0, u0, jnp.asarray(w), clip=clip))[0]),
+            y0, u0, jnp.asarray(w), clip=clip, biconic=bic))[0]),
         "mean": float(good.mean()),
         "p50": float(np.percentile(good, 50)),
         "p90": float(np.percentile(good, 90)),

@@ -437,6 +437,8 @@ class System(AimingMixin, list):
                         for e in self), default=0)
         curvature = np.zeros(s)
         conic = np.zeros(s)
+        curvature_dx = np.zeros(s)
+        conic_dx = np.zeros(s)
         aspherics = np.zeros((s, kmax))
         aspherics_odd = np.zeros((s, kmax_odd))
         offset = np.zeros((s, 3))
@@ -451,6 +453,12 @@ class System(AimingMixin, list):
         for j, e in enumerate(self):
             curvature[j] = getattr(e, "curvature", 0.)
             conic[j] = getattr(e, "conic", 0.)
+            cx = getattr(e, "curvature_x", None)
+            if cx is not None:
+                curvature_dx[j] = cx - curvature[j]
+            kx = getattr(e, "conic_x", None)
+            if kx is not None:
+                conic_dx[j] = kx - conic[j]
             asp = getattr(e, "aspherics", None) or ()
             aspherics[j, :len(asp)] = asp
             asp_odd = getattr(e, "aspherics_odd", None) or ()
@@ -471,7 +479,8 @@ class System(AimingMixin, list):
             aspherics_odd=aspherics_odd, offset=offset, rot=rot,
             radius=radius, alternate=alternate, mu=mu,
             n_before=n_before, n_after=n_after,
-            distance=distance, dtype=dtype)
+            distance=distance, curvature_dx=curvature_dx,
+            conic_dx=conic_dx, dtype=dtype)
 
     def tables(self, wavelengths=None, dtype=np.float64):
         """Stacked SurfaceTable with a leading wavelength axis, for
@@ -515,11 +524,14 @@ class System(AimingMixin, list):
         y = np.atleast_2d(np.asarray(y, dtype=float))
         u = np.atleast_2d(np.asarray(u, dtype=float))
         from .utils.jaxtools import device_for
+        from .ops.tables import is_anamorphic
         kw = {}
         if device_for(y.shape[0]) is None and _accel():
             # big bundle on the accelerator: fused specialized path
             from .ops.kernels import specialize
             kw = dict(specs=specialize(sub), unroll=True)
+        elif is_anamorphic(sub):
+            kw = dict(biconic=True)
         with placement(y.shape[0]):
             ys, us, iis, ts = trace_rays(sub, y, u, clip=clip, **kw)
         return (np.asarray(ys), np.asarray(us), np.asarray(iis),

@@ -90,6 +90,14 @@ def intercept_poly_spheroid(element, S, r, p, k):
             "odd aspherics (|r| powers) are not analytic at the axis "
             "and cannot be represented in the aberration-polynomial "
             "basis; use the geometric trace")
+    if (getattr(element, "curvature_x", element.curvature)
+            != element.curvature or
+            getattr(element, "conic_x", element.conic)
+            != element.conic):
+        raise NotImplementedError(
+            "anamorphic (biconic) surfaces break the rotational "
+            "symmetry of the aberration-polynomial basis; use the "
+            "geometric trace")
     u = element.curvature*np.sign(element.offset[2])
     if u == 0.:
         r, f, fr, g = intercept_poly_plane(S, r, p, k)

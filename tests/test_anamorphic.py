@@ -1,0 +1,236 @@
+"""Anamorphic (biconic/cylindrical) surfaces: sag/normal oracles,
+engine parity, cylinder-lens physics, per-axis paraxial power, and
+the loud rejections in the symmetric-only engines."""
+
+import numpy as np
+from numpy import testing as nptest
+import pytest
+
+import jax.numpy as jnp
+
+import rayopt_tpu as ro
+from rayopt_tpu.ops import kernels as K
+from rayopt_tpu.ops.tables import is_anamorphic
+
+
+def _cyl_system(radius_y=25.84, cx=0., distance=47.):
+    s = ro.System([
+        dict(material="air"),
+        dict(type="biconic", roc=radius_y, curvature_x=cx,
+             distance=5., material="SCHOTT-BK|N-BK7", radius=10.),
+        dict(type="biconic", distance=3., material="air", radius=10.),
+        dict(distance=distance, radius=10.),
+    ])
+    s.object.pupil.radius = 4.
+    s.object.pupil.update_radius = False
+    s.update()
+    return s
+
+
+def test_biconic_sag_normal_oracle():
+    """normal_biconic equals the numerical gradient of sag_biconic."""
+    rng = np.random.default_rng(3)
+    cx, kx, cy, ky = .021, -.6, -.034, .4
+    asp = np.array([1e-5, -2e-8])
+    pts = rng.uniform(-4, 4, (20, 2))
+    eps = 1e-6
+    for x, y in pts:
+        gx, gy = (float(np.asarray(v)) for v in K.normal_biconic(
+            x, y, cx, kx, cy, ky, asp))
+
+        def sag(xx, yy):
+            return float(np.asarray(K.sag_biconic(
+                xx, yy, 0., cx, kx, cy, ky, asp)))
+
+        fx = (sag(x + eps, y) - sag(x - eps, y))/(2*eps)
+        fy = (sag(x, y + eps) - sag(x, y - eps))/(2*eps)
+        nptest.assert_allclose(gx, fx, rtol=1e-6, atol=1e-9)
+        nptest.assert_allclose(gy, fy, rtol=1e-6, atol=1e-9)
+
+
+def test_biconic_reduces_to_conic():
+    """cx == cy, kx == ky reproduces the symmetric kernels exactly."""
+    c, k = .03, -.8
+    asp = np.zeros(0)
+    x = np.linspace(-5, 5, 11)
+    y = np.linspace(-4, 4, 11)
+    z = np.zeros(11)
+    sym = np.asarray(K.sag(x, y, z, c, k, asp))
+    bic = np.asarray(K.sag_biconic(x, y, z, c, k, c, k, asp))
+    nptest.assert_allclose(bic, sym, rtol=0, atol=1e-14)
+    e = np.asarray(K.normal_radial(x, y, c, k, asp))
+    gx, gy = (np.asarray(v) for v in K.normal_biconic(
+        x, y, c, k, c, k, asp))
+    nptest.assert_allclose(gx, x*e, rtol=1e-12, atol=1e-14)
+    nptest.assert_allclose(gy, y*e, rtol=1e-12, atol=1e-14)
+
+
+def test_spheroid_biconic_trace_parity():
+    """A Biconic with equal axes traces like the Spheroid system."""
+    from rayopt_tpu.models import doublet
+    s1 = doublet()
+    s2 = doublet()
+    for j in (1, 2, 3):
+        el = s2[j]
+        bic = ro.Biconic(
+            curvature=el.curvature, conic=el.conic,
+            curvature_x=el.curvature, conic_x=el.conic,
+            distance=el.distance, material=el.material,
+            radius=el.radius)
+        s2[j] = bic
+    s2.update()
+    assert not is_anamorphic(s2.table())  # equal axes: symmetric
+    g1, g2 = ro.GeometricTrace(s1), ro.GeometricTrace(s2)
+    for g in (g1, g2):
+        g.rays_point((0, 1.), nrays=13, distribution="radau",
+                     filter=False)
+    nptest.assert_allclose(g2.y[-1], g1.y[-1], rtol=1e-12, atol=1e-12)
+
+
+def test_cylinder_lens_focuses_one_axis():
+    """A y-cylinder focuses y and leaves x collimated; the engine and
+    the thin-lens focal length agree."""
+    s = _cyl_system()
+    g = ro.GeometricTrace(s)
+    m = 9
+    y0 = np.zeros((m, 3))
+    y0[:, 0] = np.tile([-3., 0., 3.], 3)
+    y0[:, 1] = np.repeat([-3., 0., 3.], 3)
+    u0 = np.tile([0., 0., 1.], (m, 1))
+    g.rays_given(y0, u0)
+    g.propagate()
+    # x is untouched to machine precision
+    nptest.assert_allclose(g.y[-1][:, 0], y0[:, 0], rtol=0, atol=1e-9)
+    # y converges: residual blur far below the 3 mm aperture
+    assert np.all(np.abs(g.y[-1][:, 1]) < .1)
+    # paraxial: x block is pure free propagation, y block has power
+    n, mat = s.paraxial_matrix(s.wavelengths[0])
+    nptest.assert_allclose(mat[2, 0], 0., atol=1e-12)   # no x power
+    assert mat[3, 1] < -.015                            # y power
+    f_y = -1./mat[3, 1]
+    nptest.assert_allclose(f_y, 50., rtol=.02)
+
+
+def test_engine_parity_scan_vs_specs():
+    """The dynamic-scan biconic path and the specialized unrolled
+    path agree on an anamorphic system."""
+    from rayopt_tpu.ops.geometric import trace_rays
+    from rayopt_tpu.ops.kernels import specialize
+    s = _cyl_system(cx=.01)
+    tab = s.table()
+    assert is_anamorphic(tab)
+    rng = np.random.default_rng(5)
+    y0 = np.zeros((16, 3))
+    y0[:, :2] = rng.uniform(-3, 3, (16, 2))
+    u0 = np.tile([0., 0., 1.], (16, 1))
+    u0[:, :2] = rng.uniform(-.05, .05, (16, 2))
+    u0 /= np.linalg.norm(u0, axis=1, keepdims=True)
+    a = trace_rays(tab, y0, u0, biconic=True)
+    b = trace_rays(tab, y0, u0, specs=specialize(tab), unroll=True)
+    for va, vb in zip(a, b):
+        nptest.assert_allclose(np.asarray(vb), np.asarray(va),
+                               rtol=1e-10, atol=1e-10)
+
+
+def test_gaussian_beam_goes_simple_astigmatic():
+    """A stigmatic beam through a cylinder lens leaves with distinct
+    x/y waists (simple astigmatism, no axis coupling)."""
+    s = _cyl_system()
+    t = ro.GaussianTrace(s)
+    qi = np.diag(t.qi[-1])
+    assert abs(t.qi[-1][0, 1]) < 1e-12
+    assert abs(qi[0] - qi[1]) > 1e-4  # per-axis q split
+    wr = t.waist_radius[-1]
+    assert abs(wr[0] - wr[1]) > 1e-3
+
+
+def test_biconic_yaml_round_trip():
+    s = _cyl_system(cx=.004)
+    s2 = ro.system_from_yaml(ro.system_to_yaml(s))
+    s2.update()
+    assert isinstance(s2[1], ro.Biconic)
+    nptest.assert_allclose(s2[1].curvature_x, .004)
+    t1, t2 = s.table(), s2.table()
+    nptest.assert_allclose(np.asarray(t2.curvature_dx),
+                           np.asarray(t1.curvature_dx))
+    g1, g2 = ro.GeometricTrace(s), ro.GeometricTrace(s2)
+    y0 = np.array([[0., 2., 0.], [1.5, -1., 0.]])
+    u0 = np.tile([0., 0., 1.], (2, 1))
+    for g in (g1, g2):
+        g.rays_given(y0, u0)
+        g.propagate()
+    nptest.assert_allclose(g2.y[-1], g1.y[-1], rtol=1e-12)
+
+
+def test_symmetric_only_engines_reject():
+    s = _cyl_system()
+    tab = s.table()
+    from rayopt_tpu.ops import df32
+    with pytest.raises(NotImplementedError):
+        df32.plan(tab)
+    from rayopt_tpu.ops.poly_jax import poly_trace_table
+    with pytest.raises(NotImplementedError):
+        poly_trace_table(tab, None, 3, 10.)
+    with pytest.raises(NotImplementedError):
+        ro.PolyTrace(s, 3)
+
+
+def test_element_oracle_methods():
+    """Biconic's host oracle (surface_sag/normal/intercept/refract)
+    is consistent: the intercept point lies on the surface and the
+    refracted ray obeys Snell in the incidence plane."""
+    el = ro.Biconic(curvature=.04, curvature_x=.01, conic=-.5,
+                    conic_x=.2, material="SCHOTT-BK|N-BK7",
+                    radius=10., distance=0.)
+    y = np.array([[1., 2., -5.], [-3., .5, -5.]])
+    u = np.tile([0., 0., 1.], (2, 1))
+    t = el.intercept(y, u)
+    pts = y + t[:, None]*u
+    sag = el.surface_sag(pts)
+    nptest.assert_allclose(sag, 0., atol=1e-9)
+    nrm = el.surface_normal(pts)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    mu = 1/1.5
+    u1 = el.refract(pts, u, mu)
+    # Snell: sin(theta) ratio equals mu, coplanarity preserved
+    for i in range(2):
+        ci = abs(u[i] @ nrm[i])
+        ct = abs(u1[i] @ nrm[i])
+        si, st = np.sqrt(1 - ci*ci), np.sqrt(1 - ct*ct)
+        nptest.assert_allclose(st, mu*si, rtol=1e-9)
+        # vector Snell invariant: the tangential component scales
+        # by mu -- n x u1 == mu * (n x u0)
+        nptest.assert_allclose(np.cross(nrm[i], u1[i]),
+                               mu*np.cross(nrm[i], u[i]),
+                               rtol=1e-9, atol=1e-12)
+
+
+def test_biconic_gradients_flow():
+    """jax.grad of the spot RMS w.r.t. the anamorphic split matches
+    central differences (the seeded-Newton intercept is
+    differentiable)."""
+    import jax
+    from rayopt_tpu.parallel.grad import spot_rms
+    s = _cyl_system(cx=.005)
+    tab = s.table()
+    rng = np.random.default_rng(11)
+    y0 = np.zeros((16, 3))
+    y0[:, :2] = rng.uniform(-3, 3, (16, 2))
+    u0 = np.tile([0., 0., 1.], (16, 1))
+
+    def merit(dx):
+        return spot_rms(tab.replace(curvature_dx=dx),
+                        jnp.asarray(y0), jnp.asarray(u0),
+                        biconic=True)
+
+    dx0 = jnp.asarray(tab.curvature_dx)
+    g = np.asarray(jax.jit(jax.grad(merit))(dx0))
+    eps = 1e-7
+    for j in (1, 2):
+        up = np.array(tab.curvature_dx)
+        dn = up.copy()
+        up[j] += eps
+        dn[j] -= eps
+        fd = (float(merit(jnp.asarray(up)))
+              - float(merit(jnp.asarray(dn))))/(2*eps)
+        nptest.assert_allclose(g[j], fd, rtol=1e-5, atol=1e-9)
