@@ -138,7 +138,8 @@ def _zmx_surf(ctx, args):
 
 
 #: surface TYPEs whose PARM rows we can map onto the Spheroid model
-_ZMX_TYPES = {"STANDARD", "EVENASPH", "ODDASPHE", "COORDBRK"}
+_ZMX_TYPES = {"STANDARD", "EVENASPH", "ODDASPHE", "COORDBRK",
+              "BICONICX"}
 
 
 @_zmx_on("TYPE")
@@ -152,6 +153,16 @@ def _zmx_type(ctx, args):
         e = ctx.system.pop()
         ctx.pending = np.asarray(e.offset, dtype=float)
         ctx.break_row = [0.]*6
+    elif typ == "BICONICX":
+        # anamorphic row: promote the just-appended Spheroid to a
+        # Biconic (PARM 1 = X radius, PARM 2 = X conic -- the
+        # OpticStudio biconic parameter layout; base CURV/CONI stay
+        # the Y figure)
+        from ..elements import Biconic
+        e = ctx.system[-1]
+        e.__class__ = Biconic
+        e.curvature_x = 0.
+        e.conic_x = 0.
     elif typ not in _ZMX_TYPES:
         print("surface type not supported, treating as STANDARD:", typ)
 
@@ -219,6 +230,14 @@ def _zmx_parm(ctx, args):
             ctx.break_row[i - 1] = j
         return
     e = ctx.surface
+    if ctx.surf_type == "BICONICX":
+        if i == 1:
+            e.curvature_x = 1./j if j else 0.
+        elif i == 2:
+            e.conic_x = j
+        elif j:
+            print("biconic parameter not supported", args)
+        return
     if ctx.surf_type == "ODDASPHE":
         # odd asphere: PARM i is the coefficient of r**i
         # (all integer powers); route even powers to the even array
@@ -340,7 +359,14 @@ def system_to_zmx(system):
         out.append("SURF %d" % j)
         odd = getattr(e, "aspherics_odd", None)
         even = getattr(e, "aspherics", None)
-        if odd:
+        cx = getattr(e, "curvature_x", None)
+        kx = getattr(e, "conic_x", None)
+        biconic = cx is not None and (
+            cx != getattr(e, "curvature", 0.)
+            or (kx or 0.) != getattr(e, "conic", 0.))
+        if biconic:
+            out.append("  TYPE BICONICX")
+        elif odd:
             out.append("  TYPE ODDASPHE")
         elif even:
             out.append("  TYPE EVENASPH")
@@ -354,7 +380,11 @@ def system_to_zmx(system):
         k = getattr(e, "conic", 0.)
         if k:
             out.append("  CONI %.17g" % k)
-        if odd:
+        if biconic:
+            out.append("  PARM 1 %.17g" % (1./cx if cx else 0.))
+            if kx:
+                out.append("  PARM 2 %.17g" % kx)
+        elif odd:
             for i, v in enumerate(odd):
                 if v:
                     out.append("  PARM %d %.17g" % (2*i + 1, v))

@@ -234,3 +234,46 @@ def test_biconic_gradients_flow():
         fd = (float(merit(jnp.asarray(up)))
               - float(merit(jnp.asarray(dn))))/(2*eps)
         nptest.assert_allclose(g[j], fd, rtol=1e-5, atol=1e-9)
+
+
+def test_zmx_biconic_round_trip():
+    """TYPE BICONICX (PARM 1 = X radius, PARM 2 = X conic) imports to
+    a Biconic and survives the .zmx writer round trip."""
+    from rayopt_tpu.io.zemax import zmx_to_system, system_to_zmx
+    zmx = "\n".join([
+        "VERS 1.0",
+        "UNIT MM X W X",
+        "WAVL 0.5875618",
+        "SURF 0",
+        "  TYPE STANDARD",
+        "  DISZ INFINITY",
+        "SURF 1",
+        "  TYPE BICONICX",
+        "  CURV 0.038699690402476",
+        "  PARM 1 100.0",
+        "  PARM 2 -1.5",
+        "  DISZ 5.0",
+        "  GLAS N-BK7 0 0 1.5168 64.17",
+        "  DIAM 8",
+        "SURF 2",
+        "  TYPE STANDARD",
+        "  STOP",
+        "  DISZ 40.0",
+        "  DIAM 8",
+        "SURF 3",
+        "  TYPE STANDARD",
+        "  DISZ 0",
+        "  DIAM 8",
+    ])
+    s = zmx_to_system(zmx)
+    el = s[2]  # the importer prepends the object row: SURF j -> [j+1]
+    assert isinstance(el, ro.Biconic)
+    nptest.assert_allclose(el.curvature, 0.038699690402476)
+    nptest.assert_allclose(el.curvature_x, .01)
+    nptest.assert_allclose(el.conic_x, -1.5)
+    s2 = zmx_to_system(system_to_zmx(s))
+    el2 = next(e for e in s2 if isinstance(e, ro.Biconic))
+    assert isinstance(el2, ro.Biconic)
+    nptest.assert_allclose(el2.curvature_x, el.curvature_x)
+    nptest.assert_allclose(el2.conic_x, el.conic_x)
+    nptest.assert_allclose(el2.curvature, el.curvature)
