@@ -24,9 +24,26 @@ def register_parsers():
     LibMaterial.parsers["glc"] = glc_to_material
 
 
-# commands that only describe apertures/cylinders and are skipped,
-# matching the reference's coverage
-_OLC_SKIP = frozenset("AP CVX APN AY1 AY2 AX1 AX2 ATP AAC".split())
+# commands that only describe apertures and are skipped, matching
+# the reference's coverage (CVX, the cylinder x-curvature the
+# reference drops at reference oslo.py:112, is handled below)
+_OLC_SKIP = frozenset("AP APN AY1 AY2 AX1 AX2 ATP AAC".split())
+
+
+def _set_cvx(surf, value):
+    """CVX: x-axis curvature of a cylindrical/toric surface.  The
+    biconic sag equals the OSLO toric exactly when one curvature is
+    zero (a pure cylinder); a true toric (both nonzero) differs at
+    6th order in the aperture -- flag it."""
+    from ..elements import Biconic
+    if not isinstance(surf, Biconic):
+        surf.__class__ = Biconic
+        surf.curvature_x = 0.
+        surf.conic_x = 0.
+    surf.curvature_x = value or 0.
+    if surf.curvature and surf.curvature_x:
+        print("toric surface imported as biconic "
+              "(exact only through 4th order)")
 _LEN_SKIP = frozenset(("//", "DES", "EBR", "GIH", "DLRS", "WW", "WV"))
 
 
@@ -69,6 +86,8 @@ def olc_to_system(dat, item=None, glass_map=oslo_glass_map):
         elif cmd == "ASP":
             assert args[0] in ("ASR", "ARA"), args
             surf.aspherics = [0]*(int(args[1]) + 2)
+        elif cmd == "CVX":
+            _set_cvx(surf, sfloat(args[0]))
         elif cmd.startswith("AS"):
             surf.aspherics[int(cmd[2]) + 1] = sfloat(args[0])
         elif cmd in _OLC_SKIP:
@@ -115,6 +134,8 @@ def len_to_system(fil, item=None):
         elif cmd == "AST":
             pending.stop = True
             sys_.stop = len(sys_)
+        elif cmd == "CVX":
+            _set_cvx(pending, sfloat(args[0]))
         elif cmd in _LEN_SKIP:
             pass
         else:

@@ -277,3 +277,18 @@ def test_zmx_biconic_round_trip():
     nptest.assert_allclose(el2.curvature_x, el.curvature_x)
     nptest.assert_allclose(el2.conic_x, el.conic_x)
     nptest.assert_allclose(el2.curvature, el.curvature)
+
+
+def test_oslo_cvx_imports_cylinder():
+    """OSLO CVX (cylinder x-curvature, silently dropped by the
+    reference at reference oslo.py:112) imports to a Biconic."""
+    from rayopt_tpu.io.oslo import olc_to_system
+    olc = ("LID 'cyl test'; RD 0.0; NXT; RD 0.0; CVX 0.02; "
+           "TH 3.0; GLA BK7; NXT; RD 0.0; TH 40.0")
+    s = olc_to_system(olc)
+    el = s[1]
+    assert isinstance(el, ro.Biconic)
+    nptest.assert_allclose(el.curvature, 0.)    # flat in y
+    nptest.assert_allclose(el.curvature_x, .02)  # cylinder in x
+    from rayopt_tpu.ops.tables import is_anamorphic
+    assert is_anamorphic(s.table())
