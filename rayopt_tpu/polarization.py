@@ -306,6 +306,38 @@ class PolarizationTrace:
     def mueller(self):
         return jones_to_mueller(self.jones)
 
+    def pupil_coords(self):
+        """Normalized pupil coordinates of the bundle: transverse hit
+        positions on the stop surface, scaled to the surviving-bundle
+        rim."""
+        xy = self.geometric.y[self.system.stop][:, :2]
+        r = np.hypot(xy[:, 0], xy[:, 1])
+        rim = np.nanmax(np.where(self.good, r, np.nan))
+        if not np.isfinite(rim) or rim == 0:
+            rim = 1.
+        return xy[:, 0]/rim, xy[:, 1]/rim
+
+    def zernike(self, nterms=15):
+        """Polarization-aberration pupil fits: Noll-Zernike
+        coefficients of the retardance, diattenuation, and intensity
+        apodization (1 - T/Tmax) maps over the normalized pupil.
+
+        Returns {name: (coefficients, residual_rms)} -- the standard
+        low-order polarization-aberration summary (e.g. retardance
+        tilt/defocus terms from coatings and fold mirrors)."""
+        from .utils.zernike import fit_zernike
+        x, y = self.pupil_coords()
+        w = np.where(self.good, 1., 0.)
+        t = self.transmittance
+        tmax = np.nanmax(np.where(self.good, t, np.nan))
+        maps = {
+            "retardance": self.retardance,
+            "diattenuation": self.diattenuation,
+            "apodization": 1. - t/tmax,
+        }
+        return {name: fit_zernike(x, y, vals, nterms=nterms, w=w)
+                for name, vals in maps.items()}
+
     def text(self):
         g = self.good
         rows = [

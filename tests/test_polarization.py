@@ -170,3 +170,21 @@ def test_analysis_polarization_block():
     assert any("Polarization" in t for t in a.text)
     assert any("transmittance" in t for t in a.text)
     plt.close("all")
+
+
+def test_polarization_zernike_fit():
+    """The fold-mirror-free doublet has near-zero retardance Zernikes;
+    the apodization piston reflects the edge-ray Fresnel falloff and
+    the fits reproduce the maps."""
+    s = doublet()
+    p = PolarizationTrace(s, nrays=64, distribution="hexapolar",
+                          clip=False)
+    fits = p.zernike(nterms=10)
+    ret_c, ret_rms = fits["retardance"]
+    assert np.abs(ret_c).max() < 1e-9 and ret_rms < 1e-9
+    apo_c, apo_rms = fits["apodization"]
+    # apodization is radial: dominated by piston/defocus/spherical
+    # (Noll 1, 4, 11), with negligible residual
+    assert apo_rms < 1e-4
+    d_c, d_rms = fits["diattenuation"]
+    assert np.isfinite(d_c).all() and d_rms < 1e-3
