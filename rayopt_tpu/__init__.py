@@ -39,7 +39,7 @@ from .materials import (  # noqa: E402,F401
     vacuum, mirror, air, fraunhofer, Thermal,
 )
 from .elements import (  # noqa: E402,F401
-    Element, Interface, Spheroid, Biconic, TransformMixin,
+    Element, Interface, Spheroid, Biconic, Toroid, TransformMixin,
 )
 from .utils.registry import NameMixin  # noqa: E402,F401
 from .pupils import Pupil, RadiusPupil, NaPupil, SlopePupil, FnoPupil  # noqa: E402,F401

@@ -636,3 +636,101 @@ class Biconic(Spheroid):
     def rescale(self, scale):
         super().rescale(scale)
         self.curvature_x /= scale
+
+
+@Element.register
+class Toroid(Spheroid):
+    """Toroidal surface: the y-z generating curve (conic `curvature`/
+    `conic` + the polynomial figure, all in y) swept about an axis
+    parallel to y at rotation radius R = 1/curvature_rotation (beyond
+    reference; the Zemax TOROIDAL model).
+
+    curvature_rotation == 0 degenerates to a pure y-cylinder with the
+    full aspheric y-profile.  At the vertex the x-curvature equals
+    curvature_rotation, so first-order properties flow through the
+    per-axis paraxial machinery; the exact engines trace the true
+    swept sag (which differs from a biconic at 6th order).
+    """
+
+    _type = "toroid"
+
+    def __init__(self, curvature_rotation=0., roc_rotation=None,
+                 **kwargs):
+        super().__init__(**kwargs)
+        self.curvature_rotation = (curvature_rotation
+                                   if roc_rotation is None
+                                   else 1./roc_rotation)
+
+    def dict(self):
+        dat = super().dict()
+        if self.curvature_rotation:
+            dat["curvature_rotation"] = float(self.curvature_rotation)
+        return dat
+
+    # per-axis paraxial power (Biconic.paraxial_matrix reads these)
+    @property
+    def curvature_x(self):
+        return self.curvature_rotation
+
+    @property
+    def conic_x(self):
+        return 0.
+
+    def _vertex_power_x(self):
+        return self.curvature_rotation
+
+    paraxial_matrix = Biconic.paraxial_matrix
+
+    def surface_sag(self, xyz):
+        from .ops import kernels as _K
+        xyz = np.asarray(xyz, dtype=float)
+        with on_host():
+            return _np(_K.sag_toroid(
+                xyz[..., 0], xyz[..., 1], xyz[..., 2],
+                self.curvature_rotation, self.curvature, self.conic,
+                self._aspheric_arr, self._aspheric_odd_arr))
+
+    def surface_normal(self, xyz):
+        from .ops import kernels as _K
+        xyz = np.asarray(xyz, dtype=float)
+        with on_host():
+            gx, gy = _K.normal_toroid(
+                xyz[..., 0], xyz[..., 1],
+                self.curvature_rotation, self.curvature, self.conic,
+                self._aspheric_arr, self._aspheric_odd_arr)
+            return np.stack([_np(gx), _np(gy),
+                             np.ones(np.shape(_np(gx)))], axis=-1)
+
+    def intercept(self, y, u):
+        from .ops import kernels as _K
+        y = np.atleast_2d(np.asarray(y, dtype=float))
+        u = np.atleast_2d(np.asarray(u, dtype=float))
+        with on_host():
+            return _np(_K.intercept_toroid(
+                y[..., 0], y[..., 1], y[..., 2],
+                u[..., 0], u[..., 1], u[..., 2],
+                self.curvature_rotation, self.curvature, self.conic,
+                self._aspheric_arr,
+                1. if self.alternate_intersection else 0.,
+                aspherics_odd=self._aspheric_odd_arr))
+
+    def refract(self, y, u0, mu):
+        from .ops import kernels as _K
+        y = np.atleast_2d(np.asarray(y, dtype=float))
+        u0 = np.atleast_2d(np.asarray(u0, dtype=float))
+        with on_host():
+            ox, oy, oz = _K.refract_toroid(
+                y[..., 0], y[..., 1],
+                u0[..., 0], u0[..., 1], u0[..., 2], mu,
+                self.curvature_rotation, self.curvature, self.conic,
+                self._aspheric_arr,
+                aspherics_odd=self._aspheric_odd_arr)
+            return np.stack([_np(ox), _np(oy), _np(oz)], axis=-1)
+
+    def reverse(self):
+        super().reverse()
+        self.curvature_rotation = -self.curvature_rotation
+
+    def rescale(self, scale):
+        super().rescale(scale)
+        self.curvature_rotation /= scale

@@ -139,7 +139,7 @@ def _zmx_surf(ctx, args):
 
 #: surface TYPEs whose PARM rows we can map onto the Spheroid model
 _ZMX_TYPES = {"STANDARD", "EVENASPH", "ODDASPHE", "COORDBRK",
-              "BICONICX"}
+              "BICONICX", "TOROIDAL"}
 
 
 @_zmx_on("TYPE")
@@ -163,6 +163,13 @@ def _zmx_type(ctx, args):
         e.__class__ = Biconic
         e.curvature_x = 0.
         e.conic_x = 0.
+    elif typ == "TOROIDAL":
+        # toroid: base CURV/CONI describe the y-z generating curve,
+        # PARM 1 the radius of rotation (0 = cylinder)
+        from ..elements import Toroid
+        e = ctx.system[-1]
+        e.__class__ = Toroid
+        e.curvature_rotation = 0.
     elif typ not in _ZMX_TYPES:
         print("surface type not supported, treating as STANDARD:", typ)
 
@@ -237,6 +244,20 @@ def _zmx_parm(ctx, args):
             e.conic_x = j
         elif j:
             print("biconic parameter not supported", args)
+        return
+    if ctx.surf_type == "TOROIDAL":
+        if i == 1:
+            e.curvature_rotation = 1./j if j else 0.
+        elif j:
+            # PARM 2.. are the curve's polynomial terms in y
+            e_asp = e.aspherics or []
+            while len(e_asp) <= i - 3:
+                e_asp.append(0.)
+            if i - 3 >= 0:
+                e_asp[i - 3] = j
+                e.aspherics = e_asp
+            else:
+                print("toroidal parameter not supported", args)
         return
     if ctx.surf_type == "ODDASPHE":
         # odd asphere: PARM i is the coefficient of r**i
@@ -361,10 +382,13 @@ def system_to_zmx(system):
         even = getattr(e, "aspherics", None)
         cx = getattr(e, "curvature_x", None)
         kx = getattr(e, "conic_x", None)
-        biconic = cx is not None and (
+        toroid = hasattr(e, "curvature_rotation")
+        biconic = not toroid and cx is not None and (
             cx != getattr(e, "curvature", 0.)
             or (kx or 0.) != getattr(e, "conic", 0.))
-        if biconic:
+        if toroid:
+            out.append("  TYPE TOROIDAL")
+        elif biconic:
             out.append("  TYPE BICONICX")
         elif odd:
             out.append("  TYPE ODDASPHE")
@@ -380,7 +404,13 @@ def system_to_zmx(system):
         k = getattr(e, "conic", 0.)
         if k:
             out.append("  CONI %.17g" % k)
-        if biconic:
+        if toroid:
+            cr = e.curvature_rotation
+            out.append("  PARM 1 %.17g" % (1./cr if cr else 0.))
+            for i, v in enumerate(even or ()):
+                if v:
+                    out.append("  PARM %d %.17g" % (i + 3, v))
+        elif biconic:
             out.append("  PARM 1 %.17g" % (1./cx if cx else 0.))
             if kx:
                 out.append("  PARM 2 %.17g" % kx)

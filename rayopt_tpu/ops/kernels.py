@@ -195,6 +195,102 @@ def refract_biconic(x, y, ux, uy, uz, mu, cx, kx, cy, ky, aspherics,
     return ox, oy, oz
 
 
+def _ycurve(y, cy, ky, aspherics, aspherics_odd=None):
+    """(sag, d sag/dy) of the toroid's generating curve in the y-z
+    plane: conic + polynomial figure evaluated on y alone."""
+    y2 = y*y
+    sq = _sqrt0(1 - (1 + ky)*cy*cy*y2)
+    zy = cy*y2/(1 + sq)
+    dzy = cy*y/jnp.maximum(sq, TINY)
+    if aspherics.shape[-1]:
+        zy = zy + _poly_even(y2, aspherics)
+        dzy = dzy + y*_dpoly_even(y2, aspherics)
+    if aspherics_odd is not None and aspherics_odd.shape[-1]:
+        zy = zy + _poly_odd(y2, aspherics_odd)
+        dzy = dzy + y*_dpoly_odd(y2, aspherics_odd)
+    return zy, dzy
+
+
+def sag_toroid(x, y, z, cr, cy, ky, aspherics, aspherics_odd=None):
+    """z - toroidal_sag(x, y): the y-z generating curve zy(y) (conic
+    cy/ky + polynomial figure) swept about an axis parallel to y at
+    radius R = 1/cr (the Zemax TOROIDAL model):
+
+        sag = zy + x^2 cr' / (1 + sqrt(1 - x^2 cr'^2)),
+        cr' = cr/(1 - cr zy)
+
+    cr == 0 degenerates to the pure y-cylinder curve."""
+    zy, dzy = _ycurve(y, cy, ky, aspherics, aspherics_odd)
+    crp = cr/(1 - cr*zy)
+    x2 = x*x
+    return z - zy - crp*x2/(1 + _sqrt0(1 - x2*crp*crp))
+
+
+def normal_toroid(x, y, cr, cy, ky, aspherics, aspherics_odd=None):
+    """Transverse components (gx, gy) of the unnormalized normal
+    (gx, gy, 1) = grad(z - sag) of the toroid:
+
+        gx = -x cr'/w,  gy = -zy'/w,  w = sqrt(1 - x^2 cr'^2)
+
+    (from z = R - sqrt((R - zy)^2 - x^2); exact, including the
+    rotation-induced y-coupling through cr'(zy))."""
+    zy, dzy = _ycurve(y, cy, ky, aspherics, aspherics_odd)
+    crp = cr/(1 - cr*zy)
+    w = jnp.maximum(_sqrt0(1 - x*x*crp*crp), TINY)
+    return -x*crp/w, -dzy/w
+
+
+def intercept_toroid(x, y, z, ux, uy, uz, cr, cy, ky, aspherics,
+                     alternate, iters=ASPHERIC_ITERS,
+                     tol=ASPHERIC_TOL, aspherics_odd=None):
+    """Ray length to a toroidal surface: y-conic seed (plane restart
+    for rays the seeding sphere misses) + fixed-count Newton on the
+    exact sag; non-converged rays give NaN."""
+    seed = intercept_conic(x, y, z, ux, uy, uz, cy, ky, alternate)
+    uz_safe = jnp.where(uz == 0, 1., uz)
+    seed = jnp.where(jnp.isnan(seed), -z/uz_safe, seed)
+    s = seed
+    for _ in range(iters):
+        px, py, pz = x + s*ux, y + s*uy, z + s*uz
+        fn = sag_toroid(px, py, pz, cr, cy, ky, aspherics,
+                        aspherics_odd)
+        gx, gy = normal_toroid(px, py, cr, cy, ky, aspherics,
+                               aspherics_odd)
+        fp = ux*gx + uy*gy + uz
+        fp = jnp.where(fp == 0, 1., fp)
+        s = s - fn/fp
+    px, py, pz = x + s*ux, y + s*uy, z + s*uz
+    res = sag_toroid(px, py, pz, cr, cy, ky, aspherics, aspherics_odd)
+    return jnp.where(jnp.abs(res) <= tol*(1 + jnp.abs(s)), s, jnp.nan)
+
+
+def refract_toroid(x, y, ux, uy, uz, mu, cr, cy, ky, aspherics,
+                   aspherics_odd=None):
+    """Snell/mirror refraction with the toroidal normal."""
+    gx, gy = normal_toroid(x, y, cr, cy, ky, aspherics, aspherics_odd)
+    return _refract_general(x, y, ux, uy, uz, mu, gx, gy)
+
+
+def _refract_general(x, y, ux, uy, uz, mu, gx, gy):
+    """Snell/mirror on an arbitrary (gx, gy, 1) normal."""
+    r2 = gx*gx + gy*gy + 1.
+    muf = jnp.abs(mu)
+    a = muf*(ux*gx + uy*gy + uz)/r2
+    rx, ry, rz = ux - 2*a*gx, uy - 2*a*gy, uz - 2*a
+    b = (mu*mu - 1)/r2
+    disc = a*a - b
+    g = -a + jnp.sign(mu)*_sqrt0(disc)
+    g = jnp.where(disc < 0, jnp.nan, g)
+    tx, ty, tz = muf*ux + g*gx, muf*uy + g*gy, muf*uz + g
+    ox = jnp.where(mu == -1, rx, tx)
+    oy = jnp.where(mu == -1, ry, ty)
+    oz = jnp.where(mu == -1, rz, tz)
+    ox = jnp.where(mu == 1, ux, ox)
+    oy = jnp.where(mu == 1, uy, oy)
+    oz = jnp.where(mu == 1, uz, oz)
+    return ox, oy, oz
+
+
 def intercept_conic(x, y, z, ux, uy, uz, c, k, alternate):
     """Closed-form conic intercept on components
     (reference elements.py:477; degenerate branches as in
@@ -285,6 +381,7 @@ class SurfaceSpec(NamedTuple):
     off_sign: int     # sign of the axial offset (static geometry)
     odd: bool = False  # any odd-aspheric coefficient nonzero
     biconic: bool = False  # x-axis figure differs from y (anamorphic)
+    toroidal: bool = False  # swept y-z curve (toroid) row
 
 
 def specialize(table):
@@ -307,8 +404,10 @@ def specialize(table):
         kind = 0 if mu == 1. else (2 if mu == -1. else 1)
         cdx = np.asarray(getattr(table, "curvature_dx", None))
         kdx = np.asarray(getattr(table, "conic_dx", None))
+        tor = np.asarray(getattr(table, "toroidal", None))
         cdx = 0. if cdx.ndim == 0 else float(cdx[j])
         kdx = 0. if kdx.ndim == 0 else float(kdx[j])
+        tor = 0. if tor.ndim == 0 else float(tor[j])
         specs.append(SurfaceSpec(
             flat=(c == 0.),
             spherical=(k == 0.),
@@ -320,7 +419,8 @@ def specialize(table):
             finite_aperture=bool(np.isfinite(rad)),
             off_sign=int(np.sign(off[2])) or 1,
             odd=bool(asp_odd.size and np.any(asp_odd != 0)),
-            biconic=bool(cdx != 0. or kdx != 0.),
+            biconic=bool((cdx != 0. or kdx != 0.) and tor == 0.),
+            toroidal=bool(tor != 0.),
         ))
     return tuple(specs)
 
@@ -414,7 +514,13 @@ def surface_step_spec(state, surf, spec, clip):
         r = surf.rot
         x, y, z = rot_apply(r, x, y, z)
         ux, uy, uz = rot_apply(r, ux, uy, uz)
-    if spec.biconic:
+    if spec.toroidal:
+        t = intercept_toroid(x, y, z, ux, uy, uz,
+                             surf.curvature + surf.curvature_dx,
+                             surf.curvature, surf.conic,
+                             surf.aspherics, surf.alternate,
+                             aspherics_odd=surf.aspherics_odd)
+    elif spec.biconic:
         t = intercept_biconic(x, y, z, ux, uy, uz,
                               surf.curvature + surf.curvature_dx,
                               surf.conic + surf.conic_dx,
@@ -436,7 +542,13 @@ def surface_step_spec(state, surf, spec, clip):
         ux0 = jnp.where(bad, nan, ux0)
         uy0 = jnp.where(bad, nan, uy0)
         uz0 = jnp.where(bad, nan, uz0)
-    if spec.biconic:
+    if spec.toroidal:
+        ux1, uy1, uz1 = refract_toroid(
+            x1, y1, ux0, uy0, uz0, surf.mu,
+            surf.curvature + surf.curvature_dx,
+            surf.curvature, surf.conic, surf.aspherics,
+            aspherics_odd=surf.aspherics_odd)
+    elif spec.biconic:
         ux1, uy1, uz1 = refract_biconic(
             x1, y1, ux0, uy0, uz0, surf.mu,
             surf.curvature + surf.curvature_dx,
@@ -459,6 +571,37 @@ def surface_step_spec(state, surf, spec, clip):
     return nstate, out
 
 
+def _intercept_anam(x, y, z, ux, uy, uz, surf):
+    """Per-row biconic-or-toroid intercept for the dynamic scan path
+    (row kind is a traced value; both candidates evaluate, a where
+    selects -- the static spec path pays for only one)."""
+    cx = surf.curvature + surf.curvature_dx
+    kx = surf.conic + surf.conic_dx
+    tb = intercept_biconic(x, y, z, ux, uy, uz, cx, kx,
+                           surf.curvature, surf.conic, surf.aspherics,
+                           surf.alternate,
+                           aspherics_odd=surf.aspherics_odd)
+    tt = intercept_toroid(x, y, z, ux, uy, uz, cx,
+                          surf.curvature, surf.conic, surf.aspherics,
+                          surf.alternate,
+                          aspherics_odd=surf.aspherics_odd)
+    return jnp.where(surf.toroidal != 0, tt, tb)
+
+
+def _refract_anam(x, y, ux, uy, uz, surf):
+    cx = surf.curvature + surf.curvature_dx
+    kx = surf.conic + surf.conic_dx
+    gbx, gby = normal_biconic(x, y, cx, kx, surf.curvature,
+                              surf.conic, surf.aspherics,
+                              surf.aspherics_odd)
+    gtx, gty = normal_toroid(x, y, cx, surf.curvature, surf.conic,
+                             surf.aspherics, surf.aspherics_odd)
+    tor = surf.toroidal != 0
+    gx = jnp.where(tor, gtx, gbx)
+    gy = jnp.where(tor, gty, gby)
+    return _refract_general(x, y, ux, uy, uz, surf.mu, gx, gy)
+
+
 def surface_step(state, surf, clip, biconic=False):
     """One transfer-intercept-refract step on component state
     (x, y, z, ux, uy, uz).  Returns (next_state, local_outputs) where
@@ -475,12 +618,7 @@ def surface_step(state, surf, clip, biconic=False):
     x, y, z = rot_apply(r, x - ox, y - oy, z - oz)
     ix, iy, iz = rot_apply(r, ux, uy, uz)
     if biconic:
-        t = intercept_biconic(x, y, z, ix, iy, iz,
-                              surf.curvature + surf.curvature_dx,
-                              surf.conic + surf.conic_dx,
-                              surf.curvature, surf.conic,
-                              surf.aspherics, surf.alternate,
-                              aspherics_odd=surf.aspherics_odd)
+        t = _intercept_anam(x, y, z, ix, iy, iz, surf)
     else:
         t = intercept(x, y, z, ix, iy, iz, surf.curvature, surf.conic,
                       surf.aspherics, surf.alternate,
@@ -494,12 +632,7 @@ def surface_step(state, surf, clip, biconic=False):
         uy0 = jnp.where(bad, nan, uy0)
         uz0 = jnp.where(bad, nan, uz0)
     if biconic:
-        ux1, uy1, uz1 = refract_biconic(
-            x1, y1, ux0, uy0, uz0, surf.mu,
-            surf.curvature + surf.curvature_dx,
-            surf.conic + surf.conic_dx,
-            surf.curvature, surf.conic, surf.aspherics,
-            aspherics_odd=surf.aspherics_odd)
+        ux1, uy1, uz1 = _refract_anam(x1, y1, ux0, uy0, uz0, surf)
     else:
         ux1, uy1, uz1 = refract(x1, y1, ux0, uy0, uz0, surf.mu,
                                 surf.curvature, surf.conic,

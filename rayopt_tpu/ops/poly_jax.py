@@ -143,7 +143,9 @@ def poly_trace_table(table, specs, kmax, pupil_distance,
     if dx is not None and not isinstance(
             dx, jax.core.Tracer) and (
             _host_np.any(_host_np.asarray(dx) != 0)
-            or _host_np.any(_host_np.asarray(table.conic_dx) != 0)):
+            or _host_np.any(_host_np.asarray(table.conic_dx) != 0)
+            or _host_np.any(_host_np.asarray(
+                getattr(table, "toroidal", 0.)) != 0)):
         raise NotImplementedError(
             "anamorphic (biconic) surfaces break the rotational "
             "symmetry of the aberration-polynomial basis")

@@ -46,6 +46,9 @@ class SurfaceTable(NamedTuple):
                         perturb/optimize on `curvature` -- move both
                         axes rigidly, as a radius tolerance does
     conic_dx:   (S,)    x-minus-y conic split (see curvature_dx)
+    toroidal:   (S,)    1. where the row is a toroid (the y-z curve
+                        swept at rotation curvature cr = curvature +
+                        curvature_dx) instead of a biconic; 0 default
     """
 
     curvature: jnp.ndarray
@@ -62,6 +65,7 @@ class SurfaceTable(NamedTuple):
     distance: jnp.ndarray
     curvature_dx: jnp.ndarray = None
     conic_dx: jnp.ndarray = None
+    toroidal: jnp.ndarray = None
 
     @property
     def nsurfaces(self):
@@ -82,7 +86,7 @@ def make_table(curvature, conic=None, aspherics=None, offset=None,
                rot=None, radius=None, alternate=None, mu=None,
                n_before=None, n_after=None, distance=None,
                aspherics_odd=None, curvature_dx=None, conic_dx=None,
-               dtype=np.float64):
+               toroidal=None, dtype=np.float64):
     """Assemble a SurfaceTable from plain arrays, filling defaults."""
     curvature = np.asarray(curvature, dtype=dtype)
     s = curvature.shape[0]
@@ -127,6 +131,7 @@ def make_table(curvature, conic=None, aspherics=None, offset=None,
         distance=arr(distance, 0., (s,)),
         curvature_dx=arr(curvature_dx, 0., (s,)),
         conic_dx=arr(conic_dx, 0., (s,)),
+        toroidal=arr(toroidal, 0., (s,)),
     )
 
 
@@ -141,5 +146,7 @@ def is_anamorphic(table):
     dx = getattr(table, "curvature_dx", None)
     if dx is None or isinstance(dx, jax.core.Tracer):
         return False
+    tor = getattr(table, "toroidal", None)
     return bool(np.any(np.asarray(dx) != 0)
-                or np.any(np.asarray(table.conic_dx) != 0))
+                or np.any(np.asarray(table.conic_dx) != 0)
+                or (tor is not None and np.any(np.asarray(tor) != 0)))

@@ -439,6 +439,7 @@ class System(AimingMixin, list):
         conic = np.zeros(s)
         curvature_dx = np.zeros(s)
         conic_dx = np.zeros(s)
+        toroidal = np.zeros(s)
         aspherics = np.zeros((s, kmax))
         aspherics_odd = np.zeros((s, kmax_odd))
         offset = np.zeros((s, 3))
@@ -459,6 +460,8 @@ class System(AimingMixin, list):
             kx = getattr(e, "conic_x", None)
             if kx is not None:
                 conic_dx[j] = kx - conic[j]
+            if hasattr(e, "curvature_rotation"):
+                toroidal[j] = 1.
             asp = getattr(e, "aspherics", None) or ()
             aspherics[j, :len(asp)] = asp
             asp_odd = getattr(e, "aspherics_odd", None) or ()
@@ -480,7 +483,7 @@ class System(AimingMixin, list):
             radius=radius, alternate=alternate, mu=mu,
             n_before=n_before, n_after=n_after,
             distance=distance, curvature_dx=curvature_dx,
-            conic_dx=conic_dx, dtype=dtype)
+            conic_dx=conic_dx, toroidal=toroidal, dtype=dtype)
 
     def tables(self, wavelengths=None, dtype=np.float64):
         """Stacked SurfaceTable with a leading wavelength axis, for

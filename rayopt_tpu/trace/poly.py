@@ -93,7 +93,8 @@ def intercept_poly_spheroid(element, S, r, p, k):
     if (getattr(element, "curvature_x", element.curvature)
             != element.curvature or
             getattr(element, "conic_x", element.conic)
-            != element.conic):
+            != element.conic or
+            hasattr(element, "curvature_rotation")):
         raise NotImplementedError(
             "anamorphic (biconic) surfaces break the rotational "
             "symmetry of the aberration-polynomial basis; use the "

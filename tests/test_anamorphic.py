@@ -292,3 +292,154 @@ def test_oslo_cvx_imports_cylinder():
     nptest.assert_allclose(el.curvature_x, .02)  # cylinder in x
     from rayopt_tpu.ops.tables import is_anamorphic
     assert is_anamorphic(s.table())
+
+
+# -- toroids -----------------------------------------------------------
+
+
+def test_toroid_sag_normal_oracle():
+    """normal_toroid equals the numerical gradient of sag_toroid."""
+    rng = np.random.default_rng(9)
+    cr, cy, ky = .012, -.028, .35
+    asp = np.array([2e-5, -1e-8])
+    eps = 1e-6
+    for x, y in rng.uniform(-4, 4, (15, 2)):
+        gx, gy = (float(np.asarray(v)) for v in K.normal_toroid(
+            x, y, cr, cy, ky, asp))
+
+        def sag(xx, yy):
+            return float(np.asarray(K.sag_toroid(
+                xx, yy, 0., cr, cy, ky, asp)))
+
+        fx = (sag(x + eps, y) - sag(x - eps, y))/(2*eps)
+        fy = (sag(x, y + eps) - sag(x, y - eps))/(2*eps)
+        nptest.assert_allclose(gx, fx, rtol=1e-6, atol=1e-9)
+        nptest.assert_allclose(gy, fy, rtol=1e-6, atol=1e-9)
+
+
+def test_toroid_degenerate_limits():
+    """cr == cy with a circular (k=0) curve is exactly a sphere;
+    cr == 0 is exactly the y-cylinder; and a true toroid differs
+    from the matched biconic at high order."""
+    c = .04
+    x = np.linspace(-4, 4, 9)
+    y = np.linspace(-3, 3, 9)
+    z = np.zeros(9)
+    nosp = np.zeros(0)
+    sphere = np.asarray(K.sag(x, y, z, c, 0., nosp))
+    tor = np.asarray(K.sag_toroid(x, y, z, c, c, 0., nosp))
+    nptest.assert_allclose(tor, sphere, rtol=1e-12, atol=1e-13)
+    cyl_b = np.asarray(K.sag_biconic(x, y, z, 0., 0., c, 0., nosp))
+    cyl_t = np.asarray(K.sag_toroid(x, y, z, 0., c, 0., nosp))
+    nptest.assert_allclose(cyl_t, cyl_b, rtol=1e-12, atol=1e-14)
+    # toroid vs biconic with the same vertex curvatures: differs
+    # (6th-order cross term) away from the axes
+    bic = np.asarray(K.sag_biconic(x, y, z, .02, 0., c, 0., nosp))
+    trd = np.asarray(K.sag_toroid(x, y, z, .02, c, 0., nosp))
+    off_axis = (np.abs(x) > 1) & (np.abs(y) > 1)
+    assert np.abs(bic - trd)[off_axis].min() > 1e-8
+
+
+def _toroid_system():
+    s = ro.System([
+        dict(material="air"),
+        dict(type="toroid", roc=51.68, roc_rotation=200., distance=5.,
+             material="SCHOTT-BK|N-BK7", radius=10.),
+        dict(type="toroid", distance=3., material="air", radius=10.),
+        dict(distance=95., radius=20.),
+    ])
+    s.object.pupil.radius = 4.
+    s.object.pupil.update_radius = False
+    s.update()
+    return s
+
+
+def test_toroid_trace_and_paraxial():
+    s = _toroid_system()
+    tab = s.table()
+    assert is_anamorphic(tab)
+    assert np.asarray(tab.toroidal)[1] == 1.
+    n, m = s.paraxial_matrix(s.wavelengths[0])
+    # vertex powers: y from the generating curve, x from the
+    # rotation radius (first surface only: 1/200 * (n-1))
+    nptest.assert_allclose(-1/m[3, 1], 100., rtol=.02)
+    assert 0 < -m[2, 0] < -m[3, 1]
+    # engine parity: dynamic anamorphic scan vs specialized unroll
+    from rayopt_tpu.ops.geometric import trace_rays
+    from rayopt_tpu.ops.kernels import specialize
+    rng = np.random.default_rng(13)
+    y0 = np.zeros((16, 3))
+    y0[:, :2] = rng.uniform(-3, 3, (16, 2))
+    u0 = np.tile([0., 0., 1.], (16, 1))
+    a = trace_rays(tab, y0, u0, biconic=True)
+    b = trace_rays(tab, y0, u0, specs=specialize(tab), unroll=True)
+    for va, vb in zip(a, b):
+        nptest.assert_allclose(np.asarray(vb), np.asarray(va),
+                               rtol=1e-10, atol=1e-10)
+    # intercepts land on the exact swept surface
+    g = ro.GeometricTrace(s)
+    g.rays_given(y0, u0)
+    g.propagate()
+    el = s[1]
+    res = el.surface_sag(g.y[1])
+    nptest.assert_allclose(res, 0., atol=1e-9)
+
+
+def test_toroid_yaml_round_trip_and_edit():
+    s = _toroid_system()
+    s2 = ro.system_from_yaml(ro.system_to_yaml(s))
+    s2.update()
+    from rayopt_tpu.elements import Toroid
+    assert isinstance(s2[1], Toroid)
+    nptest.assert_allclose(s2[1].curvature_rotation, 1/200.)
+    s2.reverse()
+    nptest.assert_allclose(s2[-2].curvature_rotation, -1/200.)
+    s3 = _toroid_system()
+    s3.rescale(2.)
+    # rescale(k) scales lengths by k: curvatures divide (as the base
+    # curvature does)
+    nptest.assert_allclose(s3[1].curvature_rotation, 1/400.)
+    nptest.assert_allclose(s3[1].curvature,
+                           _toroid_system()[1].curvature/2.)
+
+
+def test_toroid_rejected_by_symmetric_engines():
+    s = _toroid_system()
+    tab = s.table()
+    from rayopt_tpu.ops import df32
+    with pytest.raises(NotImplementedError):
+        df32.plan(tab)
+    with pytest.raises(NotImplementedError):
+        ro.PolyTrace(s, 3)
+
+
+def test_zmx_toroidal_round_trip():
+    """TYPE TOROIDAL (PARM 1 = radius of rotation) imports to a
+    Toroid and survives the .zmx writer round trip."""
+    from rayopt_tpu.io.zemax import zmx_to_system, system_to_zmx
+    from rayopt_tpu.elements import Toroid
+    zmx = "\n".join([
+        "VERS 1.0",
+        "UNIT MM X W X",
+        "WAVL 0.5875618",
+        "SURF 0", "  TYPE STANDARD", "  DISZ 20.0",
+        "SURF 1",
+        "  TYPE TOROIDAL",
+        "  CURV 0.019349845201238",
+        "  PARM 1 200.0",
+        "  DISZ 5.0",
+        "  GLAS N-BK7 0 0 1.5168 64.17",
+        "  DIAM 8",
+        "SURF 2", "  TYPE STANDARD", "  STOP", "  DISZ 40.0",
+        "  DIAM 8",
+    ])
+    s = zmx_to_system(zmx)
+    el = s[2]
+    assert isinstance(el, Toroid)
+    nptest.assert_allclose(el.curvature_rotation, 1/200.)
+    nptest.assert_allclose(el.curvature, 0.019349845201238)
+    s2 = zmx_to_system(system_to_zmx(s))
+    el2 = next(e for e in s2 if isinstance(e, Toroid))
+    nptest.assert_allclose(el2.curvature_rotation,
+                           el.curvature_rotation)
+    nptest.assert_allclose(el2.curvature, el.curvature)
