@@ -218,6 +218,7 @@ def test_biconic_gradients_flow():
     y0[:, :2] = rng.uniform(-3, 3, (16, 2))
     u0 = np.tile([0., 0., 1.], (16, 1))
 
+    @jax.jit
     def merit(dx):
         return spot_rms(tab.replace(curvature_dx=dx),
                         jnp.asarray(y0), jnp.asarray(u0),
