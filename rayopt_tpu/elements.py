@@ -420,29 +420,36 @@ class Spheroid(Interface):
             return self.curvature + 2*self.aspherics[0]
         return self.curvature
 
+    def _vertex_power_x(self):
+        """x-axis paraxial power; anamorphic subclasses override."""
+        return self._vertex_power()
+
     def paraxial_matrix(self, n0, l):
         """Massey & Siegman (Appl. Opt. 8, 975 (1969)) refraction/
         reflection at a tilted surface, composed with the incoming free
         propagation (reference elements.py:503-541).  Interleaved
         (sag, tan, sag', tan') state; an azimuth (z) tilt conjugates
-        the matrix with the reference's pseudo-rotation."""
+        the matrix with the reference's pseudo-rotation.  The x (sag)
+        and y (tan) power slots read _vertex_power_x/_vertex_power, so
+        anamorphic subclasses get per-axis power by overriding the
+        hooks alone."""
         n, gap = super().paraxial_matrix(n0, l)
-        c = self._vertex_power()
+        cy = self._vertex_power()
+        cx = self._vertex_power_x()
         tilt = 0. if self.angles is None else self.angles[0]
         ct = np.cos(tilt)
         bend = np.eye(4)
         if self.material is not None and self.material.mirror:
-            bend[2, 0] = 2*c*ct
-            bend[3, 1] = 2*c/ct
+            bend[2, 0] = 2*cx*ct
+            bend[3, 1] = 2*cy/ct
         elif self.material is not None:
             nr = n/n0
             # generalized cosine of the refracted axial ray
             p = np.sqrt(nr*nr - 1 + ct*ct)
-            delta = n0*c*(ct - p)
             bend[1, 1] = p/(nr*ct)
             bend[3, 3] = nr*ct/p
-            bend[2, 0] = delta
-            bend[3, 1] = nr*delta/(ct*p)
+            bend[2, 0] = n0*cx*(ct - p)
+            bend[3, 1] = nr*n0*cy*(ct - p)/(ct*p)
         m = bend @ gap
         roll = 0. if self.angles is None else self.angles[2]
         if roll:
@@ -597,38 +604,6 @@ class Biconic(Spheroid):
             return self.curvature_x + 2*self.aspherics[0]
         return self.curvature_x
 
-    def paraxial_matrix(self, n0, l):
-        """The Spheroid Massey-Siegman 4x4 with per-axis power: the
-        x (sagittal) slots carry curvature_x, the y (tangential)
-        slots carry curvature (= cy)."""
-        n, gap = Interface.paraxial_matrix(self, n0, l)
-        cx = self._vertex_power_x()
-        cy = self._vertex_power()
-        tilt = 0. if self.angles is None else self.angles[0]
-        ct = np.cos(tilt)
-        bend = np.eye(4)
-        if self.material is not None and self.material.mirror:
-            bend[2, 0] = 2*cx*ct
-            bend[3, 1] = 2*cy/ct
-        elif self.material is not None:
-            nr = n/n0
-            p = np.sqrt(nr*nr - 1 + ct*ct)
-            bend[1, 1] = p/(nr*ct)
-            bend[3, 3] = nr*ct/p
-            bend[2, 0] = n0*cx*(ct - p)
-            bend[3, 1] = nr*n0*cy*(ct - p)/(ct*p)
-        m = bend @ gap
-        roll = 0. if self.angles is None else self.angles[2]
-        if roll:
-            cr, sr = np.cos(roll), np.sin(roll)
-            spin = np.zeros((4, 4))
-            spin[0, 0] = spin[2, 2] = cr
-            spin[0, 1] = spin[2, 3] = -sr
-            spin[1, 0] = spin[3, 2] = sr
-            spin[1, 1] = spin[3, 3] = -cr
-            m = spin @ m @ spin.T
-        return n, m
-
     def reverse(self):
         super().reverse()
         self.curvature_x = -self.curvature_x
@@ -678,8 +653,6 @@ class Toroid(Spheroid):
 
     def _vertex_power_x(self):
         return self.curvature_rotation
-
-    paraxial_matrix = Biconic.paraxial_matrix
 
     def surface_sag(self, xyz):
         from .ops import kernels as _K

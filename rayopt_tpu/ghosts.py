@@ -79,6 +79,12 @@ def _row(e, distance, material, flip=False):
     TransformMixin assigns to rows with a negative gap (backward
     travel): the sag sign inverts, i.e. curvature and aspheric
     coefficients negate (exactly Spheroid.reverse)."""
+    cx = getattr(e, "curvature_x", None)
+    if hasattr(e, "curvature_rotation") or (
+            cx is not None and cx != getattr(e, "curvature", 0.)):
+        raise NotImplementedError(
+            "ghost unfolding of anamorphic (biconic/toroid) surfaces "
+            "is not supported")
     sgn = -1. if flip else 1.
     return Spheroid(
         curvature=sgn*getattr(e, "curvature", 0.),

@@ -248,16 +248,14 @@ def _zmx_parm(ctx, args):
     if ctx.surf_type == "TOROIDAL":
         if i == 1:
             e.curvature_rotation = 1./j if j else 0.
-        elif j:
-            # PARM 2.. are the curve's polynomial terms in y
+        elif i >= 2 and j:
+            # PARM 2.. are the curve's polynomial terms alpha_1..
+            # (coefficients of y^2, y^4, ...) -> aspherics[i - 2]
             e_asp = e.aspherics or []
-            while len(e_asp) <= i - 3:
+            while len(e_asp) <= i - 2:
                 e_asp.append(0.)
-            if i - 3 >= 0:
-                e_asp[i - 3] = j
-                e.aspherics = e_asp
-            else:
-                print("toroidal parameter not supported", args)
+            e_asp[i - 2] = j
+            e.aspherics = e_asp
         return
     if ctx.surf_type == "ODDASPHE":
         # odd asphere: PARM i is the coefficient of r**i
@@ -409,11 +407,17 @@ def system_to_zmx(system):
             out.append("  PARM 1 %.17g" % (1./cr if cr else 0.))
             for i, v in enumerate(even or ()):
                 if v:
-                    out.append("  PARM %d %.17g" % (i + 3, v))
+                    out.append("  PARM %d %.17g" % (i + 2, v))
+            if odd:
+                print("toroid odd aspherics are not representable "
+                      "in TYPE TOROIDAL; dropped on export")
         elif biconic:
             out.append("  PARM 1 %.17g" % (1./cx if cx else 0.))
             if kx:
                 out.append("  PARM 2 %.17g" % kx)
+            if even or odd:
+                print("biconic aspheric terms are not representable "
+                      "in TYPE BICONICX; dropped on export")
         elif odd:
             for i, v in enumerate(odd):
                 if v:

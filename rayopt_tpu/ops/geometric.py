@@ -179,10 +179,14 @@ def trace_rays_final_fast(table, y0, u0, clip=False, specs=None,
     anam = is_anamorphic(table)
     if anam:
         # the Pallas/df32 kernels implement the rotationally
-        # symmetric vocabulary; anamorphic tables take the XLA path
-        # (specs carry the per-surface biconic branch)
-        return trace_rays_final(table, y0, u0, clip=clip, specs=specs,
-                                unroll=on_tpu, biconic=specs is None)
+        # symmetric vocabulary; anamorphic tables take the XLA path.
+        # Specs only reach the unrolled branch (the scan ignores
+        # them), so the generic biconic flag must cover every
+        # non-spec-unrolled combination.
+        use_specs = specs if on_tpu else None
+        return trace_rays_final(table, y0, u0, clip=clip,
+                                specs=use_specs, unroll=on_tpu,
+                                biconic=use_specs is None)
     if precision == "parity":
         if on_tpu and n % tile == 0 and not has_odd:
             from . import df32

@@ -123,7 +123,9 @@ def farmed_monte_carlo_rms(table, y0, u0, w=None, sigmas=None,
     y0 = jax.device_put(np.asarray(y0), rep)
     u0 = jax.device_put(np.asarray(u0), rep)
     w = jax.device_put(np.asarray(w), rep)
-    rms = monte_carlo_rms(tables, y0, u0, w, clip=clip)
+    from ..ops.tables import is_anamorphic
+    rms = monte_carlo_rms(tables, y0, u0, w, clip=clip,
+                          biconic=is_anamorphic(table))
 
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils

@@ -339,10 +339,11 @@ def inverse_sensitivity(table, y0, u0, budget, w=None,
         dgr = np.array(degradation_grid(f, jnp.asarray(idx),
                                         jnp.asarray(ts), clip=clip))
         # rescue entries already over budget at their smallest grid
-        # point (vignetting cliff far below the quadratic seed): one
-        # more batched pass on a full-range downward grid
-        lost = np.flatnonzero((dgr[:, 0] >= budget)
-                              & ~np.isfinite(dgr[:, 0]))
+        # point (the quadratic seed underestimated the sensitivity by
+        # more than the grid's decade, or a vignetting cliff sits far
+        # below it): one more batched pass on a full-range downward
+        # grid so the reported tolerance never exceeds the true one
+        lost = np.flatnonzero(dgr[:, 0] >= budget)
         if lost.size:
             wide = np.exp(np.linspace(
                 np.log(t_min), np.log(ts[lost, 0]), n_grid, axis=-1))

@@ -106,6 +106,9 @@ def trace_polarization(table, y, u, i, coatings=None,
     n_after = np.asarray(table.n_after)
     S = mu.shape[0]
     coatings = coatings or {}
+    cdx = np.asarray(getattr(table, "curvature_dx", np.zeros(S)))
+    kdx = np.asarray(getattr(table, "conic_dx", np.zeros(S)))
+    tor = np.asarray(getattr(table, "toroidal", np.zeros(S)))
 
     # incoming direction at surface 1, in the global frame
     d_in = jnp.einsum("ij,ni->nj", jnp.asarray(rot[1]), i[1])
@@ -126,9 +129,26 @@ def trace_polarization(table, y, u, i, coatings=None,
         r = jnp.asarray(rot[k])
         d_in = _unit(jnp.einsum("ij,ni->nj", r, i[k]))
         d_out = _unit(jnp.einsum("ij,ni->nj", r, u[k]))
-        n_loc = surface_normal(y[k], table.curvature[k],
-                               table.conic[k], table.aspherics[k],
-                               table.aspherics_odd[k])
+        if tor[k] != 0. or cdx[k] != 0. or kdx[k] != 0.:
+            # anamorphic row: the general biconic/toroid normal
+            from .ops import kernels as _K
+            cx = table.curvature[k] + cdx[k]
+            if tor[k] != 0.:
+                gx, gy = _K.normal_toroid(
+                    y[k][:, 0], y[k][:, 1], cx, table.curvature[k],
+                    table.conic[k], table.aspherics[k],
+                    table.aspherics_odd[k])
+            else:
+                gx, gy = _K.normal_biconic(
+                    y[k][:, 0], y[k][:, 1], cx,
+                    table.conic[k] + kdx[k], table.curvature[k],
+                    table.conic[k], table.aspherics[k],
+                    table.aspherics_odd[k])
+            n_loc = jnp.stack([gx, gy, jnp.ones_like(gx)], axis=-1)
+        else:
+            n_loc = surface_normal(y[k], table.curvature[k],
+                                   table.conic[k], table.aspherics[k],
+                                   table.aspherics_odd[k])
         nrm = _unit(jnp.einsum("ij,ni->nj", r, n_loc))
 
         cos_i = jnp.abs((d_in*nrm).sum(-1))

@@ -203,15 +203,21 @@ class GeometricTrace(Trace):
 
     def angular_rms(self, i=-1, ref=None):
         """Weighted RMS angular spread (tan space, radians for small
-        angles) of the exit directions about the centroid direction
-        (or a reference ray): the afocal-output analog of the spot
-        RMS (reference TODO.rst afocal conjugates -- absent
-        upstream)."""
+        angles) of the exit directions about the weighted centroid
+        direction (or a reference ray): the afocal-output analog of
+        the spot RMS (reference TODO.rst afocal conjugates -- absent
+        upstream).  Vignetted (NaN) rays drop out of both the moments
+        and the weight normalization."""
         slopes = tanarcsin(self.u[i])
-        center = (np.nanmean(slopes, 0) if ref is None
+        w = self._weights()
+        good = np.isfinite(slopes).all(axis=1)
+        wg = np.where(good, w, 0.)
+        wsum = wg.sum()
+        pts = np.where(good[:, None], slopes, 0.)
+        center = ((wg[:, None]*pts).sum(0)/wsum if ref is None
                   else slopes[ref])
-        r2 = np.einsum("ij,ij->i", slopes - center, slopes - center)
-        return np.sqrt(np.nansum(r2 * self._weights()))
+        r2 = np.einsum("ij,ij->i", pts - center, pts - center)
+        return np.sqrt((wg*r2).sum()/wsum)
 
     # -- bundle factories ---------------------------------------------
 

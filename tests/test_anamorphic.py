@@ -444,3 +444,72 @@ def test_zmx_toroidal_round_trip():
     nptest.assert_allclose(el2.curvature_rotation,
                            el.curvature_rotation)
     nptest.assert_allclose(el2.curvature, el.curvature)
+
+
+def test_zmx_toroidal_polynomial_terms():
+    """PARM 2 is the first polynomial term (y^2) of the generating
+    curve, PARM 3 the y^4 term (the OpticStudio layout)."""
+    from rayopt_tpu.io.zemax import zmx_to_system, system_to_zmx
+    from rayopt_tpu.elements import Toroid
+    zmx = "\n".join([
+        "VERS 1.0", "UNIT MM X W X", "WAVL 0.5875618",
+        "SURF 0", "  TYPE STANDARD", "  DISZ 20.0",
+        "SURF 1",
+        "  TYPE TOROIDAL",
+        "  CURV 0.02",
+        "  PARM 1 200.0",
+        "  PARM 2 1e-05",
+        "  PARM 3 2e-08",
+        "  DISZ 5.0",
+        "  GLAS N-BK7 0 0 1.5168 64.17",
+        "  DIAM 8",
+        "SURF 2", "  TYPE STANDARD", "  DISZ 40.0", "  DIAM 8",
+    ])
+    s = zmx_to_system(zmx)
+    el = s[2]
+    assert isinstance(el, Toroid)
+    nptest.assert_allclose(el.aspherics, [1e-5, 2e-8])
+    s2 = zmx_to_system(system_to_zmx(s))
+    el2 = next(e for e in s2 if isinstance(e, Toroid))
+    nptest.assert_allclose(el2.aspherics, el.aspherics)
+
+
+def test_polarization_uses_anamorphic_normals():
+    """The Jones chain at a cylinder uses the true (x-flat) normal:
+    a meridional-offset ray sees zero incidence tilt in x."""
+    from rayopt_tpu.polarization import trace_polarization
+    s = _cyl_system()
+    g = ro.GeometricTrace(s)
+    # a ray offset in x only: on a y-cylinder its incidence stays
+    # normal, so the interface must not polarize it at all
+    y0 = np.array([[3., 0., 0.], [0., 3., 0.]])
+    u0 = np.tile([0., 0., 1.], (2, 1))
+    g.rays_given(y0, u0)
+    g.propagate()
+    out = trace_polarization(s.table(g.l), g.y, g.u, g.i)
+    from rayopt_tpu.polarization import jones_diattenuation
+    d = jones_diattenuation(np.asarray(out["jones"]))
+    assert d[0] < 1e-12      # x-offset ray: normal incidence
+    assert d[1] > 1e-4       # y-offset ray: oblique, polarizes
+
+
+def test_ghosts_reject_anamorphic():
+    from rayopt_tpu.ghosts import ghost_table
+    s = _cyl_system()
+    with pytest.raises(NotImplementedError):
+        ghost_table(s)
+
+
+def test_angular_rms_vignetting_normalization():
+    """Vignetted rays drop from both the moments and the weight sum:
+    killing half the bundle must not shrink the reported spread."""
+    from rayopt_tpu.models import beam_expander
+    s = beam_expander()
+    g = ro.GeometricTrace(s)
+    g.rays_point((0, 0.), nrays=13, distribution="radau",
+                 filter=False)
+    full = g.angular_rms()
+    g.u[-1][::2] = np.nan  # vignette half the rays
+    half = g.angular_rms()
+    assert np.isfinite(half)
+    assert half > full/2  # no silent shrink from the dropped weight
