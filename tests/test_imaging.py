@@ -1,0 +1,64 @@
+"""Extended-scene image simulation: PSF placement, energy
+conservation, and blur behavior."""
+
+import numpy as np
+from numpy import testing as nptest
+
+import rayopt_tpu as ro
+from rayopt_tpu.models import cooke_triplet
+from rayopt_tpu.imaging import simulate_image, field_psf
+
+
+def _focused_cooke():
+    s = cooke_triplet()
+    t = ro.GeometricTrace(s)
+    t.rays_point((0, 0.), nrays=13, distribution="radau",
+                 clip=False, filter=False)
+    t.refocus()
+    return s
+
+
+def test_delta_scene_reproduces_psf():
+    s = _focused_cooke()
+    H = W = 128
+    scene = np.zeros((H, W))
+    scene[H//2, W//2] = 1.
+    img = simulate_image(s, scene, 2., npatches=3, nrays=400,
+                         psf_size=64)
+    peak = np.unravel_index(np.argmax(img), img.shape)
+    assert abs(peak[0] - H//2) <= 1 and abs(peak[1] - W//2) <= 1
+    nptest.assert_allclose(img.sum(), 1., rtol=.02)
+    # compare against the directly sampled on-axis PSF
+    psf, v = field_psf(s, 0., nrays=400, pitch=2./W, size=64)
+    lo = H//2 - 32
+    block = img[lo:lo + 64, lo:lo + 64]
+    corr = (block*psf).sum()/np.sqrt((block**2).sum()*(psf**2).sum())
+    assert corr > .95
+
+
+def test_uniform_scene_stays_uniform():
+    s = _focused_cooke()
+    H = W = 96
+    img = simulate_image(s, np.ones((H, W)), 1.5, npatches=3,
+                         nrays=400, psf_size=48, vignetting=False)
+    inner = img[24:-24, 24:-24]
+    nptest.assert_allclose(inner, 1., rtol=1e-6)
+
+
+def test_defocus_blurs():
+    """Shifting the image plane spreads the simulated point image."""
+    H = W = 96
+    scene = np.zeros((H, W))
+    scene[H//2, W//2] = 1.
+
+    def spread(s):
+        img = simulate_image(s, scene, 1., npatches=1, nrays=400,
+                             psf_size=64)
+        ax = (np.arange(H) - H//2)
+        gx, gy = np.meshgrid(ax, ax, indexing="ij")
+        return ((gx**2 + gy**2)*img).sum()/img.sum()
+
+    focused = _focused_cooke()
+    blurred = _focused_cooke()
+    blurred[-1].distance += .5
+    assert spread(blurred) > 2*spread(focused)
