@@ -82,8 +82,30 @@ def inverse_sensitivity_tour():
             print("  surface %d: +-%.2e (1/mm)" % (j, tol[j]))
 
 
+
+
+def spectrometer_tour():
+    """A concave-mirror reflection grating disperses three lines."""
+    import rayopt_tpu as ro
+    s = ro.System([
+        dict(material="air"),
+        dict(type="grating", grating_frequency=600., grating_order=1,
+             roc=-400., distance=100., material="mirror", radius=30.),
+        dict(distance=-200., radius=60.),
+    ], wavelengths=[450e-9, 550e-9, 650e-9])
+    s.object.pupil.radius = 10.
+    s.object.pupil.update_radius = False
+    s.update()
+    print("spectrometer line positions (mm on the detector):")
+    for lam in s.wavelengths:
+        ys, us, iis, ts = s.trace_table(
+            np.zeros((1, 3)), np.array([[0., 0., 1.]]), lam)
+        print("  %.0f nm -> y = %+.3f" % (lam*1e9, ys[-1, 0, 1]))
+
+
 if __name__ == "__main__":
     polarization_tour()
     cylinder_tour()
     afocal_tour()
     inverse_sensitivity_tour()
+    spectrometer_tour()

@@ -39,7 +39,8 @@ from .materials import (  # noqa: E402,F401
     vacuum, mirror, air, fraunhofer, Thermal,
 )
 from .elements import (  # noqa: E402,F401
-    Element, Interface, Spheroid, Biconic, Toroid, TransformMixin,
+    Element, Interface, Spheroid, Biconic, Toroid, Grating,
+    TransformMixin,
 )
 from .utils.registry import NameMixin  # noqa: E402,F401
 from .pupils import Pupil, RadiusPupil, NaPupil, SlopePupil, FnoPupil  # noqa: E402,F401

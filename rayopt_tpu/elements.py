@@ -707,3 +707,53 @@ class Toroid(Spheroid):
     def rescale(self, scale):
         super().rescale(scale)
         self.curvature_rotation /= scale
+
+
+@Element.register
+class Grating(Spheroid):
+    """Linear diffraction grating on a conic/aspheric substrate
+    (beyond reference): grooves ruled along the local x axis
+    (dispersion in y), constant line frequency.
+
+    grating_frequency: lines per system length unit (e.g. 600 lp/mm
+    on a millimeter-scaled system is 600.).  grating_order: the
+    traced diffraction order m (0 reduces exactly to the substrate's
+    refraction/reflection).  The engines trace the generalized
+    Spencer & Murty construction n' u' = n u + T q + Gamma n with
+    T = m lambda G; evanescent orders vignette (NaN).  Tilt the
+    element (angles) to orient the ruling.
+
+    The paraxial 4x4 covers the substrate only: the grating
+    deviation is affine, not linear, so first-order properties
+    describe the carrier surface while aiming/analysis use real
+    rays.
+    """
+
+    _type = "grating"
+
+    def __init__(self, grating_frequency=0., grating_order=1,
+                 **kwargs):
+        super().__init__(**kwargs)
+        self.grating_frequency = grating_frequency
+        self.grating_order = int(grating_order)
+
+    def dict(self):
+        dat = super().dict()
+        if self.grating_frequency:
+            dat["grating_frequency"] = float(self.grating_frequency)
+        if self.grating_order != 1:
+            dat["grating_order"] = self.grating_order
+        return dat
+
+    def refract(self, y, u0, mu):
+        raise NotImplementedError(
+            "grating refraction is wavelength-dependent; trace "
+            "through System.trace_table / the jitted engines")
+
+    def reverse(self):
+        super().reverse()
+        self.grating_frequency = -self.grating_frequency
+
+    def rescale(self, scale):
+        super().rescale(scale)
+        self.grating_frequency /= scale

@@ -80,10 +80,11 @@ def _row(e, distance, material, flip=False):
     travel): the sag sign inverts, i.e. curvature and aspheric
     coefficients negate (exactly Spheroid.reverse)."""
     cx = getattr(e, "curvature_x", None)
-    if hasattr(e, "curvature_rotation") or (
+    if hasattr(e, "curvature_rotation") or hasattr(
+            e, "grating_frequency") or (
             cx is not None and cx != getattr(e, "curvature", 0.)):
         raise NotImplementedError(
-            "ghost unfolding of anamorphic (biconic/toroid) surfaces "
+            "ghost unfolding of anamorphic/grating surfaces "
             "is not supported")
     sgn = -1. if flip else 1.
     return Spheroid(

@@ -271,6 +271,46 @@ def refract_toroid(x, y, ux, uy, uz, mu, cr, cy, ky, aspherics,
     return _refract_general(x, y, ux, uy, uz, mu, gx, gy)
 
 
+def refract_grating(x, y, ux, uy, uz, mu, gdy, gx, gy):
+    """Diffraction-grating refraction/reflection on an arbitrary
+    substrate normal (gx, gy, 1): the generalized Spencer & Murty
+    construction u' = muf u + T q + Gamma n with the groove vector q
+    = y-hat projected into the tangent plane and the dimensionless
+    grating term T = m lambda G / n_after (table grating_dy).
+
+    T == 0 reduces exactly to Snell/mirror reflection.  Evanescent
+    orders (no real Gamma) give NaN, matching the TIR convention."""
+    nn = gx*gx + gy*gy + 1.
+    inv_nn = 1./nn
+    muf = jnp.abs(mu)
+    # unit groove-dispersion vector: y-hat minus its normal component
+    qx, qy, qz = -gy*gx*inv_nn, 1. - gy*gy*inv_nn, -gy*inv_nn
+    qn = jax.lax.rsqrt(jnp.maximum(qx*qx + qy*qy + qz*qz, TINY))
+    qx, qy, qz = qx*qn, qy*qn, qz*qn
+    bx = muf*ux + gdy*qx
+    by = muf*uy + gdy*qy
+    bz = muf*uz + gdy*qz
+    bn = (bx*gx + by*gy + bz)*inv_nn
+    bb = bx*bx + by*by + bz*bz
+    disc = bn*bn - (bb - 1.)*inv_nn
+    root = _sqrt0(disc)
+    # transmission keeps the refraction sign convention; reflection
+    # (mu == -1) takes the branch that flips the normal component
+    # (reduces to gamma = -2 bn, i.e. u - 2(u.n)n/|n|^2, at T == 0)
+    gam_t = -bn + jnp.sign(mu)*root
+    gam_r = -bn - jnp.sign(bn)*root
+    gam = jnp.where(mu == -1, gam_r, gam_t)
+    gam = jnp.where(disc < 0, jnp.nan, gam)
+    ox = bx + gam*gx
+    oy = by + gam*gy
+    oz = bz + gam
+    keep = (mu == 1) & (gdy == 0)
+    ox = jnp.where(keep, ux, ox)
+    oy = jnp.where(keep, uy, oy)
+    oz = jnp.where(keep, uz, oz)
+    return ox, oy, oz
+
+
 def _refract_general(x, y, ux, uy, uz, mu, gx, gy):
     """Snell/mirror on an arbitrary (gx, gy, 1) normal."""
     r2 = gx*gx + gy*gy + 1.
@@ -382,6 +422,7 @@ class SurfaceSpec(NamedTuple):
     odd: bool = False  # any odd-aspheric coefficient nonzero
     biconic: bool = False  # x-axis figure differs from y (anamorphic)
     toroidal: bool = False  # swept y-z curve (toroid) row
+    grating: bool = False  # linear diffraction grating on the row
 
 
 def specialize(table):
@@ -405,9 +446,11 @@ def specialize(table):
         cdx = np.asarray(getattr(table, "curvature_dx", None))
         kdx = np.asarray(getattr(table, "conic_dx", None))
         tor = np.asarray(getattr(table, "toroidal", None))
+        grat = np.asarray(getattr(table, "grating_dy", None))
         cdx = 0. if cdx.ndim == 0 else float(cdx[j])
         kdx = 0. if kdx.ndim == 0 else float(kdx[j])
         tor = 0. if tor.ndim == 0 else float(tor[j])
+        grat = 0. if grat.ndim == 0 else float(grat[j])
         specs.append(SurfaceSpec(
             flat=(c == 0.),
             spherical=(k == 0.),
@@ -421,6 +464,7 @@ def specialize(table):
             odd=bool(asp_odd.size and np.any(asp_odd != 0)),
             biconic=bool((cdx != 0. or kdx != 0.) and tor == 0.),
             toroidal=bool(tor != 0.),
+            grating=bool(grat != 0.),
         ))
     return tuple(specs)
 
@@ -542,7 +586,30 @@ def surface_step_spec(state, surf, spec, clip):
         ux0 = jnp.where(bad, nan, ux0)
         uy0 = jnp.where(bad, nan, uy0)
         uz0 = jnp.where(bad, nan, uz0)
-    if spec.toroidal:
+    if spec.grating:
+        # substrate normal per figure kind, then the generalized
+        # grating solve (exact Snell at zero order)
+        if spec.toroidal:
+            ngx, ngy = normal_toroid(
+                x1, y1, surf.curvature + surf.curvature_dx,
+                surf.curvature, surf.conic, surf.aspherics,
+                surf.aspherics_odd)
+        elif spec.biconic:
+            ngx, ngy = normal_biconic(
+                x1, y1, surf.curvature + surf.curvature_dx,
+                surf.conic + surf.conic_dx, surf.curvature,
+                surf.conic, surf.aspherics, surf.aspherics_odd)
+        elif spec.flat and not (spec.aspheric or spec.odd):
+            ngx = jnp.zeros_like(x1)
+            ngy = jnp.zeros_like(y1)
+        else:
+            e = normal_radial(x1, y1, surf.curvature, surf.conic,
+                              surf.aspherics, surf.aspherics_odd)
+            ngx, ngy = x1*e, y1*e
+        ux1, uy1, uz1 = refract_grating(
+            x1, y1, ux0, uy0, uz0, surf.mu, surf.grating_dy,
+            ngx, ngy)
+    elif spec.toroidal:
         ux1, uy1, uz1 = refract_toroid(
             x1, y1, ux0, uy0, uz0, surf.mu,
             surf.curvature + surf.curvature_dx,
@@ -599,7 +666,8 @@ def _refract_anam(x, y, ux, uy, uz, surf):
     tor = surf.toroidal != 0
     gx = jnp.where(tor, gtx, gbx)
     gy = jnp.where(tor, gty, gby)
-    return _refract_general(x, y, ux, uy, uz, surf.mu, gx, gy)
+    return refract_grating(x, y, ux, uy, uz, surf.mu,
+                           surf.grating_dy, gx, gy)
 
 
 def surface_step(state, surf, clip, biconic=False):

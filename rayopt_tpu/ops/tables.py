@@ -49,6 +49,10 @@ class SurfaceTable(NamedTuple):
     toroidal:   (S,)    1. where the row is a toroid (the y-z curve
                         swept at rotation curvature cr = curvature +
                         curvature_dx) instead of a biconic; 0 default
+    grating_dy: (S,)    dimensionless diffraction term of a linear
+                        grating ruled along x (dispersion in y):
+                        m * lambda * G / n_after, baked per trace
+                        wavelength; 0 = no grating
     """
 
     curvature: jnp.ndarray
@@ -66,6 +70,7 @@ class SurfaceTable(NamedTuple):
     curvature_dx: jnp.ndarray = None
     conic_dx: jnp.ndarray = None
     toroidal: jnp.ndarray = None
+    grating_dy: jnp.ndarray = None
 
     @property
     def nsurfaces(self):
@@ -86,7 +91,7 @@ def make_table(curvature, conic=None, aspherics=None, offset=None,
                rot=None, radius=None, alternate=None, mu=None,
                n_before=None, n_after=None, distance=None,
                aspherics_odd=None, curvature_dx=None, conic_dx=None,
-               toroidal=None, dtype=np.float64):
+               toroidal=None, grating_dy=None, dtype=np.float64):
     """Assemble a SurfaceTable from plain arrays, filling defaults."""
     curvature = np.asarray(curvature, dtype=dtype)
     s = curvature.shape[0]
@@ -132,12 +137,16 @@ def make_table(curvature, conic=None, aspherics=None, offset=None,
         curvature_dx=arr(curvature_dx, 0., (s,)),
         conic_dx=arr(conic_dx, 0., (s,)),
         toroidal=arr(toroidal, 0., (s,)),
+        grating_dy=arr(grating_dy, 0., (s,)),
     )
 
 
 def is_anamorphic(table):
-    """Host-side: True when any row's x-axis figure differs from its
-    y-axis figure (cylindrical/biconic surfaces present).
+    """Host-side: True when any row needs the extended surface
+    vocabulary -- anamorphic figure (biconic/cylinder/toroid) or a
+    diffraction grating.  This is the derivation for the engines'
+    static `biconic=` flag (and the rejection predicate of the
+    symmetric-only Pallas/df32/poly kernels).
 
     Tracer-safe: a table whose fields are already traced (inside a
     caller's jit) reports False -- the static engine flag must be
@@ -147,6 +156,9 @@ def is_anamorphic(table):
     if dx is None or isinstance(dx, jax.core.Tracer):
         return False
     tor = getattr(table, "toroidal", None)
+    grat = getattr(table, "grating_dy", None)
     return bool(np.any(np.asarray(dx) != 0)
                 or np.any(np.asarray(table.conic_dx) != 0)
-                or (tor is not None and np.any(np.asarray(tor) != 0)))
+                or (tor is not None and np.any(np.asarray(tor) != 0))
+                or (grat is not None
+                    and np.any(np.asarray(grat) != 0)))

@@ -440,6 +440,7 @@ class System(AimingMixin, list):
         curvature_dx = np.zeros(s)
         conic_dx = np.zeros(s)
         toroidal = np.zeros(s)
+        grating_dy = np.zeros(s)
         aspherics = np.zeros((s, kmax))
         aspherics_odd = np.zeros((s, kmax_odd))
         offset = np.zeros((s, 3))
@@ -477,13 +478,19 @@ class System(AimingMixin, list):
             if hasattr(e, "get_n_mu"):
                 n0, mu[j] = e.get_n_mu(n0, wavelength)
             n_after[j] = n0
+            if hasattr(e, "grating_frequency") and e.grating_frequency:
+                # dimensionless linear-grating term m lambda G / n'
+                grating_dy[j] = (e.grating_order
+                                 * (wavelength/self.scale)
+                                 * e.grating_frequency/abs(n0))
         return make_table(
             curvature=curvature, conic=conic, aspherics=aspherics,
             aspherics_odd=aspherics_odd, offset=offset, rot=rot,
             radius=radius, alternate=alternate, mu=mu,
             n_before=n_before, n_after=n_after,
             distance=distance, curvature_dx=curvature_dx,
-            conic_dx=conic_dx, toroidal=toroidal, dtype=dtype)
+            conic_dx=conic_dx, toroidal=toroidal,
+            grating_dy=grating_dy, dtype=dtype)
 
     def tables(self, wavelengths=None, dtype=np.float64):
         """Stacked SurfaceTable with a leading wavelength axis, for

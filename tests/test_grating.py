@@ -1,0 +1,183 @@
+"""Diffraction gratings: the vector grating equation, order-zero
+Snell equivalence, dispersion, and engine parity."""
+
+import numpy as np
+from numpy import testing as nptest
+import pytest
+
+import rayopt_tpu as ro
+from rayopt_tpu.ops import kernels as K
+from rayopt_tpu.ops.tables import is_anamorphic
+
+
+def _grating_system(freq=600., order=1, mirror=False, curvature=0.):
+    grating = dict(type="grating", grating_frequency=freq,
+                   grating_order=order, distance=20.,
+                   material=("mirror" if mirror else "air"),
+                   radius=30.)
+    if curvature:
+        grating["curvature"] = curvature
+    rows = [dict(material="air"), grating,
+            dict(distance=(-50. if mirror else 50.), radius=100.)]
+    s = ro.System(rows, wavelengths=[500e-9])
+    s.object.pupil.radius = 5.
+    s.object.pupil.update_radius = False
+    s.update()
+    return s
+
+
+def test_plane_grating_equation():
+    """Transmission grating at normal incidence: sin(theta_m) =
+    m lambda G for several orders."""
+    lam_mm = 500e-9/1e-3
+    G = 600.
+    for m in (0, 1, -1, 2):
+        s = _grating_system(order=m)
+        g = ro.GeometricTrace(s)
+        y0 = np.zeros((1, 3))
+        u0 = np.array([[0., 0., 1.]])
+        g.rays_given(y0, u0)
+        g.propagate()
+        u = g.u[1][0]
+        n2 = abs(float(np.asarray(s.table(500e-9).n_after)[1]))
+        nptest.assert_allclose(u[1], m*lam_mm*G/n2, rtol=1e-12,
+                               atol=1e-15)
+        nptest.assert_allclose(np.linalg.norm(u), 1., rtol=1e-12)
+        nptest.assert_allclose(u[0], 0., atol=1e-15)
+
+
+def test_grating_equation_oblique_and_mirror():
+    """General invariant at a hit point P with unit normal n:
+    (n2 u' - n1 u - m lambda G q) is parallel to n, with q the unit
+    groove-dispersion vector; holds for skew incidence and for a
+    reflection grating on a curved substrate."""
+    lam_mm = 500e-9/1e-3
+    G, m = 600., 1
+    for mirror, curv in ((False, 0.), (True, 0.), (True, -.002)):
+        s = _grating_system(freq=G, order=m, mirror=mirror,
+                            curvature=curv)
+        rng = np.random.default_rng(4)
+        y0 = np.zeros((6, 3))
+        y0[:, :2] = rng.uniform(-4, 4, (6, 2))
+        u0 = np.tile([0., 0., 1.], (6, 1))
+        u0[:, :2] = rng.uniform(-.1, .1, (6, 2))
+        u0 /= np.linalg.norm(u0, axis=1, keepdims=True)
+        g = ro.GeometricTrace(s)
+        g.rays_given(y0, u0)
+        g.propagate()
+        el = s[1]
+        pts = g.y[1]
+        nrm = np.array(el.surface_normal(pts))
+        nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+        tab = s.table(500e-9)
+        n1 = abs(float(np.asarray(tab.n_before)[1]))
+        n2 = abs(float(np.asarray(tab.n_after)[1]))
+        for i in range(6):
+            n = nrm[i]
+            q = np.array([0., 1., 0.]) - n[1]*n
+            q /= np.linalg.norm(q)
+            resid = (n2*g.u[1][i] - n1*g.i[1][i] - m*lam_mm*G*q)
+            # parallel to n: zero cross product
+            nptest.assert_allclose(np.cross(resid, n), 0., atol=1e-10)
+            nptest.assert_allclose(np.linalg.norm(g.u[1][i]), 1.,
+                                   rtol=1e-12)
+
+
+def test_zero_order_is_snell():
+    """Order 0 on a refractive substrate equals the plain Spheroid."""
+    s0 = ro.System([
+        dict(material="air"),
+        dict(roc=80., distance=20., material="SCHOTT-BK|N-BK7",
+             radius=30.),
+        dict(distance=5., material="air", radius=30.),
+        dict(distance=50., radius=100.)], wavelengths=[500e-9])
+    s1 = ro.System([
+        dict(material="air"),
+        dict(type="grating", grating_frequency=600.,
+             grating_order=0, roc=80., distance=20.,
+             material="SCHOTT-BK|N-BK7", radius=30.),
+        dict(distance=5., material="air", radius=30.),
+        dict(distance=50., radius=100.)], wavelengths=[500e-9])
+    for s in (s0, s1):
+        s.object.pupil.radius = 5.
+        s.object.pupil.update_radius = False
+        s.update()
+    rng = np.random.default_rng(8)
+    y0 = np.zeros((8, 3))
+    y0[:, :2] = rng.uniform(-4, 4, (8, 2))
+    u0 = np.tile([0., 0., 1.], (8, 1))
+    g0, g1 = ro.GeometricTrace(s0), ro.GeometricTrace(s1)
+    for g, s in ((g0, s0), (g1, s1)):
+        g.rays_given(y0, u0)
+        g.propagate()
+    nptest.assert_allclose(g1.y[-1], g0.y[-1], rtol=1e-12, atol=1e-12)
+
+
+def test_grating_disperses_wavelengths():
+    """The per-wavelength tables carry their own grating term: red
+    diffracts farther than blue."""
+    s = _grating_system()
+    s.wavelengths = [450e-9, 650e-9]
+    s.update()
+    heights = []
+    for lam in s.wavelengths:
+        ys, us, iis, ts = s.trace_table(
+            np.zeros((1, 3)), np.array([[0., 0., 1.]]), lam)
+        heights.append(ys[-1, 0, 1])
+    assert heights[1] > heights[0] > 0
+
+
+def test_grating_engine_parity_and_rejections():
+    s = _grating_system(curvature=-.001, mirror=True)
+    tab = s.table()
+    assert is_anamorphic(tab)  # extended-vocabulary flag
+    from rayopt_tpu.ops.geometric import trace_rays
+    from rayopt_tpu.ops.kernels import specialize
+    rng = np.random.default_rng(2)
+    y0 = np.zeros((8, 3))
+    y0[:, :2] = rng.uniform(-3, 3, (8, 2))
+    u0 = np.tile([0., 0., 1.], (8, 1))
+    a = trace_rays(tab, y0, u0, biconic=True)
+    b = trace_rays(tab, y0, u0, specs=specialize(tab), unroll=True)
+    for va, vb in zip(a, b):
+        nptest.assert_allclose(np.asarray(vb), np.asarray(va),
+                               rtol=1e-10, atol=1e-10)
+    from rayopt_tpu.ops import df32
+    with pytest.raises(NotImplementedError):
+        df32.plan(tab)
+    # a refractive grating system with a real ghost pair refuses to
+    # unfold the grating row
+    sg = ro.System([
+        dict(material="air"),
+        dict(type="grating", grating_frequency=600., roc=80.,
+             distance=20., material="SCHOTT-BK|N-BK7", radius=30.),
+        dict(distance=5., material="air", radius=30.),
+        dict(distance=50., radius=100.)], wavelengths=[500e-9])
+    sg.object.pupil.radius = 5.
+    sg.object.pupil.update_radius = False
+    sg.update()
+    from rayopt_tpu.ghosts import ghost_table
+    with pytest.raises(NotImplementedError):
+        ghost_table(sg)
+
+
+def test_grating_yaml_round_trip():
+    s = _grating_system(freq=1200., order=-1)
+    s2 = ro.system_from_yaml(ro.system_to_yaml(s))
+    s2.update()
+    from rayopt_tpu.elements import Grating
+    el = s2[1]
+    assert isinstance(el, Grating)
+    nptest.assert_allclose(el.grating_frequency, 1200.)
+    assert el.grating_order == -1
+    nptest.assert_allclose(np.asarray(s2.table().grating_dy),
+                           np.asarray(s.table().grating_dy))
+
+
+def test_evanescent_order_vignettes():
+    """An order beyond the grating horizon produces NaN rays."""
+    s = _grating_system(freq=600., order=4)  # 4*0.5um*600/mm = 1.2
+    g = ro.GeometricTrace(s)
+    g.rays_given(np.zeros((1, 3)), np.array([[0., 0., 1.]]))
+    g.propagate()
+    assert np.isnan(g.u[1][0]).all()
