@@ -139,7 +139,7 @@ def _zmx_surf(ctx, args):
 
 #: surface TYPEs whose PARM rows we can map onto the Spheroid model
 _ZMX_TYPES = {"STANDARD", "EVENASPH", "ODDASPHE", "COORDBRK",
-              "BICONICX", "TOROIDAL"}
+              "BICONICX", "TOROIDAL", "DGRATING"}
 
 
 @_zmx_on("TYPE")
@@ -170,6 +170,14 @@ def _zmx_type(ctx, args):
         e = ctx.system[-1]
         e.__class__ = Toroid
         e.curvature_rotation = 0.
+    elif typ == "DGRATING":
+        # diffraction grating on the base figure: PARM 1 = lines per
+        # MICROMETER (the OpticStudio unit), PARM 2 = order
+        from ..elements import Grating
+        e = ctx.system[-1]
+        e.__class__ = Grating
+        e.grating_frequency = 0.
+        e.grating_order = 1
     elif typ not in _ZMX_TYPES:
         print("surface type not supported, treating as STANDARD:", typ)
 
@@ -244,6 +252,16 @@ def _zmx_parm(ctx, args):
             e.conic_x = j
         elif j:
             print("biconic parameter not supported", args)
+        return
+    if ctx.surf_type == "DGRATING":
+        if i == 1:
+            # lines/um -> lines per system unit via the UNIT scale
+            # (lines/m = j/1e-6; lines/unit = lines/m * scale)
+            e.grating_frequency = j/1e-6*ctx.system.scale
+        elif i == 2:
+            e.grating_order = int(j)
+        elif j:
+            print("grating parameter not supported", args)
         return
     if ctx.surf_type == "TOROIDAL":
         if i == 1:
@@ -381,10 +399,13 @@ def system_to_zmx(system):
         cx = getattr(e, "curvature_x", None)
         kx = getattr(e, "conic_x", None)
         toroid = hasattr(e, "curvature_rotation")
+        grating = bool(getattr(e, "grating_frequency", 0.))
         biconic = not toroid and cx is not None and (
             cx != getattr(e, "curvature", 0.)
             or (kx or 0.) != getattr(e, "conic", 0.))
-        if toroid:
+        if grating:
+            out.append("  TYPE DGRATING")
+        elif toroid:
             out.append("  TYPE TOROIDAL")
         elif biconic:
             out.append("  TYPE BICONICX")
@@ -402,7 +423,14 @@ def system_to_zmx(system):
         k = getattr(e, "conic", 0.)
         if k:
             out.append("  CONI %.17g" % k)
-        if toroid:
+        if grating:
+            out.append("  PARM 1 %.17g"
+                       % (e.grating_frequency/system.scale*1e-6))
+            out.append("  PARM 2 %d" % e.grating_order)
+            if even or odd or biconic:
+                print("grating substrate polynomial/anamorphic "
+                      "terms dropped on DGRATING export")
+        elif toroid:
             cr = e.curvature_rotation
             out.append("  PARM 1 %.17g" % (1./cr if cr else 0.))
             for i, v in enumerate(even or ()):

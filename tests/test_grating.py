@@ -181,3 +181,34 @@ def test_evanescent_order_vignettes():
     g.rays_given(np.zeros((1, 3)), np.array([[0., 0., 1.]]))
     g.propagate()
     assert np.isnan(g.u[1][0]).all()
+
+
+def test_zmx_dgrating_round_trip():
+    """TYPE DGRATING (PARM 1 = lines/um, PARM 2 = order) imports to
+    a Grating and survives the .zmx writer round trip."""
+    from rayopt_tpu.io.zemax import zmx_to_system, system_to_zmx
+    from rayopt_tpu.elements import Grating
+    zmx = "\n".join([
+        "VERS 1.0", "UNIT MM X W X", "WAVL 0.55",
+        "SURF 0", "  TYPE STANDARD", "  DISZ 20.0",
+        "SURF 1",
+        "  TYPE DGRATING",
+        "  CURV 0.0025",
+        "  PARM 1 0.6",
+        "  PARM 2 -1",
+        "  DISZ 50.0",
+        "  GLAS MIRROR",
+        "  DIAM 30",
+        "SURF 2", "  TYPE STANDARD", "  DISZ -100.0", "  DIAM 60",
+    ])
+    s = zmx_to_system(zmx)
+    el = s[2]
+    assert isinstance(el, Grating)
+    # 0.6 lines/um on a mm-scaled system = 600 lines/mm
+    nptest.assert_allclose(el.grating_frequency, 600.)
+    assert el.grating_order == -1
+    s2 = zmx_to_system(system_to_zmx(s))
+    el2 = next(e for e in s2 if isinstance(e, Grating))
+    nptest.assert_allclose(el2.grating_frequency,
+                           el.grating_frequency)
+    assert el2.grating_order == el.grating_order
