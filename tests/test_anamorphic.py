@@ -513,3 +513,23 @@ def test_angular_rms_vignetting_normalization():
     half = g.angular_rms()
     assert np.isfinite(half)
     assert half > full/2  # no silent shrink from the dropped weight
+
+
+def test_paraxial_trace_both_axes():
+    """ParaxialTrace(axis=0/1) gives per-axis first-order properties
+    of anamorphic systems (the reference's 'paraxial trace to be both
+    axes' TODO): a cylinder has f_y ~ 50 mm and no x power."""
+    from rayopt_tpu.trace.paraxial import ParaxialTrace
+    s = ro.System([
+        dict(material="air"),
+        dict(type="biconic", roc=25.84, curvature_x=0., distance=5.,
+             material="SCHOTT-BK|N-BK7", radius=10.),
+        dict(type="biconic", distance=3., material="air", radius=10.),
+        dict(distance=47., radius=10.),
+    ], object=dict(type="infinite", angle_deg=2.,
+                   pupil=dict(radius=4.)))
+    s.update()
+    f_y = ParaxialTrace(s, axis=1).focal_length[1]
+    f_x = ParaxialTrace(s, axis=0).focal_length[1]
+    nptest.assert_allclose(f_y, 50., rtol=.02)
+    assert not np.isfinite(f_x) or abs(f_x) > 1e6
