@@ -533,3 +533,23 @@ def test_paraxial_trace_both_axes():
     f_x = ParaxialTrace(s, axis=0).focal_length[1]
     nptest.assert_allclose(f_y, 50., rtol=.02)
     assert not np.isfinite(f_x) or abs(f_x) > 1e6
+
+
+def test_analysis_smoke_on_cylinder_system():
+    """The full Analysis report renders for an anamorphic system
+    (astigmatic foci, cylinder surfaces in every panel path)."""
+    import matplotlib
+    matplotlib.use("agg")
+    import matplotlib.pyplot as plt
+    s = ro.System([
+        dict(material="air"),
+        dict(type="biconic", roc=25.84, curvature_x=0., distance=5.,
+             material="SCHOTT-BK|N-BK7", radius=10.),
+        dict(type="biconic", distance=3., material="air", radius=10.),
+        dict(distance=47., radius=10.),
+    ], object=dict(type="infinite", angle_deg=2.,
+                   pupil=dict(radius=4.)))
+    s.update()
+    a = ro.Analysis(s, print=False, defocus=3)
+    assert len(a.figures) == 5
+    plt.close("all")
