@@ -80,9 +80,12 @@ def _row(e, distance, material, flip=False):
     travel): the sag sign inverts, i.e. curvature and aspheric
     coefficients negate (exactly Spheroid.reverse)."""
     cx = getattr(e, "curvature_x", None)
+    kx = getattr(e, "conic_x", None)
     if hasattr(e, "curvature_rotation") or hasattr(
             e, "grating_frequency") or (
-            cx is not None and cx != getattr(e, "curvature", 0.)):
+            cx is not None and (
+                cx != getattr(e, "curvature", 0.)
+                or (kx or 0.) != getattr(e, "conic", 0.))):
         raise NotImplementedError(
             "ghost unfolding of anamorphic/grating surfaces "
             "is not supported")

@@ -33,6 +33,9 @@ def _resample_psf(p, q, psf, pitch, size):
     ax = (np.arange(size) - size//2)*pitch
     gx, gy = np.meshgrid(ax, ax, indexing="ij")
     out = interp(np.stack([gx, gy], axis=-1))
+    # the pupil/PSF grids carry x on axis 0; scenes are (row=y,
+    # col=x), so transpose into scene order
+    out = out.T
     total = out.sum()
     if total <= 0:
         out = np.zeros_like(out)
@@ -79,16 +82,22 @@ def simulate_image(system, scene, width, wavelength=None, npatches=3,
     # image half-height covered by the scene rows, as field fractions
     paraxial = system.paraxial
     img_height = abs(paraxial.height[1]) or width/2
-    centers = np.linspace(-1., 1., npatches)
+    centers = (np.array([0.]) if npatches == 1
+               else np.linspace(-1., 1., npatches))
     psfs = []
     vigns = []
+    cache = {}  # mirrored field pairs share one PSF computation
     for c in centers:
         h = c*min(1., (width/2)/img_height) if img_height else 0.
-        psf, v = field_psf(system, abs(h), wavelength, nrays=nrays,
-                           pitch=pitch, size=psf_size, pad=pad,
-                           resample=resample)
+        key = round(abs(h), 12)
+        if key not in cache:
+            cache[key] = field_psf(system, abs(h), wavelength,
+                                   nrays=nrays, pitch=pitch,
+                                   size=psf_size, pad=pad,
+                                   resample=resample)
+        psf, v = cache[key]
         if h < 0:
-            psf = psf[::-1]  # mirror the PSF for the lower field
+            psf = psf[::-1]  # mirror the PSF for the lower field (y)
         psfs.append(psf)
         vigns.append(v if vignetting else 1.)
     psfs = jnp.asarray(np.stack(psfs))
@@ -107,6 +116,12 @@ def simulate_image(system, scene, width, wavelength=None, npatches=3,
 
     @jax.jit
     def convolve(scene, psfs, vigns, weights):
+        # f32: the TPU compiler rejects f64 FFTs (x64 is on by
+        # default); single precision is ample for radiometry
+        scene = scene.astype(jnp.float32)
+        psfs = psfs.astype(jnp.float32)
+        vigns = vigns.astype(jnp.float32)
+        weights = weights.astype(jnp.float32)
         sf = jnp.fft.rfft2(scene, (H + psf_size, W + psf_size))
 
         def one(psf):

@@ -145,7 +145,9 @@ def poly_trace_table(table, specs, kmax, pupil_distance,
             _host_np.any(_host_np.asarray(dx) != 0)
             or _host_np.any(_host_np.asarray(table.conic_dx) != 0)
             or _host_np.any(_host_np.asarray(
-                getattr(table, "toroidal", 0.)) != 0)):
+                getattr(table, "toroidal", 0.)) != 0)
+            or _host_np.any(_host_np.asarray(
+                getattr(table, "grating_dy", 0.)) != 0)):
         raise NotImplementedError(
             "anamorphic (biconic) surfaces break the rotational "
             "symmetry of the aberration-polynomial basis")

@@ -94,7 +94,8 @@ def intercept_poly_spheroid(element, S, r, p, k):
             != element.curvature or
             getattr(element, "conic_x", element.conic)
             != element.conic or
-            hasattr(element, "curvature_rotation")):
+            hasattr(element, "curvature_rotation") or
+            getattr(element, "grating_frequency", 0.)):
         raise NotImplementedError(
             "anamorphic (biconic) surfaces break the rotational "
             "symmetry of the aberration-polynomial basis; use the "

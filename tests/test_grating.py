@@ -212,3 +212,12 @@ def test_zmx_dgrating_round_trip():
     nptest.assert_allclose(el2.grating_frequency,
                            el.grating_frequency)
     assert el2.grating_order == el.grating_order
+
+
+def test_poly_trace_rejects_gratings():
+    s = _grating_system()
+    with pytest.raises(NotImplementedError):
+        ro.PolyTrace(s, 3)
+    from rayopt_tpu.ops.poly_jax import poly_trace_table
+    with pytest.raises(NotImplementedError):
+        poly_trace_table(s.table(), None, 3, 10.)

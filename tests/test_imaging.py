@@ -62,3 +62,39 @@ def test_defocus_blurs():
     blurred = _focused_cooke()
     blurred[-1].distance += .5
     assert spread(blurred) > 2*spread(focused)
+
+
+def test_offaxis_smear_lands_on_y():
+    """At the field edge the Cooke triplet's PSF elongates
+    tangentially (y); the simulated image must smear along scene
+    rows (y), not columns."""
+    s = _focused_cooke()
+    H = W = 96
+    scene = np.zeros((H, W))
+    scene[H//4, W//2] = 1.  # off-axis point (upper field)
+    img = simulate_image(s, scene, 2., npatches=3, nrays=400,
+                         psf_size=64)
+    ys, xs = np.mgrid[:H, :W]
+    m = img/img.sum()
+    cy = (ys*m).sum()
+    cx = (xs*m).sum()
+    var_y = (((ys - cy)**2)*m).sum()
+    var_x = (((xs - cx)**2)*m).sum()
+    assert var_y > 1.5*var_x
+
+
+def test_single_patch_uses_center_field():
+    """npatches=1 blurs with the on-axis PSF, not the field edge."""
+    s = _focused_cooke()
+    H = W = 64
+    scene = np.zeros((H, W))
+    scene[H//2, W//2] = 1.
+    one = simulate_image(s, scene, 1., npatches=1, nrays=400,
+                         psf_size=48)
+    from rayopt_tpu.imaging import field_psf
+    psf0, _ = field_psf(s, 0., nrays=400, pitch=1./W, size=48)
+    lo = H//2 - 24
+    block = one[lo:lo + 48, lo:lo + 48]
+    corr = (block*psf0).sum()/np.sqrt(
+        (block**2).sum()*(psf0**2).sum())
+    assert corr > .99
