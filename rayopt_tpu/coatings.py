@@ -101,15 +101,25 @@ class CoatingStack:
     """
 
     def __init__(self, layers, name="coating", substrate=None):
-        self.layers = [(complex(n), float(d)) for n, d in layers]
+        #: (index_or_material, thickness) pairs; a layer given as a
+        #: materials.Material evaluates its dispersion at the trace
+        #: wavelength, a plain number is used as-is
+        self.layers = [
+            (n if hasattr(n, "refractive_index") else complex(n),
+             float(d)) for n, d in layers]
         self.name = name
         #: optional substrate index override (e.g. the metal of a
         #: protected mirror); None uses the trace's medium index
         self.substrate = substrate
 
+    def _layers_at(self, wavelength):
+        return [(n.refractive_index(wavelength)
+                 if hasattr(n, "refractive_index") else n, d)
+                for n, d in self.layers]
+
     def coefficients(self, n_in, n_sub, cos_i, wavelength):
-        return stack_coefficients(self.layers, n_in, n_sub, cos_i,
-                                  wavelength)
+        return stack_coefficients(self._layers_at(wavelength), n_in,
+                                  n_sub, cos_i, wavelength)
 
     def reflectance(self, n_in, n_sub, cos_i, wavelength):
         """Unpolarized power reflectance."""

@@ -78,3 +78,22 @@ def test_coated_doublet_transmittance_rises():
         want *= float(np.asarray(coat[int(k)].transmittance(
             nb[k], na[k], 1., lam)))
     nptest.assert_allclose(t1, want, rtol=1e-9)
+
+
+def test_dispersive_coating_material_layers():
+    """A layer given as a Material evaluates its dispersion at the
+    trace wavelength: the quarter-wave condition only holds at the
+    design line, so reflectance differs across wavelengths."""
+    from rayopt_tpu.materials import Material
+    glass = Material.make("SCHOTT-SK/N-SK16")
+    qw = CoatingStack([(glass, LAM/(4*glass.refractive_index(LAM)))],
+                      "dispersive")
+    r_design = float(np.asarray(qw.reflectance(1., 1.9, 1., LAM)))
+    r_off = float(np.asarray(qw.reflectance(1., 1.9, 1., 450e-9)))
+    assert abs(r_design - r_off) > 1e-5
+    # constant-index twin agrees at the design wavelength
+    fixed = CoatingStack(
+        [(glass.refractive_index(LAM),
+          LAM/(4*glass.refractive_index(LAM)))], "fixed")
+    r_fixed = float(np.asarray(fixed.reflectance(1., 1.9, 1., LAM)))
+    nptest.assert_allclose(r_design, r_fixed, rtol=1e-12)

@@ -93,3 +93,64 @@ def test_df32_engine_agrees(seed):
     nptest.assert_allclose(yd[good], y1[good, 1], atol=1e-9)
     # NaN pattern (missed rays) agrees too
     nptest.assert_array_equal(np.isfinite(xd), good)
+
+
+def test_fuzz_extended_vocabulary_parity():
+    """Random systems mixing symmetric, biconic, toroid, and grating
+    rows: the dynamic anamorphic scan and the specialized unrolled
+    engine agree ray for ray."""
+    import numpy as np
+    from numpy import testing as nptest
+    from rayopt_tpu.ops.tables import make_table, is_anamorphic
+    from rayopt_tpu.ops.geometric import trace_rays
+    from rayopt_tpu.ops.kernels import specialize
+
+    rng = np.random.default_rng(21)
+    for trial in range(6):
+        S = 5
+        curv = rng.uniform(-.02, .02, S)
+        curv[0] = 0.
+        conic = np.where(rng.random(S) < .5,
+                         rng.uniform(-1., .5, S), 0.)
+        cdx = np.zeros(S)
+        kdx = np.zeros(S)
+        tor = np.zeros(S)
+        grat = np.zeros(S)
+        for j in range(1, S - 1):
+            kind = rng.integers(0, 4)
+            if kind == 1:      # biconic
+                cdx[j] = rng.uniform(-.01, .01)
+                kdx[j] = rng.uniform(-.5, .5)
+            elif kind == 2:    # toroid
+                tor[j] = 1.
+                cdx[j] = rng.uniform(-.01, .01)
+                conic[j] = 0. if curv[j] == 0 else conic[j]
+            elif kind == 3:    # grating on the base figure
+                grat[j] = rng.uniform(-.2, .2)
+        mu = np.ones(S)
+        mu[1:-1] = rng.uniform(.6, .9, S - 2)
+        n_before = np.ones(S)
+        n_after = np.ones(S)
+        tab = make_table(
+            curvature=curv, conic=conic, distance=np.full(S, 8.),
+            mu=mu, n_before=n_before, n_after=n_after,
+            curvature_dx=cdx, conic_dx=kdx, toroidal=tor,
+            grating_dy=grat)
+        assert is_anamorphic(tab) or not (
+            cdx.any() or tor.any() or grat.any())
+        y0 = np.zeros((16, 3))
+        y0[:, :2] = rng.uniform(-2, 2, (16, 2))
+        u0 = np.tile([0., 0., 1.], (16, 1))
+        u0[:, :2] = rng.uniform(-.05, .05, (16, 2))
+        u0 /= np.linalg.norm(u0, axis=1, keepdims=True)
+        a = trace_rays(tab, y0, u0, biconic=True)
+        b = trace_rays(tab, y0, u0, specs=specialize(tab),
+                       unroll=True)
+        for va, vb in zip(a, b):
+            va, vb = np.asarray(va), np.asarray(vb)
+            both = np.isfinite(va) & np.isfinite(vb)
+            nptest.assert_allclose(vb[both], va[both],
+                                   rtol=1e-10, atol=1e-10,
+                                   err_msg="trial %d" % trial)
+            nptest.assert_array_equal(np.isnan(va), np.isnan(vb),
+                                      err_msg="trial %d" % trial)
