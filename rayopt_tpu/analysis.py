@@ -535,6 +535,8 @@ class Analysis:
     plot_mtf_field = False
     plot_mtf_focus = False
     plot_3d = False
+    plot_image = False
+    image_scene = None
     plot_footprints = False
     print_zernike = False
     print_ghosts = False
@@ -662,6 +664,25 @@ class Analysis:
         if self.plot_3d:
             ax3 = plot_layout_3d(s)
             self.figures.append(ax3.figure)
+
+        if self.plot_image:
+            from .imaging import simulate_image, star_target
+            scene = (star_target() if self.image_scene is None
+                     else np.asarray(self.image_scene, dtype=float))
+            width = 2*abs(s.paraxial.height[1])
+            if not np.isfinite(width) or width == 0:
+                width = 1.
+            img = simulate_image(s, scene, width, npatches=3,
+                                 nrays=500)
+            fig, (axs, axi) = plt.subplots(
+                1, 2, figsize=(self.figwidth, self.figwidth/2))
+            self.figures.append(fig)
+            for axx, data, label in ((axs, scene, "scene"),
+                                     (axi, img, "image")):
+                axx.imshow(data, cmap="gray", origin="lower")
+                axx.set_title(label)
+                axx.set_xticks(())
+                axx.set_yticks(())
 
         if self.plot_mtf_focus:
             fig, ax = plt.subplots(

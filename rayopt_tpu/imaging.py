@@ -18,7 +18,20 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["field_psf", "simulate_image"]
+__all__ = ["field_psf", "simulate_image", "star_target"]
+
+
+def star_target(size=128, spokes=24):
+    """A Siemens-star test scene: binary spokes radiating from the
+    center (resolution falls off toward the center, so blur is read
+    directly off the radius where spokes merge)."""
+    ax = np.arange(size) - size/2 + .5
+    gy, gx = np.meshgrid(ax, ax, indexing="ij")
+    theta = np.arctan2(gy, gx)
+    scene = (np.cos(spokes*theta) > 0).astype(float)
+    r = np.hypot(gx, gy)
+    scene[(r > size/2 - 1) | (r < 2)] = 0.
+    return scene
 
 
 def _resample_psf(p, q, psf, pitch, size):

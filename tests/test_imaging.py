@@ -98,3 +98,18 @@ def test_single_patch_uses_center_field():
     corr = (block*psf0).sum()/np.sqrt(
         (block**2).sum()*(psf0**2).sum())
     assert corr > .99
+
+
+def test_analysis_image_panel():
+    import matplotlib
+    matplotlib.use("agg")
+    import matplotlib.pyplot as plt
+    from rayopt_tpu import Analysis
+    from rayopt_tpu.imaging import star_target
+    s = _focused_cooke()
+    a = Analysis(s, print=False, plot_image=True, defocus=3,
+                 image_scene=star_target(64, 12))
+    assert len(a.figures) == 6
+    # the panel figure holds the scene/image pair
+    assert len(a.figures[-1].axes) == 2
+    plt.close("all")
