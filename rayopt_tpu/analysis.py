@@ -537,6 +537,9 @@ class Analysis:
     plot_3d = False
     plot_image = False
     image_scene = None
+    image_width = None
+    image_patches = 3
+    image_rays = 500
     plot_footprints = False
     print_zernike = False
     print_ghosts = False
@@ -667,13 +670,19 @@ class Analysis:
 
         if self.plot_image:
             from .imaging import simulate_image, star_target
+            from .trace.paraxial import ParaxialTrace
             scene = (star_target() if self.image_scene is None
                      else np.asarray(self.image_scene, dtype=float))
-            width = 2*abs(s.paraxial.height[1])
+            width = self.image_width
+            if width is None:
+                # fresh paraxial: refocus_full may have moved the
+                # image plane since s.update()
+                width = 2*ParaxialTrace(s).height[1]
             if not np.isfinite(width) or width == 0:
                 width = 1.
-            img = simulate_image(s, scene, width, npatches=3,
-                                 nrays=500)
+            img = simulate_image(s, scene, width,
+                                 npatches=self.image_patches,
+                                 nrays=self.image_rays)
             fig, (axs, axi) = plt.subplots(
                 1, 2, figsize=(self.figwidth, self.figwidth/2))
             self.figures.append(fig)
