@@ -68,7 +68,9 @@ from .polarization import (  # noqa: E402,F401
 from .coatings import (  # noqa: E402,F401
     CoatingStack, quarter_wave,
 )
-from .imaging import simulate_image, field_psf  # noqa: E402,F401
+from .imaging import (  # noqa: E402,F401
+    simulate_image, field_psf, star_target,
+)
 from .thermal import (  # noqa: E402,F401
     at_temperature, thermal_defocus, thermal_text, heat_table,
     thermal_model,
