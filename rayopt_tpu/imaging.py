@@ -18,7 +18,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["field_psf", "simulate_image", "star_target"]
+__all__ = ["field_psf", "simulate_image", "simulate_image_poly",
+           "star_target"]
 
 
 def star_target(size=128, spokes=24):
@@ -151,3 +152,27 @@ def simulate_image(system, scene, width, wavelength=None, npatches=3,
 
     return np.asarray(convolve(jnp.asarray(scene), psfs, vigns,
                                weights))
+
+
+def simulate_image_poly(system, scene, width, wavelengths=None,
+                        weights=None, **kw):
+    """Polychromatic image: the per-wavelength simulated images
+    (each with its own dispersion-correct PSF set) combined with
+    spectral weights.  scene may be (H, W) -- shared radiance across
+    the bands -- or (H, W, B) per-band; returns (H, W) for a shared
+    scene with scalar weighting, else (H, W, B)."""
+    if wavelengths is None:
+        wavelengths = system.wavelengths
+    if weights is None:
+        weights = np.ones(len(wavelengths))/len(wavelengths)
+    scene = np.asarray(scene, dtype=float)
+    per_band = scene.ndim == 3
+    bands = []
+    for b, lam in enumerate(wavelengths):
+        sb = scene[..., b] if per_band else scene
+        bands.append(simulate_image(system, sb, width,
+                                    wavelength=lam, **kw))
+    bands = np.stack(bands, axis=-1)
+    if per_band:
+        return bands*np.asarray(weights)
+    return (bands*np.asarray(weights)).sum(-1)

@@ -68,3 +68,47 @@ def test_cooke_seidel_sums():
         p.transverse3.sum(0),
         [-0.06190225, -0.00817398, 0.06232948, -0.1416536,
          0.05831643, -0.01051561, -0.00939998], rtol=1e-5)
+
+
+def test_spectrometer_golden():
+    """Concave-grating spectrometer: detector line positions pinned
+    (600 lp/mm, R=-400 mirror, order 1; grating equation + substrate
+    focusing together)."""
+    import rayopt_tpu as ro
+    s = ro.System([
+        dict(material="air"),
+        dict(type="grating", grating_frequency=600.,
+             grating_order=1, roc=-400., distance=100.,
+             material="mirror", radius=30.),
+        dict(distance=-200., radius=60.),
+    ], wavelengths=[450e-9, 550e-9, 650e-9])
+    s.object.pupil.radius = 10.
+    s.object.pupil.update_radius = False
+    s.update()
+    want = [-56.06593593485528, -69.89487421806105,
+            -84.67998616743552]
+    for lam, w in zip(s.wavelengths, want):
+        ys = s.trace_table(np.zeros((1, 3)),
+                           np.array([[0., 0., 1.]]), lam)[0]
+        nptest.assert_allclose(ys[-1, 0, 1], w, rtol=1e-9)
+
+
+def test_beam_expander_golden():
+    """Afocal expander: solved separation and angular magnification
+    pinned."""
+    from rayopt_tpu.models import beam_expander
+    s = beam_expander()
+    nptest.assert_allclose(s[3].distance, 145.50580145643673,
+                           rtol=1e-9)
+    nptest.assert_allclose(s.paraxial.magnification[1], -.5,
+                           rtol=1e-9)
+
+
+def test_ar_coating_golden():
+    """Quarter-wave MgF2 on BK7 at 35 degrees: unpolarized
+    reflectance pinned (characteristic-matrix stack)."""
+    from rayopt_tpu.coatings import quarter_wave
+    qw = quarter_wave(1.38, 550e-9)
+    got = float(np.asarray(qw.reflectance(
+        1., 1.52, np.cos(np.deg2rad(35.)), 550e-9)))
+    nptest.assert_allclose(got, 0.015035208393915478, rtol=1e-12)

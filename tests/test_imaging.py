@@ -113,3 +113,27 @@ def test_analysis_image_panel():
     # the panel figure holds the scene/image pair
     assert len(a.figures[-1].axes) == 2
     plt.close("all")
+
+
+def test_polychromatic_image():
+    """Per-band images use their own dispersion; equal-weight sum of
+    a shared scene matches the average of single-band runs."""
+    from rayopt_tpu.imaging import simulate_image_poly
+    s = _focused_cooke()
+    H = W = 64
+    scene = np.zeros((H, W))
+    scene[H//2, W//2] = 1.
+    poly = simulate_image_poly(s, scene, 1., npatches=1, nrays=300,
+                               psf_size=48)
+    singles = [simulate_image(s, scene, 1., wavelength=lam,
+                              npatches=1, nrays=300, psf_size=48)
+               for lam in s.wavelengths]
+    nptest.assert_allclose(poly, np.mean(singles, axis=0),
+                           rtol=1e-6, atol=1e-12)
+    # chromatic blur: the bands genuinely differ
+    assert np.abs(singles[1] - singles[2]).max() > 1e-6
+    # per-band scene shape
+    rgb = np.stack([scene]*3, axis=-1)
+    out = simulate_image_poly(s, rgb, 1., npatches=1, nrays=300,
+                              psf_size=48)
+    assert out.shape == (H, W, 3)
