@@ -137,6 +137,21 @@ solves:
 """
 
 
+# concave-grating spectrograph (600 lp/mm on an R=-400 mirror,
+# order 1): the grating golden in tests/test_goldens.py pins its
+# detector line positions
+SPECTROGRAPH_YAML = """
+description: concave-grating spectrograph 600lp/mm
+wavelengths: [450.e-9, 550.e-9, 650.e-9]
+object: {angle_deg: 0., pupil: {radius: 10., update_radius: False}}
+elements:
+- {material: air}
+- {type: grating, grating_frequency: 600., grating_order: 1,
+   roc: -400., distance: 100., material: mirror, radius: 30.}
+- {distance: -200., radius: 60.}
+"""
+
+
 def _build(yaml_text, update=True):
     s = system_from_yaml(yaml_text)
     if update:
@@ -172,6 +187,10 @@ def beam_expander(update=True):
     return _build(BEAM_EXPANDER_YAML, update)
 
 
+def spectrograph(update=True):
+    return _build(SPECTROGRAPH_YAML, update)
+
+
 PRESCRIPTIONS = {
     "doublet": doublet,
     "cooke": cooke_triplet,
@@ -180,4 +199,5 @@ PRESCRIPTIONS = {
     "parabolic": parabolic_mirror,
     "hene_cavity": hene_cavity,
     "beam_expander": beam_expander,
+    "spectrograph": spectrograph,
 }

@@ -71,20 +71,11 @@ def test_cooke_seidel_sums():
 
 
 def test_spectrometer_golden():
-    """Concave-grating spectrometer: detector line positions pinned
-    (600 lp/mm, R=-400 mirror, order 1; grating equation + substrate
-    focusing together)."""
-    import rayopt_tpu as ro
-    s = ro.System([
-        dict(material="air"),
-        dict(type="grating", grating_frequency=600.,
-             grating_order=1, roc=-400., distance=100.,
-             material="mirror", radius=30.),
-        dict(distance=-200., radius=60.),
-    ], wavelengths=[450e-9, 550e-9, 650e-9])
-    s.object.pupil.radius = 10.
-    s.object.pupil.update_radius = False
-    s.update()
+    """Concave-grating spectrograph model: detector line positions
+    pinned (600 lp/mm, R=-400 mirror, order 1; grating equation +
+    substrate focusing together)."""
+    from rayopt_tpu.models import spectrograph
+    s = spectrograph()
     want = [-56.06593593485528, -69.89487421806105,
             -84.67998616743552]
     for lam, w in zip(s.wavelengths, want):
