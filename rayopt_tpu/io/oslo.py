@@ -44,6 +44,8 @@ def _set_cvx(surf, value):
     if surf.curvature and surf.curvature_x:
         print("toric surface imported as biconic "
               "(exact only through 4th order)")
+
+
 _LEN_SKIP = frozenset(("//", "DES", "EBR", "GIH", "DLRS", "WW", "WV"))
 
 
@@ -121,7 +123,11 @@ def len_to_system(fil, item=None):
             pending.curvature = 1/float(args[0])
         elif cmd == "TH":
             thickness = float(args[0])
-            if thickness > 1e2:
+            # OSLO writes 1e20 for infinite conjugates; the
+            # reference clamps at 1e2 (reference oslo.py:146),
+            # mangling ordinary long gaps -- use a threshold that
+            # only catches the sentinel
+            if thickness > 1e10:
                 thickness = np.inf
         elif cmd == "AP":
             if args[0] == "CHK":
@@ -230,3 +236,46 @@ def glc_to_material(raw, item=None):
     mat = CoefficientsMaterial(name=name, coefficients=coeff, typ=typ)
     mat.density = density
     return mat
+
+
+def system_to_len(system):
+    """Serialize a System to OSLO .len text -- interchange export
+    (beyond reference: the reference only imports).  Emits the
+    command subset len_to_system reads back (LEN/UNI/RD/TH/AP/GLA/
+    AIR/AST/CVX/NXT/END); conics, tilts, and mirrors have no .len
+    vocabulary here and are reported dropped."""
+    out = ['LEN NEW "%s" 0 %d' % (system.description,
+                                  max(len(system) - 2, 0))]
+    out.append("UNI %.6g" % (system.scale/1e-3))
+    for k, e in enumerate(system):
+        curv = getattr(e, "curvature", 0.)
+        if curv:
+            out.append("  RD %.17g" % (1./curv))
+        cx = getattr(e, "curvature_x", None)
+        if (cx is not None and cx != curv
+                and not hasattr(e, "curvature_rotation")):
+            out.append("  CVX %.17g" % cx)
+        if getattr(e, "conic", 0.) or getattr(e, "rotated", False)                 or hasattr(e, "curvature_rotation"):
+            print("surface %d: conic/tilt/toroid terms have no .len "
+                  "encoding; dropped" % k)
+        if np.isfinite(e.radius):
+            out.append("  AP %.17g" % e.radius)
+        if k == system.stop:
+            out.append("  AST")
+        mat = getattr(e, "material", None)
+        if mat is not None:
+            if str(mat) in ("basic/air", "air"):
+                out.append("  AIR")
+            elif getattr(mat, "mirror", False):
+                print("surface %d: mirrors have no .len encoding "
+                      "here; dropped" % k)
+            else:
+                out.append("  GLA %s" % str(mat).split("/")[-1])
+        if k + 1 < len(system):
+            nxt = system[k + 1].distance
+            out.append("  TH %.17g"
+                       % (nxt if np.isfinite(nxt) else 1e20))
+            out.append("NXT")
+        else:
+            out.append("END")
+    return "\n".join(out) + "\n"

@@ -96,3 +96,49 @@ def test_load_all_skips_garbage(tmp_path, lib):
     (tmp_path/"junk.unknown").write_text("nonsense")
     (tmp_path/"bad.glc").write_text("")  # broken catalog
     lib.load_all([str(tmp_path)])  # must not raise
+
+
+def test_len_writer_round_trip():
+    """system_to_len (beyond reference: the reference only imports
+    .len) round-trips the Cooke triplet through len_to_system --
+    geometry, stop, glasses, and first-order properties survive."""
+    import io
+    import numpy as np
+    from numpy import testing as nptest
+    from rayopt_tpu.models import cooke_triplet
+    from rayopt_tpu.io.oslo import system_to_len, len_to_system
+    s = cooke_triplet()
+    txt = system_to_len(s)
+    s2 = len_to_system(io.StringIO(txt))
+    assert s2.description == s.description
+    assert s2.stop == s.stop
+    assert len(s2) == len(s)
+    for a, b in zip(s, s2):
+        nptest.assert_allclose(getattr(b, "curvature", 0.),
+                               getattr(a, "curvature", 0.), rtol=1e-12)
+        nptest.assert_allclose(b.distance, a.distance, rtol=1e-12)
+    # conjugates are not part of .len; carry them over and compare
+    # the lens itself
+    s2.wavelengths = s.wavelengths
+    s2.object = s.object
+    s2.image = s.image
+    s2.update()
+    nptest.assert_allclose(s2.paraxial.focal_length,
+                           s.paraxial.focal_length, rtol=1e-9)
+
+
+def test_len_round_trip_keeps_long_gaps():
+    """A 150 mm gap survives (the reference's 1e2 clamp would have
+    turned it into infinity, reference oslo.py:146)."""
+    import io
+    import rayopt_tpu as ro
+    from rayopt_tpu.io.oslo import system_to_len, len_to_system
+    s = ro.System([
+        dict(material="air"),
+        dict(roc=80., distance=150., material="SCHOTT-BK|N-BK7",
+             radius=10.),
+        dict(distance=5., material="air", radius=10.),
+        dict(distance=40., radius=10.),
+    ])
+    s2 = len_to_system(io.StringIO(system_to_len(s)))
+    assert s2[1].distance == 150.
