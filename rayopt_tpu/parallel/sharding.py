@@ -124,10 +124,22 @@ def shard_bundles(bundles, mesh, axis="rays"):
     the mesh (chroma overrides stay replicated)."""
     ray_sh = NamedSharding(mesh, P(axis, None))
     w_sh = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
     out = []
     for bundle in bundles:
         y, u, w = (jax.device_put(bundle[0], ray_sh),
                    jax.device_put(bundle[1], ray_sh),
                    jax.device_put(bundle[2], w_sh))
-        out.append((y, u, w) + tuple(bundle[3:]))
+        rest = []
+        for extra in bundle[3:]:
+            # chroma override dicts replicate on the mesh (mixing them
+            # into a mesh-committed table must not pull in the default
+            # device); non-array metadata (e.g. the wavelength float)
+            # passes through
+            rest.append({k: (jax.device_put(v, repl)
+                             if isinstance(v, (np.ndarray, jax.Array))
+                             else v)
+                         for k, v in extra.items()}
+                        if isinstance(extra, dict) else extra)
+        out.append((y, u, w) + tuple(rest))
     return out
