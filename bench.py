@@ -40,10 +40,24 @@ def log(*a):
 
 
 def main():
+    import os
     import jax
+
+    # persist compiled executables across bench runs/rounds: the
+    # XLA-unrolled chain costs ~6 min of remote-compiler time cold
+    # (round-2 bench tail); warm runs reload it in seconds
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(
+        __file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          5.)
+    except Exception as e:
+        log("compilation cache unavailable:", e)
+
     import jax.numpy as jnp
     import rayopt_tpu  # noqa: F401  (enables x64)
-    from rayopt_tpu.models import double_gauss
+    from rayopt_tpu.models import double_gauss, anamorphic_pair
     from rayopt_tpu.ops.geometric import (
         trace_components_final, trace_rays_final)
     from rayopt_tpu.ops.pallas_trace import pallas_trace_final
@@ -180,6 +194,35 @@ def main():
         yf_cpu = np.asarray(trace_rays_final(tab64, yp, up)[0])
     r_cpu = rms_xy(yf_cpu[:, 0], yf_cpu[:, 1])
 
+    def time_df32_chain(steps_l, nsurf_l, seed_y, seed_u, label):
+        # df32 carries 2x the arrays; measure at 2^25 to stay well
+        # inside HBM next to the f32 buffers (rate is size-stable)
+        n_df = 1 << 25
+        reps = n_df // seed_y.shape[0]
+        state_df = df32.state_from_f64(
+            np.concatenate([seed_y]*reps), np.concatenate([seed_u]*reps))
+        state_df = jax.tree_util.tree_map(jnp.asarray, state_df)
+
+        def df_chain(state):
+            acc = 0.
+            for _ in range(chain):
+                out = df32.pallas_trace_df32(steps_l, state,
+                                             tile=8*1024)
+                acc = acc + jnp.nanmean(out[0][0]**2 + out[1][0]**2)
+                state = ((out[0][0]*np.float32(1e-3),
+                          out[0][1]*np.float32(1e-3)),
+                         (out[1][0]*np.float32(1e-3),
+                          out[1][1]*np.float32(1e-3)),
+                         state[2], state[3], state[4], state[5])
+            return acc
+        df_chain = jax.jit(df_chain)
+        log("timing %s..." % label)
+        tb = best_of(lambda a: float(df_chain(a)), state_df)
+        rate = chain*n_df*nsurf_l/tb
+        log("  %s: %.1f ms -> %.3f G intersections/s (>= 1e9 "
+            "target: %s)" % (label, tb*1e3, rate/1e9, rate >= 1e9))
+        return tb, rate
+
     if on_tpu:
         out = df32.pallas_trace_df32(steps, df32.state_from_f64(yp, up))
         r_df = rms_xy(df32.to_f64(out[0]), df32.to_f64(out[1]))
@@ -191,31 +234,8 @@ def main():
         log("df32 spot RMS parity vs f64 CPU: fast %.3g, exact %.3g "
             "(f64 %.15g)" % (parity, parity_exact, r_cpu))
 
-        # df32 carries 2x the arrays; measure at 2^25 to stay well
-        # inside HBM next to the f32 buffers (rate is size-stable)
-        n_df = 1 << 25
-        state_df = df32.state_from_f64(
-            np.concatenate([yp]*(n_df//m)), np.concatenate([up]*(n_df//m)))
-        state_df = jax.tree_util.tree_map(jnp.asarray, state_df)
-
-        def df_chain(state):
-            acc = 0.
-            for _ in range(chain):
-                out = df32.pallas_trace_df32(steps, state, tile=8*1024)
-                acc = acc + jnp.nanmean(out[0][0]**2 + out[1][0]**2)
-                state = ((out[0][0]*np.float32(1e-3),
-                          out[0][1]*np.float32(1e-3)),
-                         (out[1][0]*np.float32(1e-3),
-                          out[1][1]*np.float32(1e-3)),
-                         state[2], state[3], state[4], state[5])
-            return acc
-        df_chain = jax.jit(df_chain)
-        log("timing pallas_df32 (parity-grade)...")
-        tb = best_of(lambda a: float(df_chain(a)), state_df)
-        rate_df = chain*n_df*nsurf/tb
-        log("  pallas_df32: %.1f ms -> %.3f G intersections/s "
-            "(>= 1e9 target: %s)" % (tb*1e3, rate_df/1e9,
-                                     rate_df >= 1e9))
+        tb, rate_df = time_df32_chain(steps, nsurf, yp, up,
+                                      "pallas_df32 (parity-grade)")
         details["pallas_df32_parity_grade"] = {
             "best_time_s": tb, "rate": rate_df,
             "vs_target": rate_df/BASELINE_RATE,
@@ -231,6 +251,57 @@ def main():
         log("df32 (eager) spot RMS parity: %.3g" % parity)
         details["pallas_df32_parity_grade"] = {
             "spot_rms_parity_vs_f64": parity}
+
+    # extended vocabulary: cylindrical-anamorphic config -- the df32
+    # closed-form cylinder rows and the spec-dispatched Pallas f32
+    # path must both clear the target on anamorphic systems too
+    sa = anamorphic_pair()
+    tab_a64 = sa.table()
+    specs_a = specialize(tab_a64)
+    steps_a = df32.plan(tab_a64, fast=True)
+    nsurf_a = tab_a64.curvature.shape[0] - 1
+    ya = np.zeros((m, 3))
+    ya[:, :2] = rng.uniform(-1, 1, (m, 2))*4.
+    ua = np.zeros((m, 3))
+    ua[:, 2] = 1.
+    with jax.default_device(cpu):
+        yf_a = np.asarray(trace_rays_final(tab_a64, ya, ua,
+                                           biconic=True)[0])
+    r_a_cpu = rms_xy(yf_a[:, 0], yf_a[:, 1])
+    if on_tpu:
+        out_a = df32.pallas_trace_df32(steps_a,
+                                       df32.state_from_f64(ya, ua))
+        r_a = rms_xy(df32.to_f64(out_a[0]), df32.to_f64(out_a[1]))
+        parity_a = abs(r_a - r_a_cpu)/max(r_a_cpu, 1e-30)
+        log("anamorphic df32 spot RMS parity vs f64 CPU: %.3g"
+            % parity_a)
+        tb, rate_a = time_df32_chain(steps_a, nsurf_a, ya, ua,
+                                     "pallas_df32 anamorphic")
+        details["pallas_df32_anamorphic"] = {
+            "config": "crossed-cylinder pair (5 traced surfaces)",
+            "best_time_s": tb, "rate": rate_a,
+            "vs_target": rate_a/BASELINE_RATE,
+            "spot_rms_parity_vs_f64": parity_a,
+        }
+        tab_a32 = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, dtype=dtype), tab_a64)
+        fa = chain_of(lambda st: pallas_trace_final(
+            tab_a32, st, specs=specs_a, tile=16*1024))
+        log("timing pallas_f32 anamorphic...")
+        tb = best_of(lambda a: float(fa(a)), comps)
+        rate_af = chain*n*nsurf_a/tb
+        details["pallas_f32_anamorphic"] = {
+            "best_time_s": tb, "rate": rate_af}
+        log("  pallas_f32 anamorphic: %.1f ms -> %.3f G "
+            "intersections/s" % (tb*1e3, rate_af/1e9))
+    else:
+        out_a = df32.trace_df32_final(steps_a,
+                                      df32.state_from_f64(ya, ua))
+        r_a = rms_xy(df32.to_f64(out_a[0]), df32.to_f64(out_a[1]))
+        parity_a = abs(r_a - r_a_cpu)/max(r_a_cpu, 1e-30)
+        log("anamorphic df32 (eager) spot RMS parity: %.3g" % parity_a)
+        details["pallas_df32_anamorphic"] = {
+            "spot_rms_parity_vs_f64": parity_a}
 
     # f64 accel-vs-CPU parity (legacy metric from round 1)
     yf_acc = np.asarray(trace_rays_final(tab64, yp, up)[0])

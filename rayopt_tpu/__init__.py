@@ -69,7 +69,10 @@ from .coatings import (  # noqa: E402,F401
     CoatingStack, quarter_wave,
 )
 from .imaging import (  # noqa: E402,F401
-    simulate_image, field_psf, star_target,
+    simulate_image, field_psf, star_target, simulate_image_orders,
+)
+from .gratings import (  # noqa: E402,F401
+    blaze_order, blaze_efficiency,
 )
 from .thermal import (  # noqa: E402,F401
     at_temperature, thermal_defocus, thermal_text, heat_table,

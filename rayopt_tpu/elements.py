@@ -732,10 +732,11 @@ class Grating(Spheroid):
     _type = "grating"
 
     def __init__(self, grating_frequency=0., grating_order=1,
-                 **kwargs):
+                 blaze_deg=None, **kwargs):
         super().__init__(**kwargs)
         self.grating_frequency = grating_frequency
         self.grating_order = int(grating_order)
+        self.blaze_deg = None if blaze_deg is None else float(blaze_deg)
 
     def dict(self):
         dat = super().dict()
@@ -743,7 +744,22 @@ class Grating(Spheroid):
             dat["grating_frequency"] = float(self.grating_frequency)
         if self.grating_order != 1:
             dat["grating_order"] = self.grating_order
+        if self.blaze_deg is not None:
+            dat["blaze_deg"] = self.blaze_deg
         return dat
+
+    def efficiency(self, wavelength, order=None, incidence_deg=0.,
+                   scale=1e-3):
+        """Scalar blaze efficiency of `order` (default: the traced
+        order) at `wavelength` [m]; 1.0 when no blaze angle is set
+        (see rayopt_tpu.gratings for the model and its validity)."""
+        if self.blaze_deg is None:
+            return np.ones_like(np.asarray(wavelength, float))
+        from .gratings import blaze_efficiency
+        return blaze_efficiency(
+            self.grating_order if order is None else order,
+            wavelength, self.grating_frequency, self.blaze_deg,
+            incidence_deg, scale)
 
     def refract(self, y, u0, mu):
         raise NotImplementedError(

@@ -176,3 +176,48 @@ def simulate_image_poly(system, scene, width, wavelengths=None,
     if per_band:
         return bands*np.asarray(weights)
     return (bands*np.asarray(weights)).sum(-1)
+
+
+def simulate_image_orders(system, scene, width, orders=None,
+                          wavelengths=None, weights=None,
+                          incidence_deg=0., cutoff=1e-4, **kw):
+    """Efficiency-weighted per-order spectrograph image.
+
+    Loops the traced diffraction order of the system's grating
+    element over `orders`, simulates each (order, wavelength) image,
+    weights it by the scalar blaze efficiency eta_m(lambda) (see
+    rayopt_tpu.gratings; an unblazed grating weights the requested
+    orders equally) times the spectral weight, and sums.  Orders whose
+    efficiency falls below `cutoff` are skipped.  The grating element
+    is restored afterwards.  Returns the (H, W) image.
+    """
+    from .gratings import order_weights
+    gratings = [e for e in system
+                if getattr(e, "grating_frequency", 0.)]
+    if not gratings:
+        raise ValueError("system has no grating element")
+    gr = gratings[0]
+    if orders is None:
+        orders = (gr.grating_order,)
+    if wavelengths is None:
+        wavelengths = system.wavelengths
+    if weights is None:
+        weights = np.ones(len(wavelengths))/len(wavelengths)
+    eta = order_weights(gr, wavelengths, orders, incidence_deg,
+                        system.scale)
+    total = np.zeros(np.asarray(scene).shape[:2])
+    orig = gr.grating_order
+    try:
+        for i, m in enumerate(orders):
+            gr.grating_order = int(m)
+            system.update()
+            for b, lam in enumerate(wavelengths):
+                w = float(weights[b])*float(eta[i, b])
+                if w < cutoff:
+                    continue
+                total = total + w*simulate_image(
+                    system, scene, width, wavelength=lam, **kw)
+    finally:
+        gr.grating_order = orig
+        system.update()
+    return total

@@ -137,6 +137,26 @@ solves:
 """
 
 
+# crossed-cylinder anamorphic beam shaper (laser-diode style): a
+# y-cylinder front lens and an x-cylinder rear lens with different
+# powers -- the cylindrical-anamorphic benchmark config (the df32
+# closed-form cylinder path) and the anamorphic golden for the
+# parity-grade engine pins
+ANAMORPHIC_YAML = """
+description: crossed-cylinder anamorphic beam shaper
+object: {angle_deg: 0.5, pupil: {radius: 4.}}
+elements:
+- {material: air}
+- {type: biconic, curvature: 0.019, distance: 10., material: 1.5168,
+   radius: 6.}
+- {distance: 3., material: air, radius: 6.}
+- {type: biconic, curvature: 0., curvature_x: 0.016, distance: 5.,
+   material: 1.5168, radius: 6.}
+- {distance: 3., material: air, radius: 6.}
+- {distance: 60., radius: 8.}
+"""
+
+
 # concave-grating spectrograph (600 lp/mm on an R=-400 mirror,
 # order 1): the grating golden in tests/test_goldens.py pins its
 # detector line positions
@@ -191,6 +211,10 @@ def spectrograph(update=True):
     return _build(SPECTROGRAPH_YAML, update)
 
 
+def anamorphic_pair(update=True):
+    return _build(ANAMORPHIC_YAML, update)
+
+
 PRESCRIPTIONS = {
     "doublet": doublet,
     "cooke": cooke_triplet,
@@ -200,4 +224,5 @@ PRESCRIPTIONS = {
     "hene_cavity": hene_cavity,
     "beam_expander": beam_expander,
     "spectrograph": spectrograph,
+    "anamorphic_pair": anamorphic_pair,
 }

@@ -35,8 +35,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import kernels as K
+
 F32 = jnp.float32
 _SPLITTER = 4097.  # 2^12 + 1 (f32 has a 24-bit significand)
+_TINY32 = np.float32(1e-30)
 
 
 # -- error-free transforms -------------------------------------------------
@@ -201,7 +204,38 @@ def _dpoly_even_df(r2, coeffs):
     return acc
 
 
-def _sag_df(x, y, z, c, k1, asp, dv=None, sq=None):
+def _max_tiny(a):
+    """Floor the pair at a tiny positive value (division guards; the
+    floored case only arises for degenerate geometry)."""
+    ok = a[0] > _TINY32
+    return jnp.where(ok, a[0], _TINY32), jnp.where(ok, a[1], 0.)
+
+
+def _poly_odd_df(r2, r, coeffs):
+    """sum coeffs[j] * r^(2j+1) with r = sqrt(r2) precomputed."""
+    acc = None
+    for cj in coeffs[::-1]:
+        acc = cj if acc is None else add(mul(acc, r2), cj)
+    return mul(r, acc)
+
+
+def _dpoly_odd_df(r2, r, coeffs, dv):
+    """2 d/d(r2) of _poly_odd_df: P(r2)/r + 2 r P'(r2) (the vertex
+    cusp of the r^1 term is floored like kernels._dpoly_odd)."""
+    p = None
+    for cj in coeffs[::-1]:
+        p = cj if p is None else add(mul(p, r2), cj)
+    dp = None
+    for j in range(len(coeffs) - 1, 0, -1):
+        cj = scale(coeffs[j], np.float32(j))
+        dp = cj if dp is None else add(mul(dp, r2), cj)
+    out = dv(p, _max_tiny(r))
+    if dp is not None:
+        out = add(out, scale(mul(r, dp), 2.))
+    return out
+
+
+def _sag_df(x, y, z, c, k1, asp, dv=None, sq=None, asp_odd=()):
     """z - surface_sag(x, y) (kernels.sag in df32)."""
     dv, sq = dv or div, sq or sqrt
     r2 = add(sqr(x), sqr(y))
@@ -210,21 +244,264 @@ def _sag_df(x, y, z, c, k1, asp, dv=None, sq=None):
     e = sub(z, dv(cr2, den))
     if asp:
         e = sub(e, _poly_even_df(r2, asp))
+    if asp_odd:
+        e = sub(e, _poly_odd_df(r2, sq(r2), asp_odd))
     return e
 
 
-def _normal_radial_df(x, y, c, k1, asp, dv=None, sq=None):
+def _normal_radial_df(x, y, c, k1, asp, dv=None, sq=None, asp_odd=()):
     """Radial factor of the normal (kernels.normal_radial in df32)."""
     dv, sq = dv or div, sq or sqrt
     r2 = add(sqr(x), sqr(y))
     e = neg(dv(c, sq(sub(_ONE, mul(k1, mul(sqr(c), r2))))))
     if asp:
         e = sub(e, _dpoly_even_df(r2, asp))
+    if asp_odd:
+        e = sub(e, _dpoly_odd_df(r2, sq(r2), asp_odd, dv))
     return e
 
 
 ASPHERIC_ITERS = 8
 ASPHERIC_TOL = 1e-9  # matches kernels.ASPHERIC_TOL
+ANAM_F32_ITERS = 6   # cheap f32 Newton pre-polish on anamorphic rows
+ANAM_DF_ITERS = 2    # df32 polish rounds (3 in exact mode)
+
+
+# -- anamorphic (biconic / cylinder / toroid) rows -------------------------
+#
+# The extended vocabulary (reference elements.py:333-369 generalized to
+# the biconic/toroidal sags of ops/kernels.py:101-272) in double-single
+# arithmetic.  Pure conic cylinders are quadrics in one transverse
+# coordinate, so they get the same cancellation-free closed form as
+# spheres -- full parity-grade speed.  General biconics/toroids run a
+# mixed-precision Newton: the y-conic closed form seeds (f32), a few
+# f32 iterations converge to f32 noise, and two df32 polish rounds
+# (quadratic convergence) land at df32 precision.
+
+def _sag_biconic_df(x, y, z, an, dv, sq):
+    """z - biconic_sag (kernels.sag_biconic in df32)."""
+    x2, y2 = sqr(x), sqr(y)
+    a = add(mul(an["cx"], x2), mul(an["cy"], y2))
+    b = add(mul(an["bxc"], x2), mul(an["byc"], y2))
+    e = sub(z, dv(a, add(_ONE, sq(sub(_ONE, b)))))
+    r2 = add(x2, y2)
+    if an["asp"]:
+        e = sub(e, _poly_even_df(r2, an["asp"]))
+    if an["asp_odd"]:
+        e = sub(e, _poly_odd_df(r2, sq(r2), an["asp_odd"]))
+    return e
+
+
+def _normal_biconic_df(x, y, an, dv, sq):
+    """Transverse normal components (kernels.normal_biconic in df32):
+    gx = -x (2 cx (1+s) + a bxc / s) / (1+s)^2, bxc = (1+kx) cx^2."""
+    x2, y2 = sqr(x), sqr(y)
+    a = add(mul(an["cx"], x2), mul(an["cy"], y2))
+    b = add(mul(an["bxc"], x2), mul(an["byc"], y2))
+    s = sq(sub(_ONE, b))
+    one_s = add(_ONE, s)
+    inv2 = sqr(dv(_ONE, one_s))
+    a_s = dv(a, _max_tiny(s))
+    gx = neg(mul(x, mul(add(scale(mul(an["cx"], one_s), 2.),
+                            mul(a_s, an["bxc"])), inv2)))
+    gy = neg(mul(y, mul(add(scale(mul(an["cy"], one_s), 2.),
+                            mul(a_s, an["byc"])), inv2)))
+    r2 = add(x2, y2)
+    d = None
+    if an["asp"]:
+        d = _dpoly_even_df(r2, an["asp"])
+    if an["asp_odd"]:
+        do = _dpoly_odd_df(r2, sq(r2), an["asp_odd"], dv)
+        d = do if d is None else add(d, do)
+    if d is not None:
+        gx = sub(gx, mul(x, d))
+        gy = sub(gy, mul(y, d))
+    return gx, gy
+
+
+def _ycurve_df(y, an, dv, sq):
+    """(sag, d sag/dy) of the toroid's y-z generating curve in df32
+    (kernels._ycurve)."""
+    y2 = sqr(y)
+    sqv = sq(sub(_ONE, mul(an["byc"], y2)))
+    zy = dv(mul(an["cy"], y2), add(_ONE, sqv))
+    dzy = dv(mul(an["cy"], y), _max_tiny(sqv))
+    if an["asp"]:
+        zy = add(zy, _poly_even_df(y2, an["asp"]))
+        dzy = add(dzy, mul(y, _dpoly_even_df(y2, an["asp"])))
+    if an["asp_odd"]:
+        ya = sq(y2)
+        zy = add(zy, _poly_odd_df(y2, ya, an["asp_odd"]))
+        dzy = add(dzy, mul(y, _dpoly_odd_df(y2, ya, an["asp_odd"],
+                                            dv)))
+    return zy, dzy
+
+
+def _sag_toroid_df(x, y, z, an, dv, sq):
+    """z - toroidal_sag (kernels.sag_toroid in df32)."""
+    zy, _ = _ycurve_df(y, an, dv, sq)
+    crp = dv(an["cr"], sub(_ONE, mul(an["cr"], zy)))
+    x2 = sqr(x)
+    w = sq(sub(_ONE, mul(x2, sqr(crp))))
+    return sub(sub(z, zy), dv(mul(crp, x2), add(_ONE, w)))
+
+
+def _normal_toroid_df(x, y, an, dv, sq):
+    """(gx, gy) of the toroid normal (kernels.normal_toroid in df32)."""
+    zy, dzy = _ycurve_df(y, an, dv, sq)
+    crp = dv(an["cr"], sub(_ONE, mul(an["cr"], zy)))
+    w = _max_tiny(sq(sub(_ONE, mul(sqr(x), sqr(crp)))))
+    return neg(dv(mul(x, crp), w)), neg(dv(dzy, w))
+
+
+def _anam_funcs_df(an, dv, sq):
+    if an["mode"] == "toroid":
+        return (lambda x, y, z: _sag_toroid_df(x, y, z, an, dv, sq),
+                lambda x, y: _normal_toroid_df(x, y, an, dv, sq))
+    return (lambda x, y, z: _sag_biconic_df(x, y, z, an, dv, sq),
+            lambda x, y: _normal_biconic_df(x, y, an, dv, sq))
+
+
+def _anam_funcs_f32(an):
+    f = an["f32"]
+    if an["mode"] == "toroid":
+        return (lambda x, y, z: K.sag_toroid(
+                    x, y, z, f["cr"], f["cy"], f["ky"], f["asp"],
+                    f["asp_odd"]),
+                lambda x, y: K.normal_toroid(
+                    x, y, f["cr"], f["cy"], f["ky"], f["asp"],
+                    f["asp_odd"]))
+    return (lambda x, y, z: K.sag_biconic(
+                x, y, z, f["cx"], f["kx"], f["cy"], f["ky"], f["asp"],
+                f["asp_odd"]),
+            lambda x, y: K.normal_biconic(
+                x, y, f["cx"], f["kx"], f["cy"], f["ky"], f["asp"],
+                f["asp_odd"]))
+
+
+def _intercept_cyl_df(w, z, uw, uz, an, dv, sq):
+    """Closed-form conic-cylinder intercept in df32: the quadric
+    c (w^2 + (1+k) z^2) - 2 z = 0 in one transverse coordinate w
+    (the same cancellation-free two-branch root selection as the
+    rotationally-symmetric conic)."""
+    c, k1 = an["c1"], an["k1"]
+    kz = mul(k1, z)
+    uy_ = add(mul(uw, w), mul(uz, kz))
+    uu = add(sqr(uw), mul(k1, sqr(uz)))
+    yy = add(sqr(w), mul(z, kz))
+    d = sub(mul(c, uy_), uz)
+    f = sub(mul(c, yy), scale(z, 2.))
+    e_q = mul(c, uu)
+    disc = sub(sqr(d), mul(e_q, f))
+    g = sq(disc)
+    if an["alternate"]:
+        return dv(neg(sub(d, g)), e_q)
+    stable = d[0] < 0
+    num = where(stable, f, neg(add(d, g)))
+    den = where(stable, sub(g, d), e_q)
+    return dv(num, den)
+
+
+def _normal_cyl_df(w, an, dv, sq):
+    """Single-axis cylinder normal factor: g_w = w * e with
+    e = -c/sqrt(1 - (1+k) c^2 w^2)."""
+    e = neg(dv(an["c1"], sq(sub(_ONE, mul(an["bc"], sqr(w))))))
+    return mul(w, e)
+
+
+def _intercept_anam_df(x, y, z, ux, uy, uz, an, dv, sq):
+    """Anamorphic intercept: closed form for conic cylinders,
+    mixed-precision Newton for general biconics/toroids."""
+    mode = an["mode"]
+    if mode == "cyl_y":
+        return _intercept_cyl_df(y, z, uy, uz, an, dv, sq)
+    if mode == "cyl_x":
+        return _intercept_cyl_df(x, z, ux, uz, an, dv, sq)
+    f = an["f32"]
+    x0, y0, z0 = x[0], y[0], z[0]
+    ux0, uy0, uz0 = ux[0], uy[0], uz[0]
+    s32 = K.intercept_conic(x0, y0, z0, ux0, uy0, uz0,
+                            f["cy"], f["ky"], f["alt"])
+    uz_safe = jnp.where(uz0 == 0, np.float32(1.), uz0)
+    s32 = jnp.where(jnp.isnan(s32), -z0/uz_safe, s32)
+    sag32, grad32 = _anam_funcs_f32(an)
+    for _ in range(ANAM_F32_ITERS):
+        px, py, pz = x0 + s32*ux0, y0 + s32*uy0, z0 + s32*uz0
+        fn = sag32(px, py, pz)
+        gx, gy = grad32(px, py)
+        fp = ux0*gx + uy0*gy + uz0
+        fp = jnp.where(fp == 0, np.float32(1.), fp)
+        s32 = s32 - fn/fp
+    sag_df, grad_df = _anam_funcs_df(an, dv, sq)
+    s = (s32, jnp.zeros_like(s32))
+    for _ in range(an["df_iters"]):
+        px = add(x, mul(s, ux))
+        py = add(y, mul(s, uy))
+        pz = add(z, mul(s, uz))
+        fn = sag_df(px, py, pz)
+        gx, gy = grad_df(px, py)
+        fp = add(add(mul(ux, gx), mul(uy, gy)), uz)
+        ok = fp[0] != 0
+        fp = (jnp.where(ok, fp[0], 1.), jnp.where(ok, fp[1], 0.))
+        s = sub(s, dv(fn, fp))
+    res = sag_df(add(x, mul(s, ux)), add(y, mul(s, uy)),
+                 add(z, mul(s, uz)))
+    good = jnp.abs(res[0]) <= ASPHERIC_TOL*(1 + jnp.abs(s[0]))
+    nanv = (jnp.full_like(s[0], jnp.nan),)*2
+    return where(good, s, nanv)
+
+
+def _normal_anam_df(x, y, an, dv, sq):
+    """(gx, gy) of the anamorphic row's normal."""
+    mode = an["mode"]
+    if mode == "cyl_y":
+        return zero_like(x), _normal_cyl_df(y, an, dv, sq)
+    if mode == "cyl_x":
+        return _normal_cyl_df(x, an, dv, sq), zero_like(y)
+    _, grad_df = _anam_funcs_df(an, dv, sq)
+    return grad_df(x, y)
+
+
+def _refract_grating_df(ux, uy, uz, mu, kind, gdy, nrm, dv, sq):
+    """Diffraction-grating refraction/reflection in df32
+    (kernels.refract_grating with the branch selection static):
+    b = mu u + T q with q = y-hat projected into the tangent plane,
+    then u' = b + Gamma n.  nrm is (gx, gy) of the substrate normal
+    (None = plane, where q = y-hat exactly).  Evanescent orders give
+    NaN through the sqrt of the negative discriminant."""
+    if nrm is None:
+        bx = mul(mu, ux)
+        by = add(mul(mu, uy), gdy)
+        bz = mul(mu, uz)
+        bn = bz
+        disc = sub(sub(_ONE, sqr(bx)), sqr(by))
+        root = sq(disc)
+        if kind == 2:
+            gam = sub(neg(bn), where(bn[0] >= 0, root, neg(root)))
+        else:
+            gam = sub(root, bn)
+        return bx, by, add(bz, gam)
+    gx, gy = nrm
+    nn = add(add(sqr(gx), sqr(gy)), _ONE)
+    inv_nn = dv(_ONE, nn)
+    qx = neg(mul(mul(gy, gx), inv_nn))
+    qy = sub(_ONE, mul(sqr(gy), inv_nn))
+    qz = neg(mul(gy, inv_nn))
+    qinv = dv(_ONE, _max_tiny(sq(add(add(sqr(qx), sqr(qy)),
+                                     sqr(qz)))))
+    bx = add(mul(mu, ux), mul(gdy, mul(qx, qinv)))
+    by = add(mul(mu, uy), mul(gdy, mul(qy, qinv)))
+    bz = add(mul(mu, uz), mul(gdy, mul(qz, qinv)))
+    bn = mul(add(add(mul(bx, gx), mul(by, gy)), bz), inv_nn)
+    bb = add(add(sqr(bx), sqr(by)), sqr(bz))
+    disc = sub(sqr(bn), mul(sub(bb, _ONE), inv_nn))
+    root = sq(disc)
+    if kind == 2:
+        gam = sub(neg(bn), where(bn[0] >= 0, root, neg(root)))
+    else:
+        gam = sub(root, bn)
+    return (add(bx, mul(gam, gx)), add(by, mul(gam, gy)),
+            add(bz, gam))
 
 
 def _apply_signed(R, vx, vy, vz):
@@ -252,13 +529,16 @@ def _apply_rot_df(R, vx, vy, vz):
 
 def _surface_df(state, c, mu, dz, kind, flat, k1=None, asp=None,
                 alternate=False, rotm=None, rot_df=None, dxy=None,
-                radius=None, clip=False, fast=False):
-    """One transfer-intercept-refract step in df32 for an axial
-    surface (flat / spherical / conic / even-aspheric).  `c`, `mu`,
-    `dz`, `k1` (= 1+conic) are df32 constants, `asp` a tuple of df32
-    aspheric constants; kind: 0 passthrough, 1 refract, 2 mirror (see
-    kernels.SurfaceSpec).  Mirrors the math of
-    kernels.intercept/intercept_spec/refract_spec.
+                radius=None, clip=False, fast=False, asp_odd=(),
+                anam=None, grat=None):
+    """One transfer-intercept-refract step in df32.  `c`, `mu`, `dz`,
+    `k1` (= 1+conic) are df32 constants, `asp`/`asp_odd` tuples of
+    df32 figure constants; kind: 0 passthrough, 1 refract, 2 mirror
+    (see kernels.SurfaceSpec).  `anam` carries the constants of an
+    anamorphic row (conic cylinder / biconic / toroid), `grat` a
+    linear grating's baked diffraction term.  Mirrors the math of
+    kernels.intercept/intercept_spec/refract_spec and the extended
+    kernels of ops/kernels.py:101-311.
 
     fast=True swaps the two-round div/sqrt refinements for one-round
     variants (div1/sqrt1): ~1e-12 / ~1e-8 per-op relative accuracy
@@ -280,7 +560,9 @@ def _surface_df(state, c, mu, dz, kind, flat, k1=None, asp=None,
         ux, uy, uz = _apply_rot_df(rot_df, ux, uy, uz)
     conic = k1 is not None
     kk = k1 if conic else const(1.)
-    if flat:
+    if anam is not None:
+        s = _intercept_anam_df(x, y, z, ux, uy, uz, anam, dv, sq)
+    elif flat:
         s = neg(dv(z, uz))
     else:
         # closed-form conic intercept, unit |u|; the two algebraically
@@ -307,20 +589,21 @@ def _surface_df(state, c, mu, dz, kind, flat, k1=None, asp=None,
             num = where(stable, f, neg(add(d, g)))
             den = where(stable, sub(g, d), e_q)
             s = dv(num, den)
-    if asp:
+    if (asp or asp_odd) and anam is None:
         # Newton-polish against the full aspheric sag
         for _ in range(ASPHERIC_ITERS):
             px = add(x, mul(s, ux))
             py = add(y, mul(s, uy))
             pz = add(z, mul(s, uz))
-            fn = _sag_df(px, py, pz, c, kk, asp, dv, sq)
-            en = _normal_radial_df(px, py, c, kk, asp, dv, sq)
+            fn = _sag_df(px, py, pz, c, kk, asp, dv, sq, asp_odd)
+            en = _normal_radial_df(px, py, c, kk, asp, dv, sq,
+                                   asp_odd)
             fp = add(add(mul(ux, mul(px, en)),
                          mul(uy, mul(py, en))), uz)
             s = sub(s, dv(fn, fp))
         # non-converged rays are misses, like kernels.intercept
         res = _sag_df(add(x, mul(s, ux)), add(y, mul(s, uy)),
-                      add(z, mul(s, uz)), c, kk, asp, dv, sq)
+                      add(z, mul(s, uz)), c, kk, asp, dv, sq, asp_odd)
         ok = jnp.abs(res[0]) <= ASPHERIC_TOL*(1 + jnp.abs(s[0]))
         nanv = jnp.full_like(s[0], jnp.nan)
         s = where(ok, s, (nanv, nanv))
@@ -335,14 +618,23 @@ def _surface_df(state, c, mu, dz, kind, flat, k1=None, asp=None,
         ux = where(bad, nanv, ux)
         uy = where(bad, nanv, uy)
         uz = where(bad, nanv, uz)
-    plane = flat and not asp
-    if kind == 0:
+    plane = flat and not asp and not asp_odd and anam is None
+    nx = ny = None
+    if (kind != 0 or grat is not None) and not plane:
+        if anam is not None:
+            nx, ny = _normal_anam_df(x, y, anam, dv, sq)
+        else:
+            # surface normal (nx, ny, 1)*e
+            e = _normal_radial_df(x, y, c, kk, asp, dv, sq, asp_odd)
+            nx, ny = mul(x, e), mul(y, e)
+    if grat is not None:
+        vx, vy, vz = _refract_grating_df(
+            ux, uy, uz, mu, kind, grat,
+            None if plane else (nx, ny), dv, sq)
+    elif kind == 0:
         vx, vy, vz = ux, uy, uz
     else:
         if not plane:
-            # surface normal (nx, ny, 1)*e
-            e = _normal_radial_df(x, y, c, kk, asp, dv, sq)
-            nx, ny = mul(x, e), mul(y, e)
             nn = add(add(sqr(nx), sqr(ny)), _ONE)
             dot = add(add(mul(ux, nx), mul(uy, ny)), uz)
         else:
@@ -386,13 +678,20 @@ def _surface_df(state, c, mu, dz, kind, flat, k1=None, asp=None,
 _ONE = (np.float32(1.), np.float32(0.))
 
 
+def _trim(coeffs):
+    nz = int(np.max(np.nonzero(coeffs)[0]) + 1) if coeffs.any() else 0
+    return coeffs[:nz]
+
+
 def plan(table, clip=False, fast=False):
     """Host-side: per-surface df32 constants + static flags from a
     float64 SurfaceTable.  Covers the full surface vocabulary:
-    flat/spherical/conic/even-aspheric, mirrors, alternate
-    intersections, decenters, and rotations (exact signed-permutation
+    flat/spherical/conic/even+odd-aspheric, mirrors, alternate
+    intersections, decenters, rotations (exact signed-permutation
     folds take the cheap sign-flip path, general tilts a full df32
-    3x3 rotation); `clip` adds the aperture NaN-clip per surface.
+    3x3 rotation), anamorphics (conic cylinders closed-form, general
+    biconics/toroids by mixed-precision Newton), and linear gratings;
+    `clip` adds the aperture NaN-clip per surface.
 
     fast=True bakes one-round div/sqrt refinements into every step
     (div1/sqrt1): lower op count at ~1e-12/~1e-8 per-op accuracy --
@@ -404,23 +703,26 @@ def plan(table, clip=False, fast=False):
     off = np.asarray(table.offset, np.float64)
     rot = np.asarray(table.rot, np.float64)
     asp = np.asarray(table.aspherics, np.float64)
-    asp_odd = np.asarray(getattr(table, "aspherics_odd",
-                                 np.zeros((curv.shape[0], 0))),
+    s_count = curv.shape[0]
+    asp_odd = np.asarray(getattr(table, "aspherics_odd", None)
+                         if getattr(table, "aspherics_odd", None)
+                         is not None else np.zeros((s_count, 0)),
                          np.float64)
-    if asp_odd.size and np.any(asp_odd != 0):
-        raise NotImplementedError(
-            "odd aspherics are not supported by the df32 kernel; "
-            "use the f64 engines (trace_rays_final)")
-    from .tables import is_anamorphic
-    if is_anamorphic(table):
-        raise NotImplementedError(
-            "anamorphic (biconic/cylindrical) surfaces are not "
-            "supported by the df32 kernel; use the f64 engines "
-            "(trace_rays_final with biconic=True)")
+
+    def _opt(name):
+        v = getattr(table, name, None)
+        return (np.zeros(s_count) if v is None
+                else np.asarray(v, np.float64))
+
+    cdx = _opt("curvature_dx")
+    kdx = _opt("conic_dx")
+    tor = _opt("toroidal")
+    gdy = _opt("grating_dy")
     alt = np.asarray(table.alternate, np.float64)
     rad = np.asarray(table.radius, np.float64)
+    df_iters = ANAM_DF_ITERS + (0 if fast else 1)
     steps = []
-    for j in range(1, curv.shape[0]):
+    for j in range(1, s_count):
         rotm = rot_df = None
         if not np.allclose(rot[j], np.eye(3)):
             ri = np.rint(rot[j]).astype(int)
@@ -437,16 +739,58 @@ def plan(table, clip=False, fast=False):
         if off[j, 0] or off[j, 1]:
             dxy = (const(off[j, 0]), const(off[j, 1]))
         kind = 0 if mu[j] == 1. else (2 if mu[j] == -1. else 1)
-        coeffs = asp[j] if asp.shape[1] else np.zeros(0)
-        nz = int(np.max(np.nonzero(coeffs)[0]) + 1) if coeffs.any() \
-            else 0
+        coeffs = _trim(asp[j] if asp.shape[1] else np.zeros(0))
+        codd = _trim(asp_odd[j] if asp_odd.shape[1] else np.zeros(0))
+        figured = coeffs.size or codd.size
+        anam = None
+        if tor[j] != 0 or cdx[j] != 0 or kdx[j] != 0:
+            cy, ky = curv[j], conic[j]
+            if tor[j] != 0:
+                cx, kx = 0., 0.          # placeholders (toroid uses cr)
+                cr = cy + cdx[j]
+                cylinder = cr == 0.       # degenerate: pure y-curve
+                mode = "toroid"
+            else:
+                cx, kx = cy + cdx[j], ky + kdx[j]
+                cr = 0.
+                cylinder = cx == 0. or cy == 0.
+                mode = "biconic"
+            if cylinder and not figured:
+                caxis, kaxis = ((cy, ky) if (tor[j] != 0 or cx == 0.)
+                                else (cx, kx))
+                if caxis == 0.:
+                    anam = None          # both axes flat: plain plane
+                else:
+                    anam = dict(
+                        mode=("cyl_y" if tor[j] != 0 or cx == 0.
+                              else "cyl_x"),
+                        c1=const(caxis), k1=const(1. + kaxis),
+                        bc=const((1. + kaxis)*caxis*caxis),
+                        alternate=bool(alt[j]))
+            else:
+                anam = dict(
+                    mode=mode, df_iters=df_iters,
+                    cx=const(cx), cy=const(cy), cr=const(cr),
+                    bxc=const((1. + kx)*cx*cx),
+                    byc=const((1. + ky)*cy*cy),
+                    asp=tuple(const(a) for a in coeffs),
+                    asp_odd=tuple(const(a) for a in codd),
+                    f32=dict(cx=np.float32(cx), kx=np.float32(kx),
+                             cy=np.float32(cy), ky=np.float32(ky),
+                             cr=np.float32(cr),
+                             alt=np.float32(alt[j]),
+                             asp=np.asarray(coeffs, np.float32),
+                             asp_odd=np.asarray(codd, np.float32)))
         steps.append(dict(
             c=const(curv[j]), mu=const(abs(mu[j])),
-            dz=const(off[j, 2]), kind=kind, flat=curv[j] == 0.,
+            dz=const(off[j, 2]), kind=kind,
+            flat=curv[j] == 0. and anam is None,
             k1=const(1. + conic[j]) if conic[j] else None,
-            asp=tuple(const(a) for a in coeffs[:nz]),
+            asp=tuple(const(a) for a in coeffs),
+            asp_odd=tuple(const(a) for a in codd),
             alternate=bool(alt[j]), rotm=rotm, rot_df=rot_df,
-            dxy=dxy,
+            dxy=dxy, anam=anam,
+            grat=const(gdy[j]) if gdy[j] != 0 else None,
             radius=(np.float32(rad[j])**2 if clip
                     and np.isfinite(rad[j]) else None),
             clip=clip, fast=fast,
@@ -460,7 +804,9 @@ def _run_step(state, st):
                        st.get("alternate", False), st.get("rotm"),
                        st.get("rot_df"), st.get("dxy"),
                        st.get("radius"), st.get("clip", False),
-                       st.get("fast", False))
+                       st.get("fast", False),
+                       st.get("asp_odd", ()), st.get("anam"),
+                       st.get("grat"))
 
 
 def _to_last_frame(steps, state):

@@ -19,6 +19,16 @@ ASPHERIC_TOL = 1e-9
 TINY = 1e-30
 
 
+def _tol_for(x, tol):
+    """Dtype-aware Newton convergence tolerance: the f64 default
+    (1e-9, reference elements.py:345) sits far below f32 evaluation
+    noise, so in reduced precision the floor is a small multiple of
+    the machine epsilon -- otherwise every converged ray would be
+    declared a miss (NaN)."""
+    import numpy as np
+    return max(tol, 64*float(np.finfo(np.dtype(x.dtype)).eps))
+
+
 def _sqrt0(x):
     return jnp.sqrt(jnp.maximum(x, 0))
 
@@ -169,6 +179,7 @@ def intercept_biconic(x, y, z, ux, uy, uz, cx, kx, cy, ky, aspherics,
     px, py, pz = x + s*ux, y + s*uy, z + s*uz
     res = sag_biconic(px, py, pz, cx, kx, cy, ky, aspherics,
                       aspherics_odd)
+    tol = _tol_for(s, tol)
     return jnp.where(jnp.abs(res) <= tol*(1 + jnp.abs(s)), s, jnp.nan)
 
 
@@ -261,6 +272,7 @@ def intercept_toroid(x, y, z, ux, uy, uz, cr, cy, ky, aspherics,
         s = s - fn/fp
     px, py, pz = x + s*ux, y + s*uy, z + s*uz
     res = sag_toroid(px, py, pz, cr, cy, ky, aspherics, aspherics_odd)
+    tol = _tol_for(s, tol)
     return jnp.where(jnp.abs(res) <= tol*(1 + jnp.abs(s)), s, jnp.nan)
 
 
@@ -369,6 +381,7 @@ def intercept(x, y, z, ux, uy, uz, c, k, aspherics, alternate,
             s = s - fn/fp
         px, py, pz = x + s*ux, y + s*uy, z + s*uz
         res = sag(px, py, pz, c, k, aspherics, aspherics_odd)
+        tol = _tol_for(s, tol)
         s = jnp.where(jnp.abs(res) <= tol*(1 + jnp.abs(s)), s, jnp.nan)
         s = jnp.where(jnp.isnan(s0) & (c != 0), jnp.nan, s)
     return s

@@ -47,6 +47,34 @@ _FIELDS = ("curvature", "conic", "aspherics", "aspherics_odd",
            "n_after")
 
 
+def _fields_for(table, specs):
+    """The table fields the kernel must carry: the base set minus
+    zero-width aspheric blocks, plus the extended-vocabulary columns
+    (anamorphic curvature/conic splits, grating term) when any spec
+    row uses them."""
+    fields = [f for f in _FIELDS
+              if f not in ("aspherics", "aspherics_odd")
+              or getattr(table, f).shape[1]]
+    if specs is not None:
+        if any(s.biconic or s.toroidal for s in specs):
+            fields += ["curvature_dx", "conic_dx"]
+        if any(s.grating for s in specs):
+            fields += ["grating_dy"]
+    return tuple(fields)
+
+
+def _resolve_specs(table, specs):
+    """Anamorphic/grating rows need the static per-surface
+    specialization; derive it from the concrete table when the caller
+    did not pass one.  (Inside a caller's jit the table is traced and
+    is_anamorphic is False -- the static specs must then be passed
+    explicitly, as with the other engines' `biconic=` flag.)"""
+    from .tables import is_anamorphic
+    if specs is None and is_anamorphic(table):
+        specs = K.specialize(table)
+    return specs
+
+
 def _trace_kernel(specs, clip, nsurf, fields, *refs):
     param_refs = dict(zip(fields, refs[:len(fields)]))
     comp_refs = refs[len(fields):len(fields) + 6]
@@ -76,29 +104,33 @@ def _trace_kernel(specs, clip, nsurf, fields, *refs):
         r[:] = v
 
 
-@functools.partial(jax.jit, static_argnames=("clip", "specs", "tile",
-                                             "interpret"))
 def pallas_trace_final(table, state, clip=False, specs=None,
                        tile=DEFAULT_TILE, interpret=False):
     """Pallas version of trace_components_final: state is the 6-tuple
-    of (N,) ray components; returns ((x, y, z, ux, uy, uz), t)."""
+    of (N,) ray components; returns ((x, y, z, ux, uy, uz), t).
+
+    Covers the full surface vocabulary: anamorphic (biconic/cylinder/
+    toroid), grating, and odd-aspheric rows dispatch through the
+    static SurfaceSpec flags (auto-derived from a concrete table)."""
+    return _pallas_trace_final(table, state, clip=clip,
+                               specs=_resolve_specs(table, specs),
+                               tile=tile, interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("clip", "specs", "tile",
+                                             "interpret"))
+def _pallas_trace_final(table, state, clip=False, specs=None,
+                        tile=DEFAULT_TILE, interpret=False):
     n = state[0].shape[0]
     nsurf = table.curvature.shape[0]
     assert n % tile == 0 and tile % 128 == 0, (n, tile)
-    from .tables import is_anamorphic
-    if is_anamorphic(table):
-        raise NotImplementedError(
-            "anamorphic (biconic/cylindrical) surfaces are not "
-            "supported by the Pallas kernel; use trace_rays_final")
     # Mosaic wants >= 2-D blocks: view components as (N/128, 128)
     rows = tile // 128
     grid = (n // tile,)
     dtype = state[0].dtype
     state2 = tuple(c.reshape(n // 128, 128) for c in state)
 
-    fields = tuple(f for f in _FIELDS
-                   if f not in ("aspherics", "aspherics_odd")
-                   or getattr(table, f).shape[1])
+    fields = _fields_for(table, specs)
     param_specs = [
         pl.BlockSpec(a.shape, lambda i, nd=a.ndim: (0,)*nd)
         for a in (getattr(table, f) for f in fields)]
@@ -170,8 +202,6 @@ def _merit_kernel(specs, clip, nsurf, fields, *refs):
     out_ref[:, :] = row
 
 
-@functools.partial(jax.jit, static_argnames=("clip", "specs", "tile",
-                                             "interpret"))
 def pallas_trace_merit(table, state, clip=False, specs=None,
                        tile=DEFAULT_TILE, interpret=False):
     """Fused trace + spot-moment reduction: each ray tile is traced
@@ -187,6 +217,15 @@ def pallas_trace_merit(table, state, clip=False, specs=None,
     Returns (count, sum_x, sum_y, sum_xx, sum_yy) totals over the
     bundle; spot_rms_from_moments turns them into the RMS.  Forward
     (monitoring/merit) use only -- not differentiable."""
+    return _pallas_trace_merit(table, state, clip=clip,
+                               specs=_resolve_specs(table, specs),
+                               tile=tile, interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("clip", "specs", "tile",
+                                             "interpret"))
+def _pallas_trace_merit(table, state, clip=False, specs=None,
+                        tile=DEFAULT_TILE, interpret=False):
     n = state[0].shape[0]
     nsurf = table.curvature.shape[0]
     assert n % tile == 0 and tile % 128 == 0, (n, tile)
@@ -195,9 +234,7 @@ def pallas_trace_merit(table, state, clip=False, specs=None,
     dtype = state[0].dtype
     state2 = tuple(c.reshape(n // 128, 128) for c in state)
 
-    fields = tuple(f for f in _FIELDS
-                   if f not in ("aspherics", "aspherics_odd")
-                   or getattr(table, f).shape[1])
+    fields = _fields_for(table, specs)
     param_specs = [
         pl.BlockSpec(a.shape, lambda i, nd=a.ndim: (0,)*nd)
         for a in (getattr(table, f) for f in fields)]

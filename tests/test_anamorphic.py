@@ -162,17 +162,79 @@ def test_biconic_yaml_round_trip():
     nptest.assert_allclose(g2.y[-1], g1.y[-1], rtol=1e-12)
 
 
-def test_symmetric_only_engines_reject():
+def _df32_parity(tab, rim=3., slope=.02, n=256, atol=1e-10):
+    """Eager df32 trace matches the f64 anamorphic engine (the
+    parity-grade pin of the extended vocabulary)."""
+    from rayopt_tpu.ops import df32
+    from rayopt_tpu.ops.geometric import trace_rays_final
+    rng = np.random.default_rng(7)
+    y = np.zeros((n, 3))
+    y[:, :2] = rng.uniform(-1, 1, (n, 2))*rim
+    u = np.zeros((n, 3))
+    u[:, :2] = rng.uniform(-1, 1, (n, 2))*slope
+    u[:, 2] = np.sqrt(1 - (u[:, :2]**2).sum(1))
+    yf = np.asarray(trace_rays_final(tab, y, u,
+                                     biconic=is_anamorphic(tab))[0])
+    for fast in (False, True):
+        steps = df32.plan(tab, fast=fast)
+        out = df32.trace_df32_final(steps, df32.state_from_f64(y, u))
+        xd, yd = df32.to_f64(out[0]), df32.to_f64(out[1])
+        good = np.isfinite(yf[:, 0])
+        assert good.sum() > n//2
+        nptest.assert_allclose(np.isnan(xd), ~good)
+        nptest.assert_allclose(xd[good], yf[good, 0], atol=atol)
+        nptest.assert_allclose(yd[good], yf[good, 1], atol=atol)
+
+
+def test_df32_supports_cylinders_poly_still_rejects():
+    """The df32 parity engine covers anamorphic rows (closed-form
+    conic cylinders); the polynomial trace still rejects them."""
     s = _cyl_system()
     tab = s.table()
-    from rayopt_tpu.ops import df32
-    with pytest.raises(NotImplementedError):
-        df32.plan(tab)
+    _df32_parity(tab)
     from rayopt_tpu.ops.poly_jax import poly_trace_table
     with pytest.raises(NotImplementedError):
         poly_trace_table(tab, None, 3, 10.)
     with pytest.raises(NotImplementedError):
         ro.PolyTrace(s, 3)
+
+
+def test_df32_supports_general_biconic():
+    """Non-cylinder biconic rows (both axes curved, split conics) run
+    the mixed-precision Newton path at full parity."""
+    s = _cyl_system(cx=.013)
+    for j in (1, 3):
+        if hasattr(s[j], "conic_x"):
+            s[j].conic = -.4
+            s[j].conic_x = .25
+    s.update()
+    _df32_parity(s.table())
+
+
+def test_pallas_f32_supports_anamorphic():
+    """The Pallas f32 fast path dispatches anamorphic rows through
+    the static specs instead of rejecting (interpret mode: f32-level
+    agreement with the f64 engine)."""
+    from rayopt_tpu.ops.pallas_trace import pallas_trace_final
+    from rayopt_tpu.ops.geometric import trace_rays_final
+    s = _cyl_system(cx=.013)
+    tab = s.table()
+    n = 256
+    rng = np.random.default_rng(11)
+    y = np.zeros((n, 3))
+    y[:, :2] = rng.uniform(-1, 1, (n, 2))*3.
+    u = np.zeros((n, 3))
+    u[:, 2] = 1.
+    yf = np.asarray(trace_rays_final(tab, y, u, biconic=True)[0])
+    state = tuple(np.asarray(v) for v in
+                  (y[:, 0], y[:, 1], y[:, 2],
+                   u[:, 0], u[:, 1], u[:, 2]))
+    out, t = pallas_trace_final(tab, state, tile=128,
+                                interpret=True)
+    nptest.assert_allclose(np.asarray(out[0]), yf[:, 0],
+                           rtol=0, atol=1e-8)
+    nptest.assert_allclose(np.asarray(out[1]), yf[:, 1],
+                           rtol=0, atol=1e-8)
 
 
 def test_element_oracle_methods():
@@ -404,12 +466,10 @@ def test_toroid_yaml_round_trip_and_edit():
                            _toroid_system()[1].curvature/2.)
 
 
-def test_toroid_rejected_by_symmetric_engines():
+def test_toroid_df32_parity_poly_rejects():
     s = _toroid_system()
     tab = s.table()
-    from rayopt_tpu.ops import df32
-    with pytest.raises(NotImplementedError):
-        df32.plan(tab)
+    _df32_parity(tab)
     with pytest.raises(NotImplementedError):
         ro.PolyTrace(s, 3)
 

@@ -142,9 +142,23 @@ def test_grating_engine_parity_and_rejections():
     for va, vb in zip(a, b):
         nptest.assert_allclose(np.asarray(vb), np.asarray(va),
                                rtol=1e-10, atol=1e-10)
+    # df32 parity-grade engine covers grating rows (concave mirror
+    # grating: conic substrate normal + grating solve in df32)
     from rayopt_tpu.ops import df32
-    with pytest.raises(NotImplementedError):
-        df32.plan(tab)
+    from rayopt_tpu.ops.geometric import trace_rays_final
+    n = 256
+    y = np.zeros((n, 3))
+    y[:, :2] = np.random.default_rng(3).uniform(-1, 1, (n, 2))*3.
+    u = np.tile([0., 0., 1.], (n, 1))
+    yf = np.asarray(trace_rays_final(tab, y, u, biconic=True)[0])
+    steps = df32.plan(tab)
+    out = df32.trace_df32_final(steps, df32.state_from_f64(y, u))
+    good = np.isfinite(yf[:, 0])
+    assert good.sum() > n//2
+    nptest.assert_allclose(df32.to_f64(out[0])[good], yf[good, 0],
+                           atol=1e-9)
+    nptest.assert_allclose(df32.to_f64(out[1])[good], yf[good, 1],
+                           atol=1e-9)
     # a refractive grating system with a real ghost pair refuses to
     # unfold the grating row
     sg = ro.System([
@@ -221,3 +235,86 @@ def test_poly_trace_rejects_gratings():
     from rayopt_tpu.ops.poly_jax import poly_trace_table
     with pytest.raises(NotImplementedError):
         poly_trace_table(s.table(), None, 3, 10.)
+
+def test_blaze_efficiency_scalar_model():
+    """The scalar blaze model: unit efficiency at the blaze order,
+    exact energy conservation over all orders, and the Littrow blaze
+    wavelength lambda_B = 2 d sin(theta_B)/m at normal playback."""
+    from rayopt_tpu.gratings import blaze_efficiency, blaze_order
+    freq, blaze = 600., 8.6  # lines/mm, degrees
+    d = 1./freq              # mm
+    m = 1
+    # Littrow playback (incidence = blaze angle):
+    # m lambda_B = 2 d sin(theta_B)
+    lam_b = 2*d*np.sin(np.deg2rad(blaze))/m*1e-3  # -> meters
+    # peak of order 1 sits at the blaze wavelength with eta = 1
+    nptest.assert_allclose(
+        blaze_order(lam_b, freq, blaze, incidence_deg=blaze), 1.,
+        rtol=1e-12)
+    nptest.assert_allclose(
+        blaze_efficiency(1, lam_b, freq, blaze, incidence_deg=blaze),
+        1., rtol=1e-12)
+    # scan wavelengths: argmax of eta_1 is at lam_b
+    lams = np.linspace(.7, 1.3, 601)*lam_b
+    eta1 = blaze_efficiency(1, lams, freq, blaze,
+                            incidence_deg=blaze)
+    assert abs(lams[np.argmax(eta1)] - lam_b) < .002*lam_b
+    # energy conservation: sum_m sinc^2(m - x) == 1 over all integer
+    # orders (the truncated tail decays as 2/(pi^2 K))
+    orders = np.arange(-4000, 4001)
+    tot = blaze_efficiency(orders[:, None], lams[None, :], freq,
+                           blaze, incidence_deg=blaze).sum(0)
+    nptest.assert_allclose(tot, 1., rtol=1e-4)
+    # zero order is strongly suppressed at blaze
+    assert blaze_efficiency(0, lam_b, freq, blaze,
+                            incidence_deg=blaze) < 1e-25
+    # off-blaze: order 1 loses to the shoulders, eta still <= 1
+    assert np.all(eta1 <= 1.)
+    assert eta1[0] < .9
+
+
+def test_grating_element_efficiency_and_yaml():
+    """Grating.blaze_deg drives the element's efficiency and survives
+    serialization; unblazed gratings report unit efficiency."""
+    import rayopt_tpu.formats as formats
+    from rayopt_tpu.elements import Grating
+    s = _grating_system()
+    g = next(e for e in s if isinstance(e, Grating))
+    nptest.assert_allclose(g.efficiency(500e-9), 1.)
+    g.blaze_deg = 9.
+    e1 = g.efficiency(np.sin(np.deg2rad(18.))/600.*1e-3)
+    nptest.assert_allclose(e1, 1., rtol=1e-12)
+    s2 = formats.system_from_yaml(formats.system_to_yaml(s))
+    g2 = next(e for e in s2 if isinstance(e, Grating))
+    nptest.assert_allclose(g2.blaze_deg, 9.)
+
+
+def test_simulate_image_orders_weights():
+    """The per-order spectrograph image: a blazed grating weights the
+    orders by the scalar efficiency (order 1 dominant at blaze), and
+    the total flux matches the sum of the per-order simulations."""
+    from rayopt_tpu.models import spectrograph
+    from rayopt_tpu.imaging import simulate_image_orders, simulate_image
+    from rayopt_tpu.gratings import order_weights
+    from rayopt_tpu.elements import Grating
+    s = spectrograph()
+    g = next(e for e in s if isinstance(e, Grating))
+    # blaze for order 1 at 550 nm at normal incidence:
+    # lambda_B = d sin(2 theta_B)
+    g.blaze_deg = float(np.rad2deg(np.arcsin(550e-9*600./1e-3))/2)
+    lam = (550e-9,)
+    eta = order_weights(g, lam, (0, 1, 2), scale=s.scale)
+    assert eta[1, 0] > .99 and eta[0, 0] < 1e-6
+    H = W = 48
+    scene = np.zeros((H, W))
+    scene[H//2, W//2] = 1.
+    img = simulate_image_orders(s, scene, 20., orders=(0, 1, 2),
+                                wavelengths=lam, npatches=1,
+                                nrays=200, psf_size=32)
+    assert img.shape == (H, W)
+    # the blazed order-1 image alone reproduces it (others cut off)
+    img1 = simulate_image(s, scene, 20., wavelength=lam[0],
+                          npatches=1, nrays=200, psf_size=32)
+    nptest.assert_allclose(img, eta[1, 0]*img1, rtol=1e-6, atol=1e-9)
+    # the element's traced order is restored
+    assert g.grating_order == 1

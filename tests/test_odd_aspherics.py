@@ -155,11 +155,29 @@ def test_fast_trace_falls_back_with_odd():
     nptest.assert_allclose(np.asarray(tf), np.asarray(tr), atol=1e-12)
 
 
-def test_df32_plan_rejects_odd():
+def test_df32_supports_odd():
+    """Odd-aspheric figures run in the df32 parity engine (Newton
+    polish against the full sag, vertex cusp floored)."""
     from rayopt_tpu.ops import df32
-    tab = _odd_singlet().table()
-    with pytest.raises(NotImplementedError):
-        df32.plan(tab)
+    from rayopt_tpu.ops.geometric import trace_rays_final
+    s = _odd_singlet()
+    s.update()
+    tab = s.table()
+    n = 256
+    rng = np.random.default_rng(9)
+    y = np.zeros((n, 3))
+    y[:, :2] = rng.uniform(-1, 1, (n, 2))*3.
+    u = np.tile([0., 0., 1.], (n, 1))
+    yf = np.asarray(trace_rays_final(tab, y, u)[0])
+    for fast in (False, True):
+        steps = df32.plan(tab, fast=fast)
+        out = df32.trace_df32_final(steps, df32.state_from_f64(y, u))
+        good = np.isfinite(yf[:, 0])
+        assert good.sum() > n//2
+        nptest.assert_allclose(df32.to_f64(out[0])[good], yf[good, 0],
+                               atol=1e-10)
+        nptest.assert_allclose(df32.to_f64(out[1])[good], yf[good, 1],
+                               atol=1e-10)
 
 
 def test_poly_rejects_odd():
