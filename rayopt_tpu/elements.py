@@ -500,17 +500,22 @@ class Spheroid(Interface):
         mu = n0/n
         inc = c*y + u0/n0                     # paraxial incidence
         lag = u[0]*y[1] - u[1]*y[0]           # Lagrange invariant
-        seidel = y*(n0*(1 - mu)/(2*lag))*(inc + u/n)
-        figure = 4*quartic*n*(1 - mu)/lag
-        marg, chief = y
-        spherical = seidel[0]*inc[0]**2 + figure*marg**4
-        coma = seidel[0]*inc[0]*inc[1] + figure*marg**3*chief
-        astig = seidel[0]*inc[1]**2 + figure*(marg*chief)**2
-        petzval = (1 - mu)*c*lag/(2*n0)
-        distortion = (seidel[1]*inc[0]*inc[1]
-                      + (u[1]**2/n**2 - u0[1]**2/n0**2)/2
-                      + figure*marg*chief**3)
-        axial_chr, lateral_chr = -y[0]*inc/lag*(v0 - mu*v)
+        # a degenerate paraxial ray pair (lag == 0: no field or no
+        # aperture) has undefined Seidel shares -- produce the NaNs
+        # deliberately (the framework's vignetting convention) instead
+        # of letting the divides warn on the host
+        with np.errstate(divide="ignore", invalid="ignore"):
+            seidel = y*(n0*(1 - mu)/(2*lag))*(inc + u/n)
+            figure = 4*quartic*n*(1 - mu)/lag
+            marg, chief = y
+            spherical = seidel[0]*inc[0]**2 + figure*marg**4
+            coma = seidel[0]*inc[0]*inc[1] + figure*marg**3*chief
+            astig = seidel[0]*inc[1]**2 + figure*(marg*chief)**2
+            petzval = (1 - mu)*c*lag/(2*n0)
+            distortion = (seidel[1]*inc[0]*inc[1]
+                          + (u[1]**2/n**2 - u0[1]**2/n0**2)/2
+                          + figure*marg*chief**3)
+            axial_chr, lateral_chr = -y[0]*inc/lag*(v0 - mu*v)
         return (spherical, coma, astig, petzval, distortion,
                 axial_chr, lateral_chr)
 

@@ -186,8 +186,25 @@ class System(AimingMixin, list):
     _CHECKS = {
         "minimum": (lambda v, lim: v >= lim, "<"),
         "maximum": (lambda v, lim: v <= lim, ">"),
-        "equality": (lambda v, lim: v == lim, "!="),
+        "equality": (None, "!="),  # tolerance-aware: _almost_equal
     }
+    _EQ_RTOL = 1e-9
+    _EQ_ATOL = 1e-12
+
+    @classmethod
+    def _almost_equal(cls, value, lim, tol=None):
+        """Equality within tolerance: solves converge to a root
+        tolerance, not exactly, so the reference's float `==`
+        (reference system.py:213-247) misfires on any solved system.
+        A spec may carry its own absolute `tolerance`; non-numeric
+        values fall back to exact comparison."""
+        try:
+            if tol is not None:
+                return abs(value - lim) <= tol
+            return abs(value - lim) <= (cls._EQ_ATOL
+                                        + cls._EQ_RTOL*abs(lim))
+        except TypeError:
+            return value == lim
 
     def validate(self, fix=False):
         for spec in self.validators:
@@ -199,7 +216,11 @@ class System(AimingMixin, list):
                 if key not in spec:
                     continue
                 lim = spec[key]
-                if ok(value, lim):
+                if key == "equality":
+                    if self._almost_equal(value, lim,
+                                          spec.get("tolerance")):
+                        continue
+                elif ok(value, lim):
                     continue
                 if fix and "get" in spec:
                     self.set_path(spec["get"], lim)

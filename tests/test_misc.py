@@ -301,3 +301,49 @@ def test_layout_3d():
     a = Analysis(cooke_triplet(), print=False, plot_3d=True, defocus=3)
     assert len(a.figures) == 6
     plt.close("all")
+
+def test_validate_equality_tolerant():
+    """Equality validators pass within solver tolerance (the
+    reference's float == misfires after any solve that converges to
+    tolerance, reference system.py:213-247); a spec-level `tolerance`
+    widens it; genuine mismatches still raise."""
+    from rayopt_tpu.formats import system_from_yaml
+    s = system_from_yaml("""
+description: solved doublet with an equality validator
+object:
+  type: finite
+  radius: 1.0
+  pupil: {type: slope, slope: .001, distance: 100.,
+          update_distance: False}
+elements:
+- {material: vacuum}
+- {material: 1.51872, distance: 99.9, curvature: 1.611356421}
+- {material: 1.66238, distance: .1, curvature: -2.455396159}
+- {material: vacuum, distance: 0.0661308, curvature: -0.786448792}
+- {distance: 0.93402287}
+solves:
+- set: [3, curvature]
+  get_eval: "self.paraxial.update() or float(self.paraxial.focal_length[1])"
+  target: 1.05
+  init: -0.786
+validators:
+- {get_eval: "float(self.paraxial.focal_length[1])", equality: 1.05}
+""")
+    s.update()  # the solve lands within its root tolerance
+    s.validate()  # tolerant equality accepts it
+    # the check is genuinely tolerant: a value off by < rtol passes
+    from rayopt_tpu.system import System
+    assert System._almost_equal(1.05*(1 + 1e-10), 1.05)
+    assert not System._almost_equal(1.05*(1 + 1e-6), 1.05)
+    # a genuinely wrong equality still raises
+    s.validators.append({"get_eval":
+                         "float(self.paraxial.focal_length[1])",
+                         "equality": 2.0})
+    with pytest.raises(ValueError):
+        s.validate()
+    s.validators.pop()
+    # spec-level tolerance is honored
+    s.validators.append({"get_eval":
+                         "float(self.paraxial.focal_length[1])",
+                         "equality": 1.06, "tolerance": .05})
+    s.validate()
