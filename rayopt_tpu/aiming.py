@@ -171,6 +171,27 @@ class AimingMixin:
         else:
             z = self.object.pupil.distance
             half = np.full((2, 2), float(self.object.pupil.radius))
+            if (not np.allclose(field, 0)
+                    and not self.object.finite
+                    and getattr(self.object, "wideangle", False)):
+                # the wideangle branch the reference left dead
+                # ("FIXME: wideangle!", reference system.py:559-562):
+                # at steep field angles the paraxial pupil distance is
+                # a poor chief seed and the real pupil walks toward
+                # the front element.  Start from the (overridable)
+                # entrance pupil distance and CONTINUE outward in
+                # field -- each partial-field solve seeds the next, so
+                # a cold full-field solve behaves like the warm
+                # PolarCacheND path instead of probing blindly.
+                ze = getattr(self.object, "entrance_distance", None)
+                if ze is not None:
+                    z = ze
+                state = np.r_[z, half.flat]
+                for frac in (1./3., 2./3.):
+                    state = self._aim_pupil(frac*xo, frac*yo, state,
+                                            **kwargs)
+                z = state[0]
+                half = state[1:].reshape(2, 2).copy()
         if not np.allclose(field, 0):
             z1 = self.aim_chief(field, z, np.abs(half).max(), **kwargs)
             if self.object.finite:

@@ -186,11 +186,18 @@ class InfiniteConjugate(Conjugate):
     _type = "infinite"
     finite = False
 
-    def __init__(self, angle=0., angle_deg=None, **kwargs):
+    def __init__(self, angle=0., angle_deg=None,
+                 entrance_distance=None, **kwargs):
         super().__init__(**kwargs)
         if angle_deg is not None:
             angle = np.deg2rad(angle_deg)
         self.angle = angle
+        # axial distance from the first surface vertex to the
+        # entrance pupil: the chief-aim seed of the reference's dead
+        # wideangle branch (reference system.py:559-562 and the
+        # attribute list comment at reference conjugates.py:35).
+        # Defaults to the paraxial pupil distance.
+        self.entrance_distance = entrance_distance
 
     @property
     def point(self):
@@ -241,6 +248,8 @@ class InfiniteConjugate(Conjugate):
         dat = super().dict()
         if self.angle:
             dat["angle"] = float(self.angle)
+        if self.entrance_distance is not None:
+            dat["entrance_distance"] = float(self.entrance_distance)
         return dat
 
     def text(self):

@@ -137,6 +137,31 @@ solves:
 """
 
 
+# simple equidistant-projection fisheye (140 deg full field):
+# inverse-telephoto layout (strong negative front meniscus + positive
+# groups around the stop).  Exercises the wideangle aiming path the
+# reference left dead (reference system.py:559-562 "FIXME:
+# wideangle!"): cold steep-field pupil solves walk out in field via
+# the continuation ladder in aiming._aim_pupil
+FISHEYE_YAML = """
+description: simple equidistant fisheye 140deg
+object: {type: infinite, angle_deg: 70, projection: equidistant,
+         pupil: {radius: 1.5, aim: True}}
+image: {type: finite, pupil: {radius: 0, update_radius: True}}
+elements:
+- {material: air}
+- {roc: 35., distance: 5., material: SCHOTT-BK|N-BK7, radius: 22.}
+- {roc: 12., distance: 6., material: air, radius: 12.}
+- {roc: 40., distance: 10., material: SCHOTT-BK|N-BK7, radius: 8.}
+- {roc: -40., distance: 4., material: air, radius: 8.}
+- {material: air, radius: 3.}
+- {roc: 25., distance: 3., material: SCHOTT-BK|N-BK7, radius: 7.}
+- {roc: -25., distance: 5., material: air, radius: 7.}
+- {distance: 20., radius: 15.}
+stop: 5
+"""
+
+
 # crossed-cylinder anamorphic beam shaper (laser-diode style): a
 # y-cylinder front lens and an x-cylinder rear lens with different
 # powers -- the cylindrical-anamorphic benchmark config (the df32
@@ -215,6 +240,10 @@ def anamorphic_pair(update=True):
     return _build(ANAMORPHIC_YAML, update)
 
 
+def fisheye(update=True):
+    return _build(FISHEYE_YAML, update)
+
+
 PRESCRIPTIONS = {
     "doublet": doublet,
     "cooke": cooke_triplet,
@@ -225,4 +254,5 @@ PRESCRIPTIONS = {
     "beam_expander": beam_expander,
     "spectrograph": spectrograph,
     "anamorphic_pair": anamorphic_pair,
+    "fisheye": fisheye,
 }
