@@ -130,7 +130,18 @@ class AimingMixin:
                                        table=table)[0]
             return field @ heights[-1, 0, :2] / rad
 
-        return z + p*newton_nan_escape(height_at_stop, **kwargs)
+        root = newton_nan_escape(height_at_stop, **kwargs)
+        # residual certificate: scipy's newton step criterion can
+        # accept a spurious stall (tiny step on a flat merit); check
+        # the actual stop-height residual like the batched device
+        # solvers do (ops/aiming.py)
+        resid = height_at_stop(root)
+        tol = kwargs.get("tol", 1e-3)
+        if not abs(resid) <= 10*tol:
+            warnings.warn(
+                "chief-ray aim residual %.3g exceeds tolerance %.3g "
+                "at field %s" % (resid, tol, yo))
+        return z + p*root
 
     def aim_marginal(self, yo, yp, z, p, l=None, stop=None, **kwargs):
         """Marginal-ray scale: bracketed root of the edge clearance at

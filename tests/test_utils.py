@@ -113,3 +113,35 @@ def test_normalize():
     u = np.random.RandomState(1).randn(5, 3)
     normalize(u)
     nptest.assert_allclose(np.linalg.norm(u, axis=-1), 1, atol=1e-13)
+
+
+def test_euler_all_24_conventions_roundtrip():
+    """euler_matrix/euler_from_matrix cover all 24 classic axes
+    conventions (Tait-Bryan and proper-Euler, static and rotating
+    frames; the reference vendors the full Gohlke library for this,
+    reference transformations.py:1047-1110).  Round-trip through the
+    matrix must reproduce it, including the gimbal-locked poses."""
+    import itertools
+    from rayopt_tpu.utils.geometry import euler_matrix, euler_from_matrix
+    rng = np.random.RandomState(3)
+    axes_list = ["%s%s%s%s" % (f, a, b, c) for f in "rs"
+                 for a, b, c in itertools.product("xyz", repeat=3)
+                 if a != b and b != c]
+    assert len(axes_list) == 24
+    degenerate = [0., np.pi/2, -np.pi/2, np.pi]
+    for axes in axes_list:
+        for t in range(40):
+            ang = rng.uniform(-np.pi, np.pi, 3)
+            if t % 4 == 0:
+                ang[1] = degenerate[t % len(degenerate)]
+            m = euler_matrix(*ang, axes=axes)
+            nptest.assert_allclose(m @ m.T, np.eye(3), atol=1e-12)
+            back = euler_from_matrix(m, axes)
+            nptest.assert_allclose(euler_matrix(*back, axes=axes), m,
+                                   atol=1e-9)
+    # the two conventions consumed by the element model keep their
+    # legacy closed forms
+    a = euler_from_matrix(euler_matrix(.3, -.7, 1.2, "rxyz"), "rxyz")
+    nptest.assert_allclose(a, (.3, -.7, 1.2), atol=1e-12)
+    with pytest.raises(ValueError):
+        euler_matrix(1., 2., 3., axes="sxxz")
