@@ -1,0 +1,97 @@
+"""Tour of the round-3 physics: blazed-grating efficiency and the
+per-order spectrograph image, parity-grade df32 on the extended
+surface vocabulary, wideangle (fisheye) aiming, and the multi-process
+DCN tolerancing farm.
+
+Run: PYTHONPATH=. python examples/spectrograph_and_wideangle.py
+"""
+
+import warnings
+
+import jax
+jax.config.update("jax_platforms", "cpu")  # demo runs host-side
+
+import numpy as np
+
+import rayopt_tpu as ro
+from rayopt_tpu.models import spectrograph, anamorphic_pair, fisheye
+
+
+def blazed_spectrograph():
+    s = spectrograph()
+    g = next(e for e in s if getattr(e, "grating_frequency", 0.))
+    # blaze the 600 lp/mm grating for order 1 at 550 nm (normal
+    # incidence: lambda_B = d sin(2 theta_B))
+    g.blaze_deg = float(np.rad2deg(np.arcsin(550e-9*600/1e-3))/2)
+    lams = np.linspace(420e-9, 680e-9, 9)
+    print("scalar blaze efficiency eta_m(lambda), orders 0..2:")
+    for m in (0, 1, 2):
+        eta = ro.blaze_efficiency(m, lams, g.grating_frequency,
+                                  g.blaze_deg)
+        print("  m=%d:" % m,
+              " ".join("%.3f" % e for e in np.atleast_1d(eta)))
+
+    # efficiency-weighted multi-order image of a point scene
+    scene = np.zeros((48, 48))
+    scene[24, 24] = 1.
+    img = ro.simulate_image_orders(s, scene, 20., orders=(0, 1, 2),
+                                   wavelengths=(550e-9,), npatches=1,
+                                   nrays=200, psf_size=32)
+    print("per-order image flux (blaze-weighted): %.4f" % img.sum())
+
+
+def df32_extended_vocabulary():
+    from rayopt_tpu.ops import df32
+    from rayopt_tpu.ops.geometric import trace_rays_final
+    from rayopt_tpu.ops.tables import is_anamorphic
+    for name, s in (("anamorphic_pair", anamorphic_pair()),
+                    ("spectrograph", spectrograph())):
+        tab = s.table()
+        n = 512
+        rng = np.random.RandomState(0)
+        y = np.zeros((n, 3))
+        y[:, :2] = rng.uniform(-1, 1, (n, 2))*3.
+        u = np.zeros((n, 3))
+        u[:, 2] = 1.
+        yf = np.asarray(trace_rays_final(
+            tab, y, u, biconic=is_anamorphic(tab))[0])
+        out = df32.trace_df32_final(df32.plan(tab),
+                                    df32.state_from_f64(y, u))
+        err = np.nanmax(np.abs(df32.to_f64(out[0]) - yf[:, 0]))
+        print("df32 parity on %-16s %.2e (f32-pair arithmetic vs "
+              "f64)" % (name + ":", err))
+
+
+def wideangle_aiming():
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        s = fisheye()
+        print("fisheye equidistant mapping (cold full-field solves):")
+        for h in (0.25, 0.5, 0.75, 1.):
+            z, a = s.pupil((0, h))
+            y0, u0 = s.aim((0, h), (0., 0.), z, a, filter=False)
+            ys = s.trace_table(y0, u0, s.wavelengths[0])[0]
+            print("  theta=%5.1f deg -> chief image height %7.3f mm, "
+                  "pupil z %6.2f" % (np.rad2deg(h*s.object.angle),
+                                     ys[-1, 0, 1], z))
+
+
+def dcn_farm():
+    import json
+    import os
+    import subprocess
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "dcn_farm.py"),
+         "--nprocs", "2", "--samples", "64"],
+        capture_output=True, text=True, timeout=600, cwd=repo)
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    print("2-process DCN tolerancing farm:", stats)
+
+
+if __name__ == "__main__":
+    blazed_spectrograph()
+    df32_extended_vocabulary()
+    wideangle_aiming()
+    dcn_farm()
