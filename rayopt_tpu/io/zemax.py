@@ -103,11 +103,11 @@ def zmf_read(file, session):
 # -- .zmx prescriptions -----------------------------------------------
 
 _ZMX_IGNORED = set("""
-GCAT OPDX RAIM CONF ENPD PUPD EFFL VERS MODE NOTE HIDE MIRR SQAP
+GCAT OPDX RAIM CONF PUPD EFFL VERS MODE NOTE HIDE MIRR SQAP
 XDAT YDAT OBNA PKUP MAZH CLAP PPAR VPAR EDGE VCON UDAD USAP TOLE PFIL
-TCED FNUM TOL MNUM MOFF FTYP SDMA GFAC PUSH PICB ROPD PWAV POLS GLRS
-BLNK COFN NSCD GSTD DMFS ISNA VDSZ ENVD ZVDX ZVDY ZVCX ZVCY ZVAN XFLN
-YFLN VDXN VDYN VCXN VCYN VANN FWGT FWGN WWGT WWGN WAVN WAVM XFLD YFLD
+TCED FNUM TOL MNUM MOFF SDMA GFAC PUSH PICB ROPD PWAV POLS GLRS
+BLNK COFN NSCD GSTD DMFS ISNA VDSZ ENVD ZVDX ZVDY ZVCX ZVCY ZVAN
+VDXN VDYN VCXN VCYN VANN FWGT FWGN WWGT WWGN WAVN WAVM XFLD YFLD
 MNCA MNEA MNCG MNEG MXCA MXCG RGLA TRAC FLAP TCMM FLOA PMAG TOTR SLAB
 POPS COMM PZUP LANG FIMP
 """.split())
@@ -185,6 +185,26 @@ def _zmx_type(ctx, args):
 @_zmx_on("CURV")
 def _zmx_curv(ctx, args):
     ctx.surface.curvature = float(args.split()[0])
+
+
+@_zmx_on("ENPD")
+def _zmx_enpd(ctx, args):
+    ctx.enpd = float(args.split()[0])
+
+
+@_zmx_on("FTYP")
+def _zmx_ftyp(ctx, args):
+    ctx.ftyp = [int(float(t)) for t in args.split()[:4]]
+
+
+@_zmx_on("XFLN")
+def _zmx_xfln(ctx, args):
+    ctx.xfln = [float(t) for t in args.split()]
+
+
+@_zmx_on("YFLN")
+def _zmx_yfln(ctx, args):
+    ctx.yfln = [float(t) for t in args.split()]
 
 
 @_zmx_on("DISZ")
@@ -306,6 +326,11 @@ class _ZmxContext:
         self.system.append(Spheroid(material=air))
         self.next_pos = 0.
         self.surf_type = "STANDARD"
+        #: aperture/field definitions (ENPD/FTYP/XFLN/YFLN)
+        self.enpd = None
+        self.ftyp = None
+        self.xfln = None
+        self.yfln = None
         #: cumulative global->axis rotation from coordinate breaks
         self.axis_rot = np.eye(3)
         #: global-frame shift accumulated by pending breaks
@@ -350,6 +375,45 @@ class _ZmxContext:
     def surface(self):
         return self.system[-1]
 
+    def finish_conjugates(self):
+        """Apply the collected aperture (ENPD) and field (FTYP +
+        XFLN/YFLN) definitions to the conjugates: field type 0 =
+        angles in degrees (infinite object), 1 = object heights
+        (finite object).  The reference importer drops all of these
+        (reference zemax.py:106-113 ignored list)."""
+        s = self.system
+        if self.enpd:
+            s.object.pupil.radius = self.enpd/2.
+            s.object.pupil.update_radius = False
+        ftyp = (self.ftyp or [0])[0]
+        n = (self.ftyp[2] if self.ftyp and len(self.ftyp) > 2
+             and self.ftyp[2] > 0 else None)
+        ys = list(self.yfln or [])
+        xs = list(self.xfln or [])
+        if n is not None:
+            ys = (ys + [0.]*n)[:n]
+            xs = (xs + [0.]*n)[:n]
+        if not ys and xs:
+            ys = [0.]*len(xs)
+        if ys:
+            if not xs:
+                xs = [0.]*len(ys)
+            radial = any(abs(x) > 1e-12 for x in xs)
+            mags = [np.hypot(x, y) for x, y in zip(xs, ys)]
+            fmax = max(mags)
+            if fmax:
+                if radial:
+                    s.fields = [m/fmax for m in mags]
+                else:
+                    s.fields = [y/fmax for y in ys]
+                if ftyp == 1:
+                    from ..conjugates import FiniteConjugate
+                    obj = FiniteConjugate(radius=fmax)
+                    obj.pupil = s.object.pupil
+                    s.object = obj
+                else:
+                    s.object.angle = np.deg2rad(fmax)
+
 
 def zmx_to_system(data, item=None):
     """Parse a .zmx prescription into a System
@@ -367,6 +431,7 @@ def zmx_to_system(data, item=None):
             print(cmd, "not handled", args)
     if ctx.break_row is not None:
         ctx.apply_break()
+    ctx.finish_conjugates()
     return ctx.system
 
 
@@ -392,6 +457,23 @@ def system_to_zmx(system):
     out.append("WAVL " + " ".join("%.9g" % (w*1e6)
                                   for w in system.wavelengths))
     import numpy as np
+    # aperture + field definitions (the importer reads these back;
+    # the reference ignores them on import and has no writer at all)
+    prad = getattr(system.object.pupil, "radius", np.inf)
+    if np.isfinite(prad) and prad:
+        out.append("ENPD %.17g" % (2.*prad))
+    fields = list(system.fields) or [0.]
+    if system.object.finite:
+        fmax = system.object.radius
+        out.append("FTYP 1 0 %d %d" % (len(fields),
+                                       len(system.wavelengths)))
+    else:
+        fmax = np.rad2deg(system.object.angle)
+        out.append("FTYP 0 0 %d %d" % (len(fields),
+                                       len(system.wavelengths)))
+    out.append("XFLN " + " ".join("0" for _ in fields))
+    out.append("YFLN " + " ".join("%.9g" % (f*fmax)
+                                  for f in fields))
     for j, e in enumerate(system):
         out.append("SURF %d" % j)
         odd = getattr(e, "aspherics_odd", None)

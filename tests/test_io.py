@@ -377,3 +377,42 @@ def test_zmx_coordbrk_decenter_matches_manual_offset():
     ym, um, _, _ = m.trace_table(y0, u0, m.wavelengths[0])
     np.testing.assert_allclose(ys[-1], ym[-1], atol=1e-10)
     np.testing.assert_allclose(us[-1], um[-1], atol=1e-12)
+
+
+def test_zmx_conjugate_field_round_trip():
+    """ENPD/FTYP/XFLN/YFLN survive the writer->importer round trip:
+    pupil radius, field set, and finite/infinite object (the
+    reference importer drops all of these)."""
+    import numpy as np
+    import rayopt_tpu as ro
+    from rayopt_tpu.io.zemax import zmx_to_system
+    from rayopt_tpu.models import doublet, cooke_triplet
+    s = zmx_to_system(ro.system_to_zmx(cooke_triplet()))
+    s.update()
+    assert not s.object.finite
+    nptest.assert_allclose(np.rad2deg(s.object.angle), 20.)
+    nptest.assert_allclose(s.object.pupil.radius, 6.25)
+    nptest.assert_allclose(s.fields, [0., .7, 1.])
+    nptest.assert_allclose(s.paraxial.focal_length[1], 49.85,
+                           rtol=1e-3)
+    s = zmx_to_system(ro.system_to_zmx(doublet()))
+    s.update()
+    assert s.object.finite
+    nptest.assert_allclose(s.object.radius, 1.)
+    nptest.assert_allclose(s.object.pupil.radius, .1)
+
+
+def test_cli_report(tmp_path):
+    """python -m rayopt_tpu <prescription> runs the full report on
+    bundled models and .zmx files and writes the HTML export."""
+    import subprocess
+    import sys
+    out = tmp_path/"report.html"
+    r = subprocess.run(
+        [sys.executable, "-m", "rayopt_tpu", "doublet", "--cpu",
+         "--no-text", "-o", str(out)],
+        capture_output=True, text=True, timeout=420,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(
+            __file__))))
+    assert r.returncode == 0, r.stderr[-1500:]
+    assert out.exists() and out.stat().st_size > 10000
