@@ -149,7 +149,10 @@ def plot_spot_grid(system, ax, heights=(1., .707, 0.),
     for axi in ax.flat:
         _xy_axes(axi)
     nz = ax.shape[1]
-    dz = (np.arange(nz) - nz//2)*paraxial.rayleigh_range[1]
+    rr = paraxial.rayleigh_range[1]
+    if not np.isfinite(rr):
+        rr = 0.  # degenerate NA: all panels at nominal focus
+    dz = (np.arange(nz) - nz//2)*rr
     for hi, axi in zip(heights, ax[:, 0]):
         _label_row(axi, "OY=%s" % hi)
     for zi, axi in zip(dz, ax[-1, :]):
@@ -435,6 +438,8 @@ def plot_mtf_through_focus(system, ax, height=1., wavelength=None,
     airy = paraxial.airy_radius[1]/paraxial.wavelength*wavelength
     freqs = np.asarray(fractions)/airy
     span = window*paraxial.rayleigh_range[1]
+    if not np.isfinite(span):
+        span = 0.  # degenerate NA: no meaningful focus sweep
     shifts = np.linspace(-span, span, nsteps)
     curves = np.full((len(freqs), 2, nsteps), np.nan)
     image = system[-1]

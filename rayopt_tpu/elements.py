@@ -92,7 +92,15 @@ class TransformMixin:
         tilt = np.asarray(angles, dtype=float)
         self._distance = distance
         self._direction = heading
-        self._offset = distance*heading
+        # inf*0 would NaN the transverse components of an infinite
+        # axial gap (e.g. a .zmx object row with DISZ INFINITY)
+        if np.isfinite(distance):
+            self._offset = distance*heading
+        else:
+            off = np.zeros(3)
+            nz = heading != 0.
+            off[nz] = distance*heading[nz]
+            self._offset = off
         self._angles = tilt
         self.straight = np.allclose(heading, Z_AXIS)
         self.normal = np.allclose(tilt, 0.)
@@ -254,8 +262,12 @@ class Element(NameMixin, TransformMixin):
         self.radius *= scale
 
     def surface_cut(self, axis, points):
+        # an infinite aperture (open plane) draws as its vertex: a
+        # finite outline cannot represent it and inf poisons the
+        # layout transforms
+        rad = self.radius if np.isfinite(self.radius) else 0.
         xyz = np.zeros((2, 3))
-        xyz[:, axis] = -self.radius, self.radius
+        xyz[:, axis] = -rad, rad
         return xyz
 
     def aberration(self, *args):
@@ -329,8 +341,9 @@ class Interface(Element):
     def surface_cut(self, axis, points):
         if self.material is None:
             return super().surface_cut(axis, points)
+        rad = self.radius if np.isfinite(self.radius) else 0.
         xyz = np.zeros((points, 3))
-        xyz[:, axis] = np.linspace(-self.radius, self.radius, points)
+        xyz[:, axis] = np.linspace(-rad, rad, points)
         xyz[:, 2] = -self.surface_sag(xyz)
         return xyz
 

@@ -342,12 +342,15 @@ class _ZmxContext:
         """Pose the freshly appended surface: its vertex sits
         next_pos along the current axis (plus any pending break
         shift), its local frame is the current axis frame."""
-        off = (self.axis_rot.T @ np.array([0., 0., self.next_pos])
-               + self.pending)
         if np.allclose(self.axis_rot, np.eye(3)) and \
                 not self.pending.any():
             e.distance = self.next_pos   # exact straight-path floats
+            # (also keeps an infinite object DISZ out of the 0*inf
+            # rotation product)
         else:
+            off = (self.axis_rot.T
+                   @ np.array([0., 0., self.next_pos])
+                   + self.pending)
             set_pose(e, off, self.axis_rot)
         self.pending = np.zeros(3)
         self.next_pos = 0.

@@ -156,8 +156,10 @@ class ParaxialTrace(Trace):
         Malacara 2.41/2.42."""
         det = (self.u[0, 1]*self.u[-2, 0] -
                self.u[0, 0]*self.u[-2, 1])
-        f = self.lagrange/det
-        return np.array([-f*self.n[-2], f*self.n[0]])
+        # afocal/degenerate: det == 0 -> inf focal length, deliberately
+        with np.errstate(divide="ignore", invalid="ignore"):
+            f = self.lagrange/det
+            return np.array([-f*self.n[-2], f*self.n[0]])
 
     @property
     def focal_distance(self):
@@ -198,12 +200,15 @@ class ParaxialTrace(Trace):
 
     @property
     def working_f_number(self):
-        return self.n[self._OUT, ]/(2*self.numerical_aperture)
+        # NA == 0 (afocal output) -> inf f-number, deliberately
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return self.n[self._OUT, ]/(2*self.numerical_aperture)
 
     @property
     def airy_radius(self):
-        return (1.22*self.wavelength/(2*self.numerical_aperture) /
-                self.system.scale)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return (1.22*self.wavelength/(2*self.numerical_aperture) /
+                    self.system.scale)
 
     @property
     def rayleigh_range(self):
