@@ -343,6 +343,50 @@ def _refract_general(x, y, ux, uy, uz, mu, gx, gy):
     return ox, oy, oz
 
 
+def intercept_cyl(w, z, uw, uz, c, k, alternate):
+    """Closed-form intercept of a pure conic cylinder: the surface
+    depends on one transverse coordinate w only, so it is the quadric
+    c (w^2 + (1+k) z^2) - 2 z = 0 -- same cancellation-free root
+    selection as the rotationally-symmetric conic with the flat-axis
+    terms dropped (about half the ops of the seeded Newton a general
+    biconic needs)."""
+    k1 = 1 + k
+    uy_ = uw*w + k1*uz*z
+    uu = uw*uw + k1*uz*uz
+    yy = w*w + k1*z*z
+    d = c*uy_ - uz
+    e = c*uu
+    f = c*yy - 2*z
+    disc = d*d - e*f
+    g = _sqrt0(disc)*(1 - 2*alternate)
+    e_safe = jnp.where(e == 0, 1., e)
+    gd_safe = jnp.where(g == d, 1., g - d)
+    s = jnp.where(e == 0, f/gd_safe, -(d + g)/e_safe)
+    return jnp.where(disc < 0, jnp.nan, s)
+
+
+def refract_cyl(w, uw, uv, uz, mu, c, k, kind):
+    """Snell/mirror on a conic-cylinder normal: uw is the direction
+    component along the curved axis, uv along the flat axis (which
+    the surface normal has no component on).  kind: 1 refract,
+    2 mirror (static)."""
+    e = -c*jax.lax.rsqrt(jnp.maximum(1 - (1 + k)*c*c*w*w, TINY))
+    nw = w*e
+    nn = nw*nw + 1.
+    inv = 1./nn
+    dot = uw*nw + uz
+    if kind == 2:
+        a2 = 2.*dot*inv
+        return uw - a2*nw, uv, uz - a2
+    muf = jnp.abs(mu)
+    a = muf*dot*inv
+    b = (mu*mu - 1)*inv
+    disc = a*a - b
+    g = -a + jnp.sign(mu)*_sqrt0(disc)
+    g = jnp.where(disc < 0, jnp.nan, g)
+    return muf*uw + g*nw, muf*uv, muf*uz + g
+
+
 def intercept_conic(x, y, z, ux, uy, uz, c, k, alternate):
     """Closed-form conic intercept on components
     (reference elements.py:477; degenerate branches as in
@@ -436,6 +480,9 @@ class SurfaceSpec(NamedTuple):
     biconic: bool = False  # x-axis figure differs from y (anamorphic)
     toroidal: bool = False  # swept y-z curve (toroid) row
     grating: bool = False  # linear diffraction grating on the row
+    cyl_axis: int = 0  # pure conic cylinder: 1 = curved in y only,
+    #                    2 = curved in x only (closed-form intercept
+    #                    instead of the seeded Newton)
 
 
 def specialize(table):
@@ -464,6 +511,17 @@ def specialize(table):
         kdx = 0. if kdx.ndim == 0 else float(kdx[j])
         tor = 0. if tor.ndim == 0 else float(tor[j])
         grat = 0. if grat.ndim == 0 else float(grat[j])
+        figured = bool((asp.size and np.any(asp != 0))
+                       or (asp_odd.size and np.any(asp_odd != 0)))
+        cyl_axis = 0
+        if not figured:
+            if tor != 0. and c + cdx == 0. and c != 0.:
+                cyl_axis = 1      # toroid with zero rotation curvature
+            elif tor == 0. and (cdx != 0. or kdx != 0.):
+                if c + cdx == 0. and c != 0.:
+                    cyl_axis = 1  # x-flat biconic: y-cylinder
+                elif c == 0. and c + cdx != 0.:
+                    cyl_axis = 2  # y-flat biconic: x-cylinder
         specs.append(SurfaceSpec(
             flat=(c == 0.),
             spherical=(k == 0.),
@@ -478,6 +536,7 @@ def specialize(table):
             biconic=bool((cdx != 0. or kdx != 0.) and tor == 0.),
             toroidal=bool(tor != 0.),
             grating=bool(grat != 0.),
+            cyl_axis=cyl_axis,
         ))
     return tuple(specs)
 
@@ -571,7 +630,14 @@ def surface_step_spec(state, surf, spec, clip):
         r = surf.rot
         x, y, z = rot_apply(r, x, y, z)
         ux, uy, uz = rot_apply(r, ux, uy, uz)
-    if spec.toroidal:
+    if spec.cyl_axis == 1:
+        t = intercept_cyl(y, z, uy, uz, surf.curvature, surf.conic,
+                          surf.alternate)
+    elif spec.cyl_axis == 2:
+        t = intercept_cyl(x, z, ux, uz,
+                          surf.curvature + surf.curvature_dx,
+                          surf.conic + surf.conic_dx, surf.alternate)
+    elif spec.toroidal:
         t = intercept_toroid(x, y, z, ux, uy, uz,
                              surf.curvature + surf.curvature_dx,
                              surf.curvature, surf.conic,
@@ -622,6 +688,18 @@ def surface_step_spec(state, surf, spec, clip):
         ux1, uy1, uz1 = refract_grating(
             x1, y1, ux0, uy0, uz0, surf.mu, surf.grating_dy,
             ngx, ngy)
+    elif spec.cyl_axis and spec.kind != 0:
+        if spec.cyl_axis == 1:
+            uy1, ux1, uz1 = refract_cyl(
+                y1, uy0, ux0, uz0, surf.mu, surf.curvature,
+                surf.conic, spec.kind)
+        else:
+            ux1, uy1, uz1 = refract_cyl(
+                x1, ux0, uy0, uz0, surf.mu,
+                surf.curvature + surf.curvature_dx,
+                surf.conic + surf.conic_dx, spec.kind)
+    elif spec.cyl_axis:
+        ux1, uy1, uz1 = ux0, uy0, uz0
     elif spec.toroidal:
         ux1, uy1, uz1 = refract_toroid(
             x1, y1, ux0, uy0, uz0, surf.mu,

@@ -613,3 +613,44 @@ def test_analysis_smoke_on_cylinder_system():
     a = ro.Analysis(s, print=False, defocus=3)
     assert len(a.figures) == 5
     plt.close("all")
+
+
+def test_cylinder_closed_form_specialization():
+    """Pure conic-cylinder rows get the closed-form quadric intercept
+    in the specialized engines (cyl_axis flag) instead of the seeded
+    Newton, bit-matching the general anamorphic path -- including an
+    x-cylinder with conic and a y-cylinder mirror."""
+    from rayopt_tpu.ops.geometric import trace_rays
+    from rayopt_tpu.ops.kernels import specialize
+    from rayopt_tpu.formats import system_from_yaml
+    s = system_from_yaml("""
+object: {angle_deg: 0.5, pupil: {radius: 4.}}
+elements:
+- {material: air}
+- {type: biconic, curvature: 0., curvature_x: 0.018, conic_x: -0.7,
+   distance: 10., material: 1.5168, radius: 6.}
+- {type: biconic, distance: 3., material: mirror, curvature: 0.01,
+   curvature_x: 0., radius: 8.}
+- {distance: -40., radius: 20.}
+""")
+    tab = s.table()
+    specs = specialize(tab)
+    assert [sp.cyl_axis for sp in specs] == [0, 2, 1, 0]
+    rng = np.random.default_rng(5)
+    n = 64
+    y0 = np.zeros((n, 3))
+    y0[:, :2] = rng.uniform(-3, 3, (n, 2))
+    u0 = np.tile([0., 0., 1.], (n, 1))
+    u0[:, :2] = rng.uniform(-.05, .05, (n, 2))
+    u0 /= np.linalg.norm(u0, axis=1, keepdims=True)
+    a = trace_rays(tab, y0, u0, biconic=True)
+    b = trace_rays(tab, y0, u0, specs=specs, unroll=True)
+    for va, vb in zip(a, b):
+        nptest.assert_allclose(np.asarray(vb), np.asarray(va),
+                               rtol=1e-10, atol=1e-10)
+    # a figured cylinder must NOT take the closed form
+    s2 = _cyl_system()
+    s2[1].aspherics = [1e-6]
+    s2.update()
+    sp2 = specialize(s2.table())
+    assert all(sp.cyl_axis == 0 for sp in sp2 if sp.aspheric)
