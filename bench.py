@@ -98,8 +98,16 @@ def main():
             return acc
         return jax.jit(fn)
 
+    # The fully-unrolled XLA chain costs ~6 min of remote-compiler
+    # time per process and the persistent cache does not cover the
+    # tunnel backend's AOT compile, so the default XLA engine number
+    # comes from the scan variant (compiles in seconds; the Pallas
+    # kernel is the headline either way).  BENCH_XLA_UNROLL=1 restores
+    # the unrolled chain (round-1 headline, ~1.4x the scan).
+    unroll_xla = os.environ.get("BENCH_XLA_UNROLL") == "1"
     xla_chain = chain_of(lambda st: trace_components_final(
-        tab, st, specs=specs, unroll=on_tpu))
+        tab, st, specs=specs if unroll_xla else None,
+        unroll=on_tpu and unroll_xla))
     engines = [("xla_f32", xla_chain)]
     if on_tpu:
         # tile=16k measured fastest across the 2^25..2^27 x 8k..64k
@@ -127,7 +135,8 @@ def main():
         return min(times)
 
     details = {"config": "double_gauss f/2.8 (12 traced surfaces)",
-               "rays": n, "chained_traces": chain, "backend": backend}
+               "rays": n, "chained_traces": chain, "backend": backend,
+               "xla_variant": "unrolled" if unroll_xla else "scan"}
     rates = {}
     import os
     profile_dir = os.environ.get("BENCH_PROFILE")

@@ -770,7 +770,13 @@ class Grating(Spheroid):
                    scale=1e-3):
         """Scalar blaze efficiency of `order` (default: the traced
         order) at `wavelength` [m]; 1.0 when no blaze angle is set
-        (see rayopt_tpu.gratings for the model and its validity)."""
+        (see rayopt_tpu.gratings for the model and its validity).
+
+        `scale` is the system length unit in meters -- pass
+        `scale=system.scale` when the system is not mm-scaled (the
+        element does not know its owning System; grating_frequency is
+        in lines per system unit, so a wrong scale silently shifts
+        the blaze order)."""
         if self.blaze_deg is None:
             return np.ones_like(np.asarray(wavelength, float))
         from .gratings import blaze_efficiency

@@ -398,10 +398,24 @@ class _ZmxContext:
             xs = (xs + [0.]*n)[:n]
         if not ys and xs:
             ys = [0.]*len(xs)
+        if ftyp not in (0, 1):
+            # FTYP 2/3 field values are paraxial/real IMAGE heights --
+            # they must not be written into the object conjugate
+            if ys or xs:
+                import warnings
+                warnings.warn(
+                    "FTYP %d (image-height fields) is not mapped to "
+                    "the object conjugate; field set ignored" % ftyp)
+            ys = []
         if ys:
             if not xs:
                 xs = [0.]*len(ys)
             radial = any(abs(x) > 1e-12 for x in xs)
+            if radial:
+                import warnings
+                warnings.warn(
+                    "x-direction field points collapse to radial "
+                    "magnitudes (System fields are scalar fractions)")
             mags = [np.hypot(x, y) for x, y in zip(xs, ys)]
             fmax = max(mags)
             if fmax:

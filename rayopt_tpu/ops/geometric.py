@@ -164,34 +164,28 @@ def trace_rays_final_fast(table, y0, u0, clip=False, specs=None,
 
     precision="parity" (float64-class accuracy, <= 1e-9 spot-RMS
     agreement): on TPU the df32 double-single Pallas kernel
-    (ops.df32, ~11x the emulated-f64 rate; full surface vocabulary
-    incl. tilts/decenters and clipping); on CPU, native f64.  Returns
-    float64 arrays.
+    (ops.df32, ~11x the emulated-f64 rate); on CPU, native f64.
+    Returns float64 arrays.
+
+    Both fast paths cover the FULL surface vocabulary: anamorphic
+    rows (conic cylinders closed-form, general biconics/toroids by
+    seeded Newton), linear gratings, and odd aspherics dispatch
+    through the static per-surface specialization (f32) or the df32
+    plan.  Off-TPU (or for ray counts that don't tile) everything
+    falls back to the XLA engines with the right static flags.
 
     Not differentiable on the Pallas paths; use trace_rays_final
     under jax.grad.
     """
     n = y0.shape[0]
     on_tpu = jax.default_backend() == "tpu"
-    import numpy as _np
     from .tables import is_anamorphic
-    has_odd = bool(_np.any(_np.asarray(table.aspherics_odd)))
     anam = is_anamorphic(table)
-    if anam:
-        # the Pallas/df32 kernels implement the rotationally
-        # symmetric vocabulary; anamorphic tables take the XLA path.
-        # Specs only reach the unrolled branch (the scan ignores
-        # them), so the generic biconic flag must cover every
-        # non-spec-unrolled combination.
-        use_specs = specs if on_tpu else None
-        return trace_rays_final(table, y0, u0, clip=clip,
-                                specs=use_specs, unroll=on_tpu,
-                                biconic=use_specs is None)
     if precision == "parity":
-        if on_tpu and n % tile == 0 and not has_odd:
+        if on_tpu and n % tile == 0:
             from . import df32
             # fast mode: one-round div/sqrt refinements, measured
-            # 5.9e-13 spot parity (target 1e-9) at ~1.2x the rate
+            # 5.7e-13 spot parity (target 1e-9) at ~1.2x the rate
             steps = df32.plan(table, clip=clip, fast=True)
             out = df32.pallas_trace_df32(
                 steps, df32.state_from_f64(y0, u0), tile=tile,
@@ -199,17 +193,23 @@ def trace_rays_final_fast(table, y0, u0, clip=False, specs=None,
             comps = [df32.to_f64(c) for c in out]
             return (K.join(*comps[:3]), K.join(*comps[3:6]),
                     comps[6])
-        return trace_rays_final(table, y0, u0, clip=clip, specs=specs,
-                                unroll=on_tpu)
+        use_specs = specs if on_tpu else None
+        return trace_rays_final(table, y0, u0, clip=clip,
+                                specs=use_specs, unroll=on_tpu,
+                                biconic=anam and use_specs is None)
     if on_tpu and n % tile == 0:
         from .pallas_trace import pallas_trace_final
+        # anamorphic/grating/odd rows: specs auto-derived from the
+        # concrete table inside pallas_trace_final
         state = (*K.split(y0), *K.split(u0))
         out, tacc = pallas_trace_final(table, state, clip=clip,
                                        specs=specs, tile=tile)
         return K.join(*out[:3]), K.join(*out[3:]), tacc
     unroll = jax.default_backend() != "cpu"
-    return trace_rays_final(table, y0, u0, clip=clip, specs=specs,
-                            unroll=unroll)
+    use_specs = specs if unroll else None
+    return trace_rays_final(table, y0, u0, clip=clip, specs=use_specs,
+                            unroll=unroll,
+                            biconic=anam and use_specs is None)
 
 
 @functools.partial(jax.jit, static_argnames=("clip", "specs", "unroll",

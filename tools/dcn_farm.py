@@ -83,20 +83,28 @@ def main():
 
     args.coordinator = args.coordinator or ("localhost:%d" % args.port)
     procs = []
-    for i in range(args.nprocs):
-        procs.append(subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__),
-             "--nprocs", str(args.nprocs),
-             "--local-devices", str(args.local_devices),
-             "--samples", str(args.samples),
-             "--seed", str(args.seed),
-             "--coordinator", args.coordinator,
-             "--proc-id", str(i)],
-            stdout=(None if i else subprocess.PIPE),
-            text=True, cwd=REPO))
-    out = procs[0].communicate(timeout=600)[0]
-    rcs = [procs[0].returncode] + [p.wait(timeout=600)
-                                   for p in procs[1:]]
+    try:
+        for i in range(args.nprocs):
+            procs.append(subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__),
+                 "--nprocs", str(args.nprocs),
+                 "--local-devices", str(args.local_devices),
+                 "--samples", str(args.samples),
+                 "--seed", str(args.seed),
+                 "--coordinator", args.coordinator,
+                 "--proc-id", str(i)],
+                stdout=(None if i else subprocess.PIPE),
+                text=True, cwd=REPO))
+        out = procs[0].communicate(timeout=600)[0]
+        rcs = [procs[0].returncode] + [p.wait(timeout=600)
+                                       for p in procs[1:]]
+    finally:
+        # a worker dying during distributed bring-up leaves its peers
+        # blocked in a collective (holding the coordinator port);
+        # never orphan them
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
     if any(rcs):
         raise SystemExit("farm worker failed: rcs=%s" % rcs)
     sys.stdout.write(out)
