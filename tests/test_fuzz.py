@@ -96,17 +96,19 @@ def test_df32_engine_agrees(seed):
 
 
 def test_fuzz_extended_vocabulary_parity():
-    """Random systems mixing symmetric, biconic, toroid, and grating
-    rows: the dynamic anamorphic scan and the specialized unrolled
-    engine agree ray for ray."""
+    """Random systems mixing symmetric, biconic, cylinder, toroid,
+    odd-aspheric, and grating rows: the dynamic anamorphic scan, the
+    specialized unrolled engine (incl. the closed-form cyl_axis
+    path), and the eager df32 parity engine agree ray for ray."""
     import numpy as np
     from numpy import testing as nptest
     from rayopt_tpu.ops.tables import make_table, is_anamorphic
-    from rayopt_tpu.ops.geometric import trace_rays
+    from rayopt_tpu.ops.geometric import trace_rays, trace_rays_final
     from rayopt_tpu.ops.kernels import specialize
+    from rayopt_tpu.ops import df32
 
     rng = np.random.default_rng(21)
-    for trial in range(6):
+    for trial in range(8):
         S = 5
         curv = rng.uniform(-.02, .02, S)
         curv[0] = 0.
@@ -116,8 +118,9 @@ def test_fuzz_extended_vocabulary_parity():
         kdx = np.zeros(S)
         tor = np.zeros(S)
         grat = np.zeros(S)
+        odd = np.zeros((S, 2))
         for j in range(1, S - 1):
-            kind = rng.integers(0, 4)
+            kind = rng.integers(0, 6)
             if kind == 1:      # biconic
                 cdx[j] = rng.uniform(-.01, .01)
                 kdx[j] = rng.uniform(-.5, .5)
@@ -127,6 +130,11 @@ def test_fuzz_extended_vocabulary_parity():
                 conic[j] = 0. if curv[j] == 0 else conic[j]
             elif kind == 3:    # grating on the base figure
                 grat[j] = rng.uniform(-.2, .2)
+            elif kind == 4 and curv[j] != 0.:
+                cdx[j] = -curv[j]  # pure y-cylinder (cyl_axis path)
+                kdx[j] = -conic[j]
+            elif kind == 5:    # odd-aspheric figure
+                odd[j] = rng.uniform(-1e-5, 1e-5, 2)
         mu = np.ones(S)
         mu[1:-1] = rng.uniform(.6, .9, S - 2)
         n_before = np.ones(S)
@@ -135,7 +143,7 @@ def test_fuzz_extended_vocabulary_parity():
             curvature=curv, conic=conic, distance=np.full(S, 8.),
             mu=mu, n_before=n_before, n_after=n_after,
             curvature_dx=cdx, conic_dx=kdx, toroidal=tor,
-            grating_dy=grat)
+            grating_dy=grat, aspherics_odd=odd)
         assert is_anamorphic(tab) or not (
             cdx.any() or tor.any() or grat.any())
         y0 = np.zeros((16, 3))
@@ -154,3 +162,20 @@ def test_fuzz_extended_vocabulary_parity():
                                    err_msg="trial %d" % trial)
             nptest.assert_array_equal(np.isnan(va), np.isnan(vb),
                                       err_msg="trial %d" % trial)
+        # third engine: eager df32 (double-single) final state
+        yf, uf, tf = (np.asarray(v) for v in trace_rays_final(
+            tab, y0, u0, biconic=True))
+        out, tacc = df32.trace_df32_final(
+            df32.plan(tab), df32.state_from_f64(y0, u0),
+            with_path=True)
+        good = np.isfinite(yf[:, 0])
+        nptest.assert_array_equal(
+            np.isnan(df32.to_f64(out[0])), ~good,
+            err_msg="df32 nan mask, trial %d" % trial)
+        for c in range(2):
+            nptest.assert_allclose(
+                df32.to_f64(out[c])[good], yf[good, c], atol=1e-9,
+                err_msg="df32 y%d, trial %d" % (c, trial))
+        nptest.assert_allclose(df32.to_f64(tacc)[good], tf[good],
+                               rtol=1e-10,
+                               err_msg="df32 path, trial %d" % trial)
