@@ -99,12 +99,13 @@ def main():
         return jax.jit(fn)
 
     # The fully-unrolled XLA chain costs ~6 min of remote-compiler
-    # time per process and the persistent cache does not cover the
-    # tunnel backend's AOT compile, so the default XLA engine number
-    # comes from the scan variant (compiles in seconds; the Pallas
-    # kernel is the headline either way).  BENCH_XLA_UNROLL=1 restores
-    # the unrolled chain (round-1 headline, ~1.4x the scan).
-    unroll_xla = os.environ.get("BENCH_XLA_UNROLL") == "1"
+    # time per process (the persistent cache does not cover the
+    # tunnel backend's AOT compile), but it is the real XLA engine
+    # number: the scan variant compiles in ~2 min yet runs 8.5x
+    # slower (3.5 vs 29.8 G/s -- loop-carried state round-trips HBM
+    # per surface).  BENCH_XLA_UNROLL=0 opts into the cheap scan
+    # variant; the Pallas kernel is the headline either way.
+    unroll_xla = os.environ.get("BENCH_XLA_UNROLL", "1") != "0"
     xla_chain = chain_of(lambda st: trace_components_final(
         tab, st, specs=specs if unroll_xla else None,
         unroll=on_tpu and unroll_xla))
