@@ -1,9 +1,15 @@
 """Performance regression gate.
 
 Reads the one-line bench JSON (from a file argument or stdin) and
-fails unless `vs_baseline` meets the pinned floor.  The fused-engine
-guard (Pallas headline, round 2: vs_baseline 41.8) is
-enforced here with a 10% variance allowance for run-to-run TPU noise.
+fails unless every pinned engine floor is met, each with a 10%
+variance allowance for run-to-run TPU noise:
+
+* headline (Pallas f32, double-Gauss): vs_baseline, round-3 measured
+  42.8 -> floor 41.0
+* parity-grade df32: vs_target, measured 5.76 -> floor 5.0, and its
+  spot-RMS parity must stay inside the 1e-9 target
+* anamorphic df32 (closed-form cylinders): vs_target, measured
+  6.68 -> floor 5.5, parity likewise
 
 Usage:
     python bench.py | tee bench.json
@@ -13,20 +19,58 @@ Usage:
 import json
 import sys
 
-FLOOR = 41.0
 VARIANCE = 0.9  # tolerate 10% run-to-run noise
+
+#: (json path, floor before variance)
+RATE_FLOORS = [
+    (("vs_baseline",), 41.0),
+    (("details", "pallas_df32_parity_grade", "vs_target"), 5.0),
+    (("details", "pallas_df32_anamorphic", "vs_target"), 5.5),
+]
+PARITY_KEYS = [
+    ("details", "pallas_df32_parity_grade", "spot_rms_parity_vs_f64"),
+    ("details", "pallas_df32_anamorphic", "spot_rms_parity_vs_f64"),
+]
+PARITY_TARGET = 1e-9
+
+
+def _get(rec, path):
+    for key in path:
+        if not isinstance(rec, dict) or key not in rec:
+            return None
+        rec = rec[key]
+    return rec
 
 
 def main(argv):
     src = open(argv[0]) if argv else sys.stdin
     line = next(l for l in src if l.strip().startswith("{"))
     rec = json.loads(line)
-    vs = rec["vs_baseline"]
-    floor = FLOOR * VARIANCE
-    print(f"vs_baseline = {vs:.2f} (floor {floor:.2f})")
-    if vs < floor:
-        print(f"PERF REGRESSION: vs_baseline {vs:.2f} < {floor:.2f}",
-              file=sys.stderr)
+    failed = False
+    for path, floor in RATE_FLOORS:
+        value = _get(rec, path)
+        name = ".".join(path)
+        if value is None:
+            # CPU fallback runs omit the TPU rate sections
+            print(f"{name}: absent (skipped)")
+            continue
+        lim = floor*VARIANCE
+        print(f"{name} = {value:.2f} (floor {lim:.2f})")
+        if value < lim:
+            print(f"PERF REGRESSION: {name} {value:.2f} < {lim:.2f}",
+                  file=sys.stderr)
+            failed = True
+    for path in PARITY_KEYS:
+        value = _get(rec, path)
+        name = ".".join(path)
+        if value is None:
+            continue
+        print(f"{name} = {value:.2e} (target {PARITY_TARGET:.0e})")
+        if value > PARITY_TARGET:
+            print(f"PARITY REGRESSION: {name} {value:.2e} > "
+                  f"{PARITY_TARGET:.0e}", file=sys.stderr)
+            failed = True
+    if failed:
         return 1
     print("perf gate passed")
     return 0
