@@ -137,6 +137,38 @@ solves:
 """
 
 
+# two-group zoom (beyond reference -- rayopt has no multi-
+# configuration systems): the front positive group is fixed, the
+# negative variator's air gap carries the zoom position through
+# `configurations`, and the back-focus solve is the compensator --
+# every configuration refocuses automatically on update().  EFL swings
+# ~88.7 -> ~126.5 mm over the two positions
+ZOOM_YAML = """
+description: two-group zoom 89-126mm
+object: {angle_deg: 4, pupil: {radius: 5., aim: True}}
+image: {type: finite, pupil: {radius: 0, update_radius: True}}
+elements:
+- {material: air}
+- {roc: 30.0, distance: 10., material: SCHOTT-BK|N-BK7, radius: 9.}
+- {roc: -60.0, distance: 3., material: air, radius: 9.}
+- {roc: -25.0, distance: 12., material: SCHOTT-F|F5, radius: 7.}
+- {roc: 25.0, distance: 2., material: air, radius: 7.}
+- {material: air, radius: 6.}
+- {roc: 40., distance: 4., material: SCHOTT-BK|N-BK7, radius: 8.}
+- {roc: -40., distance: 3., material: air, radius: 8.}
+- {distance: 40., radius: 12.}
+stop: 5
+solves:
+- set: [8, distance]
+  get_eval: "self.paraxial.update() or float(self.paraxial.y[-1, 0])"
+  target: 0.
+  init: 40.
+configurations:
+- [{set: [3, distance], value: 12.}]
+- [{set: [3, distance], value: 4.}]
+"""
+
+
 # simple equidistant-projection fisheye (140 deg full field):
 # inverse-telephoto layout (strong negative front meniscus + positive
 # groups around the stop).  Exercises the wideangle aiming path the
@@ -244,6 +276,13 @@ def fisheye(update=True):
     return _build(FISHEYE_YAML, update)
 
 
+def zoom_telephoto(update=True):
+    s = _build(ZOOM_YAML, update=False)
+    if update:
+        s.apply_configuration(0)
+    return s
+
+
 PRESCRIPTIONS = {
     "doublet": doublet,
     "cooke": cooke_triplet,
@@ -255,4 +294,5 @@ PRESCRIPTIONS = {
     "spectrograph": spectrograph,
     "anamorphic_pair": anamorphic_pair,
     "fisheye": fisheye,
+    "zoom": zoom_telephoto,
 }

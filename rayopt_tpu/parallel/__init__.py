@@ -11,7 +11,8 @@ from .multihost import (  # noqa: F401
     farm_mesh, farmed_monte_carlo_rms,
 )
 from .grad import (  # noqa: F401
-    trace_rms_merit, optimize_grad, optimize_system, spot_rms,
+    trace_rms_merit, optimize_grad, optimize_system, optimize_zoom,
+    spot_rms,
     wavefront_rms, opd_rays, bundles_from_system,
 )
 from .diffraction import (  # noqa: F401

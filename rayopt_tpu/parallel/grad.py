@@ -283,6 +283,59 @@ def optimize_system(system, select=("curvature",), fields=None,
     return np.asarray(history)
 
 
+def optimize_zoom(system, select=("curvature",), fields=None,
+                  wavelengths=None, nrays=32, steps=100, lr=1e-4,
+                  write_back=True, **kw):
+    """Joint differentiable optimization across every zoom
+    configuration (beyond reference -- it has no multi-configuration
+    systems).
+
+    The selected table fields are SHARED across configurations (they
+    are the glass shapes every zoom position sees), each configuration
+    keeps its own overridden geometry (variator gaps, solved
+    compensator) and its own aimed merit bundles, and the merit is the
+    summed weighted spot RMS over configurations x fields x
+    wavelengths.  Configuration overrides must not target a selected
+    field ("distance" cannot be a zoom variable and a shared
+    optimization variable at once).
+
+    With write_back the optimized shared values land in the System's
+    elements.  Returns (per-configuration optimized tables, history).
+    """
+    assert "distance" not in select, \
+        "distance is configuration geometry, not a shared variable"
+    configs = [system.at_configuration(i)
+               for i in range(system.n_configurations)]
+    tabs = [s.table() for s in configs]
+    bundle_sets = [bundles_from_system(s, fields, wavelengths, nrays)
+                   for s in configs]
+    from ..ops.tables import is_anamorphic
+    bic = is_anamorphic(tabs[0])
+
+    def merit(table):
+        # `table` is tabs[0] with the shared params substituted;
+        # propagate just those fields into every configuration
+        shared = {k: getattr(table, k) for k in select}
+        total = 0.
+        for tab_i, bnd in zip(tabs, bundle_sets):
+            total = total + trace_rms_merit(
+                tab_i.replace(**shared), bnd, biconic=bic)
+        return total
+
+    tab_opt, history = optimize_grad(tabs[0], bundle_sets[0],
+                                     select=select, steps=steps,
+                                     lr=lr, merit=merit, **kw)
+    shared = {k: getattr(tab_opt, k) for k in select}
+    out_tabs = [t.replace(**shared) for t in tabs]
+    if write_back:
+        curv = np.asarray(tab_opt.curvature)
+        for j, e in enumerate(system):
+            if "curvature" in select and hasattr(e, "curvature"):
+                e.curvature = float(curv[j])
+        system.update()
+    return out_tabs, history
+
+
 def optimize_grad(table, bundles, select=("curvature",), steps=100,
                   lr=1e-4, optimizer=None, merit=None, callback=None,
                   mesh=None, axis="rays", checkpoint_dir=None,

@@ -46,7 +46,8 @@ class System(AimingMixin, list):
     def __init__(self, elements=None, description="", scale=1e-3,
                  wavelengths=None, stop=1, fields=None,
                  object=None, image=None,
-                 pickups=None, validators=None, solves=None):
+                 pickups=None, validators=None, solves=None,
+                 configurations=None):
         super().__init__(Element.make(e) for e in elements or [])
         vars(self).update(
             description=description, scale=scale, stop=stop,
@@ -56,7 +57,8 @@ class System(AimingMixin, list):
                     else _default_object()),
             image=Conjugate.make(image) if image else _default_image(),
             pickups=pickups or [], validators=validators or [],
-            solves=solves or [], _pupil_cache={})
+            solves=solves or [], configurations=configurations or [],
+            _pupil_cache={})
         if fields is None:
             fields = [0.] if self.object.point else [0., .7, 1.]
         self.fields = fields
@@ -70,8 +72,52 @@ class System(AimingMixin, list):
         out["image"] = self.image.dict()
         for key in ("pickups", "validators", "solves"):
             out[key] = [dict(spec) for spec in getattr(self, key)]
+        if self.configurations:
+            out["configurations"] = [[dict(spec) for spec in cfg]
+                                     for cfg in self.configurations]
         out["elements"] = [e.dict() for e in self]
         return out
+
+    # -- multi-configuration (zoom) systems (beyond reference) --------
+    #
+    # A configuration is a list of write specs in the pickup/solve
+    # accessor vocabulary, each carrying its `value` (e.g.
+    # {"set": [3, "distance"], "value": 4.}): the zoom positions of a
+    # variator group.  Solves act as the compensator -- a back-focus
+    # solve re-focuses every configuration automatically on update().
+
+    @property
+    def n_configurations(self):
+        return max(1, len(self.configurations))
+
+    def apply_configuration(self, index, update=True):
+        """Write configuration `index`'s overrides in place, then
+        update().  Returns self."""
+        if self.configurations:
+            for spec in self.configurations[index]:
+                self._write(spec, spec.get("value"))
+        if update:
+            self.update()
+        return self
+
+    def at_configuration(self, index, update=True):
+        """A deep copy of the system with configuration `index`
+        applied (the original is untouched)."""
+        import copy
+        dup = copy.deepcopy(self)
+        dup._pupil_cache = {}
+        return dup.apply_configuration(index, update)
+
+    def config_tables(self, wavelength=None, dtype=np.float64):
+        """Stacked SurfaceTable over all configurations (leading
+        config axis) -- the batched input of
+        ops.geometric.trace_rays_final_multi and vmapped merits."""
+        import jax
+        import jax.numpy as jnp
+        tabs = [self.at_configuration(i).table(wavelength, dtype)
+                for i in range(self.n_configurations)]
+        return jax.tree_util.tree_map(
+            lambda *a: jnp.stack([jnp.asarray(x) for x in a]), *tabs)
 
     # -- structure ---------------------------------------------------
 
