@@ -76,6 +76,23 @@ def wideangle_aiming():
                                      ys[-1, 0, 1], z))
 
 
+def zoom_positions():
+    from rayopt_tpu.models import zoom_telephoto
+    from rayopt_tpu.parallel import optimize_zoom
+    s = zoom_telephoto()
+    print("two-group zoom (back-focus solve = compensator):")
+    for i in range(s.n_configurations):
+        si = s.at_configuration(i)
+        print("  config %d: variator gap %5.1f mm -> EFL %7.2f mm, "
+              "image at %6.2f mm" % (i, si[3].distance,
+                                     si.paraxial.focal_length[1],
+                                     si[8].distance))
+    tabs, hist = optimize_zoom(s, select=("curvature",), nrays=16,
+                               steps=10, lr=1e-5)
+    print("  joint merit over both positions: %.4f -> %.4f "
+          "(shared curvatures)" % (hist[0], hist[-1]))
+
+
 def dcn_farm():
     import json
     import os
@@ -94,4 +111,5 @@ if __name__ == "__main__":
     blazed_spectrograph()
     df32_extended_vocabulary()
     wideangle_aiming()
+    zoom_positions()
     dcn_farm()

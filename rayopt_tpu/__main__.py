@@ -58,6 +58,9 @@ def main(argv=None):
                     help="skip printing the text tables")
     ap.add_argument("--refocus", action="store_true",
                     help="paraxial refocus before the report")
+    ap.add_argument("--config", type=int, default=None,
+                    help="zoom configuration index to analyze "
+                         "(multi-configuration systems)")
     ap.add_argument("--cpu", action="store_true",
                     help="pin the CPU backend (skip the accelerator)")
     args = ap.parse_args(argv)
@@ -69,6 +72,8 @@ def main(argv=None):
     matplotlib.use("agg")
 
     s = load_system(args.prescription)
+    if args.config is not None:
+        s.apply_configuration(args.config, update=False)
     s.update()
     if args.refocus:
         s.paraxial.refocus()
