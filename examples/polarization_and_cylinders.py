@@ -2,8 +2,13 @@
 coating stacks, anamorphic (cylinder) surfaces, afocal systems, and
 budget-driven inverse-sensitivity tolerancing.
 
-Run: PYTHONPATH=. python examples/polarization_and_cylinders.py
+Run: python examples/polarization_and_cylinders.py
 """
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 import jax
 jax.config.update("jax_platforms", "cpu")  # demo runs host-side

@@ -3,10 +3,15 @@ per-order spectrograph image, parity-grade df32 on the extended
 surface vocabulary, wideangle (fisheye) aiming, and the multi-process
 DCN tolerancing farm.
 
-Run: PYTHONPATH=. python examples/spectrograph_and_wideangle.py
+Run: python examples/spectrograph_and_wideangle.py
 """
 
 import warnings
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 import jax
 jax.config.update("jax_platforms", "cpu")  # demo runs host-side
