@@ -547,7 +547,9 @@ class Biconic(Spheroid):
     cylinder lens is curvature_x=0 (power in y) or curvature=0 (power
     in x).  The exact engines (scan/unrolled/specialized) trace it via
     the dedicated kernels; the paraxial 4x4 carries per-axis power;
-    the Pallas/df32/polynomial engines reject anamorphic rows.  The
+    the Pallas f32 and df32 engines dispatch anamorphic rows through
+    their static specializations (conic cylinders closed-form); only
+    the polynomial trace rejects them.  The
     third-order Seidel `aberration` of the base class applies the
     y-axis figure (tangential plane).
     """

@@ -145,8 +145,9 @@ def is_anamorphic(table):
     """Host-side: True when any row needs the extended surface
     vocabulary -- anamorphic figure (biconic/cylinder/toroid) or a
     diffraction grating.  This is the derivation for the engines'
-    static `biconic=` flag (and the rejection predicate of the
-    symmetric-only Pallas/df32/poly kernels).
+    static `biconic=` flag (the Pallas f32 path auto-derives its
+    specs from it, df32.plan branches on it; only the polynomial
+    trace still rejects non-symmetric rows).
 
     Tracer-safe: a table whose fields are already traced (inside a
     caller's jit) reports False -- the static engine flag must be
