@@ -160,9 +160,16 @@ def main():
     details["f32_engine"] = max(rates, key=rates.get)
 
     # roofline: cost analysis of the XLA chain (the Pallas kernel body
-    # is opaque to HLO cost analysis; the XLA variant runs the same
-    # math, so its flop count applies)
+    # is opaque to HLO cost analysis; the UNROLLED XLA variant runs
+    # the same fused math, so its flop count applies -- the scan
+    # variant's HLO describes the loop machinery, not the engine, and
+    # would yield meaningless utilization numbers)
+    if not unroll_xla:
+        log("roofline skipped (scan XLA variant; set "
+            "BENCH_XLA_UNROLL=1)")
     try:
+        if not unroll_xla:
+            raise RuntimeError("scan variant: no roofline")
         ca = xla_chain.lower(comps).compile().cost_analysis()
         if isinstance(ca, list):
             ca = ca[0]

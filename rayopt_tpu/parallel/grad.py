@@ -87,6 +87,30 @@ def trace_rms_merit(table, bundles, mesh=None, axis="rays",
     return total
 
 
+#: table field -> element attribute for writing optimized values back
+_WRITE_BACK = {"curvature": "curvature", "conic": "conic",
+               "distance": "distance"}
+
+
+def write_back_table(system, table, select):
+    """Write the selected optimized table fields back into the
+    System's elements (curvature/conic/distance; other table fields
+    have no single element attribute and warn).  Runs update()."""
+    import warnings
+    arrays = {k: np.asarray(getattr(table, k))
+              for k in select if k in _WRITE_BACK}
+    skipped = [k for k in select if k not in _WRITE_BACK]
+    if skipped:
+        warnings.warn("optimized fields not written back to the "
+                      "System (no element attribute): %s" % skipped)
+    for j, e in enumerate(system):
+        for field, vals in arrays.items():
+            attr = _WRITE_BACK[field]
+            if hasattr(e, attr):
+                setattr(e, attr, float(vals[j]))
+    system.update()
+
+
 def paraxial_seed(system):
     """(y0, u0) marginal/chief paraxial seeds of a System, for the
     differentiable first-order merit."""
@@ -272,14 +296,7 @@ def optimize_system(system, select=("curvature",), fields=None,
                                       steps=steps,
                                       lr=lr or 1e-4, **kw)
         history.extend(hist.tolist())
-        curv = np.asarray(tab_opt.curvature)
-        dist = np.asarray(tab_opt.distance)
-        for j, e in enumerate(system):
-            if "curvature" in select and hasattr(e, "curvature"):
-                e.curvature = float(curv[j])
-            if "distance" in select:
-                e.distance = float(dist[j])
-        system.update()
+        write_back_table(system, tab_opt, select)
     return np.asarray(history)
 
 
@@ -311,6 +328,18 @@ def optimize_zoom(system, select=("curvature",), fields=None,
                    for s in configs]
     from ..ops.tables import is_anamorphic
     bic = is_anamorphic(tabs[0])
+    mesh = kw.get("mesh")
+    axis = kw.get("axis", "rays")
+    if mesh is not None:
+        # every configuration's closure data must live on the mesh
+        # (docs/ARCHITECTURE.md section 16: a mesh= argument means
+        # nothing may rely on default-device placement)
+        from jax.sharding import NamedSharding, PartitionSpec
+        from .sharding import shard_bundles
+        replicated = NamedSharding(mesh, PartitionSpec())
+        tabs = [jax.device_put(t, replicated) for t in tabs]
+        bundle_sets = [shard_bundles(b, mesh, axis)
+                       for b in bundle_sets]
 
     def merit(table):
         # `table` is tabs[0] with the shared params substituted;
@@ -319,7 +348,8 @@ def optimize_zoom(system, select=("curvature",), fields=None,
         total = 0.
         for tab_i, bnd in zip(tabs, bundle_sets):
             total = total + trace_rms_merit(
-                tab_i.replace(**shared), bnd, biconic=bic)
+                tab_i.replace(**shared), bnd, mesh=mesh, axis=axis,
+                biconic=bic)
         return total
 
     tab_opt, history = optimize_grad(tabs[0], bundle_sets[0],
@@ -328,11 +358,7 @@ def optimize_zoom(system, select=("curvature",), fields=None,
     shared = {k: getattr(tab_opt, k) for k in select}
     out_tabs = [t.replace(**shared) for t in tabs]
     if write_back:
-        curv = np.asarray(tab_opt.curvature)
-        for j, e in enumerate(system):
-            if "curvature" in select and hasattr(e, "curvature"):
-                e.curvature = float(curv[j])
-        system.update()
+        write_back_table(system, tab_opt, select)
     return out_tabs, history
 
 

@@ -125,11 +125,22 @@ def shard_bundles(bundles, mesh, axis="rays"):
     ray_sh = NamedSharding(mesh, P(axis, None))
     w_sh = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
+    nd = int(mesh.shape[axis])
     out = []
     for bundle in bundles:
-        y, u, w = (jax.device_put(bundle[0], ray_sh),
-                   jax.device_put(bundle[1], ray_sh),
-                   jax.device_put(bundle[2], w_sh))
+        y, u, w = (np.asarray(bundle[0]), np.asarray(bundle[1]),
+                   np.asarray(bundle[2]))
+        pad = (-y.shape[0]) % nd
+        if pad:
+            # quadrature sizes (e.g. radau-21) rarely divide the mesh;
+            # pad with zero-weight copies of the first ray -- they
+            # trace finitely and contribute nothing to any moment
+            y = np.concatenate([y, np.repeat(y[:1], pad, axis=0)])
+            u = np.concatenate([u, np.repeat(u[:1], pad, axis=0)])
+            w = np.concatenate([w, np.zeros(pad, w.dtype)])
+        y, u, w = (jax.device_put(y, ray_sh),
+                   jax.device_put(u, ray_sh),
+                   jax.device_put(w, w_sh))
         rest = []
         for extra in bundle[3:]:
             # chroma override dicts replicate on the mesh (mixing them

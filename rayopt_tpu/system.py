@@ -92,9 +92,17 @@ class System(AimingMixin, list):
 
     def apply_configuration(self, index, update=True):
         """Write configuration `index`'s overrides in place, then
-        update().  Returns self."""
+        update().  Returns self.  Index 0 is always valid (a system
+        without configurations has exactly one, its current state)."""
+        if not 0 <= index < self.n_configurations:
+            raise IndexError(
+                "configuration %d out of range (system has %d)"
+                % (index, self.n_configurations))
         if self.configurations:
             for spec in self.configurations[index]:
+                if "set" in spec and "value" not in spec:
+                    raise KeyError(
+                        "configuration spec %r has no 'value'" % spec)
                 self._write(spec, spec.get("value"))
         if update:
             self.update()

@@ -137,9 +137,11 @@ def test_engine_parity_odd_singlet():
         nptest.assert_allclose(u, us[j], atol=1e-9)
 
 
-def test_fast_trace_falls_back_with_odd():
-    """trace_rays_final_fast parity path must route odd-aspheric
-    tables to the f64 engine (df32 kernel does not cover them)."""
+def test_fast_trace_parity_with_odd():
+    """trace_rays_final_fast parity path on odd-aspheric tables: the
+    df32 engine covers odd figures on TPU; on the CPU backend (this
+    test) it falls back to the f64 engine -- either way the result
+    matches trace_rays_final."""
     from rayopt_tpu.ops.geometric import (trace_rays_final,
                                           trace_rays_final_fast)
     s = _odd_singlet()

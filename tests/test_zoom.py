@@ -83,3 +83,41 @@ def test_optimize_zoom_shares_curvatures():
     import pytest
     with pytest.raises(AssertionError):
         optimize_zoom(s, select=("distance",), steps=1)
+
+
+def test_optimize_zoom_on_mesh_with_padding():
+    """optimize_zoom(mesh=) commits every configuration's closure
+    data to the mesh and shards the rays; quadrature bundle sizes
+    that don't divide the mesh are zero-weight padded, so the sharded
+    merit trajectory matches the unsharded one exactly."""
+    import jax
+    from rayopt_tpu.parallel import optimize_zoom, ray_mesh
+    s1 = zoom_telephoto()
+    tabs, hist = optimize_zoom(s1, select=("curvature",), nrays=16,
+                               steps=3, lr=1e-6, mesh=ray_mesh())
+    for leaf in jax.tree_util.tree_leaves(tabs[0]):
+        if isinstance(leaf, jax.Array):
+            assert all(d.platform == "cpu" for d in leaf.devices())
+    s2 = zoom_telephoto()
+    _, hist2 = optimize_zoom(s2, select=("curvature",), nrays=16,
+                             steps=3, lr=1e-6)
+    nptest.assert_allclose(hist, hist2, rtol=1e-12)
+
+
+def test_configuration_guards():
+    """Out-of-range indices and value-less specs raise with context
+    instead of silently no-opping."""
+    import pytest
+    s = zoom_telephoto()
+    with pytest.raises(IndexError):
+        s.apply_configuration(5)
+    with pytest.raises(IndexError):
+        s.apply_configuration(-1)
+    from rayopt_tpu.models import cooke_triplet
+    c = cooke_triplet()
+    c.apply_configuration(0)  # index 0 always valid (single config)
+    with pytest.raises(IndexError):
+        c.apply_configuration(1)
+    s.configurations[0][0] = {"set": [3, "distance"]}
+    with pytest.raises(KeyError):
+        s.apply_configuration(0)

@@ -64,9 +64,12 @@ def main(argv):
         value = _get(rec, path)
         name = ".".join(path)
         if value is None:
+            print(f"{name}: absent (skipped)")
             continue
         print(f"{name} = {value:.2e} (target {PARITY_TARGET:.0e})")
-        if value > PARITY_TARGET:
+        # NaN (e.g. a kernel that NaNs every ray) must FAIL, so test
+        # for the good case and negate
+        if not value <= PARITY_TARGET:
             print(f"PARITY REGRESSION: {name} {value:.2e} > "
                   f"{PARITY_TARGET:.0e}", file=sys.stderr)
             failed = True
