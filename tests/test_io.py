@@ -416,3 +416,36 @@ def test_cli_report(tmp_path):
             __file__))))
     assert r.returncode == 0, r.stderr[-1500:]
     assert out.exists() and out.stat().st_size > 10000
+
+
+def test_system_from_array_shifts_and_material_map():
+    """The column-table builder's corner features (reference
+    formats.py:40): column shifts realign off-by-one prescriptions,
+    material_map renames catalog entries, and A/O rows set the stop
+    and the field."""
+    data = [
+        ["O", 0., 20., 10., "air"],
+        ["S", 50., 5., 18., "glass"],
+        ["A", 0., 2., 16., "air"],
+        ["S", -50., 3., 18., "air"],
+        ["I", 0., 95., 30., "air"],
+    ]
+    s = ro.system_from_array(
+        data, material_map={"glass": "SCHOTT-BK|N-BK7"})
+    s.object.pupil.radius = 5.
+    s.object.pupil.update_radius = False
+    s.update()
+    assert s.aperture is s[2]
+    assert abs(s[1].curvature - 1/50.) < 1e-12
+    assert s[1].material.nd > 1.5
+    # shifts: same table with the distance column off by one row
+    import numpy as np
+    shifted = [list(r) for r in data]
+    dcol = [r[2] for r in data]
+    for i, r in enumerate(shifted):
+        r[2] = dcol[i - 1]
+    s2 = ro.system_from_array(
+        shifted, shifts={"distance": -1},
+        material_map={"glass": "SCHOTT-BK|N-BK7"})
+    nptest.assert_allclose([float(e.distance) for e in s2],
+                           [float(e.distance) for e in s])
