@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 __all__ = [
     "gaussian_field", "propagate_angular_spectrum", "thin_lens_phase",
-    "circular_aperture", "beam_radius", "field_power",
+    "circular_aperture", "intensity", "beam_radius", "field_power",
     "pupil_phase_screen",
 ]
 
@@ -110,23 +110,33 @@ def circular_aperture(shape, pitch, radius, dtype=jnp.complex64):
     return jnp.asarray((r2 <= radius*radius).astype(float), dtype)
 
 
+def intensity(field):
+    """|E|^2 as a real device array.  Fetch THIS to the host, not the
+    complex field: some accelerator transports (the axon TPU tunnel)
+    cannot transfer complex arrays, while real fetches always work --
+    the same convention imaging.py uses for its FFT products."""
+    return jnp.abs(jnp.asarray(field))**2
+
+
 def field_power(field, pitch):
-    """Integrated |E|^2 (Parseval-conserved by the propagator)."""
-    return float(jnp.sum(jnp.abs(jnp.asarray(field))**2))*pitch*pitch
+    """Integrated |E|^2 (Parseval-conserved by the propagator).
+    Computed on device; only the scalar comes to the host."""
+    return float(jnp.sum(intensity(field)))*pitch*pitch
 
 
 def beam_radius(field, pitch):
     """Second-moment (D4sigma/2-style) beam radius: sqrt(2 <r^2>)
-    equals the gaussian 1/e^2 radius w for a fundamental beam."""
-    inten = np.abs(np.asarray(field))**2
+    equals the gaussian 1/e^2 radius w for a fundamental beam.
+    Moments are computed on device; only scalars come to the host."""
+    inten = intensity(field)
     ny, nx = inten.shape
-    y = (np.arange(ny) - ny/2 + .5)*pitch
-    x = (np.arange(nx) - nx/2 + .5)*pitch
+    y = jnp.asarray((np.arange(ny) - ny/2 + .5)*pitch)
+    x = jnp.asarray((np.arange(nx) - nx/2 + .5)*pitch)
     tot = inten.sum()
     cy = (inten.sum(1)*y).sum()/tot
     cx = (inten.sum(0)*x).sum()/tot
     r2 = ((y - cy)[:, None]**2 + (x - cx)[None, :]**2)
-    return float(np.sqrt(2*(inten*r2).sum()/tot))
+    return float(jnp.sqrt(2*(inten*r2).sum()/tot))
 
 
 def pupil_phase_screen(system, shape, pitch, field=(0., 0.),
