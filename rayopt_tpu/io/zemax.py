@@ -105,12 +105,17 @@ def zmf_read(file, session):
 _ZMX_IGNORED = set("""
 GCAT OPDX RAIM CONF PUPD EFFL VERS MODE NOTE HIDE MIRR SQAP
 XDAT YDAT OBNA PKUP MAZH CLAP PPAR VPAR EDGE VCON UDAD USAP TOLE PFIL
-TCED FNUM TOL MNUM MOFF SDMA GFAC PUSH PICB ROPD PWAV POLS GLRS
+TCED FNUM TOL MOFF SDMA GFAC PUSH PICB ROPD PWAV POLS GLRS
 BLNK COFN NSCD GSTD DMFS ISNA VDSZ ENVD ZVDX ZVDY ZVCX ZVCY ZVAN
 VDXN VDYN VCXN VCYN VANN FWGT FWGN WWGT WWGN WAVN WAVM XFLD YFLD
 MNCA MNEA MNCG MNEG MXCA MXCG RGLA TRAC FLAP TCMM FLOA PMAG TOTR SLAB
 POPS COMM PZUP LANG FIMP
 """.split())
+
+#: multi-configuration (MCE) operand opcodes mapped to System
+#: configuration write specs (the reference ignores the whole MCE
+#: section, reference zemax.py:168)
+_MCE_OPS = {"THIC", "CRVT", "CONN", "PRAM", "GLSS", "WAVE", "APER"}
 
 _ZMX_SCALES = {"MM": 1e-3, "INCH": 25.4e-3, "IN": 25.4e-3}
 
@@ -253,6 +258,17 @@ def _zmx_coni(ctx, args):
     ctx.surface.conic = float(args.split()[0])
 
 
+@_zmx_on("MNUM")
+def _zmx_mnum(ctx, args):
+    # multi-configuration editor header: "MNUM <nconf> [<noperand>]".
+    # Subsequent operand blocks (opcode line + one indented
+    # "<conf> <value> ..." row per configuration) are collected by
+    # _ZmxContext.mce_feed until the next regular command.
+    toks = args.split()
+    ctx.mce_nconf = int(float(toks[0])) if toks else 0
+    ctx.mce_active = True
+
+
 @_zmx_on("PARM")
 def _zmx_parm(ctx, args):
     i, j = args.split()
@@ -337,6 +353,11 @@ class _ZmxContext:
         self.pending = np.zeros(3)
         #: PARMs of a coordinate break awaiting the next surface
         self.break_row = None
+        #: multi-configuration (MCE) collection state
+        self.mce_active = False
+        self.mce_nconf = 0
+        self.mce = []          # operand records in file order
+        self.mce_pending = None
 
     def place(self, e):
         """Pose the freshly appended surface: its vertex sits
@@ -377,6 +398,122 @@ class _ZmxContext:
     @property
     def surface(self):
         return self.system[-1]
+
+    # -- multi-configuration (MCE) section ---------------------------
+    #
+    # Layout (as written by OpticStudio and by system_to_zmx): after
+    # "MNUM <nconf> <nops>" each operand is an opcode line
+    # ("THIC <surf>", "CRVT <surf>", "PRAM <surf> <par>", "WAVE <k>",
+    # "APER", "GLSS <surf>", ...) followed by one indented row per
+    # configuration: "<conf> <value> <flags...>".  The section ends at
+    # the first regular (registered) command.  Unknown operands are
+    # consumed silently so their rows don't leak into the surface
+    # parser.
+
+    def mce_feed(self, cmd, args):
+        """Consume one line of the MCE section.  Returns False (and
+        deactivates collection) when the section has ended and the
+        line must be dispatched normally."""
+        if cmd in _ZMX:
+            self.mce_active = False
+            self.mce_pending = None
+            return False
+        if cmd.lstrip("+-").isdigit():
+            # per-configuration value row of the pending operand
+            rec = self.mce_pending
+            row = args.split()
+            if rec is not None and row:
+                try:
+                    value = float(row[0])
+                except ValueError:
+                    value = row[0].strip("\"")   # e.g. GLSS names
+                rec["values"][int(cmd)] = value
+            return True
+        toks = args.split()
+        rec = dict(op=cmd, args=[], values={})
+        if cmd in _MCE_OPS:
+            try:
+                rec["args"] = [int(float(t)) for t in toks[:2]]
+            except ValueError:
+                rec["args"] = []
+            self.mce.append(rec)
+        elif cmd not in _ZMX_IGNORED:
+            print("MCE operand not supported", cmd, args)
+        self.mce_pending = rec
+        return True
+
+    def _mce_spec(self, rec):
+        """Map one MCE operand record to a configuration write spec
+        (the pickup/solve accessor vocabulary) plus a value
+        transform, or None if it cannot be represented."""
+        s = self.system
+        op, a = rec["op"], rec["args"]
+        ident = lambda v: v  # noqa: E731
+        if op == "THIC" and a:
+            # DISZ of SURF j is the gap before imported element j+2
+            idx = a[0] + 2
+            if idx >= len(s):
+                print("MCE THIC", a[0], "beyond the last gap; dropped")
+                return None
+            return {"set": [idx, "distance"]}, ident
+        if op == "CRVT" and a:
+            return {"set": [a[0] + 1, "curvature"]}, ident
+        if op == "CONN" and a:
+            return {"set": [a[0] + 1, "conic"]}, ident
+        if op == "PRAM" and len(a) >= 2:
+            # "PRAM <surf> <par>"; only plain even-asphere parameters
+            # map directly onto an attribute path
+            e = s[a[0] + 1]
+            if type(e).__name__ != "Spheroid" or getattr(
+                    e, "aspherics_odd", None):
+                print("MCE PRAM on non-even-asphere surface; dropped")
+                return None
+            k = a[1] - 1
+            if k < 0:
+                return None
+            coeffs = e.aspherics
+            if coeffs is None:
+                coeffs = []
+                e.aspherics = coeffs
+            while len(coeffs) <= k:
+                coeffs.append(0.)
+            return {"set": [a[0] + 1, "aspherics", k]}, ident
+        if op == "GLSS" and a:
+            return ({"set_exec":
+                     "from rayopt_tpu.materials import Material\n"
+                     "self[%d].material = Material.make(value)"
+                     % (a[0] + 1)}, ident)
+        if op == "WAVE" and a:
+            k = a[0] - 1
+            if not 0 <= k < len(s.wavelengths):
+                print("MCE WAVE", a[0], "out of range; dropped")
+                return None
+            return {"set": ["wavelengths", k]}, lambda v: v*1e-6
+        if op == "APER":
+            return ({"set": ["object", "pupil", "radius"]},
+                    lambda v: v/2.)
+        return None
+
+    def finish_mce(self):
+        """Lower the collected MCE operands into
+        System.configurations: one override list per configuration,
+        ready for apply_configuration/at_configuration."""
+        if not self.mce:
+            return
+        confs = sorted({c for rec in self.mce for c in rec["values"]})
+        if len(confs) < 2:
+            return
+        mapped = []
+        for rec in self.mce:
+            out = self._mce_spec(rec)
+            if out is not None:
+                mapped.append((out[0], out[1], rec["values"]))
+        if not mapped:
+            return
+        self.system.configurations = [
+            [dict(spec, value=conv(values[c]))
+             for spec, conv, values in mapped if c in values]
+            for c in confs]
 
     def finish_conjugates(self):
         """Apply the collected aperture (ENPD) and field (FTYP +
@@ -441,6 +578,8 @@ def zmx_to_system(data, item=None):
         if not line.strip():
             continue
         cmd, _, args = line.strip().partition(" ")
+        if ctx.mce_active and ctx.mce_feed(cmd, args):
+            continue
         handler = _ZMX.get(cmd)
         if handler is not None:
             handler(ctx, args)
@@ -449,10 +588,77 @@ def zmx_to_system(data, item=None):
     if ctx.break_row is not None:
         ctx.apply_break()
     ctx.finish_conjugates()
+    ctx.finish_mce()
     return ctx.system
 
 
 # -- .zmx writer (beyond the reference: export for interchange) --------
+
+def _mce_export_row(path, system):
+    """Map a configuration 'set' path to its MCE operand header and
+    value transform, or None if not representable in the MCE operand
+    subset.  Writer-side index convention: SURF j = system[j], so
+    system[i].distance (the gap before element i) is the DISZ -- and
+    THIC operand -- of SURF i-1."""
+    ident = lambda v: v  # noqa: E731
+    if len(path) == 2 and isinstance(path[0], int):
+        i, attr = path
+        if attr == "distance" and i >= 1:
+            return "THIC %d" % (i - 1), ident
+        if attr == "curvature":
+            return "CRVT %d" % i, ident
+        if attr == "conic":
+            return "CONN %d" % i, ident
+    if len(path) == 3 and isinstance(path[0], int) \
+            and path[1] == "aspherics":
+        return "PRAM %d %d" % (path[0], path[2] + 1), ident
+    if len(path) == 2 and path[0] == "wavelengths":
+        return "WAVE %d" % (path[1] + 1), lambda v: v*1e6
+    if list(path) == ["object", "pupil", "radius"]:
+        return "APER", lambda v: v*2.
+    return None
+
+
+def _mce_block(system):
+    """MNUM + operand lines for System.configurations (read back by
+    zmx_to_system; the reference has neither)."""
+    nconf = len(system.configurations)
+    order, values = [], {}
+    for ci, cfg in enumerate(system.configurations):
+        for spec in cfg:
+            path = spec.get("set")
+            if path is None or "value" not in spec:
+                print("configuration spec dropped on .zmx export "
+                      "(no plain set/value):", spec)
+                continue
+            key = tuple(path)
+            if key not in values:
+                values[key] = {}
+                order.append(key)
+            values[key][ci + 1] = spec["value"]
+    rows = []
+    for key in order:
+        out = _mce_export_row(list(key), system)
+        if out is None:
+            print("configuration path not representable as an MCE "
+                  "operand; dropped on .zmx export:", list(key))
+            continue
+        header, conv = out
+        vals = values[key]
+        lines = [header]
+        for c in range(1, nconf + 1):
+            # configurations not overriding this path keep the
+            # system's current value
+            v = vals.get(c, system.get_path(list(key)))
+            lines.append('  %d %.17g 0 0 0 0 ""' % (c, conv(v)))
+        rows.append(lines)
+    if not rows:
+        return []
+    block = ["MNUM %d %d" % (nconf, len(rows))]
+    for lines in rows:
+        block.extend(lines)
+    return block
+
 
 def system_to_zmx(system):
     """Serialize a System to Zemax .zmx text (the command subset the
@@ -491,6 +697,8 @@ def system_to_zmx(system):
     out.append("XFLN " + " ".join("0" for _ in fields))
     out.append("YFLN " + " ".join("%.9g" % (f*fmax)
                                   for f in fields))
+    if getattr(system, "configurations", None):
+        out.extend(_mce_block(system))
     for j, e in enumerate(system):
         out.append("SURF %d" % j)
         odd = getattr(e, "aspherics_odd", None)

@@ -449,3 +449,73 @@ def test_system_from_array_shifts_and_material_map():
         material_map={"glass": "SCHOTT-BK|N-BK7"})
     nptest.assert_allclose([float(e.distance) for e in s2],
                            [float(e.distance) for e in s])
+
+
+def test_zmx_mce_import():
+    # multi-configuration (MCE) section: THIC/CRVT/CONN/WAVE/APER/
+    # GLSS operands lower to System.configurations write specs
+    # (the reference drops the whole section, reference zemax.py:168)
+    zmx = textwrap.dedent("""
+        UNIT MM
+        WAVL 0.5875618 0.4861327
+        MNUM 2 4
+        MOFF 0 1 ""
+        THIC 2 0 0
+          1 12 0 0 0 0 ""
+          2 4 0 0 0 0 ""
+        CRVT 1 0 0
+          1 0.02 0 0 0 0 ""
+          2 0.025 0 0 0 0 ""
+        WAVE 1 0 0
+          1 0.5875618 0 0 0 0 ""
+          2 0.6562725 0 0 0 0 ""
+        APER 0 0 0
+          1 10 0 0 0 0 ""
+          2 6 0 0 0 0 ""
+        GLSS 1 0 0
+          1 N-BK7 0 0 0 0 ""
+          2 N-SF5 0 0 0 0 ""
+        SURF 0
+          DISZ INFINITY
+        SURF 1
+          CURV 0.02
+          DISZ 3
+          GLAS N-BK7 0 0 1.5168 64.17
+        SURF 2
+          STOP
+          DISZ 12
+        SURF 3
+          DISZ 10
+        SURF 4
+        """)
+    s = ro.io.zemax.zmx_to_system(zmx)
+    assert s.n_configurations == 2
+    # THIC j maps onto imported[j+2].distance (implicit object row)
+    assert {"set": [4, "distance"], "value": 12.0} \
+        in s.configurations[0]
+    s0 = s.at_configuration(0, update=False)
+    s1 = s.at_configuration(1, update=False)
+    assert s0[4].distance == 12. and s1[4].distance == 4.
+    assert s1[2].curvature == 0.025
+    assert abs(s1.wavelengths[0] - 0.6562725e-6) < 1e-15
+    assert s0.object.pupil.radius == 5.
+    assert s1.object.pupil.radius == 3.
+    assert "SF5" in str(s1[2].material)
+    assert "BK7" in str(s0[2].material)
+
+
+def test_zmx_mce_zoom_round_trip():
+    # the zoom model exports an MNUM block and reimports to a system
+    # whose per-configuration first-order solutions match
+    from rayopt_tpu.models import zoom_telephoto
+    z = zoom_telephoto()
+    txt = ro.io.zemax.system_to_zmx(z)
+    assert "MNUM 2 1" in txt
+    z2 = ro.io.zemax.zmx_to_system(txt)
+    z2.update()
+    assert z2.n_configurations == 2
+    for i in range(2):
+        fa = z.at_configuration(i).paraxial.focal_length
+        fb = z2.at_configuration(i).paraxial.focal_length
+        nptest.assert_allclose(np.asarray(fb), np.asarray(fa),
+                               rtol=1e-6)
