@@ -1,0 +1,158 @@
+"""Rigorous coupled-wave analysis (rcwa.py) validation.
+
+The solver has no reference counterpart (quartiq/rayopt has no
+gratings); it is pinned against closed-form electromagnetics instead:
+Fresnel coefficients, the exact thin-film Airy formula, energy
+conservation for lossless stacks at high truncation order (the
+S-matrix stability property), profile symmetry, and the scalar blaze
+limit d >> lambda where it must agree with gratings.blaze_efficiency.
+"""
+
+import numpy as np
+import pytest
+
+from rayopt_tpu.rcwa import (
+    Layer, uniform_layer, lamellar_layer, blazed_layers, rcwa1d,
+)
+
+
+def total(res):
+    return res.eff_r.sum() + res.eff_t.sum()
+
+
+def test_fresnel_te():
+    res = rcwa1d(1.0, 0.6, [], n_in=1., n_out=1.5, orders=5)
+    assert res.eff_r.sum() == pytest.approx(((1 - 1.5)/(1 + 1.5))**2,
+                                            abs=1e-12)
+    assert total(res) == pytest.approx(1., abs=1e-12)
+    # only order 0 propagates nothing: all side orders dark
+    assert res.eff_t[res.orders != 0].max() < 1e-30
+
+
+def test_fresnel_tm_oblique():
+    th = np.deg2rad(30.)
+    res = rcwa1d(1.0, 0.6, [], n_out=1.5, theta_deg=30., pol="TM",
+                 orders=5)
+    thr = np.arcsin(np.sin(th)/1.5)
+    r = (1.5*np.cos(th) - np.cos(thr))/(1.5*np.cos(th) + np.cos(thr))
+    assert res.eff_r.sum() == pytest.approx(r**2, abs=1e-12)
+
+
+def test_uniform_layer_is_thin_film():
+    # no inter-order coupling: order 0 must match the Airy formula
+    res = rcwa1d(1.0, 0.6328, [uniform_layer(0.5, 2.0)], n_out=1.5,
+                 theta_deg=10., orders=20)
+    a = np.sin(np.deg2rad(10.))
+    kz1, kz2, kz3 = (np.sqrt(n**2 - a**2) for n in (1., 2., 1.5))
+    r12 = (kz1 - kz2)/(kz1 + kz2)
+    r23 = (kz2 - kz3)/(kz2 + kz3)
+    ph = np.exp(2j*2*np.pi*0.5/0.6328*kz2)
+    r = (r12 + r23*ph)/(1 + r12*r23*ph)
+    assert res.eff_r[res.orders == 0][0] == pytest.approx(
+        abs(r)**2, abs=1e-10)
+    assert total(res) == pytest.approx(1., abs=1e-10)
+
+
+@pytest.mark.parametrize("pol", ["TE", "TM"])
+def test_energy_conservation_high_order(pol):
+    # the S-matrix stability pin: the enhanced-transmittance
+    # formulation loses 6% of the energy budget at N = 40 on this
+    # exact case (singular layer matching matrix)
+    lay = [lamellar_layer(0.5, 0.5, 2.04, 1.0)]
+    res = rcwa1d(1.0, 0.6328, lay, n_out=1.52, theta_deg=10.,
+                 pol=pol, orders=60)
+    assert total(res) == pytest.approx(1., abs=1e-8)
+
+
+@pytest.mark.parametrize("pol", ["TE", "TM"])
+def test_convergence(pol):
+    lay = [lamellar_layer(0.5, 0.5, 2.04, 1.0)]
+    effs = []
+    for N in (20, 40):
+        res = rcwa1d(1.0, 0.6328, lay, n_out=1.52, theta_deg=10.,
+                     pol=pol, orders=N)
+        effs.append(res.eff_t[res.orders == 0][0])
+    assert abs(effs[1] - effs[0]) < 5e-4
+
+
+def test_wood_anomaly_grazing_order():
+    # lambda/period = 1/2 puts order +-2 exactly at grazing (kz = 0):
+    # the cover V matrix is singular there, the block interface solve
+    # must survive and conserve energy
+    res = rcwa1d(1.0, 0.5, [lamellar_layer(0.4, 0.5, 2.0, 1.0)],
+                 n_out=1.5, orders=15)
+    assert total(res) == pytest.approx(1., abs=1e-9)
+
+
+def test_symmetric_profile_symmetric_orders():
+    res = rcwa1d(1.0, 0.5, [lamellar_layer(0.4, 0.5, 2.0, 1.0)],
+                 n_out=1.5, orders=15)
+    e, o = res.eff_t, res.orders
+    for m in (1, 2, 3):
+        assert e[o == m][0] == pytest.approx(e[o == -m][0], abs=1e-12)
+
+
+def test_blazed_scalar_limit():
+    # d = 10 lambda, depth = lambda/(n-1): scalar theory puts ~all
+    # transmitted light into one first order (sinc^2(0) = 1); RCWA
+    # must agree up to Fresnel loss and staircase error
+    lam, n = 0.6328, 1.5
+    res = rcwa1d(10.0, lam, blazed_layers(lam/(n - 1.), n, 1.0,
+                                          nslices=24),
+                 n_out=n, orders=40)
+    assert total(res) == pytest.approx(1., abs=1e-9)
+    assert res.eff_t[res.orders == -1][0] > 0.85
+    # and the blaze order dominates every other order by > 50x
+    rest = np.where(res.orders == -1, 0., res.eff_t)
+    assert res.eff_t[res.orders == -1][0] > 50*rest.max()
+
+
+def test_deep_stack_stability():
+    # 20 slices, N = 60: the regime where transfer-matrix methods
+    # overflow; S-matrix stays exactly on the energy shell
+    res = rcwa1d(1.0, 0.6328, blazed_layers(1.2, 1.5, 1.0,
+                                            nslices=20),
+                 n_out=1.5, orders=60)
+    assert total(res) == pytest.approx(1., abs=1e-9)
+
+
+def test_absorbing_grating_dissipates():
+    # silver-like index: energy strictly below 1, nothing negative
+    res = rcwa1d(1.0, 0.6328,
+                 [lamellar_layer(0.2, 0.5, 0.055 + 3.32j, 1.0)],
+                 n_out=1.5, pol="TM", orders=20)
+    s = total(res)
+    assert 0.2 < s < 0.999
+    assert res.eff_r.min() >= 0. and res.eff_t.min() >= 0.
+
+
+def test_reciprocal_layer_order():
+    # a single lamellar layer illuminated from the other side: the
+    # transmitted order-0 efficiency is reciprocal
+    lay = lamellar_layer(0.3, 0.4, 1.9, 1.2)
+    fwd = rcwa1d(1.0, 0.55, [lay], n_in=1.0, n_out=1.5, orders=20)
+    rev = rcwa1d(1.0, 0.55, [Layer(lay.thickness, lay.widths,
+                                   lay.indices)],
+                 n_in=1.5, n_out=1.0, orders=20)
+    assert fwd.eff_t[fwd.orders == 0][0] == pytest.approx(
+        rev.eff_t[rev.orders == 0][0], abs=1e-10)
+
+
+def test_propagating_masks_and_grating_equation():
+    res = rcwa1d(1.0, 0.6328, [lamellar_layer(0.2, 0.5, 1.8, 1.0)],
+                 n_out=1.52, theta_deg=10., orders=10)
+    alpha = np.sin(np.deg2rad(10.)) + res.orders*0.6328
+    assert (res.propagating_r == (np.abs(alpha) < 1.)).all()
+    assert (res.propagating_t == (np.abs(alpha) < 1.52)).all()
+    # evanescent orders carry no power
+    assert res.eff_r[~res.propagating_r].max() < 1e-25
+    assert res.eff_t[~res.propagating_t].max() < 1e-25
+
+
+def test_input_validation():
+    with pytest.raises(ValueError):
+        lamellar_layer(0.5, 1.5, 2.0, 1.0)
+    with pytest.raises(ValueError):
+        rcwa1d(1.0, 0.6, [], pol="TEM")
+    with pytest.raises(ValueError):
+        rcwa1d(1.0, 0.6, [Layer(0.1, (0.6, 0.6), (1.5, 1.0))])
