@@ -55,16 +55,29 @@ def blaze_efficiency(order, wavelength, frequency, blaze_deg,
 
 
 def order_weights(grating, wavelengths, orders, incidence_deg=0.,
-                  scale=1e-3):
+                  scale=1e-3, model="scalar", **rcwa_kw):
     """(len(orders), len(wavelengths)) efficiency table of a Grating
     element.  An unblazed grating (blaze_deg is None) weights all
-    requested orders equally (1/len(orders))."""
+    requested orders equally (1/len(orders)).
+
+    model="scalar" (default) uses the sinc^2 blaze model above;
+    model="rcwa" solves Maxwell's equations for the staircase-
+    approximated sawtooth instead (rcwa.grating_order_weights --
+    required once the groove spacing approaches the wavelength;
+    extra keywords, e.g. pol= or nslices=, pass through)."""
     wavelengths = np.atleast_1d(np.asarray(wavelengths, float))
     orders = np.atleast_1d(np.asarray(orders))
     blaze = getattr(grating, "blaze_deg", None)
     if blaze is None:
         return np.full((orders.size, wavelengths.size),
                        1./orders.size)
+    if model == "rcwa":
+        from .rcwa import grating_order_weights
+        return grating_order_weights(grating, wavelengths, orders,
+                                     incidence_deg=incidence_deg,
+                                     scale=scale, **rcwa_kw)
+    if model != "scalar":
+        raise ValueError("model must be 'scalar' or 'rcwa'")
     return blaze_efficiency(orders[:, None], wavelengths[None, :],
                             grating.grating_frequency, blaze,
                             incidence_deg, scale)

@@ -180,16 +180,20 @@ def simulate_image_poly(system, scene, width, wavelengths=None,
 
 def simulate_image_orders(system, scene, width, orders=None,
                           wavelengths=None, weights=None,
-                          incidence_deg=0., cutoff=1e-4, **kw):
+                          incidence_deg=0., cutoff=1e-4,
+                          efficiency_model="scalar", **kw):
     """Efficiency-weighted per-order spectrograph image.
 
     Loops the traced diffraction order of the system's grating
     element over `orders`, simulates each (order, wavelength) image,
-    weights it by the scalar blaze efficiency eta_m(lambda) (see
+    weights it by the blaze efficiency eta_m(lambda) (see
     rayopt_tpu.gratings; an unblazed grating weights the requested
     orders equally) times the spectral weight, and sums.  Orders whose
     efficiency falls below `cutoff` are skipped.  The grating element
     is restored afterwards.  Returns the (H, W) image.
+
+    efficiency_model: "scalar" (sinc^2 blaze) or "rcwa" (rigorous
+    electromagnetic efficiencies, rayopt_tpu.rcwa).
     """
     from .gratings import order_weights
     gratings = [e for e in system
@@ -204,7 +208,7 @@ def simulate_image_orders(system, scene, width, orders=None,
     if weights is None:
         weights = np.ones(len(wavelengths))/len(wavelengths)
     eta = order_weights(gr, wavelengths, orders, incidence_deg,
-                        system.scale)
+                        system.scale, model=efficiency_model)
     total = np.zeros(np.asarray(scene).shape[:2])
     orig = gr.grating_order
     try:

@@ -156,3 +156,56 @@ def test_input_validation():
         rcwa1d(1.0, 0.6, [], pol="TEM")
     with pytest.raises(ValueError):
         rcwa1d(1.0, 0.6, [Layer(0.1, (0.6, 0.6), (1.5, 1.0))])
+
+
+def test_grating_order_weights_vs_scalar():
+    # coarse (d = 18 lambda) reflective blazed grating: the rigorous
+    # efficiencies, normalized by the metal's Fresnel reflectance,
+    # must agree with the scalar sinc^2 model to ~0.1 absolute
+    from rayopt_tpu.elements import Grating
+    from rayopt_tpu.materials import mirror
+    from rayopt_tpu.gratings import order_weights
+
+    g = Grating(grating_frequency=100., grating_order=1,
+                blaze_deg=np.rad2deg(np.arcsin(0.55e-6/(2*10e-6))),
+                material=mirror)
+    lam = np.array([0.45e-6, 0.55e-6, 0.65e-6])
+    ws = order_weights(g, lam, (0, 1, 2), scale=1e-3)
+    wr = order_weights(g, lam, (0, 1, 2), scale=1e-3, model="rcwa")
+    n_al = 1 + 6.5j  # the bridge's mirror stand-in
+    refl = abs((1 - n_al)/(1 + n_al))**2
+    assert np.abs(wr/refl - ws).max() < 0.12
+    # the blaze order must dominate at every wavelength
+    assert (wr[1] > 0.7).all()
+
+
+def test_order_weights_model_routing():
+    from rayopt_tpu.elements import Grating
+    from rayopt_tpu.gratings import order_weights
+    from rayopt_tpu.rcwa import grating_order_weights
+
+    g = Grating(grating_frequency=100., grating_order=1)
+    # unblazed: both models fall back to equal weights
+    w = order_weights(g, 0.55e-6, (1, 2), model="rcwa")
+    assert (w == 0.5).all()
+    with pytest.raises(ValueError):
+        order_weights(Grating(grating_frequency=100., blaze_deg=5.),
+                      0.55e-6, (1,), model="zpurious")
+    with pytest.raises(ValueError):
+        grating_order_weights(g, 0.55e-6, (1,))
+
+
+def test_grating_order_weights_transmission():
+    # blazed transmission grating (solid material attr absent ->
+    # n_out default 1.5): depth d tan(tb) = lambda/(n-1) peaks m = 1
+    from rayopt_tpu.elements import Grating
+    from rayopt_tpu.rcwa import grating_order_weights
+
+    d = 10e-6
+    depth = 0.55e-6/0.5
+    g = Grating(grating_frequency=100., grating_order=1,
+                blaze_deg=np.rad2deg(np.arctan(depth/d)))
+    w = grating_order_weights(g, 0.55e-6, (0, 1, 2), pol="TE",
+                              reflection=False)
+    assert w[1, 0] > 0.8
+    assert w[0, 0] < 0.05 and w[2, 0] < 0.05
