@@ -1,0 +1,190 @@
+"""Automatic-differentiation aberration expansion.
+
+The classical per-surface Seidel formulas (elements.py:497, reference
+elements.py:556-587) exist only for rotationally-symmetric figures;
+this module obtains the transverse aberration polynomial of ANY
+traceable system -- biconic, toroid, grating, tilted -- by Taylor-
+expanding the real ray trace itself: nested `jax.jacfwd` through the
+differentiable table engine (ops/geometric.py) gives the exact
+derivative tensors of the image-plane intersection with respect to
+normalized pupil (px, py) and field (hx, hy) coordinates around the
+axial ray.  No aberration theory is hand-derived; the chain rule
+through the actual intercept/refraction kernels IS the theory.
+
+Convention notes.  The expansion is taken at the paraxial image
+plane with the linear part of the launcher fixed by the paraxial
+pupil (distance/radius from System.update).  Third-order transverse
+coefficients are invariant under smooth launcher reparameterizations
+with the same linear part: a cubic remap of the pupil coordinate
+feeds through the pupil->image *linear* map, which vanishes at the
+image plane, so only the distortion term (pure h^3) keeps a field-
+parameterization convention -- the standard one (fractional object
+height / tan of the field angle) is used.  Coefficients are reported
+in image-space length units per unit fractional pupil/field, i.e.
+directly comparable to real-ray transverse aberrations at full
+aperture/field.
+
+TPU note: the expansion evaluates one ray and its forward-mode jet
+(4 -> 16 -> 64 tangents); this is host-scale work on the CPU backend
+like the aiming front-end, while reusing the exact same jitted
+surface kernels as the bulk engines.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .ops import geometric as G
+
+__all__ = ["TransverseExpansion", "transverse_expansion"]
+
+
+def _launcher(system, wavelength):
+    """A smooth jax function v = (px, py, hx, hy) -> (x, y) at the
+    image surface whose linear part is EXACTLY the paraxial marginal/
+    chief decomposition: the real seed with pupil coordinate p and
+    field h osculates p * marginal + h * chief (heights at surface 1,
+    slopes before it, from ParaxialTrace), which is the normalization
+    classical Seidel sums assume.  Completing the direction with
+    normalize((sx, sy, 1)) adds only cubic input terms, which cannot
+    move third-order image-plane coefficients (they ride the
+    pupil->image linear map, zero at the image plane)."""
+    from .trace.paraxial import ParaxialTrace
+
+    # paraxial normalization at the system reference wavelength (the
+    # classical convention); the traced table is at `wavelength`
+    p = ParaxialTrace(system)
+    ym1, yc1 = (float(v) for v in p.y[1])
+    sm, sc = (float(v) for v in p.u[0]/p.n[0])
+    d1 = float(system[1].distance)
+    table = system.table(wavelength)
+    from .ops.tables import is_anamorphic
+    biconic = bool(is_anamorphic(table))
+
+    def f(v):
+        px, py, hx, hy = v
+        sx = px*sm + hx*sc
+        sy = py*sm + hy*sc
+        x1 = px*ym1 + hx*yc1
+        y1 = py*ym1 + hy*yc1
+        origin = jnp.stack([x1 - d1*sx, y1 - d1*sy, 0.*px])
+        u = jnp.stack([sx, sy, 1. + 0.*px])
+        u = u/jnp.linalg.norm(u)
+        y, _, _ = G.trace_rays_final(table, origin[None], u[None],
+                                     biconic=biconic)
+        return y[0, :2]
+
+    return f
+
+
+class TransverseExpansion:
+    """Taylor tensors of the image-plane transverse ray coordinates.
+
+    j1: (2, 4) linear map; j3: (2, 4, 4, 4) symmetric third-derivative
+    tensor.  v-axis order is (px, py, hx, hy).  evaluate(v) applies
+    the cubic model; named third-order coefficients come from
+    `coefficients` / `seidel_like`.
+    """
+
+    _V = "px py hx hy".split()
+
+    def __init__(self, system, wavelength=None, order=3):
+        if order != 3:
+            raise ValueError("only third-order expansion supported")
+        self.system = system
+        if wavelength is None:
+            wavelength = system.wavelengths[0]
+        self.wavelength = wavelength
+        f = _launcher(system, wavelength)
+        v0 = jnp.zeros(4)
+        self.offset = np.asarray(f(v0))
+        self.j1 = np.asarray(jax.jacfwd(f)(v0))
+        self.j2 = np.asarray(jax.jacfwd(jax.jacfwd(f))(v0))
+        self.j3 = np.asarray(
+            jax.jacfwd(jax.jacfwd(jax.jacfwd(f)))(v0))
+
+    def evaluate(self, v):
+        """Cubic-model transverse coordinates at v = (px, py, hx, hy)
+        (absolute, including the linear/gaussian part)."""
+        v = np.asarray(v, float)
+        return (self.offset + self.j1 @ v
+                + np.einsum("iab,a,b->i", self.j2, v, v)/2.
+                + np.einsum("iabc,a,b,c->i", self.j3, v, v, v)/6.)
+
+    def aberration(self, v):
+        """Cubic-model transverse ABERRATION (gaussian part
+        removed)."""
+        v = np.asarray(v, float)
+        return (np.einsum("iab,a,b->i", self.j2, v, v)/2.
+                + np.einsum("iabc,a,b,c->i", self.j3, v, v, v)/6.)
+
+    def coefficient(self, comp, *axes):
+        """Third-order monomial coefficient: coefficient('y', 'py',
+        'py', 'hy') is the py^2 hy term of the y-aberration (the
+        multinomial weight is included, so evaluate() equals the sum
+        of coefficient * monomial)."""
+        i = {"x": 0, "y": 1}[comp]
+        ia = [self._V.index(ax) for ax in axes]
+        from math import factorial
+        from collections import Counter
+        mult = 6
+        for n in Counter(ia).values():
+            mult //= factorial(n)
+        return self.j3[i, ia[0], ia[1], ia[2]]*mult/6.
+
+    def coefficients(self):
+        """All distinct third-order monomial coefficients >= 1e-14 of
+        both components, {('y', ('py','py','hy')): value, ...}."""
+        import itertools
+        out = {}
+        for comp in "xy":
+            for axes in itertools.combinations_with_replacement(
+                    self._V, 3):
+                c = self.coefficient(comp, *axes)
+                if abs(c) > 1e-14:
+                    out[(comp, axes)] = c
+        return out
+
+    def seidel_like(self):
+        """Named third-order sums for a meridionally-symmetric system
+        (field along y), transverse measure at full aperture/field:
+
+        spherical: marginal-ray aberration, py^3 term.
+        coma_sagittal / coma_tangential: px^2 hy and py^2 hy terms.
+        astigmatism: tangential minus sagittal field focus split,
+            (c_y[py hy^2] - c_x[px hy^2]).
+        sagittal_field_curv: c_x[px hy^2] (sagittal defocus slope).
+        distortion: pure hy^3 term.
+
+        For anamorphic systems the x/y entries differ; use
+        coefficients() for the full table.
+        """
+        c = self.coefficient
+        return {
+            "spherical": c("y", "py", "py", "py"),
+            "coma_sagittal": c("y", "px", "px", "hy"),
+            "coma_tangential": c("y", "py", "py", "hy"),
+            "astigmatism": (c("y", "py", "hy", "hy")
+                            - c("x", "px", "hy", "hy")),
+            "sagittal_field_curv": c("x", "px", "hy", "hy"),
+            "tangential_field_curv": c("y", "py", "hy", "hy"),
+            "distortion": c("y", "hy", "hy", "hy"),
+            "spherical_x": c("x", "px", "px", "px"),
+        }
+
+    def text(self):
+        yield ("AD transverse third-order expansion "
+               "(image units, full aperture/field)")
+        for name, val in self.seidel_like().items():
+            yield "  %-22s % .6e" % (name, val)
+        extra = {k: v for k, v in self.coefficients().items()
+                 if abs(v) > 1e-12}
+        yield "  %d nonzero third-order monomials" % len(extra)
+
+
+def transverse_expansion(system, wavelength=None):
+    """AD Taylor expansion of `system`'s real-ray transverse image
+    coordinates to third order in pupil and field.  See
+    TransverseExpansion."""
+    return TransverseExpansion(system, wavelength)

@@ -11,6 +11,8 @@ implementation, reference elements.py:306-501); the two are
 cross-checked in tests/test_ops.py.
 """
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -155,6 +157,70 @@ def normal_biconic(x, y, cx, kx, cy, ky, aspherics,
     return gx, gy
 
 
+def _newton_residual(kind, s, x, y, z, ux, uy, uz, pa, pb, pc, pd,
+                     asp, aspo):
+    """Sag residual F(s) at distance s along the ray, for the three
+    Newton-refined figures (pa..pd = figure scalars per kind)."""
+    px, py, pz = x + s*ux, y + s*uy, z + s*uz
+    if kind == "radial":
+        return sag(px, py, pz, pa, pb, asp, aspo)
+    if kind == "biconic":
+        return sag_biconic(px, py, pz, pa, pb, pc, pd, asp, aspo)
+    return sag_toroid(px, py, pz, pa, pb, pc, asp, aspo)
+
+
+def _newton_slope(kind, s, x, y, z, ux, uy, uz, pa, pb, pc, pd,
+                  asp, aspo):
+    """dF/ds = u . grad(z - sag) via the hand-written normals."""
+    px, py = x + s*ux, y + s*uy
+    if kind == "radial":
+        e = normal_radial(px, py, pa, pb, asp, aspo)
+        gx, gy = px*e, py*e
+    elif kind == "biconic":
+        gx, gy = normal_biconic(px, py, pa, pb, pc, pd, asp, aspo)
+    else:
+        gx, gy = normal_toroid(px, py, pa, pb, pc, asp, aspo)
+    return ux*gx + uy*gy + uz
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(0, 1, 2))
+def _newton_root(kind, iters, tol, seed, x, y, z, ux, uy, uz,
+                 pa, pb, pc, pd, asp, aspo):
+    """Fixed-count Newton refinement of the intercept distance with
+    IMPLICIT differentiation: the JVP comes from the implicit function
+    theorem at the converged root (one residual jet), not from
+    unrolling the iterations -- nested jacfwd through the trace (the
+    AD aberration expansion, optimizer Hessians) stays compilable and
+    the derivative is that of the exact root, independent of the
+    iteration path.  Non-converged rays give NaN (and NaN jets)."""
+    s = seed
+    for _ in range(iters):
+        fn = _newton_residual(kind, s, x, y, z, ux, uy, uz,
+                              pa, pb, pc, pd, asp, aspo)
+        fp = _newton_slope(kind, s, x, y, z, ux, uy, uz,
+                           pa, pb, pc, pd, asp, aspo)
+        fp = jnp.where(fp == 0, 1., fp)
+        s = s - fn/fp
+    res = _newton_residual(kind, s, x, y, z, ux, uy, uz,
+                           pa, pb, pc, pd, asp, aspo)
+    tol = _tol_for(s, tol)
+    return jnp.where(jnp.abs(res) <= tol*(1 + jnp.abs(s)), s, jnp.nan)
+
+
+@_newton_root.defjvp
+def _newton_root_jvp(kind, iters, tol, primals, tangents):
+    s = _newton_root(kind, iters, tol, *primals)
+    args = primals[1:]
+    dargs = tangents[1:]
+    # 0 = F_s ds + F_p . dp  (the seed tangent is irrelevant: the
+    # converged root is a function of the surface/ray parameters only)
+    fdot = jax.jvp(
+        lambda *a: _newton_residual(kind, s, *a), args, dargs)[1]
+    fs = _newton_slope(kind, s, *args)
+    fs = jnp.where(fs == 0, 1., fs)
+    return s, -fdot/fs
+
+
 def intercept_biconic(x, y, z, ux, uy, uz, cx, kx, cy, ky, aspherics,
                       alternate, iters=ASPHERIC_ITERS,
                       tol=ASPHERIC_TOL, aspherics_odd=None):
@@ -166,21 +232,11 @@ def intercept_biconic(x, y, z, ux, uy, uz, cx, kx, cy, ky, aspherics,
     seed = intercept_conic(x, y, z, ux, uy, uz, cy, ky, alternate)
     uz_safe = jnp.where(uz == 0, 1., uz)
     seed = jnp.where(jnp.isnan(seed), -z/uz_safe, seed)
-    s = seed
-    for _ in range(iters):
-        px, py, pz = x + s*ux, y + s*uy, z + s*uz
-        fn = sag_biconic(px, py, pz, cx, kx, cy, ky, aspherics,
-                         aspherics_odd)
-        gx, gy = normal_biconic(px, py, cx, kx, cy, ky, aspherics,
-                                aspherics_odd)
-        fp = ux*gx + uy*gy + uz
-        fp = jnp.where(fp == 0, 1., fp)
-        s = s - fn/fp
-    px, py, pz = x + s*ux, y + s*uy, z + s*uz
-    res = sag_biconic(px, py, pz, cx, kx, cy, ky, aspherics,
-                      aspherics_odd)
-    tol = _tol_for(s, tol)
-    return jnp.where(jnp.abs(res) <= tol*(1 + jnp.abs(s)), s, jnp.nan)
+    if aspherics_odd is None:
+        aspherics_odd = jnp.zeros((0,))
+    return _newton_root("biconic", iters, tol, seed, x, y, z,
+                        ux, uy, uz, cx, kx, cy, ky, aspherics,
+                        aspherics_odd)
 
 
 def refract_biconic(x, y, ux, uy, uz, mu, cx, kx, cy, ky, aspherics,
@@ -260,20 +316,11 @@ def intercept_toroid(x, y, z, ux, uy, uz, cr, cy, ky, aspherics,
     seed = intercept_conic(x, y, z, ux, uy, uz, cy, ky, alternate)
     uz_safe = jnp.where(uz == 0, 1., uz)
     seed = jnp.where(jnp.isnan(seed), -z/uz_safe, seed)
-    s = seed
-    for _ in range(iters):
-        px, py, pz = x + s*ux, y + s*uy, z + s*uz
-        fn = sag_toroid(px, py, pz, cr, cy, ky, aspherics,
-                        aspherics_odd)
-        gx, gy = normal_toroid(px, py, cr, cy, ky, aspherics,
-                               aspherics_odd)
-        fp = ux*gx + uy*gy + uz
-        fp = jnp.where(fp == 0, 1., fp)
-        s = s - fn/fp
-    px, py, pz = x + s*ux, y + s*uy, z + s*uz
-    res = sag_toroid(px, py, pz, cr, cy, ky, aspherics, aspherics_odd)
-    tol = _tol_for(s, tol)
-    return jnp.where(jnp.abs(res) <= tol*(1 + jnp.abs(s)), s, jnp.nan)
+    if aspherics_odd is None:
+        aspherics_odd = jnp.zeros((0,))
+    return _newton_root("toroid", iters, tol, seed, x, y, z,
+                        ux, uy, uz, cr, cy, ky, jnp.zeros(()),
+                        aspherics, aspherics_odd)
 
 
 def refract_toroid(x, y, ux, uy, uz, mu, cr, cy, ky, aspherics,
@@ -416,17 +463,11 @@ def intercept(x, y, z, ux, uy, uz, c, k, aspherics, alternate,
     odd = aspherics_odd is not None and aspherics_odd.shape[-1]
     if aspherics.shape[-1] or odd:
         s0 = s
-        for _ in range(iters):
-            px, py, pz = x + s*ux, y + s*uy, z + s*uz
-            fn = sag(px, py, pz, c, k, aspherics, aspherics_odd)
-            e = normal_radial(px, py, c, k, aspherics, aspherics_odd)
-            fp = ux*px*e + uy*py*e + uz
-            fp = jnp.where(fp == 0, 1., fp)
-            s = s - fn/fp
-        px, py, pz = x + s*ux, y + s*uy, z + s*uz
-        res = sag(px, py, pz, c, k, aspherics, aspherics_odd)
-        tol = _tol_for(s, tol)
-        s = jnp.where(jnp.abs(res) <= tol*(1 + jnp.abs(s)), s, jnp.nan)
+        if aspherics_odd is None:
+            aspherics_odd = jnp.zeros((0,))
+        s = _newton_root("radial", iters, tol, s0, x, y, z,
+                         ux, uy, uz, c, k, jnp.zeros(()),
+                         jnp.zeros(()), aspherics, aspherics_odd)
         s = jnp.where(jnp.isnan(s0) & (c != 0), jnp.nan, s)
     return s
 
