@@ -80,6 +80,10 @@ from .thermal import (  # noqa: E402,F401
     at_temperature, thermal_defocus, thermal_text, heat_table,
     thermal_model,
 )
+from .expansion import (  # noqa: E402,F401
+    TransverseExpansion, transverse_expansion,
+    ChromaticExpansion, chromatic_expansion,
+)
 from .io.library import (  # noqa: E402,F401
     Library, Catalog, LibMaterial, LibLens,
 )

@@ -547,6 +547,7 @@ class Analysis:
     image_rays = 500
     plot_footprints = False
     print_zernike = False
+    print_ad_expansion = False
     print_ghosts = False
     print_polarization = False
     print_thermal = False
@@ -596,6 +597,10 @@ class Analysis:
             self.text.append(str(t))
         if self.print_zernike:
             self.text.append("\n".join(self.zernike_text()))
+        if self.print_ad_expansion:
+            from .expansion import transverse_expansion
+            self.text.append(
+                "\n".join(transverse_expansion(s).text()))
         if self.print_ghosts:
             from .ghosts import ghost_text
             try:

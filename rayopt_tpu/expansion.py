@@ -37,7 +37,21 @@ import jax.numpy as jnp
 
 from .ops import geometric as G
 
-__all__ = ["TransverseExpansion", "transverse_expansion"]
+__all__ = ["TransverseExpansion", "transverse_expansion",
+           "ChromaticExpansion", "chromatic_expansion"]
+
+
+def _paraxial_seed(system):
+    """Marginal/chief launcher constants at the SYSTEM REFERENCE
+    wavelength (frozen -- one pupil parameterization for all colors):
+    heights at surface 1, slopes before it, and the first gap."""
+    from .trace.paraxial import ParaxialTrace
+
+    p = ParaxialTrace(system)
+    ym1, yc1 = (float(v) for v in p.y[1])
+    sm, sc = (float(v) for v in p.u[0]/p.n[0])
+    d1 = float(system[1].distance)
+    return ym1, yc1, sm, sc, d1
 
 
 def _launcher(system, wavelength):
@@ -50,14 +64,9 @@ def _launcher(system, wavelength):
     normalize((sx, sy, 1)) adds only cubic input terms, which cannot
     move third-order image-plane coefficients (they ride the
     pupil->image linear map, zero at the image plane)."""
-    from .trace.paraxial import ParaxialTrace
-
     # paraxial normalization at the system reference wavelength (the
     # classical convention); the traced table is at `wavelength`
-    p = ParaxialTrace(system)
-    ym1, yc1 = (float(v) for v in p.y[1])
-    sm, sc = (float(v) for v in p.u[0]/p.n[0])
-    d1 = float(system[1].distance)
+    ym1, yc1, sm, sc, d1 = _paraxial_seed(system)
     table = system.table(wavelength)
     from .ops.tables import is_anamorphic
     biconic = bool(is_anamorphic(table))
@@ -97,7 +106,7 @@ class TransverseExpansion:
             wavelength = system.wavelengths[0]
         self.wavelength = wavelength
         f = _launcher(system, wavelength)
-        v0 = jnp.zeros(4)
+        v0 = jnp.zeros(len(self._V))
         self.offset = np.asarray(f(v0))
         self.j1 = np.asarray(jax.jacfwd(f)(v0))
         self.j2 = np.asarray(jax.jacfwd(jax.jacfwd(f))(v0))
@@ -183,8 +192,149 @@ class TransverseExpansion:
         yield "  %d nonzero third-order monomials" % len(extra)
 
 
+class ChromaticExpansion:
+    """Chromatic aberration expansion of the real ray trace.
+
+    The pupil/field jets are pure AD (TransverseExpansion); their
+    wavelength dependence is taken by a five-point central stencil
+    over the trace wavelength with the launcher normalization FROZEN
+    at the reference wavelength (the classical convention: one pupil
+    parameterization, many colors).  Sampling the whole jet tensors
+    reuses the single compiled monochromatic program per wavelength --
+    dispersion formulas are host-side numpy (materials.py), so an
+    outer stencil loses nothing over differentiating through them,
+    and every wavelength-baked table entry (indices, mu, the grating
+    `grating_dy` term, thermal models) is captured exactly.
+
+    The classical paraxial chromatic sums (elements.py:531, reference
+    elements.py:584) are first-order in the endpoint index difference
+    and exist only for rotationally-symmetric refracting surfaces;
+    this expansion handles anamorphics, gratings, tilted systems, and
+    yields the chromatic variation of every third-order coefficient
+    (sphero-chromatism et al.) -- cross terms Seidel theory stops
+    short of.
+
+    w is the normalized chromatic coordinate: lambda = lambda0 +
+    w*bandwidth, w = +-1 at the band edges (`bandwidth` defaults to
+    half the system's wavelength span).  d1_*/d2_* are d/dw and
+    d^2/dw^2 of offset/j1/j2/j3 at w=0.
+    """
+
+    _H = 0.05           # stencil step in w units (lambda shifts of
+    #                     ~h*bandwidth: tiny vs dispersion scales, far
+    #                     above the ~1e-12 jet noise floor)
+
+    def __init__(self, system, wavelength=None, bandwidth=None):
+        self.system = system
+        if wavelength is None:
+            wavelength = system.wavelengths[0]
+        self.wavelength = wavelength
+        if bandwidth is None:
+            wls = system.wavelengths
+            span = (max(wls) - min(wls))/2.
+            bandwidth = span if span > 0 else wavelength/50.
+        self.bandwidth = bandwidth
+        h = self._H
+        E = [TransverseExpansion(system, wavelength + i*h*bandwidth)
+             for i in (-2, -1, 0, 1, 2)]
+        self.base = E[2]
+        for name in ("offset", "j1", "j2", "j3"):
+            t = [getattr(e, name) for e in E]
+            d1 = (t[0] - 8*t[1] + 8*t[3] - t[4])/(12*h)
+            d2 = (-t[0] + 16*t[1] - 30*t[2] + 16*t[3] - t[4])/(12*h**2)
+            setattr(self, "d1_" + name, d1)
+            setattr(self, "d2_" + name, d2)
+        for name in ("offset", "j1"):
+            # cubic-in-w gaussian terms: glass dispersion is strongly
+            # nonlinear over a full visible band, so the band-edge
+            # axial/lateral color needs the w^3 term
+            t = [getattr(e, name) for e in E]
+            d3 = (-t[0] + 2*t[1] - 2*t[3] + t[4])/(2*h**3)
+            setattr(self, "d3_" + name, d3)
+
+    def evaluate(self, v, w):
+        """Transverse image coordinates of the cubic-in-(pupil,field),
+        quadratic-in-w model at v = (px, py, hx, hy), lambda =
+        lambda0 + w*bandwidth."""
+        v = np.asarray(v, float)
+        out = np.zeros(2)
+        for dw, fac in ((0, 1.), (1, w), (2, w*w/2.), (3, w**3/6.)):
+            pre = "" if dw == 0 else "d%d_" % dw
+            src = self.base if dw == 0 else self
+            off = getattr(src, pre + "offset")
+            j1 = getattr(src, pre + "j1")
+            j2 = getattr(src, pre + "j2", None)
+            j3 = getattr(src, pre + "j3", None)
+            out = out + fac*(off + j1 @ v)
+            if j2 is not None:
+                out = out + fac*(
+                    np.einsum("iab,a,b->i", j2, v, v)/2.
+                    + np.einsum("iabc,a,b,c->i", j3, v, v, v)/6.)
+        return out
+
+    def _named(self, j3, j1=None, offset=None):
+        ix = TransverseExpansion._V.index
+        ipx, ipy, ihx, ihy = (ix(a) for a in ("px", "py", "hx", "hy"))
+        out = {}
+        if offset is not None:
+            out["dispersion_x"] = offset[0]
+            out["dispersion"] = offset[1]
+        if j1 is not None:
+            out["axial_color"] = j1[1, ipy]
+            out["lateral_color"] = j1[1, ihy]
+            out["axial_color_x"] = j1[0, ipx]
+            out["lateral_color_x"] = j1[0, ihx]
+        out.update(
+            spherochromatism=j3[1, ipy, ipy, ipy]/6.,
+            coma_chromatic=j3[1, ipy, ipy, ihy]/2.,
+            astigmatism_chromatic=(j3[1, ipy, ihy, ihy]/2.
+                                   - j3[0, ipx, ihy, ihy]/2.),
+            field_curv_chromatic=j3[0, ipx, ihy, ihy]/2.,
+            distortion_chromatic=j3[1, ihy, ihy, ihy]/6.,
+        )
+        return out
+
+    def chromatic(self):
+        """Named chromatic coefficients, transverse image units at
+        full aperture/field per unit w (multiply by the band-edge
+        separation in w, e.g. 2, for edge-to-edge F-to-C values):
+
+        dispersion: image shift of the reference ray with w (the
+            spectrometer dispersion; zero without gratings/tilts).
+        axial_color / lateral_color: the classical PAC/PLC analogs
+            (d/dw of the linear pupil/field response).
+        *_2nd: the quadratic-in-w (secondary-spectrum) parts.
+        spherochromatism / coma_chromatic / astigmatism_chromatic /
+        field_curv_chromatic / distortion_chromatic: d/dw of the
+            named third-order coefficients.
+        """
+        out = self._named(self.d1_j3, self.d1_j1, self.d1_offset)
+        ix = TransverseExpansion._V.index
+        out["axial_color_2nd"] = self.d2_j1[1, ix("py")]/2.
+        out["lateral_color_2nd"] = self.d2_j1[1, ix("hy")]/2.
+        out["dispersion_2nd"] = self.d2_offset[1]/2.
+        out["axial_color_3rd"] = self.d3_j1[1, ix("py")]/6.
+        out["lateral_color_3rd"] = self.d3_j1[1, ix("hy")]/6.
+        return out
+
+    def text(self):
+        yield ("AD chromatic expansion (image units, full "
+               "aperture/field, per w; w = +-1 at lambda0 +- %.1f nm)"
+               % (self.bandwidth*1e9))
+        for name, val in self.chromatic().items():
+            yield "  %-24s % .6e" % (name, val)
+
+
 def transverse_expansion(system, wavelength=None):
     """AD Taylor expansion of `system`'s real-ray transverse image
     coordinates to third order in pupil and field.  See
     TransverseExpansion."""
     return TransverseExpansion(system, wavelength)
+
+
+def chromatic_expansion(system, wavelength=None, bandwidth=None):
+    """AD chromatic aberration expansion (axial/lateral color,
+    secondary spectrum, sphero-chromatism) of `system`'s real ray
+    trace, valid for any traceable figure incl. gratings.  See
+    ChromaticExpansion."""
+    return ChromaticExpansion(system, wavelength, bandwidth)

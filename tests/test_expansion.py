@@ -8,7 +8,8 @@ from numpy import testing as nptest
 import pytest
 
 import rayopt_tpu as ro
-from rayopt_tpu.expansion import TransverseExpansion, _launcher
+from rayopt_tpu.expansion import (
+    TransverseExpansion, ChromaticExpansion, _launcher)
 
 from test_raytrace import COOKE
 
@@ -83,3 +84,75 @@ def test_anamorphic_expansion():
     errs = [abs(np.asarray(f(v*sc)) - e.evaluate(v*sc)).max()
             for sc in (.2, .1)]
     nptest.assert_allclose(errs[0]/errs[1], 32., rtol=.08)
+
+
+@pytest.fixture(scope="module")
+def cooke_chrom(cooke_exp):
+    s, _ = cooke_exp
+    return s, ChromaticExpansion(s)
+
+
+def test_chromatic_model_matches_real_differences(cooke_chrom):
+    """The w-model's chromatic DIFFERENCE (color minus reference,
+    which cancels the shared monochromatic cubic truncation) matches
+    frozen-launcher real-ray differences across the band to ~1%."""
+    s, ce = cooke_chrom
+    lam0, bw = ce.wavelength, ce.bandwidth
+    v = np.array([0., .8, 0., .5])*0.25
+    f0 = np.asarray(_launcher(s, lam0)(v))
+    for w in (0.4, -0.6):
+        truth = np.asarray(_launcher(s, lam0 + w*bw)(v)) - f0
+        model = ce.evaluate(v, w) - ce.evaluate(v, 0.)
+        nptest.assert_allclose(model[1], truth[1], rtol=2e-2)
+
+
+def test_classical_chromatic_crosspins(cooke_chrom):
+    """Band-edge (blue minus red) jet differences reproduce the
+    classical paraxial axial/lateral chromatic sums (transverse3
+    columns 5/6, reference elements.py:584) -- the classical values
+    are first-order in delta-n, so a few %% is the theory gap, not
+    noise.  The w-model's first derivatives agree with the band-edge
+    secants to the secondary-spectrum correction."""
+    s, ce = cooke_chrom
+    blue, red = min(s.wavelengths), max(s.wavelengths)
+    eb = TransverseExpansion(s, blue)
+    er = TransverseExpansion(s, red)
+    dj = eb.j1 - er.j1
+    t3 = np.asarray(s.paraxial.transverse3).sum(0)
+    nptest.assert_allclose(dj[1, 1], t3[5], rtol=.06)   # axial
+    nptest.assert_allclose(dj[1, 3], t3[6], rtol=.02)   # lateral
+    c = ce.chromatic()
+    # first-order part carries the right sign and scale vs the
+    # band-edge secant (which folds in the 2nd/3rd-order spectrum)
+    wb, wr = (blue - ce.wavelength)/ce.bandwidth, \
+        (red - ce.wavelength)/ce.bandwidth
+    nptest.assert_allclose(c["axial_color"]*(wb - wr), dj[1, 1],
+                           rtol=.35)
+    nptest.assert_allclose(c["lateral_color"]*(wb - wr), dj[1, 3],
+                           rtol=.2)
+    # secondary spectrum exists for a non-achromatized triplet band
+    assert abs(c["axial_color_2nd"]) > 1e-4
+
+
+def test_grating_dispersion_pin():
+    """A plane transmission grating's AD `dispersion` coefficient
+    matches the analytic derivative of the grating equation:
+    y = d tan(theta), sin(theta) = m G lambda, so dy/dw =
+    d sec^3(theta) m G bandwidth (in system units)."""
+    rows = [dict(material="air"),
+            dict(type="grating", grating_frequency=600.,
+                 grating_order=1, distance=20., material="air",
+                 radius=30.),
+            dict(distance=50., radius=100.)]
+    g = ro.System(rows, wavelengths=[500e-9, 480e-9, 520e-9])
+    g.object.pupil.radius = 5.
+    g.object.pupil.update_radius = False
+    g.update()
+    cg = ChromaticExpansion(g)
+    sin_t = 600.*500e-9/g.scale
+    expect = 50.*(1 - sin_t**2)**-1.5*600.*(cg.bandwidth/g.scale)
+    got = cg.chromatic()
+    nptest.assert_allclose(got["dispersion"], expect, rtol=1e-3)
+    # sec^3 steepening: second-order dispersion is positive
+    assert got["dispersion_2nd"] > 0.
+    assert got["dispersion_x"] == 0.
