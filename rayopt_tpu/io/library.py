@@ -302,10 +302,13 @@ def main(argv=None):
     o = p.parse_args(argv)
     lib = Library(o.db)
     lib.load_all(o.files)
-    if o.material:
-        print(lib.get("material", o.material))
-    if o.lens:
-        print(lib.get("lens", o.lens))
+    for typ, query in (("material", o.material), ("lens", o.lens)):
+        if not query:
+            continue
+        try:
+            print(lib.get(typ, query))
+        except KeyError as err:
+            p.exit(1, "%s\n" % err.args[0])
     if o.all:
         for kind in ("material", "lens"):
             try:
