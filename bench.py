@@ -7,8 +7,10 @@ Prints ONE JSON line:
 (vs_baseline is the ratio against the 1e9/s target).  Details go to
 stderr and into the JSON "details" field:
 
-* f32 headline: the Pallas fused kernel (adopted over the XLA-unrolled
-  chain after a measured ~1.3x win; both are timed and logged).
+* f32 headline: the best of the Pallas fused kernel and the
+  XLA-unrolled chain (both are timed and logged; since the round-3
+  polynomial-normal refract rewrite the XLA chain leads, 49.6 vs
+  47.3 G/s).
 * parity-grade rate: the Pallas df32 (double-single) engine -- full
   double-word arithmetic on the VPU; its spot-RMS agreement with the
   f64 trace is measured here on-device (target <= 1e-9, typical

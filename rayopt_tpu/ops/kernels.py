@@ -412,26 +412,30 @@ def intercept_cyl(w, z, uw, uz, c, k, alternate):
     return jnp.where(disc < 0, jnp.nan, s)
 
 
-def refract_cyl(w, uw, uv, uz, mu, c, k, kind):
-    """Snell/mirror on a conic-cylinder normal: uw is the direction
-    component along the curved axis, uv along the flat axis (which
-    the surface normal has no component on).  kind: 1 refract,
-    2 mirror (static)."""
-    e = -c*jax.lax.rsqrt(jnp.maximum(1 - (1 + k)*c*c*w*w, TINY))
-    nw = w*e
-    nn = nw*nw + 1.
+def refract_cyl(w, z, uw, uv, uz, mu, c, k, kind):
+    """Snell/mirror on a conic-cylinder normal at the on-surface
+    point (w, z): uw is the direction component along the curved
+    axis, uv along the flat axis (which the surface normal has no
+    component on).  kind: 1 refract, 2 mirror (static).
+
+    Uses the polynomial implicit-gradient normal of the quadric
+    c(w^2 + (1+k)z^2) - 2z = 0: N = (-c w, 1 - c(1+k)z) -- no rsqrt,
+    and exact beyond the half-cylinder rim."""
+    nw = -c*w
+    nz = 1. - (1 + k)*c*z
+    nn = nw*nw + nz*nz
     inv = 1./nn
-    dot = uw*nw + uz
+    dot = uw*nw + uz*nz
     if kind == 2:
         a2 = 2.*dot*inv
-        return uw - a2*nw, uv, uz - a2
+        return uw - a2*nw, uv, uz - a2*nz
     muf = jnp.abs(mu)
     a = muf*dot*inv
     b = (mu*mu - 1)*inv
     disc = a*a - b
     g = -a + jnp.sign(mu)*_sqrt0(disc)
     g = jnp.where(disc < 0, jnp.nan, g)
-    return muf*uw + g*nw, muf*uv, muf*uz + g
+    return muf*uw + g*nw, muf*uv, muf*uz + g*nz
 
 
 def intercept_conic(x, y, z, ux, uy, uz, c, k, alternate):
@@ -618,9 +622,10 @@ def intercept_spec(x, y, z, ux, uy, uz, c, k, alternate, spec):
     return s
 
 
-def refract_spec(x, y, ux, uy, uz, mu, c, k, aspherics, spec,
+def refract_spec(x, y, z, ux, uy, uz, mu, c, k, aspherics, spec,
                  aspherics_odd=None):
-    """Specialized Snell/mirror refraction."""
+    """Specialized Snell/mirror refraction at the on-surface point
+    (x, y, z local)."""
     if spec.kind == 0:
         return ux, uy, uz
     figured = spec.aspheric or spec.odd
@@ -634,15 +639,45 @@ def refract_spec(x, y, ux, uy, uz, mu, c, k, aspherics, spec,
         g = -a + jnp.sign(mu)*_sqrt0(disc)
         g = jnp.where(disc < 0, jnp.nan, g)
         return muf*ux, muf*uy, muf*uz + g
+    if not figured:
+        # polynomial (implicit-gradient) conic normal at the
+        # on-surface point: the conic is c(x^2+y^2+(1+k)z^2) - 2z = 0,
+        # so N = (-c x, -c y, 1 - c(1+k) z) -- no rsqrt.  For a sphere
+        # the on-surface identity c^2(x^2+y^2+z^2) = 2cz makes
+        # |N| == 1 EXACTLY, so the reciprocal normalization drops out
+        # too (and is more accurate than TPU's ~1e-6 approximate
+        # divide).  This form is also exact beyond the hemisphere
+        # (alternate intersections), where the old radial-slope
+        # normalization lost the sign of 1 - c z.
+        nx, ny = -c*x, -c*y
+        if spec.spherical:
+            nz = 1. - c*z
+            dot = ux*nx + uy*ny + uz*nz
+            if spec.kind == 2:
+                a2 = 2.*dot
+                return ux - a2*nx, uy - a2*ny, uz - a2*nz
+            muf = jnp.abs(mu)
+            a = muf*dot
+            disc = a*a - (mu*mu - 1)
+        else:
+            nz = 1. - (1 + k)*c*z
+            dot = ux*nx + uy*ny + uz*nz
+            ir2 = 1./(nx*nx + ny*ny + nz*nz)
+            if spec.kind == 2:
+                a2 = 2.*dot*ir2
+                return ux - a2*nx, uy - a2*ny, uz - a2*nz
+            muf = jnp.abs(mu)
+            a = muf*dot*ir2
+            disc = a*a - (mu*mu - 1)*ir2
+        g = -a + jnp.sign(mu)*_sqrt0(disc)
+        g = jnp.where(disc < 0, jnp.nan, g)
+        return muf*ux + g*nx, muf*uy + g*ny, muf*uz + g*nz
     r2s = x*x + y*y
-    if spec.spherical and not figured:
-        e = -c*jax.lax.rsqrt(jnp.maximum(1 - c*c*r2s, TINY))
-    else:
-        e = -c*jax.lax.rsqrt(jnp.maximum(1 - (1 + k)*c*c*r2s, TINY))
-        if spec.aspheric:
-            e = e - _dpoly_even(r2s, aspherics)
-        if spec.odd:
-            e = e - _dpoly_odd(r2s, aspherics_odd)
+    e = -c*jax.lax.rsqrt(jnp.maximum(1 - (1 + k)*c*c*r2s, TINY))
+    if spec.aspheric:
+        e = e - _dpoly_even(r2s, aspherics)
+    if spec.odd:
+        e = e - _dpoly_odd(r2s, aspherics_odd)
     nx, ny = x*e, y*e
     r2 = nx*nx + ny*ny + 1.
     ir2 = 1./r2
@@ -732,11 +767,11 @@ def surface_step_spec(state, surf, spec, clip):
     elif spec.cyl_axis and spec.kind != 0:
         if spec.cyl_axis == 1:
             uy1, ux1, uz1 = refract_cyl(
-                y1, uy0, ux0, uz0, surf.mu, surf.curvature,
+                y1, z1, uy0, ux0, uz0, surf.mu, surf.curvature,
                 surf.conic, spec.kind)
         else:
             ux1, uy1, uz1 = refract_cyl(
-                x1, ux0, uy0, uz0, surf.mu,
+                x1, z1, ux0, uy0, uz0, surf.mu,
                 surf.curvature + surf.curvature_dx,
                 surf.conic + surf.conic_dx, spec.kind)
     elif spec.cyl_axis:
@@ -755,9 +790,9 @@ def surface_step_spec(state, surf, spec, clip):
             surf.curvature, surf.conic, surf.aspherics,
             aspherics_odd=surf.aspherics_odd)
     else:
-        ux1, uy1, uz1 = refract_spec(x1, y1, ux0, uy0, uz0, surf.mu,
-                                     surf.curvature, surf.conic,
-                                     surf.aspherics, spec,
+        ux1, uy1, uz1 = refract_spec(x1, y1, z1, ux0, uy0, uz0,
+                                     surf.mu, surf.curvature,
+                                     surf.conic, surf.aspherics, spec,
                                      aspherics_odd=surf.aspherics_odd)
     out = ((x1, y1, z1), (ux1, uy1, uz1), (ux, uy, uz),
            t*surf.n_before)

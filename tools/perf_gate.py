@@ -4,8 +4,9 @@ Reads the one-line bench JSON (from a file argument or stdin) and
 fails unless every pinned engine floor is met, each with a 10%
 variance allowance for run-to-run TPU noise:
 
-* headline (Pallas f32, double-Gauss): vs_baseline, round-3 measured
-  42.8 -> floor 41.0
+* headline (best f32 engine, double-Gauss): vs_baseline, round-3
+  measured 49.6 (unrolled XLA after the polynomial-normal rewrite;
+  Pallas 47.3) -> floor 46.0
 * parity-grade df32: vs_target, measured 5.76 -> floor 5.0, and its
   spot-RMS parity must stay inside the 1e-9 target
 * anamorphic df32 (closed-form cylinders): vs_target, measured
@@ -23,7 +24,7 @@ VARIANCE = 0.9  # tolerate 10% run-to-run noise
 
 #: (json path, floor before variance)
 RATE_FLOORS = [
-    (("vs_baseline",), 41.0),
+    (("vs_baseline",), 46.0),
     (("details", "pallas_df32_parity_grade", "vs_target"), 5.0),
     (("details", "pallas_df32_anamorphic", "vs_target"), 5.5),
 ]
