@@ -1,7 +1,8 @@
-"""Round-2 feature tour: ghost analysis, thermal re-derivation,
+"""Round-2/3 feature tour: ghost analysis, thermal re-derivation,
 through-field MTF, HTML report export, interchange IO (Code V .seq,
-Zemax writer/reader incl. odd aspherics and coordinate breaks), and
-Seidel-coefficient tolerancing.
+Zemax writer/reader incl. odd aspherics and coordinate breaks),
+Seidel-coefficient tolerancing, and the AD transverse/chromatic
+aberration expansions.
 
 Runs on any backend; pin CPU for quick turnaround:
     python examples/advanced_analysis.py [outdir]
@@ -83,6 +84,16 @@ GO
     for i, name in enumerate(names):
         print("  %s: nominal %+.3e  std %.2e" % (
             name, tol["nominal"][i], tol["std"][i]))
+
+    # -- AD aberration expansions: Taylor jets of the real trace
+    # (works on anamorphic/grating/tilted systems where classical
+    # Seidel theory does not exist; cross-pinned on this triplet)
+    print()
+    for line in ro.transverse_expansion(s).text():
+        print(line)
+    print()
+    for line in ro.chromatic_expansion(s).text():
+        print(line)
 
 
 if __name__ == "__main__":
