@@ -619,8 +619,22 @@ def _surface_df(state, c, mu, dz, kind, flat, k1=None, asp=None,
         uy = where(bad, nanv, uy)
         uz = where(bad, nanv, uz)
     plane = flat and not asp and not asp_odd and anam is None
+    # clean conic rows (incl. pure conic cylinders) take the
+    # polynomial implicit-gradient normal N = (-c x, -c y,
+    # 1 - c(1+k) z): no df sqrt/div for the normal, and for spheres /
+    # circular cylinders the on-surface identity makes |N| == 1
+    # EXACTLY (the on-surface residual of the closed-form intercept,
+    # ~1e-14, is far below the 1e-9 parity target), so the
+    # normalization divide drops out too -- mirrors
+    # kernels.refract_spec / refract_cyl.
+    cyl_mode = (anam["mode"] if anam is not None
+                and anam["mode"] in ("cyl_y", "cyl_x") else None)
+    poly_n = (kind != 0 and grat is None and not asp and not asp_odd
+              and ((not flat and anam is None)
+                   or cyl_mode is not None))
     nx = ny = None
-    if (kind != 0 or grat is not None) and not plane:
+    nzv = None
+    if (kind != 0 or grat is not None) and not plane and not poly_n:
         if anam is not None:
             nx, ny = _normal_anam_df(x, y, anam, dv, sq)
         else:
@@ -634,34 +648,78 @@ def _surface_df(state, c, mu, dz, kind, flat, k1=None, asp=None,
     elif kind == 0:
         vx, vy, vz = ux, uy, uz
     else:
-        if not plane:
+        if poly_n:
+            def _cf(t):
+                return float(t[0]) + float(t[1])
+            if cyl_mode is not None:
+                c1, k1cyl = anam["c1"], anam["k1"]
+                w, uw = (y, uy) if cyl_mode == "cyl_y" else (x, ux)
+                nw = neg(mul(c1, w))
+                # (1+k)c baked exactly on the host
+                k1c = const(_cf(k1cyl)*_cf(c1))
+                nzv = sub(_ONE, mul(k1c, z))
+                dot = add(mul(uw, nw), mul(uz, nzv))
+                if _cf(k1cyl) == 1.:
+                    nn = _ONE    # exact on a circular cylinder
+                else:
+                    nn = add(sqr(nw), sqr(nzv))
+                if cyl_mode == "cyl_y":
+                    ny = nw      # nx stays None (exactly zero)
+                else:
+                    nx = nw      # ny stays None
+            else:
+                nx, ny = neg(mul(c, x)), neg(mul(c, y))
+                if conic:
+                    # (1+k)c baked exactly on the host (f64 holds the
+                    # 48-bit double-single product)
+                    k1c = const(_cf(kk)*_cf(c))
+                    nzv = sub(_ONE, mul(k1c, z))
+                else:
+                    nzv = sub(_ONE, mul(c, z))
+                dot = add(add(mul(ux, nx), mul(uy, ny)),
+                          mul(uz, nzv))
+                if conic:
+                    nn = add(add(sqr(nx), sqr(ny)), sqr(nzv))
+                else:
+                    nn = _ONE    # exact on-sphere
+        elif not plane:
             nn = add(add(sqr(nx), sqr(ny)), _ONE)
             dot = add(add(mul(ux, nx), mul(uy, ny)), uz)
         else:
             nn = _ONE
             dot = uz
         if kind == 2:
-            a2 = scale(dv(dot, nn), 2.)
+            a2 = (scale(dot, 2.) if nn is _ONE
+                  else scale(dv(dot, nn), 2.))
             if plane:
                 vx, vy, vz = ux, uy, sub(uz, a2)
             else:
-                vx = sub(ux, mul(a2, nx))
-                vy = sub(uy, mul(a2, ny))
-                vz = sub(uz, a2)
+                vx = sub(ux, mul(a2, nx)) if nx is not None else ux
+                vy = sub(uy, mul(a2, ny)) if ny is not None else uy
+                vz = (sub(uz, mul(a2, nzv)) if nzv is not None
+                      else sub(uz, a2))
         else:
             # refraction: mu > 0 here (mirror handled above)
-            inv_nn = dv(_ONE, nn)
-            a = mul(mul(mu, dot), inv_nn)
-            b = mul(sub(sqr(mu), _ONE), inv_nn)
+            b0 = sub(sqr(mu), _ONE)
+            if nn is _ONE:
+                a = mul(mu, dot)
+                b = b0
+            else:
+                inv_nn = dv(_ONE, nn)
+                a = mul(mul(mu, dot), inv_nn)
+                b = mul(b0, inv_nn)
             gdisc = sub(sqr(a), b)
             g = sub(sq(gdisc), a)
             if plane:
                 vx, vy = mul(mu, ux), mul(mu, uy)
                 vz = add(mul(mu, uz), g)
             else:
-                vx = add(mul(mu, ux), mul(g, nx))
-                vy = add(mul(mu, uy), mul(g, ny))
-                vz = add(mul(mu, uz), g)
+                vx = (add(mul(mu, ux), mul(g, nx))
+                      if nx is not None else mul(mu, ux))
+                vy = (add(mul(mu, uy), mul(g, ny))
+                      if ny is not None else mul(mu, uy))
+                vz = (add(mul(mu, uz), mul(g, nzv))
+                      if nzv is not None else add(mul(mu, uz), g))
     if rotm is not None:
         # back to the running (global) frame: from_normal = R^T
         rt = rotm.T
