@@ -204,6 +204,17 @@ class InfiniteConjugate(Conjugate):
         return not self.angle
 
     @property
+    def angle_deg(self):
+        return np.rad2deg(self.angle)
+
+    @angle_deg.setter
+    def angle_deg(self, deg):
+        # settable after construction too (beyond reference, where
+        # `obj.angle_deg = x` silently created a dead attribute and
+        # left `angle` at 0 -- conjugates.py:175-178 upstream)
+        self.angle = np.deg2rad(deg)
+
+    @property
     def slope(self):
         return np.tan(self.angle)
 

@@ -25,9 +25,10 @@ directly comparable to real-ray transverse aberrations at full
 aperture/field.
 
 TPU note: the expansion evaluates one ray and its forward-mode jet
-(4 -> 16 -> 64 tangents); this is host-scale work on the CPU backend
-like the aiming front-end, while reusing the exact same jitted
-surface kernels as the bulk engines.
+(4 -> 16 -> 64 tangents to third order; 256 -> 1024 for the optional
+fifth-order jets); this is host-scale work on the CPU backend like
+the aiming front-end, while reusing the exact same jitted surface
+kernels as the bulk engines.
 """
 
 import numpy as np
@@ -99,57 +100,87 @@ class TransverseExpansion:
     _V = "px py hx hy".split()
 
     def __init__(self, system, wavelength=None, order=3):
-        if order != 3:
-            raise ValueError("only third-order expansion supported")
+        if order not in (3, 5):
+            raise ValueError("order must be 3 or 5")
+        self.order = order
         self.system = system
         if wavelength is None:
             wavelength = system.wavelengths[0]
         self.wavelength = wavelength
         f = _launcher(system, wavelength)
         v0 = jnp.zeros(len(self._V))
-        self.offset = np.asarray(f(v0))
-        self.j1 = np.asarray(jax.jacfwd(f)(v0))
-        self.j2 = np.asarray(jax.jacfwd(jax.jacfwd(f))(v0))
-        self.j3 = np.asarray(
-            jax.jacfwd(jax.jacfwd(jax.jacfwd(f)))(v0))
+        import contextlib
+        # the 4- and 5-deep nested jets make XLA:CPU compile the scan
+        # body pathologically slowly (minutes per module); eager
+        # forward-mode evaluates them in bounded time instead (an
+        # order-5 build is minutes of host work either way -- the
+        # price of exact quintic jets of the real trace)
+        ctx = jax.disable_jit() if order >= 5 else (
+            contextlib.nullcontext())
+        with ctx:
+            self.offset = np.asarray(f(v0))
+            jf = jax.jacfwd(f)
+            self.j1 = np.asarray(jf(v0))
+            jf = jax.jacfwd(jf)
+            self.j2 = np.asarray(jf(v0))
+            jf = jax.jacfwd(jf)
+            self.j3 = np.asarray(jf(v0))
+            if order >= 5:
+                jf = jax.jacfwd(jf)
+                self.j4 = np.asarray(jf(v0))
+                self.j5 = np.asarray(jax.jacfwd(jf)(v0))
+
+    def _jets(self):
+        """(degree, tensor, 1/degree!) of every computed jet."""
+        from math import factorial
+        for d in range(2, self.order + 1):
+            j = getattr(self, "j%d" % d, None)
+            if j is not None:
+                yield d, j, 1./factorial(d)
 
     def evaluate(self, v):
-        """Cubic-model transverse coordinates at v = (px, py, hx, hy)
+        """Model transverse coordinates at v = (px, py, hx, hy)
         (absolute, including the linear/gaussian part)."""
         v = np.asarray(v, float)
-        return (self.offset + self.j1 @ v
-                + np.einsum("iab,a,b->i", self.j2, v, v)/2.
-                + np.einsum("iabc,a,b,c->i", self.j3, v, v, v)/6.)
+        return self.offset + self.j1 @ v + self.aberration(v)
 
     def aberration(self, v):
-        """Cubic-model transverse ABERRATION (gaussian part
-        removed)."""
+        """Model transverse ABERRATION (gaussian part removed):
+        all computed jets (cubic for order=3, quintic for order=5)."""
         v = np.asarray(v, float)
-        return (np.einsum("iab,a,b->i", self.j2, v, v)/2.
-                + np.einsum("iabc,a,b,c->i", self.j3, v, v, v)/6.)
+        out = np.zeros(2)
+        for d, j, w in self._jets():
+            for _ in range(d):
+                j = j @ v
+            out = out + w*j
+        return out
 
     def coefficient(self, comp, *axes):
-        """Third-order monomial coefficient: coefficient('y', 'py',
-        'py', 'hy') is the py^2 hy term of the y-aberration (the
-        multinomial weight is included, so evaluate() equals the sum
-        of coefficient * monomial)."""
+        """Monomial coefficient of the degree-len(axes) aberration
+        term: coefficient('y', 'py', 'py', 'hy') is the py^2 hy term
+        of the y-aberration (the multinomial weight is included, so
+        evaluate() equals the sum of coefficient * monomial).
+        Degrees 2..order are available."""
         i = {"x": 0, "y": 1}[comp]
         ia = [self._V.index(ax) for ax in axes]
         from math import factorial
         from collections import Counter
-        mult = 6
+        deg = len(axes)
+        jet = getattr(self, "j%d" % deg)
+        mult = factorial(deg)
         for n in Counter(ia).values():
             mult //= factorial(n)
-        return self.j3[i, ia[0], ia[1], ia[2]]*mult/6.
+        return jet[(i, *ia)]*mult/factorial(deg)
 
-    def coefficients(self):
-        """All distinct third-order monomial coefficients >= 1e-14 of
-        both components, {('y', ('py','py','hy')): value, ...}."""
+    def coefficients(self, degree=3):
+        """All distinct degree-`degree` monomial coefficients >=
+        1e-14 of both components, {('y', ('py','py','hy')): value,
+        ...}."""
         import itertools
         out = {}
         for comp in "xy":
             for axes in itertools.combinations_with_replacement(
-                    self._V, 3):
+                    self._V, degree):
                 c = self.coefficient(comp, *axes)
                 if abs(c) > 1e-14:
                     out[(comp, axes)] = c
@@ -182,6 +213,24 @@ class TransverseExpansion:
             "spherical_x": c("x", "px", "px", "px"),
         }
 
+    def fifth_order(self):
+        """Named fifth-order sums (meridional symmetry, field along
+        y), transverse measure at full aperture/field -- the analog
+        of the Buchdahl/poly-trace mu set for ANY traceable figure.
+        Requires order=5."""
+        c = self.coefficient
+        return {
+            "spherical5": c("y", *["py"]*5),
+            "coma5_tangential": c("y", "py", "py", "py", "py", "hy"),
+            "coma5_sagittal": c("y", "px", "px", "px", "px", "hy"),
+            "oblique_spherical": c("y", "py", "py", "py", "hy", "hy"),
+            "elliptical_coma": c("y", "py", "py", "hy", "hy", "hy"),
+            "astigmatism5": (c("y", "py", *["hy"]*4)
+                             - c("x", "px", *["hy"]*4)),
+            "field_curv5_sagittal": c("x", "px", *["hy"]*4),
+            "distortion5": c("y", *["hy"]*5),
+        }
+
     def text(self):
         yield ("AD transverse third-order expansion "
                "(image units, full aperture/field)")
@@ -190,6 +239,10 @@ class TransverseExpansion:
         extra = {k: v for k, v in self.coefficients().items()
                  if abs(v) > 1e-12}
         yield "  %d nonzero third-order monomials" % len(extra)
+        if self.order >= 5:
+            yield "AD fifth-order terms:"
+            for name, val in self.fifth_order().items():
+                yield "  %-22s % .6e" % (name, val)
 
 
 class ChromaticExpansion:
@@ -325,11 +378,11 @@ class ChromaticExpansion:
             yield "  %-24s % .6e" % (name, val)
 
 
-def transverse_expansion(system, wavelength=None):
+def transverse_expansion(system, wavelength=None, order=3):
     """AD Taylor expansion of `system`'s real-ray transverse image
-    coordinates to third order in pupil and field.  See
-    TransverseExpansion."""
-    return TransverseExpansion(system, wavelength)
+    coordinates to third (or fifth, order=5) order in pupil and
+    field.  See TransverseExpansion."""
+    return TransverseExpansion(system, wavelength, order=order)
 
 
 def chromatic_expansion(system, wavelength=None, bandwidth=None):

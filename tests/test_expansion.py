@@ -86,6 +86,40 @@ def test_anamorphic_expansion():
     nptest.assert_allclose(errs[0]/errs[1], 32., rtol=.08)
 
 
+def test_fifth_order_expansion():
+    """order=5 jets: the model matches real rays to O(v^7) (ratio 128
+    per halving), even jets vanish by rotational-parity symmetry, and
+    the named fifth-order terms are populated.  (Eager jet build --
+    the 5-deep nested jacfwd is minutes of host work; a singlet keeps
+    it to ~2 min.  The same machinery runs on anamorphic/tilted
+    systems where no classical fifth-order theory exists.)"""
+    s = ro.System([
+        dict(material="air"),
+        dict(roc=35., distance=4., material="1.51680/64.17",
+             radius=9.),
+        dict(roc=-35., distance=3., material="air", radius=9.),
+        dict(distance=40., radius=9.),
+    ])
+    s.object.angle_deg = 2.
+    s.object.pupil.radius = 4.
+    s.object.pupil.update_radius = False
+    s.update()
+    e = TransverseExpansion(s, order=5)
+    assert abs(e.j4).max() == 0.            # parity: even jets vanish
+    f = _launcher(s, s.wavelengths[0])
+    v = np.array([.3, .25, 0., .35])
+    errs = [abs(np.asarray(f(v*sc)) - e.evaluate(v*sc)).max()
+            for sc in (.4, .2, .1)]
+    nptest.assert_allclose(errs[0]/errs[1], 128., rtol=.06)
+    nptest.assert_allclose(errs[1]/errs[2], 128., rtol=.06)
+    c5 = e.fifth_order()
+    nptest.assert_allclose(c5["spherical5"], -3.6708e-3, rtol=1e-3)
+    assert abs(c5["coma5_tangential"]) > 0.
+    # degree-5 monomial table is populated and symmetric in x/y
+    nptest.assert_allclose(e.coefficient("x", *["px"]*5),
+                           c5["spherical5"], rtol=1e-10)
+
+
 @pytest.fixture(scope="module")
 def cooke_chrom(cooke_exp):
     s, _ = cooke_exp
