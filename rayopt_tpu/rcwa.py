@@ -3,7 +3,9 @@
 The scalar blaze model (gratings.py) is only valid in the d >> lambda
 regime; this module solves Maxwell's equations exactly for binary and
 staircase-approximated surface-relief gratings in the classical
-(planar) mount, TE and TM, with lossless or absorbing materials --
+(planar) mount, TE and TM, and in the conical (off-plane) mount with
+full s/p coupling (rcwa1d_conical), with lossless or absorbing
+materials --
 the electromagnetic complement that answers *how much light* each
 order carries when the groove spacing approaches the wavelength.
 
@@ -35,7 +37,8 @@ import numpy as np
 
 __all__ = [
     "Layer", "uniform_layer", "lamellar_layer", "blazed_layers",
-    "rcwa1d", "RcwaResult", "grating_order_weights",
+    "rcwa1d", "rcwa1d_conical", "RcwaResult", "RcwaConicalResult",
+    "grating_order_weights",
 ]
 
 
@@ -282,10 +285,164 @@ def rcwa1d(period, wavelength, layers, n_in=1., n_out=1.5,
         propagating_r=kz1.imag == 0, propagating_t=kz3.imag == 0)
 
 
+RcwaConicalResult = namedtuple(
+    "RcwaConicalResult",
+    "orders eff_r eff_t r_s r_p t_s t_p propagating_r propagating_t")
+RcwaConicalResult.__doc__ += """
+
+orders: the diffraction order indices m (length 2N+1).
+eff_r/eff_t: total (s + p) reflected/transmitted efficiencies.
+r_s/r_p/t_s/t_p: complex Rayleigh amplitudes in each order's own
+s/p basis (s = z-hat x k_t; unit-|E| normalization).
+propagating_r/t: boolean masks of the propagating orders.
+"""
+
+
+def _cover_modal(n, alpha, beta, kz):
+    """s/p modal matrices of a homogeneous half-space for the
+    full-vector (conical) formulation.
+
+    Per order, the transverse E patterns are the s and p unit
+    polarizations (s = z-hat x k_t-hat; p scaled to unit FULL |E|, so
+    its transverse part is kz/n) and V = F^-1 W Q carries the matching
+    tangential H (with q = -i kz, the same decaying-branch convention
+    as `_modal`).  Closed forms (derivation: invert the per-order 2x2
+    F block):
+
+        w_s = (-sin f, cos f)         v_s = i kz (cos f, sin f)
+        w_p = kz/n (cos f, sin f)     v_p = -i n (-sin f, cos f)
+
+    with f = atan2(beta, alpha_m).  At a Wood anomaly (kz = 0) the
+    vanishing w_p/v_s columns are harmless: the joint interface solve
+    keeps the complementary continuity row, exactly like the classical
+    path.
+    """
+    nm = alpha.size
+    f = np.arctan2(beta, alpha)
+    cf, sf = np.cos(f), np.sin(f)
+    W = np.zeros((2*nm, 2*nm), complex)
+    V = np.zeros((2*nm, 2*nm), complex)
+    j = np.arange(nm)
+    # s columns (0..nm-1)
+    W[j, j] = -sf
+    W[nm + j, j] = cf
+    V[j, j] = 1j*kz*cf
+    V[nm + j, j] = 1j*kz*sf
+    # p columns (nm..2nm-1)
+    W[j, nm + j] = kz/n*cf
+    W[nm + j, nm + j] = kz/n*sf
+    V[j, nm + j] = 1j*n*sf
+    V[nm + j, nm + j] = -1j*n*cf
+    return W, V
+
+
+def rcwa1d_conical(period, wavelength, layers, n_in=1., n_out=1.5,
+                   theta_deg=0., phi_deg=0., pol="TE", orders=10):
+    """Diffraction efficiencies of a 1-D grating in the CONICAL
+    (off-plane) mount: the incidence plane is rotated by `phi_deg`
+    about z from the grating vector, so the wavevector has a conserved
+    component along the grooves and s/p polarizations couple.
+
+    Full-vector formulation: transverse fields e = (Ex, Ey),
+    h = (Hx, Hy) obey e' = i F h, h' = i G e per z-slice (normalized
+    z' = k0 z) with, for an x-periodic profile (Ky = beta I, Li's
+    inverse rule on the eps*Ex product, Laurent on eps*Ey and the
+    continuous-Ez elimination),
+
+        F = [[Kx E^-1 Ky,      I - Kx E^-1 Kx],
+             [Ky E^-1 Ky - I,  -Ky E^-1 Kx  ]]
+        G = [[-Kx Ky,          Kx^2 - E     ],
+             [Etilde - Ky^2,   Ky Kx        ]]
+
+    so the layer modes are eigenvectors of M = -(F G) (which reduces
+    block-diagonally to the classical TE matrix Kx^2 - E and the
+    transpose-companion of the classical TM matrix at phi = 0).  The
+    same Redheffer S-matrix recursion composes the stack on 2x-size
+    blocks; covers use per-order s/p bases.
+
+    pol: "TE" (s, E perpendicular to the incidence plane), "TM" (p),
+    or a Jones pair (Es, Ep) -- normalized internally.  For order 0
+    the incidence plane contains k_in and z, so TE/TM carry their
+    conventional meaning regardless of azimuth.
+
+    Returns an RcwaConicalResult; for lossless stacks
+    eff_r.sum() + eff_t.sum() == 1 to numerical precision.  With
+    phi_deg = 0 this matches rcwa1d (cross-pinned in the tests); the
+    classical path remains the faster choice there (half-size
+    eigenproblems).
+    """
+    if isinstance(pol, str):
+        if pol not in ("TE", "TM"):
+            raise ValueError("pol must be 'TE', 'TM' or (Es, Ep)")
+        jones = (1., 0.) if pol == "TE" else (0., 1.)
+    else:
+        jones = complex(pol[0]), complex(pol[1])
+        s = np.sqrt(abs(jones[0])**2 + abs(jones[1])**2)
+        if s == 0:
+            raise ValueError("zero polarization vector")
+        jones = jones[0]/s, jones[1]/s
+    lam = wavelength/float(period)
+    n1 = complex(n_in)
+    n3 = complex(n_out)
+    theta = np.deg2rad(theta_deg)
+    phi = np.deg2rad(phi_deg)
+    N = int(orders)
+    m = np.arange(-N, N + 1)
+    nm = 2*N + 1
+    i0 = N
+    alpha = n1.real*np.sin(theta)*np.cos(phi) + m*lam
+    beta = n1.real*np.sin(theta)*np.sin(phi)
+    kt = np.hypot(alpha, beta)
+    kz1 = _kz(n1, kt)
+    kz3 = _kz(n3, kt)
+    Kx = np.diag(alpha.astype(complex))
+    Ky = beta*np.eye(nm, dtype=complex)
+    eye = np.eye(nm, dtype=complex)
+    eye2 = np.eye(2*nm, dtype=complex)
+
+    w_prev, v_prev = _cover_modal(n1, alpha, beta, kz1)
+    zero2 = np.zeros((2*nm, 2*nm), complex)
+    S = zero2, eye2.copy(), eye2.copy(), zero2.copy()
+    for lay in layers:
+        eps_h, rec_h = _eps_fourier(lay.widths, lay.indices, N)
+        E = _toeplitz(eps_h, N)
+        Et = np.linalg.inv(_toeplitz(rec_h, N))
+        Ei = np.linalg.inv(E)
+        F = np.block([[Kx @ Ei @ Ky, eye - Kx @ Ei @ Kx],
+                      [Ky @ Ei @ Ky - eye, -Ky @ Ei @ Kx]])
+        G = np.block([[-Kx @ Ky, Kx @ Kx - E],
+                      [Et - Ky @ Ky, Ky @ Kx]])
+        q, W = _modal(-(F @ G))
+        V = np.linalg.solve(F, W*q[None, :])
+        X = np.exp(-q*2*np.pi*lay.thickness/wavelength)
+        S = _star(S, _interface(w_prev, v_prev, W, V))
+        S = _star(S, _propagation(X))
+        w_prev, v_prev = W, V
+    W3, V3 = _cover_modal(n3, alpha, beta, kz3)
+    S = _star(S, _interface(w_prev, v_prev, W3, V3))
+
+    delta = np.zeros(2*nm, complex)
+    delta[i0] = jones[0]
+    delta[nm + i0] = jones[1]
+    r = S[0] @ delta
+    t = S[2] @ delta
+
+    denom = kz1[i0].real
+    # flux weights per unit-|E| amplitude: Re kz (s), Re(kz nbar/n) (p)
+    eff_r = (np.abs(r[:nm])**2*kz1.real
+             + np.abs(r[nm:])**2*(kz1*np.conj(n1)/n1).real)/denom
+    eff_t = (np.abs(t[:nm])**2*kz3.real
+             + np.abs(t[nm:])**2*(kz3*np.conj(n3)/n3).real)/denom
+    return RcwaConicalResult(
+        orders=m, eff_r=eff_r, eff_t=eff_t,
+        r_s=r[:nm], r_p=r[nm:], t_s=t[:nm], t_p=t[nm:],
+        propagating_r=kz1.imag == 0, propagating_t=kz3.imag == 0)
+
+
 def grating_order_weights(grating, wavelengths, orders, n_in=1.,
                           n_out=None, incidence_deg=0., scale=1e-3,
                           nslices=16, truncation=None, pol="avg",
-                          reflection=None):
+                          reflection=None, azimuth_deg=0.):
     """RCWA efficiency table of a blazed `Grating` element: the
     rigorous drop-in for gratings.order_weights (same (len(orders),
     len(wavelengths)) shape, same argument conventions) valid below
@@ -302,6 +459,9 @@ def grating_order_weights(grating, wavelengths, orders, n_in=1.,
     the reflected instead of the transmitted efficiencies -- give a
     complex n_out for a real metal.  truncation defaults to
     max(12, 2 + ceil(2 d/lambda_min)) Fourier orders per side.
+    azimuth_deg != 0 rotates the incidence plane off the grating
+    vector (conical/off-plane mount, e.g. echelle cross-dispersers)
+    and routes through the full-vector solver `rcwa1d_conical`.
     """
     if getattr(grating, "blaze_deg", None) is None:
         raise ValueError("grating has no blaze angle: RCWA needs the "
@@ -328,8 +488,14 @@ def grating_order_weights(grating, wavelengths, orders, n_in=1.,
              else max(12, 2 + int(np.ceil(2.*d/lam))))
         layers = blazed_layers(depth, n_out, n_in, nslices=nslices)
         for p in pols:
-            res = rcwa1d(d, lam, layers, n_in=n_in, n_out=n_out,
-                         theta_deg=incidence_deg, pol=p, orders=N)
+            if azimuth_deg:
+                res = rcwa1d_conical(
+                    d, lam, layers, n_in=n_in, n_out=n_out,
+                    theta_deg=incidence_deg, phi_deg=azimuth_deg,
+                    pol=p, orders=N)
+            else:
+                res = rcwa1d(d, lam, layers, n_in=n_in, n_out=n_out,
+                             theta_deg=incidence_deg, pol=p, orders=N)
             eff = res.eff_r if reflection else res.eff_t
             # blazed_layers blazes transmission into its order -m
             # (thick glass at x = 0) but reflection into +m (the

@@ -13,6 +13,7 @@ import pytest
 
 from rayopt_tpu.rcwa import (
     Layer, uniform_layer, lamellar_layer, blazed_layers, rcwa1d,
+    rcwa1d_conical,
 )
 
 
@@ -193,6 +194,107 @@ def test_order_weights_model_routing():
                       0.55e-6, (1,), model="zpurious")
     with pytest.raises(ValueError):
         grating_order_weights(g, 0.55e-6, (1,))
+
+
+@pytest.mark.parametrize("pol", ["TE", "TM"])
+def test_conical_reduces_to_classical(pol):
+    # phi = 0 is the classical mount: the full-vector solver must
+    # reproduce rcwa1d exactly and show zero s/p cross-coupling
+    lay = [lamellar_layer(0.5, 0.45, 2.04, 1.0)]
+    a = rcwa1d(1.0, 0.6328, lay, n_out=1.52, theta_deg=23.,
+               pol=pol, orders=12)
+    b = rcwa1d_conical(1.0, 0.6328, lay, n_out=1.52, theta_deg=23.,
+                       phi_deg=0., pol=pol, orders=12)
+    np.testing.assert_allclose(b.eff_r, a.eff_r, atol=1e-12)
+    np.testing.assert_allclose(b.eff_t, a.eff_t, atol=1e-12)
+    cross = (b.r_p, b.t_p) if pol == "TE" else (b.r_s, b.t_s)
+    assert max(abs(c).max() for c in cross) < 1e-12
+
+
+@pytest.mark.parametrize("pol", ["TE", "TM", (0.6, 0.8j)])
+def test_conical_energy_and_coupling(pol):
+    # lossless blazed stack, 25 deg off 35 deg azimuth: exact energy
+    # conservation, and genuine polarization conversion (the defining
+    # feature of the off-plane mount)
+    lays = blazed_layers(0.9, 1.5, 1.0, nslices=10)
+    res = rcwa1d_conical(1.2, 0.55, lays, n_out=1.5, theta_deg=25.,
+                         phi_deg=35., pol=pol, orders=10)
+    assert total(res) == pytest.approx(1., abs=1e-9)
+    assert abs(res.t_s).max() > 0.1 and abs(res.t_p).max() > 0.1
+    assert res.eff_r.min() >= 0. and res.eff_t.min() >= 0.
+
+
+@pytest.mark.parametrize("pol", ["TE", "TM"])
+def test_conical_uniform_film_azimuth_invariant(pol):
+    # a homogeneous film cannot know the azimuth: rotating the
+    # incidence plane must leave R/T unchanged (cross-pins the
+    # conical cover bases and flux weights against the classical path)
+    u = [uniform_layer(0.3, 2.0)]
+    a = rcwa1d(1.0, 0.6328, u, n_out=1.5, theta_deg=40., pol=pol,
+               orders=6)
+    b = rcwa1d_conical(1.0, 0.6328, u, n_out=1.5, theta_deg=40.,
+                       phi_deg=55., pol=pol, orders=6)
+    i0 = a.orders == 0
+    assert b.eff_r[i0][0] == pytest.approx(a.eff_r[i0][0], abs=1e-12)
+    assert b.eff_t[i0][0] == pytest.approx(a.eff_t[i0][0], abs=1e-12)
+
+
+def test_conical_azimuth_mirror_symmetry():
+    # a symmetric (unblazed) profile: +phi and -phi are mirror images,
+    # so per-order efficiencies map m -> m under azimuth flip
+    lay = [lamellar_layer(0.4, 0.5, 2.0, 1.0)]
+    a = rcwa1d_conical(1.0, 0.5, lay, n_out=1.5, theta_deg=20.,
+                       phi_deg=30., pol="TE", orders=10)
+    b = rcwa1d_conical(1.0, 0.5, lay, n_out=1.5, theta_deg=20.,
+                       phi_deg=-30., pol="TE", orders=10)
+    np.testing.assert_allclose(a.eff_r, b.eff_r, atol=1e-12)
+    np.testing.assert_allclose(a.eff_t, b.eff_t, atol=1e-12)
+
+
+def test_conical_absorbing_exit():
+    # metal substrate off-plane: reflected energy strictly below 1,
+    # nothing negative, unpolarized input well-defined
+    lays = blazed_layers(0.3, 1.0 + 6.5j, 1.0, nslices=8)
+    for pol in ("TE", "TM"):
+        res = rcwa1d_conical(1.0, 0.6328, lays, n_out=1.0 + 6.5j,
+                             theta_deg=15., phi_deg=40., pol=pol,
+                             orders=12)
+        assert 0.2 < res.eff_r.sum() < 0.999
+        assert res.eff_r.min() >= 0.
+
+
+def test_conical_wood_anomaly():
+    # grazing side order in the cover (kz = 0): the vanishing
+    # w_p/v_s columns must not break the joint interface solve
+    res = rcwa1d_conical(1.0, 0.5, [lamellar_layer(0.4, 0.5, 2.0,
+                                                   1.0)],
+                         n_out=1.5, theta_deg=0., phi_deg=25.,
+                         pol="TM", orders=15)
+    assert total(res) == pytest.approx(1., abs=1e-9)
+
+
+def test_conical_input_validation():
+    with pytest.raises(ValueError):
+        rcwa1d_conical(1.0, 0.6, [], pol="TEM")
+    with pytest.raises(ValueError):
+        rcwa1d_conical(1.0, 0.6, [], pol=(0., 0.))
+
+
+def test_order_weights_conical_routing():
+    # azimuth_deg routes through the conical solver; at coarse pitch
+    # the off-plane blaze stays dominant and weights stay in [0, 1]
+    from rayopt_tpu.elements import Grating
+    from rayopt_tpu.rcwa import grating_order_weights
+
+    d = 10e-6
+    depth = 0.55e-6/0.5
+    g = Grating(grating_frequency=100., grating_order=1,
+                blaze_deg=np.rad2deg(np.arctan(depth/d)))
+    w = grating_order_weights(g, 0.55e-6, (0, 1, 2), pol="TE",
+                              reflection=False, azimuth_deg=20.,
+                              incidence_deg=10.)
+    assert w[1, 0] > 0.6
+    assert 0. <= w.min() and w.max() <= 1.
 
 
 def test_grating_order_weights_transmission():
