@@ -3,9 +3,10 @@
 The scalar blaze model (gratings.py) is only valid in the d >> lambda
 regime; this module solves Maxwell's equations exactly for binary and
 staircase-approximated surface-relief gratings in the classical
-(planar) mount, TE and TM, and in the conical (off-plane) mount with
-full s/p coupling (rcwa1d_conical), with lossless or absorbing
-materials --
+(planar) mount, TE and TM, in the conical (off-plane) mount with
+full s/p coupling (rcwa1d_conical), and for crossed (doubly-periodic)
+pixel-grid gratings (rcwa2d, Li's 2-D factorization), with lossless
+or absorbing materials --
 the electromagnetic complement that answers *how much light* each
 order carries when the groove spacing approaches the wavelength.
 
@@ -38,7 +39,8 @@ import numpy as np
 __all__ = [
     "Layer", "uniform_layer", "lamellar_layer", "blazed_layers",
     "rcwa1d", "rcwa1d_conical", "RcwaResult", "RcwaConicalResult",
-    "grating_order_weights",
+    "Layer2", "crossed_layer", "pillar_layer", "rcwa2d",
+    "Rcwa2dResult", "grating_order_weights",
 ]
 
 
@@ -371,47 +373,78 @@ def rcwa1d_conical(period, wavelength, layers, n_in=1., n_out=1.5,
     classical path remains the faster choice there (half-size
     eigenproblems).
     """
-    if isinstance(pol, str):
-        if pol not in ("TE", "TM"):
-            raise ValueError("pol must be 'TE', 'TM' or (Es, Ep)")
-        jones = (1., 0.) if pol == "TE" else (0., 1.)
-    else:
-        jones = complex(pol[0]), complex(pol[1])
-        s = np.sqrt(abs(jones[0])**2 + abs(jones[1])**2)
-        if s == 0:
-            raise ValueError("zero polarization vector")
-        jones = jones[0]/s, jones[1]/s
+    jones = _jones(pol)
     lam = wavelength/float(period)
     n1 = complex(n_in)
-    n3 = complex(n_out)
     theta = np.deg2rad(theta_deg)
     phi = np.deg2rad(phi_deg)
     N = int(orders)
     m = np.arange(-N, N + 1)
     nm = 2*N + 1
-    i0 = N
     alpha = n1.real*np.sin(theta)*np.cos(phi) + m*lam
-    beta = n1.real*np.sin(theta)*np.sin(phi)
-    kt = np.hypot(alpha, beta)
-    kz1 = _kz(n1, kt)
-    kz3 = _kz(n3, kt)
+    beta = np.full(nm, n1.real*np.sin(theta)*np.sin(phi))
     Kx = np.diag(alpha.astype(complex))
-    Ky = beta*np.eye(nm, dtype=complex)
-    eye = np.eye(nm, dtype=complex)
-    eye2 = np.eye(2*nm, dtype=complex)
+    Ky = np.diag(beta.astype(complex))
 
-    w_prev, v_prev = _cover_modal(n1, alpha, beta, kz1)
-    zero2 = np.zeros((2*nm, 2*nm), complex)
-    S = zero2, eye2.copy(), eye2.copy(), zero2.copy()
-    for lay in layers:
+    def layer_fg(lay):
         eps_h, rec_h = _eps_fourier(lay.widths, lay.indices, N)
         E = _toeplitz(eps_h, N)
         Et = np.linalg.inv(_toeplitz(rec_h, N))
-        Ei = np.linalg.inv(E)
-        F = np.block([[Kx @ Ei @ Ky, eye - Kx @ Ei @ Kx],
-                      [Ky @ Ei @ Ky - eye, -Ky @ Ei @ Kx]])
-        G = np.block([[-Kx @ Ky, Kx @ Kx - E],
-                      [Et - Ky @ Ky, Ky @ Kx]])
+        return _vector_fg(Kx, Ky, np.linalg.inv(E), Et, E)
+
+    r, t, eff_r, eff_t, kz1, kz3 = _vector_stack(
+        alpha, beta, n1, complex(n_out), layers, layer_fg,
+        wavelength, jones, N)
+    return RcwaConicalResult(
+        orders=m, eff_r=eff_r, eff_t=eff_t,
+        r_s=r[:nm], r_p=r[nm:], t_s=t[:nm], t_p=t[nm:],
+        propagating_r=kz1.imag == 0, propagating_t=kz3.imag == 0)
+
+
+def _jones(pol):
+    if isinstance(pol, str):
+        if pol not in ("TE", "TM"):
+            raise ValueError("pol must be 'TE', 'TM' or (Es, Ep)")
+        return (1., 0.) if pol == "TE" else (0., 1.)
+    jones = complex(pol[0]), complex(pol[1])
+    s = np.sqrt(abs(jones[0])**2 + abs(jones[1])**2)
+    if s == 0:
+        raise ValueError("zero polarization vector")
+    return jones[0]/s, jones[1]/s
+
+
+def _vector_fg(Kx, Ky, Ei, Exx, Eyy):
+    """The transverse-field coupling matrices of one layer:
+    e' = i F h, h' = i G e with e = (Ex, Ey), h = (Hx, Hy).  Ei is the
+    (Laurent-factorized) inverse permittivity operator from the Ez
+    elimination; Exx/Eyy multiply Ex/Ey and carry the discontinuity-
+    aware factorization (inverse rule along the axis the component is
+    normal to)."""
+    eye = np.eye(Kx.shape[0], dtype=complex)
+    F = np.block([[Kx @ Ei @ Ky, eye - Kx @ Ei @ Kx],
+                  [Ky @ Ei @ Ky - eye, -Ky @ Ei @ Kx]])
+    G = np.block([[-Kx @ Ky, Kx @ Kx - Eyy],
+                  [Exx - Ky @ Ky, Ky @ Kx]])
+    return F, G
+
+
+def _vector_stack(alpha, beta, n1, n3, layers, layer_fg, wavelength,
+                  jones, i0):
+    """Run the full-vector S-matrix recursion over a layer stack:
+    covers at n1/n3 with s/p modal bases over the (flattened) order
+    set (alpha, beta), one (F, G) pair per layer from layer_fg.
+    Returns (r, t, eff_r, eff_t, kz1, kz3); i0 indexes the incident
+    order."""
+    nm = alpha.size
+    kt = np.hypot(alpha, beta)
+    kz1 = _kz(n1, kt)
+    kz3 = _kz(n3, kt)
+    eye2 = np.eye(2*nm, dtype=complex)
+    zero2 = np.zeros((2*nm, 2*nm), complex)
+    w_prev, v_prev = _cover_modal(n1, alpha, beta, kz1)
+    S = zero2, eye2.copy(), eye2.copy(), zero2.copy()
+    for lay in layers:
+        F, G = layer_fg(lay)
         q, W = _modal(-(F @ G))
         V = np.linalg.solve(F, W*q[None, :])
         X = np.exp(-q*2*np.pi*lay.thickness/wavelength)
@@ -433,8 +466,160 @@ def rcwa1d_conical(period, wavelength, layers, n_in=1., n_out=1.5,
              + np.abs(r[nm:])**2*(kz1*np.conj(n1)/n1).real)/denom
     eff_t = (np.abs(t[:nm])**2*kz3.real
              + np.abs(t[nm:])**2*(kz3*np.conj(n3)/n3).real)/denom
-    return RcwaConicalResult(
-        orders=m, eff_r=eff_r, eff_t=eff_t,
+    return r, t, eff_r, eff_t, kz1, kz3
+
+
+#: one crossed-grating slice: thickness and a 2-D pixel grid of
+#: indices -- widths_x/widths_y are cell fractions of each period
+#: summing to 1, indices[i, j] the (possibly complex) refractive
+#: index of cell (i, j)
+Layer2 = namedtuple("Layer2", "thickness widths_x widths_y indices")
+
+
+def crossed_layer(thickness, widths_x, widths_y, indices):
+    """A doubly-periodic (crossed) grating slice from a rectangular
+    pixel grid."""
+    widths_x = tuple(float(w) for w in widths_x)
+    widths_y = tuple(float(w) for w in widths_y)
+    indices = np.asarray(indices, complex)
+    if indices.shape != (len(widths_x), len(widths_y)):
+        raise ValueError("indices must be (len(widths_x), "
+                         "len(widths_y))")
+    for w in (widths_x, widths_y):
+        if abs(sum(w) - 1.) > 1e-9:
+            raise ValueError("cell widths must sum to 1")
+    return Layer2(float(thickness), widths_x, widths_y, indices)
+
+
+def pillar_layer(thickness, fill_x, fill_y, n_pillar, n_bg):
+    """A rectangular-pillar (or hole, swap the indices) slice:
+    fill_x x fill_y of the unit cell at n_pillar, the rest at n_bg."""
+    for f in (fill_x, fill_y):
+        if not 0. < f < 1.:
+            raise ValueError("fill fractions must be in (0, 1)")
+    idx = np.full((2, 2), complex(n_bg))
+    idx[0, 0] = n_pillar
+    return crossed_layer(thickness, (fill_x, 1. - fill_x),
+                         (fill_y, 1. - fill_y), idx)
+
+
+def _indicator_fourier(widths, order):
+    """Fourier coefficients (h = -2N..2N) of each cell's indicator
+    function over one period: shape (ncells, 4*order + 1)."""
+    widths = np.asarray(widths, float)
+    x = np.concatenate([[0.], np.cumsum(widths)])
+    h = np.arange(-2*order, 2*order + 1)
+    out = np.zeros((widths.size, h.size), complex)
+    nz = h != 0
+    e = np.exp(-2j*np.pi*np.outer(h[nz], x))
+    out[:, nz] = ((e[:, 1:] - e[:, :-1])
+                  / (-2j*np.pi*h[nz])[:, None]).T
+    out[:, ~nz] = widths[:, None]
+    return out
+
+
+def _crossed_operators(lay, Nx, Ny):
+    """The three permittivity operators of a pixel-grid layer on the
+    flattened (mx-major) order set, with Li's 2-D factorization rules
+    (JOSA A 14, 2758 (1997)) for rectangular profiles:
+
+    - E2  (for the Ez elimination; Ez is tangential to every vertical
+      wall, so plain 2-D Laurent),
+    - Exx (multiplies Ex: inverse rule along x, Laurent along y),
+    - Eyy (multiplies Ey: inverse rule along y, Laurent along x).
+
+    For a y-uniform profile these reduce exactly to the 1-D operators
+    (E, Etilde) tensored with the y identity.
+    """
+    eps = np.asarray(lay.indices, complex)**2
+    cx = _indicator_fourier(lay.widths_x, Nx)
+    cy = _indicator_fourier(lay.widths_y, Ny)
+    nmx, nmy = 2*Nx + 1, 2*Ny + 1
+    mx = np.arange(nmx)
+    my = np.arange(nmy)
+    dmx = mx[:, None] - mx[None, :] + 2*Nx
+    dmy = my[:, None] - my[None, :] + 2*Ny
+
+    def block2(M):
+        # M[hx, hy] -> operator [(mx,my),(mx',my')] (x-major flatten)
+        E = M[dmx[:, None, :, None], dmy[None, :, None, :]]
+        return E.reshape(nmx*nmy, nmx*nmy)
+
+    E2 = block2(np.einsum("ia,ij,jb->ab", cx, eps, cy))
+    Exx = np.zeros((nmx*nmy, nmx*nmy), complex)
+    for j in range(eps.shape[1]):
+        rx = (1./eps[:, j]) @ cx
+        A = np.linalg.inv(_toeplitz(rx, Nx))
+        Exx += np.kron(A, _toeplitz(cy[j], Ny))
+    Eyy = np.zeros((nmx*nmy, nmx*nmy), complex)
+    for i in range(eps.shape[0]):
+        ry = (1./eps[i, :]) @ cy
+        B = np.linalg.inv(_toeplitz(ry, Ny))
+        Eyy += np.kron(_toeplitz(cx[i], Nx), B)
+    return E2, Exx, Eyy
+
+
+Rcwa2dResult = namedtuple(
+    "Rcwa2dResult",
+    "orders_x orders_y eff_r eff_t r_s r_p t_s t_p "
+    "propagating_r propagating_t")
+Rcwa2dResult.__doc__ += """
+
+orders_x/orders_y: flattened (mx, my) order indices (length
+(2Nx+1)(2Ny+1), mx-major).
+eff_r/eff_t: total (s + p) efficiencies per flattened order.
+r_s/r_p/t_s/t_p: complex Rayleigh amplitudes in each order's s/p
+basis.  propagating_r/t: propagating-order masks.
+"""
+
+
+def rcwa2d(period_x, period_y, wavelength, layers, n_in=1.,
+           n_out=1.5, theta_deg=0., phi_deg=0., pol="TE",
+           orders_x=5, orders_y=5):
+    """Diffraction efficiencies of a crossed (doubly-periodic)
+    grating: pixel-grid slices (`crossed_layer`/`pillar_layer`)
+    periodic in x and y with independent periods.
+
+    The order (mx, my) leaves with transverse wavevector
+    (alpha0 + mx lambda/period_x, beta0 + my lambda/period_y); the
+    eigenproblem runs on the flattened order set with Li's 2-D
+    factorization (see _crossed_operators), the same full-vector
+    S-matrix recursion as the conical mount, and s/p cover bases.
+    pol as in rcwa1d_conical.  Cost: one dense complex eig of size
+    2(2Nx+1)(2Ny+1) per layer -- keep orders ~<= 7 per axis.
+
+    For lossless stacks eff_r.sum() + eff_t.sum() == 1; a y-uniform
+    pixel grid reproduces rcwa1d_conical exactly (tests pin both).
+    """
+    jones = _jones(pol)
+    n1 = complex(n_in)
+    theta = np.deg2rad(theta_deg)
+    phi = np.deg2rad(phi_deg)
+    Nx, Ny = int(orders_x), int(orders_y)
+    mx = np.arange(-Nx, Nx + 1)
+    my = np.arange(-Ny, Ny + 1)
+    nmy = 2*Ny + 1
+    alpha = (n1.real*np.sin(theta)*np.cos(phi)
+             + mx*wavelength/float(period_x))
+    beta = (n1.real*np.sin(theta)*np.sin(phi)
+            + my*wavelength/float(period_y))
+    alpha_f = np.repeat(alpha, nmy)
+    beta_f = np.tile(beta, 2*Nx + 1)
+    Kx = np.diag(alpha_f.astype(complex))
+    Ky = np.diag(beta_f.astype(complex))
+
+    def layer_fg(lay):
+        E2, Exx, Eyy = _crossed_operators(lay, Nx, Ny)
+        return _vector_fg(Kx, Ky, np.linalg.inv(E2), Exx, Eyy)
+
+    i0 = Nx*nmy + Ny
+    r, t, eff_r, eff_t, kz1, kz3 = _vector_stack(
+        alpha_f, beta_f, n1, complex(n_out), layers, layer_fg,
+        wavelength, jones, i0)
+    nm = alpha_f.size
+    return Rcwa2dResult(
+        orders_x=np.repeat(mx, nmy), orders_y=np.tile(my, 2*Nx + 1),
+        eff_r=eff_r, eff_t=eff_t,
         r_s=r[:nm], r_p=r[nm:], t_s=t[:nm], t_p=t[nm:],
         propagating_r=kz1.imag == 0, propagating_t=kz3.imag == 0)
 

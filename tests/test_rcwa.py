@@ -13,7 +13,7 @@ import pytest
 
 from rayopt_tpu.rcwa import (
     Layer, uniform_layer, lamellar_layer, blazed_layers, rcwa1d,
-    rcwa1d_conical,
+    rcwa1d_conical, rcwa2d, crossed_layer, pillar_layer,
 )
 
 
@@ -278,6 +278,87 @@ def test_conical_input_validation():
         rcwa1d_conical(1.0, 0.6, [], pol="TEM")
     with pytest.raises(ValueError):
         rcwa1d_conical(1.0, 0.6, [], pol=(0., 0.))
+
+
+@pytest.mark.parametrize("pol", ["TE", "TM"])
+def test_crossed_reduces_to_conical(pol):
+    # a y-uniform pixel grid IS a 1-D grating: the my = 0 row must
+    # reproduce rcwa1d_conical exactly and the my != 0 orders must be
+    # strictly dark (this pins Li's 2-D operators against the 1-D
+    # factorization and the flattening/cover bookkeeping at once)
+    lay1 = lamellar_layer(0.5, 0.45, 2.04, 1.0)
+    lay2 = crossed_layer(0.5, (0.45, 0.55), (1.,), [[2.04], [1.0]])
+    a = rcwa1d_conical(1.0, 0.6328, [lay1], n_out=1.52,
+                       theta_deg=23., phi_deg=30., pol=pol, orders=6)
+    b = rcwa2d(1.0, 5.0, 0.6328, [lay2], n_out=1.52, theta_deg=23.,
+               phi_deg=30., pol=pol, orders_x=6, orders_y=2)
+    sel = b.orders_y == 0
+    np.testing.assert_allclose(b.eff_r[sel], a.eff_r, atol=1e-12)
+    np.testing.assert_allclose(b.eff_t[sel], a.eff_t, atol=1e-12)
+    assert b.eff_r[~sel].sum() + b.eff_t[~sel].sum() < 1e-25
+
+
+@pytest.mark.parametrize("pol", ["TE", "TM", (0.6, 0.8j)])
+def test_crossed_energy(pol):
+    # lossless rectangular pillar array, oblique + off-azimuth:
+    # exact energy conservation over the full 2-D order set
+    p = pillar_layer(0.4, 0.5, 0.6, 2.0, 1.0)
+    r = rcwa2d(0.9, 1.1, 0.55, [p], n_out=1.5, theta_deg=20.,
+               phi_deg=25., pol=pol, orders_x=4, orders_y=4)
+    assert r.eff_r.sum() + r.eff_t.sum() == pytest.approx(1.,
+                                                          abs=1e-9)
+    assert r.eff_r.min() >= 0. and r.eff_t.min() >= 0.
+
+
+def test_crossed_square_swap_symmetry():
+    # square pillar at normal incidence: TE (E along y) and TM (E
+    # along x) are related by the x<->y mirror, so per-order
+    # efficiencies map (mx, my) -> (my, mx)
+    sq = pillar_layer(0.4, 0.5, 0.5, 2.0, 1.0)
+    a = rcwa2d(1.0, 1.0, 0.55, [sq], n_out=1.5, pol="TE",
+               orders_x=4, orders_y=4)
+    b = rcwa2d(1.0, 1.0, 0.55, [sq], n_out=1.5, pol="TM",
+               orders_x=4, orders_y=4)
+    ea = {(m, n): v for m, n, v in
+          zip(a.orders_x, a.orders_y, a.eff_t)}
+    eb = {(m, n): v for m, n, v in
+          zip(b.orders_x, b.orders_y, b.eff_t)}
+    assert max(abs(ea[m, n] - eb[n, m]) for m, n in ea) < 1e-12
+
+
+def test_crossed_uniform_is_thin_film():
+    # a 1x1 pixel grid is a homogeneous film: order (0,0) must match
+    # the classical thin-film result, everything else dark
+    u2 = crossed_layer(0.5, (1.,), (1.,), [[2.0]])
+    a = rcwa1d(1.0, 0.6328, [uniform_layer(0.5, 2.0)], n_out=1.5,
+               theta_deg=10., orders=8)
+    b = rcwa2d(1.0, 1.0, 0.6328, [u2], n_out=1.5, theta_deg=10.,
+               pol="TE", orders_x=3, orders_y=3)
+    i0a = a.orders == 0
+    i0b = (b.orders_x == 0) & (b.orders_y == 0)
+    assert b.eff_r[i0b][0] == pytest.approx(a.eff_r[i0a][0],
+                                            abs=1e-10)
+    assert b.eff_t[i0b][0] == pytest.approx(a.eff_t[i0a][0],
+                                            abs=1e-10)
+
+
+def test_crossed_absorbing_pillars():
+    # metal pillars: dissipation, no negative efficiencies
+    p = pillar_layer(0.15, 0.4, 0.4, 0.055 + 3.32j, 1.0)
+    r = rcwa2d(0.8, 0.8, 0.6328, [p], n_out=1.5, theta_deg=10.,
+               phi_deg=15., pol="TM", orders_x=4, orders_y=4)
+    s = r.eff_r.sum() + r.eff_t.sum()
+    assert 0.1 < s < 0.999
+    assert r.eff_r.min() >= 0. and r.eff_t.min() >= 0.
+
+
+def test_crossed_input_validation():
+    with pytest.raises(ValueError):
+        crossed_layer(0.5, (0.6, 0.6), (1.,), [[2.0], [1.0]])
+    with pytest.raises(ValueError):
+        crossed_layer(0.5, (0.5, 0.5), (1.,), [[2.0]])
+    with pytest.raises(ValueError):
+        pillar_layer(0.5, 1.2, 0.5, 2.0, 1.0)
 
 
 def test_order_weights_conical_routing():
