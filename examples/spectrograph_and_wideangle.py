@@ -45,6 +45,30 @@ def blazed_spectrograph():
     print("per-order image flux (blaze-weighted): %.4f" % img.sum())
 
 
+def rigorous_efficiency_mounts():
+    """RCWA beyond the classical mount: off-plane (conical) and
+    crossed 2-D gratings."""
+    from rayopt_tpu.rcwa import (rcwa1d_conical, rcwa2d,
+                                 blazed_layers, pillar_layer)
+    # echelle-style off-plane mount: 25 deg incidence rotated 35 deg
+    # off the grating vector -- s and p couple, energy stays exact
+    lays = blazed_layers(0.9, 1.5, 1.0, nslices=10)
+    res = rcwa1d_conical(1.2, 0.55, lays, n_out=1.5, theta_deg=25.,
+                         phi_deg=35., pol="TM", orders=10)
+    print("conical mount: sum eff = %.12f, s<->p conversion %.3f"
+          % (res.eff_r.sum() + res.eff_t.sum(),
+             float(np.abs(res.t_s).max())))
+    # crossed pillar array (e.g. an anti-reflective moth-eye cell)
+    r2 = rcwa2d(0.9, 1.1, 0.55, [pillar_layer(0.4, 0.5, 0.6, 2.0,
+                                              1.0)],
+                n_out=1.5, theta_deg=20., phi_deg=25., pol="TE",
+                orders_x=4, orders_y=4)
+    z = (r2.orders_x == 0) & (r2.orders_y == 0)
+    print("crossed pillars: R(0,0) = %.4f, T(0,0) = %.4f, "
+          "sum = %.12f" % (r2.eff_r[z][0], r2.eff_t[z][0],
+                           r2.eff_r.sum() + r2.eff_t.sum()))
+
+
 def df32_extended_vocabulary():
     from rayopt_tpu.ops import df32
     from rayopt_tpu.ops.geometric import trace_rays_final
@@ -114,6 +138,7 @@ def dcn_farm():
 
 if __name__ == "__main__":
     blazed_spectrograph()
+    rigorous_efficiency_mounts()
     df32_extended_vocabulary()
     wideangle_aiming()
     zoom_positions()
