@@ -41,9 +41,48 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _tpu_reachable(timeout=420.):
+    """Probe accelerator device discovery in a THROWAWAY subprocess:
+    the axon tunnel, when unhealthy, HANGS jax.devices() forever
+    (observed mid-round-3) rather than raising -- initializing it
+    in-process would wedge the whole benchmark.  Returns False on
+    hang/error so main() can pin the CPU backend and still emit its
+    JSON line."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices(); "
+             "print('PLATFORM=' + d[0].platform)"],
+            capture_output=True, text=True, timeout=timeout)
+    except subprocess.TimeoutExpired:
+        log("device probe timed out after %.0f s" % timeout)
+        return False
+    for line in r.stdout.splitlines():
+        if line.startswith("PLATFORM="):
+            log("device probe:", line)
+            return line != "PLATFORM=cpu"
+    log("device probe failed (rc=%s): %s" % (r.returncode,
+                                             r.stderr[-400:]))
+    return False
+
+
 def main():
     import os
+
+    tpu_ok = _tpu_reachable()
+    if not tpu_ok:
+        log("accelerator unreachable: falling back to the CPU "
+            "backend (rates will NOT be representative; rerun when "
+            "the TPU tunnel recovers)")
+        os.environ.setdefault(
+            "XLA_FLAGS", "--xla_force_host_platform_device_count=1")
     import jax
+    if not tpu_ok:
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception as e:
+            log("cpu pin failed:", e)
 
     # persist compiled executables across bench runs/rounds: the
     # XLA-unrolled chain costs ~6 min of remote-compiler time cold
@@ -140,6 +179,8 @@ def main():
     details = {"config": "double_gauss f/2.8 (12 traced surfaces)",
                "rays": n, "chained_traces": chain, "backend": backend,
                "xla_variant": "unrolled" if unroll_xla else "scan"}
+    if not tpu_ok:
+        details["tpu_unreachable"] = True
     rates = {}
     import os
     profile_dir = os.environ.get("BENCH_PROFILE")
