@@ -799,3 +799,78 @@ class Grating(Spheroid):
     def rescale(self, scale):
         super().rescale(scale)
         self.grating_frequency /= scale
+
+
+@Element.register
+class DiffractiveSurface(Spheroid):
+    """Radially-symmetric diffractive phase profile (kinoform /
+    hybrid diffractive-refractive element; the Zemax Binary 2 model)
+    on a conic/aspheric substrate (beyond reference).
+
+    phase_coefficients: (A_1, A_2, ...) -- the imprinted phase in
+    radians is phi(r) = sum_i A_i (r/norm_radius)**(2i); norm_radius
+    in system length units; diffraction_order m scales the whole
+    profile (0 reduces exactly to the substrate's refraction).  The
+    engines trace the Spencer & Murty phase-surface construction
+    n' u' = n u + (m lambda / 2 pi) grad phi + Gamma N; the kick is
+    baked per trace wavelength into the table's `doe` column, so the
+    strong negative dispersion of a DOE (f proportional to 1/lambda)
+    falls out of per-wavelength tables, the chromatic AD expansion,
+    and the polychromatic engines automatically.
+
+    A quadratic term A_1 adds paraxial power
+    P = -m lambda A_1 / (pi norm_radius^2) (transmissive rows; the
+    4x4 of reflective DOEs covers the substrate only, like Grating).
+    Host-side Seidel sums see the substrate only -- use
+    `transverse_expansion` for exact DOE aberrations.
+    """
+
+    _type = "binary2"
+
+    def __init__(self, phase_coefficients=(), norm_radius=1.,
+                 diffraction_order=1, **kwargs):
+        super().__init__(**kwargs)
+        self.phase_coefficients = [float(a) for a
+                                   in phase_coefficients]
+        self.norm_radius = float(norm_radius)
+        self.diffraction_order = int(diffraction_order)
+
+    def dict(self):
+        dat = super().dict()
+        if self.phase_coefficients:
+            dat["phase_coefficients"] = [float(a) for a
+                                         in self.phase_coefficients]
+        if self.norm_radius != 1.:
+            dat["norm_radius"] = float(self.norm_radius)
+        if self.diffraction_order != 1:
+            dat["diffraction_order"] = self.diffraction_order
+        return dat
+
+    def paraxial_matrix(self, n0, l):
+        n, m = super().paraxial_matrix(n0, l)
+        mirror = self.material is not None and self.material.mirror
+        if self.phase_coefficients and self.diffraction_order \
+                and not mirror:
+            # System.update stamps _scale (system units per meter);
+            # l arrives in meters, A_1 needs it in system units
+            lam = l/getattr(self, "_scale", 1e-3)
+            p = (self.diffraction_order*lam
+                 * self.phase_coefficients[0]
+                 / (np.pi*self.norm_radius**2))
+            d = np.eye(4)
+            d[2, 0] = d[3, 1] = p  # -P_doe
+            # an infinite-conjugate gap feeds inf*0 through the
+            # composition; the inf/NaN policy is deliberate (same as
+            # the Seidel path), keep the host quiet about it
+            with np.errstate(invalid="ignore"):
+                m = d @ m
+        return n, m
+
+    def refract(self, y, u0, mu):
+        raise NotImplementedError(
+            "diffractive refraction is wavelength-dependent; trace "
+            "through System.trace_table / the jitted engines")
+
+    def rescale(self, scale):
+        super().rescale(scale)
+        self.norm_radius *= scale

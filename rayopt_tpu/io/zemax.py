@@ -104,7 +104,7 @@ def zmf_read(file, session):
 
 _ZMX_IGNORED = set("""
 GCAT OPDX RAIM CONF PUPD EFFL VERS MODE NOTE HIDE MIRR SQAP
-XDAT YDAT OBNA PKUP MAZH CLAP PPAR VPAR EDGE VCON UDAD USAP TOLE PFIL
+YDAT OBNA PKUP MAZH CLAP PPAR VPAR EDGE VCON UDAD USAP TOLE PFIL
 TCED FNUM TOL MOFF SDMA GFAC PUSH PICB ROPD PWAV POLS GLRS
 BLNK COFN NSCD GSTD DMFS ISNA VDSZ ENVD ZVDX ZVDY ZVCX ZVCY ZVAN
 VDXN VDYN VCXN VCYN VANN FWGT FWGN WWGT WWGN WAVN WAVM XFLD YFLD
@@ -144,7 +144,7 @@ def _zmx_surf(ctx, args):
 
 #: surface TYPEs whose PARM rows we can map onto the Spheroid model
 _ZMX_TYPES = {"STANDARD", "EVENASPH", "ODDASPHE", "COORDBRK",
-              "BICONICX", "TOROIDAL", "DGRATING"}
+              "BICONICX", "TOROIDAL", "DGRATING", "BINARY_2"}
 
 
 @_zmx_on("TYPE")
@@ -183,8 +183,44 @@ def _zmx_type(ctx, args):
         e.__class__ = Grating
         e.grating_frequency = 0.
         e.grating_order = 1
+    elif typ == "BINARY_2":
+        # radial diffractive phase on an even-asphere base: PARM rows
+        # are the substrate aspherics (like EVENASPH); extra data
+        # (XDAT) 1 = number of terms, 2 = normalization radius,
+        # 3.. = phase coefficients A_i (radians, coefficient of
+        # rho**(2i)).  The traced diffraction order is taken as 1
+        # (the design order of essentially all Binary 2
+        # prescriptions); adjust e.diffraction_order after import if
+        # the design traces another order.
+        from ..elements import DiffractiveSurface
+        e = ctx.system[-1]
+        e.__class__ = DiffractiveSurface
+        e.phase_coefficients = []
+        e.norm_radius = 1.
+        e.diffraction_order = 1
     elif typ not in _ZMX_TYPES:
         print("surface type not supported, treating as STANDARD:", typ)
+
+
+@_zmx_on("XDAT")
+def _zmx_xdat(ctx, args):
+    # extra data rows; only BINARY_2 consumes them (1 = term count,
+    # 2 = normalization radius, 3.. = phase coefficients in radians)
+    if getattr(ctx, "surf_type", None) != "BINARY_2":
+        return
+    toks = args.split()
+    i, j = int(toks[0]), float(toks[1])
+    e = ctx.surface
+    if i == 1:
+        pass  # term count is implied by the coefficient rows
+    elif i == 2:
+        if j:
+            e.norm_radius = j
+    elif i >= 3 and j:
+        pc = e.phase_coefficients
+        while len(pc) < i - 2:
+            pc.append(0.)
+        pc[i - 3] = j
 
 
 @_zmx_on("CURV")
@@ -299,6 +335,9 @@ def _zmx_parm(ctx, args):
         elif j:
             print("grating parameter not supported", args)
         return
+    # BINARY_2 is "even asphere + phase": its PARM rows carry the
+    # substrate aspherics and fall through to the EVENASPH handling
+    # (the phase lives in the XDAT extra-data rows)
     if ctx.surf_type == "TOROIDAL":
         if i == 1:
             e.curvature_rotation = 1./j if j else 0.
@@ -707,10 +746,13 @@ def system_to_zmx(system):
         kx = getattr(e, "conic_x", None)
         toroid = hasattr(e, "curvature_rotation")
         grating = bool(getattr(e, "grating_frequency", 0.))
+        doe = bool(getattr(e, "phase_coefficients", None))
         biconic = not toroid and cx is not None and (
             cx != getattr(e, "curvature", 0.)
             or (kx or 0.) != getattr(e, "conic", 0.))
-        if grating:
+        if doe:
+            out.append("  TYPE BINARY_2")
+        elif grating:
             out.append("  TYPE DGRATING")
         elif toroid:
             out.append("  TYPE TOROIDAL")
@@ -730,7 +772,24 @@ def system_to_zmx(system):
         k = getattr(e, "conic", 0.)
         if k:
             out.append("  CONI %.17g" % k)
-        if grating:
+        if doe:
+            for i, v in enumerate(even or ()):
+                if v:
+                    out.append("  PARM %d %.17g" % (i + 1, v))
+            # fold a non-unit traced order into the coefficients:
+            # BINARY_2 has no per-surface order field, and the phase
+            # enters the trace only as order * coefficients
+            m_ord = e.diffraction_order
+            pc = [m_ord*v for v in e.phase_coefficients]
+            out.append("  XDAT 1 %d" % len(pc))
+            out.append("  XDAT 2 %.17g" % e.norm_radius)
+            for i, v in enumerate(pc):
+                if v:
+                    out.append("  XDAT %d %.17g" % (i + 3, v))
+            if odd or biconic:
+                print("binary-2 substrate odd/anamorphic terms "
+                      "dropped on BINARY_2 export")
+        elif grating:
             out.append("  PARM 1 %.17g"
                        % (e.grating_frequency/system.scale*1e-6))
             out.append("  PARM 2 %d" % e.grating_order)

@@ -462,16 +462,22 @@ def _normal_anam_df(x, y, an, dv, sq):
     return grad_df(x, y)
 
 
-def _refract_grating_df(ux, uy, uz, mu, kind, gdy, nrm, dv, sq):
-    """Diffraction-grating refraction/reflection in df32
+def _refract_grating_df(ux, uy, uz, mu, kind, gdy, nrm, dv, sq,
+                        kick=None):
+    """Diffraction-grating/phase refraction-reflection in df32
     (kernels.refract_grating with the branch selection static):
-    b = mu u + T q with q = y-hat projected into the tangent plane,
-    then u' = b + Gamma n.  nrm is (gx, gy) of the substrate normal
-    (None = plane, where q = y-hat exactly).  Evanescent orders give
-    NaN through the sqrt of the negative discriminant."""
+    b = mu u + T q + s with q = y-hat projected into the tangent
+    plane and s an optional per-ray radial diffractive kick (sx, sy)
+    (DOE rows), then u' = b + Gamma n.  nrm is (gx, gy) of the
+    substrate normal (None = plane, where q = y-hat exactly).
+    Evanescent orders give NaN through the sqrt of the negative
+    discriminant."""
     if nrm is None:
         bx = mul(mu, ux)
-        by = add(mul(mu, uy), gdy)
+        by = mul(mu, uy) if gdy is None else add(mul(mu, uy), gdy)
+        if kick is not None:
+            bx = add(bx, kick[0])
+            by = add(by, kick[1])
         bz = mul(mu, uz)
         bn = bz
         disc = sub(sub(_ONE, sqr(bx)), sqr(by))
@@ -484,14 +490,21 @@ def _refract_grating_df(ux, uy, uz, mu, kind, gdy, nrm, dv, sq):
     gx, gy = nrm
     nn = add(add(sqr(gx), sqr(gy)), _ONE)
     inv_nn = dv(_ONE, nn)
-    qx = neg(mul(mul(gy, gx), inv_nn))
-    qy = sub(_ONE, mul(sqr(gy), inv_nn))
-    qz = neg(mul(gy, inv_nn))
-    qinv = dv(_ONE, _max_tiny(sq(add(add(sqr(qx), sqr(qy)),
-                                     sqr(qz)))))
-    bx = add(mul(mu, ux), mul(gdy, mul(qx, qinv)))
-    by = add(mul(mu, uy), mul(gdy, mul(qy, qinv)))
-    bz = add(mul(mu, uz), mul(gdy, mul(qz, qinv)))
+    bx = mul(mu, ux)
+    by = mul(mu, uy)
+    bz = mul(mu, uz)
+    if gdy is not None:
+        qx = neg(mul(mul(gy, gx), inv_nn))
+        qy = sub(_ONE, mul(sqr(gy), inv_nn))
+        qz = neg(mul(gy, inv_nn))
+        qinv = dv(_ONE, _max_tiny(sq(add(add(sqr(qx), sqr(qy)),
+                                         sqr(qz)))))
+        bx = add(bx, mul(gdy, mul(qx, qinv)))
+        by = add(by, mul(gdy, mul(qy, qinv)))
+        bz = add(bz, mul(gdy, mul(qz, qinv)))
+    if kick is not None:
+        bx = add(bx, kick[0])
+        by = add(by, kick[1])
     bn = mul(add(add(mul(bx, gx), mul(by, gy)), bz), inv_nn)
     bb = add(add(sqr(bx), sqr(by)), sqr(bz))
     disc = sub(sqr(bn), mul(sub(bb, _ONE), inv_nn))
@@ -530,7 +543,7 @@ def _apply_rot_df(R, vx, vy, vz):
 def _surface_df(state, c, mu, dz, kind, flat, k1=None, asp=None,
                 alternate=False, rotm=None, rot_df=None, dxy=None,
                 radius=None, clip=False, fast=False, asp_odd=(),
-                anam=None, grat=None):
+                anam=None, grat=None, doe=None):
     """One transfer-intercept-refract step in df32.  `c`, `mu`, `dz`,
     `k1` (= 1+conic) are df32 constants, `asp`/`asp_odd` tuples of
     df32 figure constants; kind: 0 passthrough, 1 refract, 2 mirror
@@ -629,22 +642,33 @@ def _surface_df(state, c, mu, dz, kind, flat, k1=None, asp=None,
     # kernels.refract_spec / refract_cyl.
     cyl_mode = (anam["mode"] if anam is not None
                 and anam["mode"] in ("cyl_y", "cyl_x") else None)
-    poly_n = (kind != 0 and grat is None and not asp and not asp_odd
+    poly_n = (kind != 0 and grat is None and doe is None
+              and not asp and not asp_odd
               and ((not flat and anam is None)
                    or cyl_mode is not None))
     nx = ny = None
     nzv = None
-    if (kind != 0 or grat is not None) and not plane and not poly_n:
+    if ((kind != 0 or grat is not None or doe is not None)
+            and not plane and not poly_n):
         if anam is not None:
             nx, ny = _normal_anam_df(x, y, anam, dv, sq)
         else:
             # surface normal (nx, ny, 1)*e
             e = _normal_radial_df(x, y, c, kk, asp, dv, sq, asp_odd)
             nx, ny = mul(x, e), mul(y, e)
-    if grat is not None:
+    if grat is not None or doe is not None:
+        kick = None
+        if doe is not None:
+            # radial diffractive kick: e = sum 2(i+1) doe_i r^(2i)
+            # (coefficients pre-scaled on the host), s = e (x, y)
+            r2k = add(sqr(x), sqr(y))
+            ek = doe[-1]
+            for cdf in doe[-2::-1]:
+                ek = add(mul(ek, r2k), cdf)
+            kick = (mul(ek, x), mul(ek, y))
         vx, vy, vz = _refract_grating_df(
             ux, uy, uz, mu, kind, grat,
-            None if plane else (nx, ny), dv, sq)
+            None if plane else (nx, ny), dv, sq, kick=kick)
     elif kind == 0:
         vx, vy, vz = ux, uy, uz
     else:
@@ -748,8 +772,9 @@ def plan(table, clip=False, fast=False):
     intersections, decenters, rotations (exact signed-permutation
     folds take the cheap sign-flip path, general tilts a full df32
     3x3 rotation), anamorphics (conic cylinders closed-form, general
-    biconics/toroids by mixed-precision Newton), and linear gratings;
-    `clip` adds the aperture NaN-clip per surface.
+    biconics/toroids by mixed-precision Newton), linear gratings, and
+    radial diffractive (kinoform / Binary 2) rows; `clip` adds the
+    aperture NaN-clip per surface.
 
     fast=True bakes one-round div/sqrt refinements into every step
     (div1/sqrt1): lower op count at ~1e-12/~1e-8 per-op accuracy --
@@ -776,6 +801,9 @@ def plan(table, clip=False, fast=False):
     kdx = _opt("conic_dx")
     tor = _opt("toroidal")
     gdy = _opt("grating_dy")
+    doe_tab = getattr(table, "doe", None)
+    doe_tab = (np.zeros((s_count, 0)) if doe_tab is None
+               else np.asarray(doe_tab, np.float64))
     alt = np.asarray(table.alternate, np.float64)
     rad = np.asarray(table.radius, np.float64)
     df_iters = ANAM_DF_ITERS + (0 if fast else 1)
@@ -849,6 +877,9 @@ def plan(table, clip=False, fast=False):
             alternate=bool(alt[j]), rotm=rotm, rot_df=rot_df,
             dxy=dxy, anam=anam,
             grat=const(gdy[j]) if gdy[j] != 0 else None,
+            doe=(tuple(const(2.*(i + 1)*a) for i, a
+                       in enumerate(_trim(doe_tab[j])))
+                 if doe_tab.shape[1] and doe_tab[j].any() else None),
             radius=(np.float32(rad[j])**2 if clip
                     and np.isfinite(rad[j]) else None),
             clip=clip, fast=fast,
@@ -864,7 +895,7 @@ def _run_step(state, st):
                        st.get("radius"), st.get("clip", False),
                        st.get("fast", False),
                        st.get("asp_odd", ()), st.get("anam"),
-                       st.get("grat"))
+                       st.get("grat"), st.get("doe"))
 
 
 def _to_last_frame(steps, state):

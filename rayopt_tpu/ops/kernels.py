@@ -330,15 +330,31 @@ def refract_toroid(x, y, ux, uy, uz, mu, cr, cy, ky, aspherics,
     return _refract_general(x, y, ux, uy, uz, mu, gx, gy)
 
 
-def refract_grating(x, y, ux, uy, uz, mu, gdy, gx, gy):
+def doe_kick(x, y, doe):
+    """Per-ray tangential kick (sx, sy) of a radially-symmetric
+    diffractive phase profile: the table column `doe` holds the
+    dimensionless kick potential psi(r^2) = sum doe[i] r**(2i+2)
+    (= m lambda phi(r) / (2 pi n_after) with phi the imprinted phase
+    in radians), so the Spencer & Murty ray kick is grad psi =
+    dpsi/d(r^2) * (2x, 2y)."""
+    e = _dpoly_even(x*x + y*y, doe)
+    return e*x, e*y
+
+
+def refract_grating(x, y, ux, uy, uz, mu, gdy, gx, gy, doe=None):
     """Diffraction-grating refraction/reflection on an arbitrary
     substrate normal (gx, gy, 1): the generalized Spencer & Murty
-    construction u' = muf u + T q + Gamma n with the groove vector q
-    = y-hat projected into the tangent plane and the dimensionless
-    grating term T = m lambda G / n_after (table grating_dy).
+    construction u' = muf u + T q + s + Gamma n with the groove
+    vector q = y-hat projected into the tangent plane, the
+    dimensionless grating term T = m lambda G / n_after (table
+    grating_dy), and an optional radial diffractive kick
+    s = grad psi(r^2) (table doe; kinoform / Zemax Binary 2).  Any
+    normal component of s is absorbed into Gamma, so the in-plane
+    gradient needs no explicit tangential projection.
 
-    T == 0 reduces exactly to Snell/mirror reflection.  Evanescent
-    orders (no real Gamma) give NaN, matching the TIR convention."""
+    T == 0, s == 0 reduces exactly to Snell/mirror reflection.
+    Evanescent orders (no real Gamma) give NaN, matching the TIR
+    convention."""
     nn = gx*gx + gy*gy + 1.
     inv_nn = 1./nn
     muf = jnp.abs(mu)
@@ -349,6 +365,16 @@ def refract_grating(x, y, ux, uy, uz, mu, gdy, gx, gy):
     bx = muf*ux + gdy*qx
     by = muf*uy + gdy*qy
     bz = muf*uz + gdy*qz
+    kick0 = True
+    if doe is not None and doe.shape[-1]:
+        sx, sy = doe_kick(x, y, doe)
+        bx = bx + sx
+        by = by + sy
+        # row-level (not per-ray!) kick presence: an on-axis ray has
+        # sx == sy == 0 exactly, and a per-ray select would route the
+        # forward-mode derivatives of the AD aberration jets through
+        # the passthrough branch at the vertex
+        kick0 = jnp.all(doe == 0, axis=-1)
     bn = (bx*gx + by*gy + bz)*inv_nn
     bb = bx*bx + by*by + bz*bz
     disc = bn*bn - (bb - 1.)*inv_nn
@@ -363,7 +389,7 @@ def refract_grating(x, y, ux, uy, uz, mu, gdy, gx, gy):
     ox = bx + gam*gx
     oy = by + gam*gy
     oz = bz + gam
-    keep = (mu == 1) & (gdy == 0)
+    keep = (mu == 1) & (gdy == 0) & kick0
     ox = jnp.where(keep, ux, ox)
     oy = jnp.where(keep, uy, oy)
     oz = jnp.where(keep, uz, oz)
@@ -528,6 +554,7 @@ class SurfaceSpec(NamedTuple):
     cyl_axis: int = 0  # pure conic cylinder: 1 = curved in y only,
     #                    2 = curved in x only (closed-form intercept
     #                    instead of the seeded Newton)
+    doe: bool = False  # radial diffractive phase (kinoform) on the row
 
 
 def specialize(table):
@@ -552,6 +579,9 @@ def specialize(table):
         kdx = np.asarray(getattr(table, "conic_dx", None))
         tor = np.asarray(getattr(table, "toroidal", None))
         grat = np.asarray(getattr(table, "grating_dy", None))
+        doe_all = getattr(table, "doe", None)
+        doe_row = (np.zeros(0) if doe_all is None
+                   else np.asarray(doe_all)[j])
         cdx = 0. if cdx.ndim == 0 else float(cdx[j])
         kdx = 0. if kdx.ndim == 0 else float(kdx[j])
         tor = 0. if tor.ndim == 0 else float(tor[j])
@@ -582,6 +612,7 @@ def specialize(table):
             toroidal=bool(tor != 0.),
             grating=bool(grat != 0.),
             cyl_axis=cyl_axis,
+            doe=bool(doe_row.size and np.any(doe_row != 0)),
         ))
     return tuple(specs)
 
@@ -741,9 +772,9 @@ def surface_step_spec(state, surf, spec, clip):
         ux0 = jnp.where(bad, nan, ux0)
         uy0 = jnp.where(bad, nan, uy0)
         uz0 = jnp.where(bad, nan, uz0)
-    if spec.grating:
+    if spec.grating or spec.doe:
         # substrate normal per figure kind, then the generalized
-        # grating solve (exact Snell at zero order)
+        # grating/phase solve (exact Snell at zero order)
         if spec.toroidal:
             ngx, ngy = normal_toroid(
                 x1, y1, surf.curvature + surf.curvature_dx,
@@ -761,9 +792,10 @@ def surface_step_spec(state, surf, spec, clip):
             e = normal_radial(x1, y1, surf.curvature, surf.conic,
                               surf.aspherics, surf.aspherics_odd)
             ngx, ngy = x1*e, y1*e
+        gdy = surf.grating_dy if spec.grating else 0.
         ux1, uy1, uz1 = refract_grating(
-            x1, y1, ux0, uy0, uz0, surf.mu, surf.grating_dy,
-            ngx, ngy)
+            x1, y1, ux0, uy0, uz0, surf.mu, gdy,
+            ngx, ngy, doe=surf.doe if spec.doe else None)
     elif spec.cyl_axis and spec.kind != 0:
         if spec.cyl_axis == 1:
             uy1, ux1, uz1 = refract_cyl(
@@ -834,7 +866,8 @@ def _refract_anam(x, y, ux, uy, uz, surf):
     gx = jnp.where(tor, gtx, gbx)
     gy = jnp.where(tor, gty, gby)
     return refract_grating(x, y, ux, uy, uz, surf.mu,
-                           surf.grating_dy, gx, gy)
+                           surf.grating_dy, gx, gy,
+                           doe=getattr(surf, "doe", None))
 
 
 def surface_step(state, surf, clip, biconic=False):

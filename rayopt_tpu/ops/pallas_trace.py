@@ -34,7 +34,7 @@ class _SurfRow:
         self._dtype = dtype
 
     def __getattr__(self, name):
-        if (name in ("aspherics", "aspherics_odd")
+        if (name in ("aspherics", "aspherics_odd", "doe")
                 and name not in self._refs):
             # zero-width blocks are not representable; absent
             # aspherics are a static property of the table
@@ -60,6 +60,8 @@ def _fields_for(table, specs):
             fields += ["curvature_dx", "conic_dx"]
         if any(s.grating for s in specs):
             fields += ["grating_dy"]
+        if any(s.doe for s in specs):
+            fields += ["doe"]
     return tuple(fields)
 
 

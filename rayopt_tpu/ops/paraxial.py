@@ -17,10 +17,12 @@ import jax.numpy as jnp
 
 
 def surface_abcd(curvature, distance, n_before, n_after, mu, theta=0.,
-                 aspheric0=0.):
+                 aspheric0=0., doe0=0.):
     """4x4 paraxial matrix for one surface: free propagation to the
     vertex followed by refraction/reflection.  State vector
-    (y_sag, y_tan, nu_sag, nu_tan)."""
+    (y_sag, y_tan, nu_sag, nu_tan).  doe0 is the r^2 coefficient of a
+    radial diffractive kick potential (table doe[:, 0]): it adds
+    power -2 n_after doe0 on transmissive rows."""
     c = curvature + 2*aspheric0
     costheta = jnp.cos(theta)
     is_mirror = mu == -1
@@ -34,13 +36,15 @@ def surface_abcd(curvature, distance, n_before, n_after, mu, theta=0.,
     # refraction (reference elements.py:503)
     nr = n_after/n_before
     p = jnp.sqrt(jnp.maximum(nr**2 + costheta**2 - 1, 1e-30))
+    doe_p = jnp.where(is_mirror, 0., 2*n_after*doe0)
     m11 = jnp.where(is_mirror | is_bare, 1., p/(nr*costheta))
-    m20 = jnp.where(is_mirror, 2*c*costheta,
-                    jnp.where(is_bare, 0.,
-                              n_before*c*(costheta - p)))
-    m31 = jnp.where(is_mirror, 2*c/costheta,
-                    jnp.where(is_bare, 0.,
-                              nr*n_before*c*(costheta - p)/(costheta*p)))
+    m20 = doe_p + jnp.where(is_mirror, 2*c*costheta,
+                            jnp.where(is_bare, 0.,
+                                      n_before*c*(costheta - p)))
+    m31 = doe_p + jnp.where(is_mirror, 2*c/costheta,
+                            jnp.where(is_bare, 0.,
+                                      nr*n_before*c*(costheta - p)
+                                      / (costheta*p)))
     m = jnp.eye(4)
     m = m.at[1, 1].set(m11)
     m = m.at[2, 0].set(m20)
@@ -56,9 +60,12 @@ def abcd_matrices(table, theta=None):
     theta = jnp.zeros(s) if theta is None else theta
     asp0 = (table.aspherics[:, 0] if table.aspherics.shape[1]
             else jnp.zeros(s))
+    doe = getattr(table, "doe", None)
+    doe0 = (doe[:, 0] if doe is not None and doe.shape[1]
+            else jnp.zeros(s))
     m = jax.vmap(surface_abcd)(table.curvature, table.distance,
                                table.n_before, table.n_after,
-                               table.mu, theta, asp0)
+                               table.mu, theta, asp0, doe0)
     return m.at[0].set(jnp.eye(4))
 
 

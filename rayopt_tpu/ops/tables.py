@@ -53,6 +53,11 @@ class SurfaceTable(NamedTuple):
                         grating ruled along x (dispersion in y):
                         m * lambda * G / n_after, baked per trace
                         wavelength; 0 = no grating
+    doe:        (S, KD) radial diffractive-phase kick potential
+                        (kinoform / Zemax Binary 2): doe[:, i]
+                        multiplies r**(2i+2) of psi(r^2) =
+                        m * lambda * phi(r) / (2 pi n_after), baked
+                        per trace wavelength; zero-width = no DOE
     """
 
     curvature: jnp.ndarray
@@ -71,6 +76,7 @@ class SurfaceTable(NamedTuple):
     conic_dx: jnp.ndarray = None
     toroidal: jnp.ndarray = None
     grating_dy: jnp.ndarray = None
+    doe: jnp.ndarray = None
 
     @property
     def nsurfaces(self):
@@ -91,7 +97,8 @@ def make_table(curvature, conic=None, aspherics=None, offset=None,
                rot=None, radius=None, alternate=None, mu=None,
                n_before=None, n_after=None, distance=None,
                aspherics_odd=None, curvature_dx=None, conic_dx=None,
-               toroidal=None, grating_dy=None, dtype=np.float64):
+               toroidal=None, grating_dy=None, doe=None,
+               dtype=np.float64):
     """Assemble a SurfaceTable from plain arrays, filling defaults."""
     curvature = np.asarray(curvature, dtype=dtype)
     s = curvature.shape[0]
@@ -116,6 +123,10 @@ def make_table(curvature, conic=None, aspherics=None, offset=None,
     else:
         aspherics_odd = np.asarray(aspherics_odd,
                                    dtype=dtype).reshape(s, -1)
+    if doe is None:
+        doe = np.zeros((s, 0), dtype=dtype)
+    else:
+        doe = np.asarray(doe, dtype=dtype).reshape(s, -1)
     if offset is None and distance is not None:
         offset = np.zeros((s, 3), dtype=dtype)
         offset[:, 2] = distance
@@ -138,6 +149,7 @@ def make_table(curvature, conic=None, aspherics=None, offset=None,
         conic_dx=arr(conic_dx, 0., (s,)),
         toroidal=arr(toroidal, 0., (s,)),
         grating_dy=arr(grating_dy, 0., (s,)),
+        doe=np.ascontiguousarray(doe),
     )
 
 
@@ -158,8 +170,11 @@ def is_anamorphic(table):
         return False
     tor = getattr(table, "toroidal", None)
     grat = getattr(table, "grating_dy", None)
+    doe = getattr(table, "doe", None)
     return bool(np.any(np.asarray(dx) != 0)
                 or np.any(np.asarray(table.conic_dx) != 0)
                 or (tor is not None and np.any(np.asarray(tor) != 0))
                 or (grat is not None
-                    and np.any(np.asarray(grat) != 0)))
+                    and np.any(np.asarray(grat) != 0))
+                or (doe is not None and np.asarray(doe).size
+                    and np.any(np.asarray(doe) != 0)))

@@ -300,6 +300,11 @@ class System(AimingMixin, list):
             self.refractive_index(self.wavelengths[0], 0)
         self.image.pupil.refractive_index = \
             self.refractive_index(self.wavelengths[0], -1)
+        for e in self:
+            if hasattr(e, "phase_coefficients"):
+                # diffractive paraxial power needs the wavelength in
+                # system units; the element alone cannot know the scale
+                e._scale = self.scale
         self.paraxial.update_conjugates()
         self.paraxial.update()
         self.validate()
@@ -516,6 +521,9 @@ class System(AimingMixin, list):
         conic_dx = np.zeros(s)
         toroidal = np.zeros(s)
         grating_dy = np.zeros(s)
+        kd = max((len(getattr(e, "phase_coefficients", None) or ())
+                  for e in self), default=0)
+        doe = np.zeros((s, kd))
         aspherics = np.zeros((s, kmax))
         aspherics_odd = np.zeros((s, kmax_odd))
         offset = np.zeros((s, 3))
@@ -558,6 +566,15 @@ class System(AimingMixin, list):
                 grating_dy[j] = (e.grating_order
                                  * (wavelength/self.scale)
                                  * e.grating_frequency/abs(n0))
+            pc = getattr(e, "phase_coefficients", None)
+            if pc and getattr(e, "diffraction_order", 1):
+                # radial diffractive kick potential psi(r^2) =
+                # m lambda phi(r)/(2 pi n'): doe[j, i] multiplies
+                # r**(2i+2) with phi = sum A_i (r/R)**(2i)
+                fac = (e.diffraction_order*(wavelength/self.scale)
+                       / (2*np.pi*abs(n0)))
+                for i, a in enumerate(pc):
+                    doe[j, i] = fac*a/e.norm_radius**(2*(i + 1))
         return make_table(
             curvature=curvature, conic=conic, aspherics=aspherics,
             aspherics_odd=aspherics_odd, offset=offset, rot=rot,
@@ -565,7 +582,7 @@ class System(AimingMixin, list):
             n_before=n_before, n_after=n_after,
             distance=distance, curvature_dx=curvature_dx,
             conic_dx=conic_dx, toroidal=toroidal,
-            grating_dy=grating_dy, dtype=dtype)
+            grating_dy=grating_dy, doe=doe, dtype=dtype)
 
     def tables(self, wavelengths=None, dtype=np.float64):
         """Stacked SurfaceTable with a leading wavelength axis, for
