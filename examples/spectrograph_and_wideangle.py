@@ -69,12 +69,30 @@ def rigorous_efficiency_mounts():
                            r2.eff_r.sum() + r2.eff_t.sum()))
 
 
+def hybrid_diffractive_achromat():
+    """A kinoform (Zemax Binary 2) cancels a BK7 singlet's color."""
+    from rayopt_tpu.models import hybrid_achromat
+    from rayopt_tpu.ops.paraxial import abcd_product
+    s = hybrid_achromat()
+
+    def bfl(lam):
+        m = np.asarray(abcd_product(s.table(lam), 1, len(s) - 1))
+        return -m[1, 1]/m[3, 1]
+
+    print("hybrid achromat: EFL %.2f mm, axial color (480-644 nm) "
+          "%.4f mm (bare singlet: ~1.5 mm)"
+          % (abs(s.paraxial.focal_length[1]),
+             bfl(480e-9) - bfl(644e-9)))
+
+
 def df32_extended_vocabulary():
     from rayopt_tpu.ops import df32
     from rayopt_tpu.ops.geometric import trace_rays_final
     from rayopt_tpu.ops.tables import is_anamorphic
+    from rayopt_tpu.models import hybrid_achromat
     for name, s in (("anamorphic_pair", anamorphic_pair()),
-                    ("spectrograph", spectrograph())):
+                    ("spectrograph", spectrograph()),
+                    ("hybrid_achromat", hybrid_achromat())):
         tab = s.table()
         n = 512
         rng = np.random.RandomState(0)
@@ -139,6 +157,7 @@ def dcn_farm():
 if __name__ == "__main__":
     blazed_spectrograph()
     rigorous_efficiency_mounts()
+    hybrid_diffractive_achromat()
     df32_extended_vocabulary()
     wideangle_aiming()
     zoom_positions()

@@ -1,5 +1,5 @@
 from .prescriptions import (  # noqa: F401
     doublet, cooke_triplet, double_gauss, petzval, parabolic_mirror,
     hene_cavity, beam_expander, spectrograph, anamorphic_pair,
-    fisheye, zoom_telephoto, PRESCRIPTIONS,
+    fisheye, zoom_telephoto, hybrid_achromat, PRESCRIPTIONS,
 )

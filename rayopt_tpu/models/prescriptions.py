@@ -229,6 +229,23 @@ elements:
 """
 
 
+# hybrid refractive-diffractive achromat: a BK7 singlet whose axial
+# color (~1.5 mm over 480-644 nm) is cancelled by a weak kinoform on
+# the exit face (DOE Abbe number ~ -3.45); the binary2 golden for the
+# DOE engines and the chromatic AD expansion
+HYBRID_ACHROMAT_YAML = """
+description: BK7 singlet + kinoform hybrid achromat
+wavelengths: [550.e-9, 480.e-9, 644.e-9]
+object: {angle_deg: 0.5, pupil: {radius: 6., update_radius: False}}
+elements:
+- {material: air}
+- {roc: 54.4, distance: 4., material: glass/N-BK7, radius: 10.}
+- {type: binary2, distance: 3., material: air, radius: 10.,
+   phase_coefficients: [-2.9292239194310423], norm_radius: 1.}
+- {distance: 95., radius: 10.}
+"""
+
+
 def _build(yaml_text, update=True):
     s = system_from_yaml(yaml_text)
     if update:
@@ -276,6 +293,10 @@ def fisheye(update=True):
     return _build(FISHEYE_YAML, update)
 
 
+def hybrid_achromat(update=True):
+    return _build(HYBRID_ACHROMAT_YAML, update)
+
+
 def zoom_telephoto(update=True):
     s = _build(ZOOM_YAML, update=False)
     if update:
@@ -294,5 +315,6 @@ PRESCRIPTIONS = {
     "spectrograph": spectrograph,
     "anamorphic_pair": anamorphic_pair,
     "fisheye": fisheye,
+    "hybrid_achromat": hybrid_achromat,
     "zoom": zoom_telephoto,
 }

@@ -302,6 +302,21 @@ def test_ad_expansion_covers_doe():
     assert np.isfinite(t["spherical"]) and abs(t["spherical"]) > 0
 
 
+def test_hybrid_achromat_model():
+    # the zoo model: golden EFL and the achromatization pin
+    from rayopt_tpu.models import hybrid_achromat
+    from rayopt_tpu.ops.paraxial import abcd_product
+    s = hybrid_achromat()
+    nptest.assert_allclose(abs(s.paraxial.focal_length[1]), 99.73,
+                           rtol=1e-3)
+
+    def bfl(lam):
+        m = np.asarray(abcd_product(s.table(lam), 1, len(s) - 1))
+        return -m[1, 1]/m[3, 1]
+
+    assert abs(bfl(480e-9) - bfl(644e-9)) < 0.05
+
+
 def test_rescale_and_reverse():
     s = kinoform()
     e = s[1]
