@@ -270,7 +270,8 @@ class ChromaticExpansion:
     w is the normalized chromatic coordinate: lambda = lambda0 +
     w*bandwidth, w = +-1 at the band edges (`bandwidth` defaults to
     half the system's wavelength span).  d1_*/d2_* are d/dw and
-    d^2/dw^2 of offset/j1/j2/j3 at w=0.
+    d^2/dw^2 of offset/j1/j2/j3 at w=0; the gaussian terms
+    (offset/j1) additionally carry d3_* for the band-edge cubic.
     """
 
     _H = 0.05           # stencil step in w units (lambda shifts of
@@ -306,9 +307,11 @@ class ChromaticExpansion:
             setattr(self, "d3_" + name, d3)
 
     def evaluate(self, v, w):
-        """Transverse image coordinates of the cubic-in-(pupil,field),
-        quadratic-in-w model at v = (px, py, hx, hy), lambda =
-        lambda0 + w*bandwidth."""
+        """Transverse image coordinates of the cubic-in-(pupil,field)
+        model at v = (px, py, hx, hy), lambda = lambda0 +
+        w*bandwidth: quadratic in w for the aberration jets, cubic in
+        w for the gaussian (offset/j1) terms -- glass dispersion is
+        strongly nonlinear over a full visible band."""
         v = np.asarray(v, float)
         out = np.zeros(2)
         for dw, fac in ((0, 1.), (1, w), (2, w*w/2.), (3, w**3/6.)):

@@ -718,7 +718,6 @@ def system_to_zmx(system):
         out.append("UNIT %s IN IN IN" % unit)
     out.append("WAVL " + " ".join("%.9g" % (w*1e6)
                                   for w in system.wavelengths))
-    import numpy as np
     # aperture + field definitions (the importer reads these back;
     # the reference ignores them on import and has no writer at all)
     prad = getattr(system.object.pupil, "radius", np.inf)

@@ -394,11 +394,18 @@ def _intercept_cyl_df(w, z, uw, uz, an, dv, sq):
     e_q = mul(c, uu)
     disc = sub(sqr(d), mul(e_q, f))
     g = sq(disc)
+    # degenerate quadric (e_q == 0: ray parallel to the curved axis of
+    # a parabolic cylinder) must take the conjugate-root form like
+    # kernels.intercept_cyl, not divide by zero
+    ez = e_q[0] == 0
     if an["alternate"]:
-        return dv(neg(sub(d, g)), e_q)
-    stable = d[0] < 0
+        g = neg(g)
+        stable = ez
+    else:
+        stable = (d[0] < 0) | ez
     num = where(stable, f, neg(add(d, g)))
     den = where(stable, sub(g, d), e_q)
+    den = where(den[0] == 0, _ONE, den)
     return dv(num, den)
 
 

@@ -244,22 +244,7 @@ def refract_biconic(x, y, ux, uy, uz, mu, cx, kx, cy, ky, aspherics,
     """Snell/mirror refraction with the general biconic normal."""
     gx, gy = normal_biconic(x, y, cx, kx, cy, ky, aspherics,
                             aspherics_odd)
-    r2 = gx*gx + gy*gy + 1.
-    muf = jnp.abs(mu)
-    a = muf*(ux*gx + uy*gy + uz)/r2
-    rx, ry, rz = ux - 2*a*gx, uy - 2*a*gy, uz - 2*a
-    b = (mu*mu - 1)/r2
-    disc = a*a - b
-    g = -a + jnp.sign(mu)*_sqrt0(disc)
-    g = jnp.where(disc < 0, jnp.nan, g)
-    tx, ty, tz = muf*ux + g*gx, muf*uy + g*gy, muf*uz + g
-    ox = jnp.where(mu == -1, rx, tx)
-    oy = jnp.where(mu == -1, ry, ty)
-    oz = jnp.where(mu == -1, rz, tz)
-    ox = jnp.where(mu == 1, ux, ox)
-    oy = jnp.where(mu == 1, uy, oy)
-    oz = jnp.where(mu == 1, uz, oz)
-    return ox, oy, oz
+    return _refract_general(x, y, ux, uy, uz, mu, gx, gy)
 
 
 def _ycurve(y, cy, ky, aspherics, aspherics_odd=None):
@@ -806,7 +791,10 @@ def surface_step_spec(state, surf, spec, clip):
                 x1, z1, ux0, uy0, uz0, surf.mu,
                 surf.curvature + surf.curvature_dx,
                 surf.conic + surf.conic_dx, spec.kind)
-    elif spec.cyl_axis:
+    elif spec.cyl_axis or (spec.kind == 0
+                           and (spec.biconic or spec.toroidal)):
+        # passthrough figured rows: skip the whole normal+Snell chain
+        # (the select inside _refract_general would discard it anyway)
         ux1, uy1, uz1 = ux0, uy0, uz0
     elif spec.toroidal:
         ux1, uy1, uz1 = refract_toroid(

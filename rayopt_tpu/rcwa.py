@@ -668,10 +668,10 @@ def grating_order_weights(grating, wavelengths, orders, n_in=1.,
             n_out = 1.5
     pols = ("TE", "TM") if pol == "avg" else (pol,)
     out = np.zeros((orders.size, wavelengths.size))
+    layers = blazed_layers(depth, n_out, n_in, nslices=nslices)
     for b, lam in enumerate(wavelengths):
         N = (truncation if truncation is not None
              else max(12, 2 + int(np.ceil(2.*d/lam))))
-        layers = blazed_layers(depth, n_out, n_in, nslices=nslices)
         for p in pols:
             if azimuth_deg:
                 res = rcwa1d_conical(

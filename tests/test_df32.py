@@ -287,3 +287,28 @@ def test_fast_mode_accuracy(rng):
     r = df32.sqrt1(a)
     nptest.assert_allclose(df32.to_f64(r),
                            np.sqrt(df32.to_f64(a)), rtol=1e-11)
+
+
+def test_parabolic_cylinder_degenerate_ray():
+    """e_q == 0 guard: a ray travelling parallel to the curved axis of
+    a parabolic (conic = -1) cylinder has a vanishing quadratic
+    coefficient; the closed-form df32 intercept must take the
+    conjugate-root branch like kernels.intercept_cyl instead of
+    dividing by zero and falsely vignetting the ray."""
+    from rayopt_tpu.ops.tables import make_table
+    tab = make_table(curvature=[0., .02, 0.], conic=[0., -1., 0.],
+                     curvature_dx=[0., -.02, 0.],  # x-flat: y-cylinder
+                     distance=[0., 5., 40.], mu=[1., 1/1.5, 1.5])
+    n = 8
+    y = np.zeros((n, 3))
+    y[:, 0] = np.linspace(-3., 3., n)   # offset along the flat axis
+    y[:, 1] = 1.5                       # fixed height on the curve
+    u = np.zeros((n, 3))
+    u[:, 2] = 1.                        # uy == 0: e_q == 0 exactly
+    truth = np.asarray(trace_rays_final(tab, y, u, biconic=True)[0])
+    assert np.isfinite(truth).all()
+    out = df32.trace_df32_final(df32.plan(tab),
+                                df32.state_from_f64(y, u))
+    got = df32.to_f64(out[1])
+    assert np.isfinite(got).all()
+    nptest.assert_allclose(got, truth[:, 1], atol=1e-12)
