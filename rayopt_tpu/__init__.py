@@ -40,7 +40,7 @@ from .materials import (  # noqa: E402,F401
 )
 from .elements import (  # noqa: E402,F401
     Element, Interface, Spheroid, Biconic, Toroid, Grating,
-    DiffractiveSurface,
+    DiffractiveSurface, ForbesQcon,
     TransformMixin,
 )
 from .utils.registry import NameMixin  # noqa: E402,F401

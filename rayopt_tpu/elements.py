@@ -294,7 +294,15 @@ class Interface(Element):
     def dict(self):
         dat = super().dict()
         if self.material is not None:
-            dat["material"] = str(self.material)
+            name = str(self.material)
+            if name and name != "-":
+                dat["material"] = name
+            else:
+                # unnamed (float-index / nd-vd) materials have no
+                # resolvable name: persist their full dict so the
+                # YAML/JSON round trip survives (Material.make
+                # accepts dicts)
+                dat["material"] = self.material.dict()
         return dat
 
     def get_n_mu(self, n0, l):
@@ -873,4 +881,88 @@ class DiffractiveSurface(Spheroid):
 
     def rescale(self, scale):
         super().rescale(scale)
+        self.norm_radius *= scale
+
+
+@Element.register
+class ForbesQcon(Spheroid):
+    """Forbes Qcon asphere (beyond reference): conic departure
+    delta z = u^4 sum a_m Qcon_m(u^2), u = r/norm_radius, with
+    Qcon_m(x) = P_m^{(0,4)}(2x - 1) (Forbes, Opt. Express 15, 5218
+    (2007)) -- the orthogonal-basis asphere description of modern
+    design codes.
+
+    Each Qcon surface is exactly a finite even power series, so the
+    element lowers its Q coefficients onto the engines' native
+    `aspherics` vocabulary (utils.qpoly, exact): every trace engine,
+    the Seidel sums, tolerancing and the polynomial trace handle it
+    with no new kernels.  The departure starts at r^4, so Q
+    coefficients never move the paraxial power.  `aspherics` reads as
+    the COMBINED series (base terms + Q departure); assigning it sets
+    the base terms only.  Keep the order moderate (m <= ~15): the
+    power-basis expansion of high-order Jacobi polynomials loses
+    digits to cancellation (that is Forbes' argument for the basis).
+
+    The slope-orthogonal Qbfs variant is intentionally absent (see
+    utils/qpoly.py).
+    """
+
+    _type = "qcon"
+
+    def __init__(self, q_coefficients=(), norm_radius=1., **kwargs):
+        self._base_aspherics = None
+        self.q_coefficients = [float(a) for a in q_coefficients]
+        self.norm_radius = float(norm_radius)
+        super().__init__(**kwargs)
+
+    @property
+    def aspherics(self):
+        from .utils.qpoly import qcon_to_even_aspherics
+        der = qcon_to_even_aspherics(self.q_coefficients,
+                                     self.norm_radius)
+        base = self._base_aspherics or []
+        n = max(len(der), len(base))
+        if not n:
+            return None
+        return [(der[i] if i < len(der) else 0.)
+                + (base[i] if i < len(base) else 0.) for i in range(n)]
+
+    @aspherics.setter
+    def aspherics(self, v):
+        self._base_aspherics = None if v is None else list(v)
+
+    def dict(self):
+        dat = super().dict()
+        # super() serialized the combined series; persist the
+        # decomposition instead (q + base round-trips exactly)
+        dat.pop("aspherics", None)
+        if self._base_aspherics:
+            dat["aspherics"] = list(map(float, self._base_aspherics))
+        if self.q_coefficients:
+            dat["q_coefficients"] = list(map(float,
+                                             self.q_coefficients))
+        if self.norm_radius != 1.:
+            dat["norm_radius"] = float(self.norm_radius)
+        return dat
+
+    def reverse(self):
+        # Spheroid.reverse negates self.aspherics, which would fold
+        # the Q departure into the base terms through the property;
+        # negate the decomposition instead
+        base, q = self._base_aspherics, self.q_coefficients
+        self._base_aspherics, self.q_coefficients = None, []
+        super().reverse()
+        self._base_aspherics = (None if base is None
+                                else [-a for a in base])
+        self.q_coefficients = [-a for a in q]
+
+    def rescale(self, scale):
+        base, q = self._base_aspherics, self.q_coefficients
+        self._base_aspherics, self.q_coefficients = None, []
+        super().rescale(scale)
+        self._base_aspherics = (
+            None if base is None
+            else [a/scale**(2*i + 1) for i, a in enumerate(base)])
+        # the departure is a length and u is scale-invariant
+        self.q_coefficients = [a*scale for a in q]
         self.norm_radius *= scale

@@ -65,3 +65,25 @@ def test_pupil_types_roundtrip():
         np.testing.assert_allclose(q.na, p.na, rtol=1e-12)
         np.testing.assert_allclose(q.fno, p.fno, rtol=1e-12)
         assert type(q) is type(p)
+
+
+def test_unnamed_material_round_trip():
+    """Float-index and nd/vd materials have no resolvable name ('-'):
+    their dicts must persist through YAML instead of a dead string."""
+    import numpy.testing as nptest
+    import rayopt_tpu as ro
+    import rayopt_tpu.formats as fmt
+    s = ro.System([
+        dict(material="air"),
+        dict(roc=40., distance=4., material=1.613, radius=8.),
+        dict(roc=-40., distance=3., material="1.51680/64.17",
+             radius=8.),
+        dict(distance=50., radius=8.),
+    ], wavelengths=[550e-9])
+    s.update()
+    s2 = fmt.system_from_yaml(fmt.system_to_yaml(s))
+    s2.update()
+    for j in (1, 2):
+        nptest.assert_allclose(
+            s2[j].material.refractive_index(550e-9),
+            s[j].material.refractive_index(550e-9), rtol=1e-12)
