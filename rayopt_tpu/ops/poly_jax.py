@@ -151,6 +151,13 @@ def poly_trace_table(table, specs, kmax, pupil_distance,
         raise NotImplementedError(
             "anamorphic (biconic) surfaces break the rotational "
             "symmetry of the aberration-polynomial basis")
+    doe = getattr(table, "doe", None)
+    if (doe is not None and not isinstance(doe, jax.core.Tracer)
+            and _host_np.asarray(doe).size
+            and _host_np.any(_host_np.asarray(doe) != 0)):
+        raise NotImplementedError(
+            "diffractive (binary2) kicks are not implemented in the "
+            "aberration-polynomial basis; use transverse_expansion")
     alg = algebra(3, kmax)
     S = alg.box
     nsurf = table.curvature.shape[0]

@@ -100,6 +100,11 @@ def intercept_poly_spheroid(element, S, r, p, k):
             "anamorphic (biconic) surfaces break the rotational "
             "symmetry of the aberration-polynomial basis; use the "
             "geometric trace")
+    if getattr(element, "phase_coefficients", None):
+        raise NotImplementedError(
+            "diffractive (binary2) kicks are not implemented in the "
+            "aberration-polynomial basis; use transverse_expansion "
+            "(AD jets) or the geometric trace")
     u = element.curvature*np.sign(element.offset[2])
     if u == 0.:
         r, f, fr, g = intercept_poly_plane(S, r, p, k)

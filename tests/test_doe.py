@@ -328,3 +328,13 @@ def test_rescale_and_reverse():
     s.update()
     f = s.paraxial.focal_length
     nptest.assert_allclose(abs(f), 10.*F0, rtol=1e-3)
+
+
+def test_poly_rejects_doe():
+    """The aberration-polynomial trace must reject (not silently
+    substrate-trace) diffractive rows; the AD expansion is the
+    documented alternative."""
+    from rayopt_tpu.trace.poly import PolyTrace
+    s = kinoform()
+    with pytest.raises(NotImplementedError, match="binary2"):
+        PolyTrace(s)
