@@ -172,11 +172,24 @@ def heat_table(table, dt, alpha_gap, alpha_elem, dn_before,
     n_after = table.n_after + dn_after
     mirror = table.mu == -1.
     mu = jnp.where(mirror, -1., n_before/n_after)
+    extra = {}
+    # extended-vocabulary columns scale with the figure too:
+    # anamorphic curvature split like a curvature, the grating term
+    # with the (stretching) line spacing, the diffractive kick
+    # potential with its r**(2i+2) powers
+    if getattr(table, "curvature_dx", None) is not None:
+        extra["curvature_dx"] = table.curvature_dx/fig_grow
+    if getattr(table, "grating_dy", None) is not None:
+        extra["grating_dy"] = table.grating_dy/fig_grow
+    doe = getattr(table, "doe", None)
+    if doe is not None and doe.shape[1]:
+        k_doe = jnp.arange(doe.shape[1])
+        extra["doe"] = doe/fig_grow[:, None]**(2*k_doe + 2)
     return table.replace(
         curvature=curvature, conic=conic, aspherics=aspherics,
         aspherics_odd=aspherics_odd, offset=offset,
         distance=distance, radius=radius, n_before=n_before,
-        n_after=n_after, mu=mu)
+        n_after=n_after, mu=mu, **extra)
 
 
 def thermal_defocus(system, temps, wavelength=None):

@@ -161,3 +161,33 @@ def test_heat_table_differentiable():
     fd = (spread(curv.at[i].add(eps))
           - spread(curv.at[i].add(-eps)))/(2*eps)
     nptest.assert_allclose(g[i], fd, rtol=1e-5)
+
+
+def test_heat_table_extended_vocabulary():
+    """The differentiable thermal transform covers the extended
+    columns: anamorphic curvature splits, grating terms, and
+    diffractive kick potentials match the host at_temperature path
+    through the trace."""
+    from rayopt_tpu.thermal import heat_table, thermal_model
+    from rayopt_tpu.ops.geometric import trace_rays_final
+    from rayopt_tpu.models import (hybrid_achromat, anamorphic_pair,
+                                   spectrograph)
+    for s in (hybrid_achromat(), anamorphic_pair(), spectrograph()):
+        t = 75.
+        tab = s.table()
+        hot = heat_table(tab, t - 20., *thermal_model(s, t))
+        st = at_temperature(s, t)
+        st.update()
+        tab_host = st.table()
+        for f in ("curvature", "curvature_dx", "grating_dy", "doe"):
+            nptest.assert_allclose(np.asarray(getattr(hot, f)),
+                                   np.asarray(getattr(tab_host, f)),
+                                   rtol=1e-9, err_msg=f)
+        y = np.zeros((16, 3))
+        y[:, 1] = np.linspace(-3, 3, 16)
+        u = np.zeros((16, 3))
+        u[:, 2] = 1.
+        yh = np.asarray(trace_rays_final(hot, y, u, biconic=True)[0])
+        yt = np.asarray(trace_rays_final(tab_host, y, u,
+                                         biconic=True)[0])
+        nptest.assert_allclose(yh, yt, atol=1e-10)
