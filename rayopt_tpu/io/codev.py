@@ -199,9 +199,10 @@ def seq_to_system(data, item=None):
     XAN/YAN field angles, SO/S/SI surface rows (radius, thickness,
     glass), STO stop marker, K conics and A..J even-asphere
     coefficients (r**4 ... r**22), CIR clear apertures, and
-    decenters/tilts (XDE/YDE/ZDE, ADE/BDE/CDE, DAR -- folded into
-    per-surface global poses; BEN is not supported).  Solves, zoom,
+    decenters/tilts (XDE/YDE/ZDE, ADE/BDE/CDE, DAR and BEN mirror
+    bends -- folded into per-surface global poses).  Solves, zoom,
     and tolerance commands are ignored with a notice.
+    system_to_seq is the matching writer.
     """
     from ..elements import Spheroid
     from ..system import System
@@ -323,6 +324,111 @@ def seq_to_system(data, item=None):
            for e in system):
         _fold_seq_frames(system)
     return system
+
+
+def _seq_glass_token(mat):
+    """Inverse of _seq_material for the writer: named glasses as
+    NAME_CATALOG, mirrors as REFL, unnamed materials as the
+    fictitious nnn.nnn code (3-digit nd/vd -- lossy by design, like
+    Code V's own fictitious glasses)."""
+    if mat is None or str(mat) in ("basic/air", "air"):
+        return ""
+    if getattr(mat, "mirror", False):
+        return "REFL"
+    name = getattr(mat, "name", None) or ""
+    catalog = getattr(mat, "catalog", None)
+    if name and name != "-":
+        token = name.upper().replace("-", "")
+        if catalog:
+            # NAME_CATALOG; the importer re-splits on the underscore
+            token += "_" + str(catalog).upper().split("-")[0]
+        return token
+    try:
+        nd, vd = float(mat.nd), float(mat.vd)
+    except Exception:
+        nd, vd = 1.5, 50.
+    if not np.isfinite(vd) or vd <= 0 or vd >= 100:
+        vd = 99.9
+    return "%03d.%03d" % (round((nd - 1)*1000), round(vd*10))
+
+
+def system_to_seq(system):
+    """Export a System as a Code V .seq sequence (beyond reference --
+    rayopt only imports Code V glass catalogs).
+
+    Writes the same interchange core seq_to_system reads: LEN/TI/DIM/
+    EPD/WL/REF, YAN field angles, SO/S/SI rows with glass tokens, STO,
+    K conics, A..J even-asphere coefficients, CIR apertures.  Tilted/
+    decentered elements and non-Spheroid figure types are not
+    representable in this subset and are dropped with a notice;
+    unnamed materials become fictitious nnn.nnn codes (3-digit
+    precision, Code V's own convention)."""
+    out = ["LEN"]
+    if getattr(system, "description", ""):
+        out.append("TI '%s'" % system.description)
+    dim = {1e-3: "MM", 1e-2: "CM", 1.: "M", 25.4e-3: "IN"}.get(
+        system.scale)
+    if dim is None:
+        print("seq: nonstandard scale %g exported as MM"
+              % system.scale)
+        dim = "MM"
+    out.append("DIM %s" % dim)
+    prad = getattr(system.object.pupil, "radius", np.inf)
+    if np.isfinite(prad) and prad:
+        out.append("EPD %.17g" % (2.*prad))
+    if system.wavelengths:
+        out.append("WL " + " ".join("%.6g" % (w*1e9)
+                                    for w in system.wavelengths))
+        out.append("REF 1")
+    angle = np.rad2deg(getattr(system.object, "angle", 0.))
+    if angle:
+        fields = list(getattr(system, "fields", None) or [1.])
+        out.append("YAN " + " ".join("%.9g" % (f*angle)
+                                     for f in fields))
+    for j, e in enumerate(system):
+        c = getattr(e, "curvature", 0.)
+        roc = 1./c if c else 0.
+        nxt = system[j + 1] if j + 1 < len(system) else None
+        thick = float(nxt.distance) if nxt is not None else 0.
+        if j == 0:
+            if not hasattr(system.object, "slope"):
+                # finite conjugate: the object gap is the first row's
+                # distance, already emitted as SO thickness
+                pass
+            else:
+                if nxt is not None and nxt.distance:
+                    print("seq: front gap %.6g before the first "
+                          "surface of an infinite-object system is a "
+                          "pure z-translation; dropped" % nxt.distance)
+                thick = 1e10   # infinite object (importer: >= 1e8)
+            out.append("SO %.17g %.17g" % (roc, thick))
+            continue
+        token = _seq_glass_token(getattr(e, "material", None))
+        row = "SI" if j == len(system) - 1 else "S"
+        out.append(("%s %.17g %.17g %s"
+                    % (row, roc, thick, token)).rstrip())
+        if j == system.stop:
+            out.append("STO")
+        if getattr(e, "conic", 0.):
+            out.append("K %.17g" % e.conic)
+        asp = getattr(e, "aspherics", None) or ()
+        for i, v in enumerate(asp):
+            if not v:
+                continue
+            if i == 0 or i > 10:
+                print("seq: aspheric r^%d term not representable; "
+                      "dropped" % (2*i + 2))
+                continue
+            out.append("%s %.17g" % ("ABCDEFGHIJ"[i - 1], v))
+        if getattr(e, "aspherics_odd", None):
+            print("seq: odd aspherics dropped on export")
+        if e.rotated or e.offset[0] or e.offset[1]:
+            print("seq: surface %d tilt/decenter dropped on export"
+                  % j)
+        if np.isfinite(e.radius) and e.radius:
+            out.append("CIR %.17g" % e.radius)
+    out.append("GO")
+    return "\n".join(out) + "\n"
 
 
 def seq_read(file, session):

@@ -216,3 +216,69 @@ GO
     n_air = _air.refractive_index(s.wavelengths[0])
     nptest.assert_allclose(np.abs(ts[1:, 0]).sum()/n_air, 60.,
                            rtol=1e-9)
+
+
+def test_seq_writer_roundtrip():
+    """system_to_seq -> seq_to_system reproduces the prescription and
+    the re-imported system traces to the same spot RMS (the infinite
+    object's front gap is a pure z-translation and drops out)."""
+    from rayopt_tpu.models import cooke_triplet
+    from rayopt_tpu.io.codev import system_to_seq, seq_to_system
+    from rayopt_tpu import GeometricTrace
+    s = cooke_triplet()
+    text = system_to_seq(s)
+    assert "LEN" in text and "STO" in text and text.endswith("GO\n")
+    s2 = seq_to_system(text)
+    assert len(s2) == len(s)
+    assert s2.stop == s.stop
+    for j in range(2, len(s)):
+        e, e2 = s[j], s2[j]
+        nptest.assert_allclose(getattr(e2, "curvature", 0.),
+                               getattr(e, "curvature", 0.),
+                               rtol=1e-12)
+        nptest.assert_allclose(e2.distance, e.distance, rtol=1e-12,
+                               atol=1e-12)
+        nptest.assert_allclose(e2.radius, e.radius)
+        if e.material is not None:
+            n2 = e2.material.refractive_index(s.wavelengths[0])
+            n1 = e.material.refractive_index(s.wavelengths[0])
+            nptest.assert_allclose(n2, n1, rtol=1e-6)
+    nptest.assert_allclose(np.rad2deg(s2.object.angle),
+                           np.rad2deg(s.object.angle), rtol=1e-9)
+    nptest.assert_allclose(s2.object.pupil.radius,
+                           s.object.pupil.radius, rtol=1e-12)
+    s2.object.pupil.aim = s.object.pupil.aim
+    s2.update()
+    g = GeometricTrace(s)
+    g.rays_point((0, 1.), nrays=13, distribution="radau",
+                 filter=False)
+    g2 = GeometricTrace(s2)
+    g2.rays_point((0, 1.), nrays=13, distribution="radau",
+                  filter=False)
+    nptest.assert_allclose(g2.rms(), g.rms(), rtol=1e-4)
+
+
+def test_seq_writer_aspheres_and_fictitious_glass():
+    from rayopt_tpu.io.codev import system_to_seq, seq_to_system
+    import rayopt_tpu as ro
+    s = ro.System([
+        dict(material="air"),
+        dict(roc=40., conic=-.6, distance=4., material=1.613,
+             radius=8., aspherics=[0., 1e-6, -2e-9]),
+        dict(roc=-40., distance=3., material="air", radius=8.),
+        dict(distance=50., radius=8.),
+    ], wavelengths=[550e-9])
+    s.update()
+    text = system_to_seq(s)
+    assert "\nK " in text and "\nA " in text and "\nB " in text
+    assert "613.999" in text            # fictitious nnn.nnn code
+    s2 = seq_to_system(text)
+    s2.update()
+    e2 = s2[1]
+    nptest.assert_allclose(e2.conic, -.6)
+    nptest.assert_allclose(e2.aspherics[1:3], [1e-6, -2e-9],
+                           rtol=1e-12)
+    # the fictitious code pins nd at the d-line; a high-vd Abbe
+    # model still disperses slightly at 550 nm
+    nptest.assert_allclose(
+        e2.material.refractive_index(550e-9), 1.613, atol=2e-3)
