@@ -27,8 +27,10 @@ aperture/field.
 TPU note: the expansion evaluates one ray and its forward-mode jet
 (4 -> 16 -> 64 tangents to third order; 256 -> 1024 for the optional
 fifth-order jets); this is host-scale work on the CPU backend like
-the aiming front-end, while reusing the exact same jitted surface
-kernels as the bulk engines.
+the aiming front-end, run EAGERLY through the statically-specialized
+unrolled surface graph (nested-jacfwd trace bodies are pathological
+for XLA:CPU's compiler in both scan and jitted-unrolled form) while
+reusing the exact same surface kernels as the bulk engines.
 """
 
 import numpy as np
@@ -69,8 +71,12 @@ def _launcher(system, wavelength):
     # classical convention); the traced table is at `wavelength`
     ym1, yc1, sm, sc, d1 = _paraxial_seed(system)
     table = system.table(wavelength)
-    from .ops.tables import is_anamorphic
-    biconic = bool(is_anamorphic(table))
+    from .ops.kernels import specialize
+    # the statically-specialized unrolled engine: nested jacfwd of the
+    # lax.scan body compiles pathologically slowly on XLA:CPU (~100 s
+    # per jet set even on a 3-row system); the specialized unroll
+    # builds the same jets ~11x faster with identical tensors
+    specs = specialize(table)
 
     def f(v):
         px, py, hx, hy = v
@@ -82,7 +88,7 @@ def _launcher(system, wavelength):
         u = jnp.stack([sx, sy, 1. + 0.*px])
         u = u/jnp.linalg.norm(u)
         y, _, _ = G.trace_rays_final(table, origin[None], u[None],
-                                     biconic=biconic)
+                                     specs=specs, unroll=True)
         return y[0, :2]
 
     return f
@@ -109,15 +115,15 @@ class TransverseExpansion:
         self.wavelength = wavelength
         f = _launcher(system, wavelength)
         v0 = jnp.zeros(len(self._V))
-        import contextlib
-        # the 4- and 5-deep nested jets make XLA:CPU compile the scan
-        # body pathologically slowly (minutes per module); eager
-        # forward-mode evaluates them in bounded time instead (an
-        # order-5 build is minutes of host work either way -- the
-        # price of exact quintic jets of the real trace)
-        ctx = jax.disable_jit() if order >= 5 else (
-            contextlib.nullcontext())
-        with ctx:
+        # ALL jets build eagerly: XLA:CPU compiles nested-jacfwd trace
+        # bodies pathologically slowly (the scan form costs ~100 s of
+        # compile even on a 3-row system, the jitted unrolled form
+        # blows up combinatorially past ~6 rows), while eager
+        # forward-mode through the specialized unrolled graph -- the
+        # tangents ride one vmapped batch per op -- builds the cubic
+        # jets of every zoo system in 4-20 s and the quintic ones in
+        # about a minute
+        with jax.disable_jit():
             self.offset = np.asarray(f(v0))
             jf = jax.jacfwd(f)
             self.j1 = np.asarray(jf(v0))

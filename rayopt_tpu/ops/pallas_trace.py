@@ -269,3 +269,152 @@ def spot_rms_from_moments(count, sx, sy, sxx, syy):
     cx, cy = sx/count, sy/count
     var = (sxx + syy)/count - (cx*cx + cy*cy)
     return jnp.sqrt(jnp.maximum(var, 0.))
+
+
+def _moment_row(state, specs, param_refs, nsurf, dtype):
+    """Trace a VMEM-resident tile to the last surface and reduce it to
+    the five spot moments packed into an (8, 128) output row."""
+    for j in range(1, nsurf):
+        surf = _SurfRow(param_refs, j, dtype)
+        if specs is None:
+            state, _ = K.surface_step(state, surf, False)
+        else:
+            state, _ = K.surface_step_spec(state, surf, specs[j],
+                                           False)
+    if specs is None or specs[nsurf - 1].rotated:
+        rl = param_refs["rot"][nsurf - 1]
+        yl = K.rot_apply(rl, *state[:3])
+        ul = K.rot_apply(rl, *state[3:])
+    else:
+        yl, ul = state[:3], state[3:]
+    x, y = yl[0], yl[1]
+    good = jnp.isfinite(x) & jnp.isfinite(y) & jnp.isfinite(ul[2])
+    xg = jnp.where(good, x, 0.)
+    yg = jnp.where(good, y, 0.)
+    moments = (good.astype(dtype).sum(), xg.sum(), yg.sum(),
+               (xg*xg).sum(), (yg*yg).sum())
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    row = jnp.zeros((8, 128), dtype)
+    for i, v in enumerate(moments):
+        row = jnp.where((rowi == 0) & (lane == i), v, row)
+    return row
+
+
+def _multi_kernel(specs, nsurf, nlam, fields, merit, *refs):
+    """Polychromatic kernel body: ONE ray tile staged into VMEM runs
+    the full unrolled chain once per wavelength table (the input is
+    read from HBM once for all wavelengths).  merit=True reduces each
+    wavelength to spot moments in-kernel (no per-ray writeback)."""
+    param_refs = dict(zip(fields, refs[:len(fields)]))
+    comp_refs = refs[len(fields):len(fields) + 6]
+    out_refs = refs[len(fields) + 6:]
+    state0 = tuple(r[:] for r in comp_refs)
+    dtype = state0[0].dtype
+    for li in range(nlam):
+        refs_l = {f: r[li] for f, r in param_refs.items()}
+        state = state0
+        if specs is None or specs[0].rotated:
+            r0 = refs_l["rot"][0]
+            state = (*K.rot_apply_t(r0, *state[:3]),
+                     *K.rot_apply_t(r0, *state[3:]))
+        if merit:
+            out_refs[li][:, :] = _moment_row(state, specs, refs_l,
+                                             nsurf, dtype)
+            continue
+        tacc = jnp.zeros_like(state[0])
+        for j in range(1, nsurf):
+            surf = _SurfRow(refs_l, j, dtype)
+            if specs is None:
+                state, (yl, ul, il, t) = K.surface_step(state, surf,
+                                                        False)
+            else:
+                state, (yl, ul, il, t) = K.surface_step_spec(
+                    state, surf, specs[j], False)
+            tacc = tacc + t
+        if specs is None or specs[nsurf - 1].rotated:
+            rl = refs_l["rot"][nsurf - 1]
+            yl = K.rot_apply(rl, *state[:3])
+            ul = K.rot_apply(rl, *state[3:])
+        else:
+            yl, ul = state[:3], state[3:]
+        for r, v in zip(out_refs[7*li:7*li + 7], (*yl, *ul, tacc)):
+            r[:] = v
+
+
+def pallas_trace_multi(tables, state, specs=None, tile=DEFAULT_TILE,
+                       interpret=False, merit=False):
+    """Polychromatic Pallas trace: `tables` carries a leading
+    wavelength axis (System.tables); ONE ray tile is staged into VMEM
+    and traced through every wavelength's surface chain before
+    writeback, so HBM reads the bundle once for all wavelengths --
+    the chromatic-merit HBM lever (the monochromatic kernel re-reads
+    the rays per wavelength).
+
+    merit=False: returns a tuple of per-wavelength
+    ((x, y, z, ux, uy, uz), t) results (7 (N,) outputs each).
+    merit=True: reduces each wavelength to the five spot moments
+    in-kernel (count, sum x, sum y, sum x^2, sum y^2) -- no per-ray
+    writeback at all; feed spot_rms_from_moments per wavelength.
+
+    The static specs are shared across wavelengths (geometry is
+    identical; only indices / grating terms / DOE kicks differ)."""
+    return _pallas_trace_multi(tables, state,
+                               specs=_resolve_specs(
+                                   jax.tree_util.tree_map(
+                                       lambda a: a[0], tables), specs),
+                               tile=tile, interpret=interpret,
+                               merit=merit)
+
+
+@functools.partial(jax.jit, static_argnames=("specs", "tile",
+                                             "interpret", "merit"))
+def _pallas_trace_multi(tables, state, specs=None, tile=DEFAULT_TILE,
+                        interpret=False, merit=False):
+    n = state[0].shape[0]
+    nlam = tables.curvature.shape[0]
+    nsurf = tables.curvature.shape[1]
+    assert n % tile == 0 and tile % 128 == 0, (n, tile)
+    rows = tile // 128
+    grid = (n // tile,)
+    dtype = state[0].dtype
+    state2 = tuple(c.reshape(n // 128, 128) for c in state)
+
+    fields = _fields_for(jax.tree_util.tree_map(lambda a: a[0],
+                                                tables), specs)
+    param_specs = [
+        pl.BlockSpec(a.shape, lambda i, nd=a.ndim: (0,)*nd)
+        for a in (getattr(tables, f) for f in fields)]
+    comp_spec = pl.BlockSpec((rows, 128), lambda i: (i, 0))
+    if merit:
+        out_spec = [pl.BlockSpec((8, 128), lambda i: (i, 0))]*nlam
+        out_shape = [jax.ShapeDtypeStruct((n // tile*8, 128), dtype)
+                     for _ in range(nlam)]
+    else:
+        out_spec = [comp_spec]*(7*nlam)
+        out_shape = [jax.ShapeDtypeStruct((n // 128, 128), dtype)
+                     for _ in range(7*nlam)]
+    params = [jnp.asarray(getattr(tables, f), dtype=dtype)
+              if getattr(tables, f).dtype.kind == "f"
+              else getattr(tables, f) for f in fields]
+
+    import contextlib
+    ctx = (jax.enable_x64(False) if dtype == jnp.float32
+           else contextlib.nullcontext())
+    with ctx:
+        outs = pl.pallas_call(
+            functools.partial(_multi_kernel, specs, nsurf, nlam,
+                              fields, merit),
+            grid=grid,
+            in_specs=param_specs + [comp_spec]*6,
+            out_specs=out_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(*params, *state2)
+    if merit:
+        return tuple(tuple(o.sum(0)[i] for i in range(5))
+                     for o in outs)
+    return tuple(
+        (tuple(o.reshape(n) for o in outs[7*li:7*li + 6]),
+         outs[7*li + 6].reshape(n))
+        for li in range(nlam))
