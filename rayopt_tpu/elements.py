@@ -827,9 +827,10 @@ class DiffractiveSurface(Spheroid):
     and the polychromatic engines automatically.
 
     A quadratic term A_1 adds paraxial power
-    P = -m lambda A_1 / (pi norm_radius^2) (transmissive rows; the
-    4x4 of reflective DOEs covers the substrate only, like Grating).
-    Host-side Seidel sums see the substrate only -- use
+    P = -m lambda A_1 / (pi norm_radius^2), for transmissive AND
+    reflective (zone-plate mirror) rows -- the same term composes in
+    the reduced mirror-space convention, pinned against real-ray
+    foci.  Host-side Seidel sums see the substrate only -- use
     `transverse_expansion` for exact DOE aberrations.
     """
 
@@ -856,9 +857,7 @@ class DiffractiveSurface(Spheroid):
 
     def paraxial_matrix(self, n0, l):
         n, m = super().paraxial_matrix(n0, l)
-        mirror = self.material is not None and self.material.mirror
-        if self.phase_coefficients and self.diffraction_order \
-                and not mirror:
+        if self.phase_coefficients and self.diffraction_order:
             # System.update stamps _scale (system units per meter);
             # l arrives in meters, A_1 needs it in system units
             lam = l/getattr(self, "_scale", 1e-3)

@@ -36,7 +36,9 @@ def surface_abcd(curvature, distance, n_before, n_after, mu, theta=0.,
     # refraction (reference elements.py:503)
     nr = n_after/n_before
     p = jnp.sqrt(jnp.maximum(nr**2 + costheta**2 - 1, 1e-30))
-    doe_p = jnp.where(is_mirror, 0., 2*n_after*doe0)
+    # the same sign composes for mirrors in the reduced mirror-space
+    # convention (pinned against real-ray zone-plate foci)
+    doe_p = 2*n_after*doe0
     m11 = jnp.where(is_mirror | is_bare, 1., p/(nr*costheta))
     m20 = doe_p + jnp.where(is_mirror, 2*c*costheta,
                             jnp.where(is_bare, 0.,

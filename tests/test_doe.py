@@ -338,3 +338,34 @@ def test_poly_rejects_doe():
     s = kinoform()
     with pytest.raises(NotImplementedError, match="binary2"):
         PolyTrace(s)
+
+
+def test_reflective_zone_plate():
+    """A flat mirror with a zone-plate phase focuses like a concave
+    mirror of focal F0: real rays, the differentiable ABCD twin, and
+    the host paraxial trace all agree on the first order."""
+    from rayopt_tpu.ops.paraxial import abcd_matrices
+    s = ro.System([
+        dict(material="vacuum"),
+        dict(type="binary2", phase_coefficients=[A1], norm_radius=1.,
+             distance=50., material="mirror", radius=20.),
+        dict(distance=-F0, radius=20.),
+    ], wavelengths=[LAM0], object=dict(
+        angle_deg=0.2, pupil=dict(radius=5., update_radius=False)))
+    s.update()
+    # real rays focus at the image plane
+    y = np.zeros((8, 3))
+    y[:, 1] = np.linspace(0.5, 5., 8)
+    u = np.zeros((8, 3))
+    u[:, 2] = 1.
+    yf, _, _ = trace_rays_final(s.table(), y, u, biconic=True)
+    assert np.abs(np.asarray(yf[:, 1])).max() < 1e-2  # aberration only
+    # the table twin: marginal ray through gap/mirror/gap lands at 0
+    m = np.asarray(abcd_matrices(s.table()))
+    yn = np.array([1., 1., 0., 0.])
+    for j in (1, 2):
+        yn = m[j] @ yn
+    nptest.assert_allclose(yn[1], 0., atol=1e-9)
+    # host paraxial trace agrees (finite EFL magnitude F0)
+    nptest.assert_allclose(np.abs(s.paraxial.focal_length), F0,
+                           rtol=1e-6)
