@@ -227,7 +227,10 @@ def seq_to_system(data, item=None):
         return thick
 
     pending = 0.
+    done = False
     for line in data.splitlines():
+        if done:
+            break
         line = line.split("!", 1)[0]
         for chunk in line.split(";"):
             chunk = chunk.strip()
@@ -298,6 +301,9 @@ def seq_to_system(data, item=None):
                     e.aspherics.append(0.)
                 e.aspherics[idx] = float(args.split()[0])
             elif cmd == "GO":
+                # end of the lens definition: anything after GO is
+                # analysis/edit state, not prescription
+                done = True
                 break
             elif cmd not in _SEQ_IGNORED:
                 print(cmd, "not handled", args)
@@ -349,6 +355,13 @@ def _seq_glass_token(mat):
         nd, vd = 1.5, 50.
     if not np.isfinite(vd) or vd <= 0 or vd >= 100:
         vd = 99.9
+    if not 1. <= nd < 2.:
+        # the nnn.nnn code carries only 1.000..1.999: IR glasses
+        # (Si, Ge, ZnSe) cannot round-trip; clamp loudly rather than
+        # emit a 4-digit field the importer rejects as 'not found'
+        print("seq: nd %.4g outside the fictitious-code range "
+              "[1, 2); clamped" % nd)
+        nd = min(max(nd, 1.), 1.999)
     return "%03d.%03d" % (round((nd - 1)*1000), round(vd*10))
 
 
@@ -391,9 +404,9 @@ def system_to_seq(system):
         nxt = system[j + 1] if j + 1 < len(system) else None
         thick = float(nxt.distance) if nxt is not None else 0.
         if j == 0:
-            if not hasattr(system.object, "slope"):
+            if system.object.finite:
                 # finite conjugate: the object gap is the first row's
-                # distance, already emitted as SO thickness
+                # distance, emitted as the SO thickness
                 pass
             else:
                 if nxt is not None and nxt.distance:

@@ -175,33 +175,8 @@ def _merit_kernel(specs, clip, nsurf, fields, *refs):
         r0 = param_refs["rot"][0]
         state = (*K.rot_apply_t(r0, *state[:3]),
                  *K.rot_apply_t(r0, *state[3:]))
-    for j in range(1, nsurf):
-        surf = _SurfRow(param_refs, j, dtype)
-        if specs is None:
-            state, _ = K.surface_step(state, surf, clip)
-        else:
-            state, _ = K.surface_step_spec(state, surf, specs[j],
-                                           clip)
-    if specs is None or specs[nsurf - 1].rotated:
-        rl = param_refs["rot"][nsurf - 1]
-        yl = K.rot_apply(rl, *state[:3])
-        ul = K.rot_apply(rl, *state[3:])
-    else:
-        yl, ul = state[:3], state[3:]
-    x, y = yl[0], yl[1]
-    good = jnp.isfinite(x) & jnp.isfinite(y) & jnp.isfinite(ul[2])
-    xg = jnp.where(good, x, 0.)
-    yg = jnp.where(good, y, 0.)
-    moments = (good.astype(dtype).sum(), xg.sum(), yg.sum(),
-               (xg*xg).sum(), (yg*yg).sum())
-    # moments land in lanes 0..4 of row 0 of an (8, 128) output
-    # block (Mosaic wants 8x128-aligned output tiles)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-    rowi = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-    row = jnp.zeros((8, 128), dtype)
-    for i, v in enumerate(moments):
-        row = jnp.where((rowi == 0) & (lane == i), v, row)
-    out_ref[:, :] = row
+    out_ref[:, :] = _moment_row(state, specs, param_refs, nsurf,
+                                dtype, clip)
 
 
 def pallas_trace_merit(table, state, clip=False, specs=None,
@@ -271,16 +246,16 @@ def spot_rms_from_moments(count, sx, sy, sxx, syy):
     return jnp.sqrt(jnp.maximum(var, 0.))
 
 
-def _moment_row(state, specs, param_refs, nsurf, dtype):
+def _moment_row(state, specs, param_refs, nsurf, dtype, clip=False):
     """Trace a VMEM-resident tile to the last surface and reduce it to
     the five spot moments packed into an (8, 128) output row."""
     for j in range(1, nsurf):
         surf = _SurfRow(param_refs, j, dtype)
         if specs is None:
-            state, _ = K.surface_step(state, surf, False)
+            state, _ = K.surface_step(state, surf, clip)
         else:
             state, _ = K.surface_step_spec(state, surf, specs[j],
-                                           False)
+                                           clip)
     if specs is None or specs[nsurf - 1].rotated:
         rl = param_refs["rot"][nsurf - 1]
         yl = K.rot_apply(rl, *state[:3])

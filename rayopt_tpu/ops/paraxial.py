@@ -17,13 +17,18 @@ import jax.numpy as jnp
 
 
 def surface_abcd(curvature, distance, n_before, n_after, mu, theta=0.,
-                 aspheric0=0., doe0=0.):
+                 aspheric0=0., doe0=0., curvature_dx=0.):
     """4x4 paraxial matrix for one surface: free propagation to the
     vertex followed by refraction/reflection.  State vector
     (y_sag, y_tan, nu_sag, nu_tan).  doe0 is the r^2 coefficient of a
     radial diffractive kick potential (table doe[:, 0]): it adds
-    power -2 n_after doe0 on transmissive rows."""
-    c = curvature + 2*aspheric0
+    power -2 n_after doe0.  curvature_dx is the anamorphic x-minus-y
+    vertex-curvature split: the sagittal power slot reads
+    curvature + curvature_dx (matching the host twin's
+    _vertex_power_x), so cylinders/biconics/toroids get per-axis
+    first-order properties here too."""
+    cy = curvature + 2*aspheric0
+    cx = curvature + curvature_dx + 2*aspheric0
     costheta = jnp.cos(theta)
     is_mirror = mu == -1
     is_bare = mu == 1
@@ -40,12 +45,12 @@ def surface_abcd(curvature, distance, n_before, n_after, mu, theta=0.,
     # convention (pinned against real-ray zone-plate foci)
     doe_p = 2*n_after*doe0
     m11 = jnp.where(is_mirror | is_bare, 1., p/(nr*costheta))
-    m20 = doe_p + jnp.where(is_mirror, 2*c*costheta,
+    m20 = doe_p + jnp.where(is_mirror, 2*cx*costheta,
                             jnp.where(is_bare, 0.,
-                                      n_before*c*(costheta - p)))
-    m31 = doe_p + jnp.where(is_mirror, 2*c/costheta,
+                                      n_before*cx*(costheta - p)))
+    m31 = doe_p + jnp.where(is_mirror, 2*cy/costheta,
                             jnp.where(is_bare, 0.,
-                                      nr*n_before*c*(costheta - p)
+                                      nr*n_before*cy*(costheta - p)
                                       / (costheta*p)))
     m = jnp.eye(4)
     m = m.at[1, 1].set(m11)
@@ -65,9 +70,11 @@ def abcd_matrices(table, theta=None):
     doe = getattr(table, "doe", None)
     doe0 = (doe[:, 0] if doe is not None and doe.shape[1]
             else jnp.zeros(s))
+    cdx = getattr(table, "curvature_dx", None)
+    cdx = jnp.zeros(s) if cdx is None else cdx
     m = jax.vmap(surface_abcd)(table.curvature, table.distance,
                                table.n_before, table.n_after,
-                               table.mu, theta, asp0, doe0)
+                               table.mu, theta, asp0, doe0, cdx)
     return m.at[0].set(jnp.eye(4))
 
 

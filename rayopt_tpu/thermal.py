@@ -105,7 +105,11 @@ def at_temperature(system, t, tref=20., housing_tce=HOUSING_TCE,
         # axial gap was already grown with the preceding medium
         if mat is not None and getattr(mat, "thermal", None) is not None:
             e.material = ThermalMaterial(mat, t)
-        prev_mat = mat
+        # bare (None) and mirror rows leave the surrounding medium
+        # unchanged (a stop plane inside a glass block, a Mangin
+        # mirror's return pass) -- same propagation as thermal_model
+        prev_mat = (prev_mat if mat is None
+                    or getattr(mat, "mirror", False) else mat)
     return s
 
 

@@ -282,3 +282,53 @@ def test_seq_writer_aspheres_and_fictitious_glass():
     # model still disperses slightly at 550 nm
     nptest.assert_allclose(
         e2.material.refractive_index(550e-9), 1.613, atol=2e-3)
+
+
+def test_seq_writer_finite_object():
+    """A finite-conjugate system exports SO with its real object gap
+    and re-imports as finite (the slope-property trap: both conjugate
+    types define `slope`)."""
+    from rayopt_tpu.io.codev import system_to_seq, seq_to_system
+    import rayopt_tpu as ro
+    s = ro.System([
+        dict(material="air"),
+        dict(roc=30., distance=80., material=1.6, radius=8.),
+        dict(roc=-30., distance=4., material="air", radius=8.),
+        dict(distance=50., radius=8.),
+    ], wavelengths=[550e-9],
+        object=dict(type="finite", radius=2.,
+                    pupil=dict(radius=4., distance=80.)))
+    s.update()
+    text = system_to_seq(s)
+    assert " 1e+10" not in text and "80" in text
+    s2 = seq_to_system(text)
+    assert s2.object.finite
+    nptest.assert_allclose(s2[1].distance, 80., rtol=1e-12)
+
+
+def test_seq_go_terminates_parse():
+    """Commands after GO are analysis/edit state and must not mutate
+    the finished system."""
+    from rayopt_tpu.io.codev import seq_to_system
+    seq = """
+LEN
+DIM MM
+EPD 10
+SO 0.0 1e10
+S 100.0 5.0 BK7_SCHOTT
+SI 0.0 0.0
+GO
+EPD 50
+S 1.0 1.0
+"""
+    s = seq_to_system(seq)
+    assert len(s) == 3
+    nptest.assert_allclose(s.object.pupil.radius, 5.)
+
+
+def test_seq_ir_glass_clamps_loudly(capsys):
+    from rayopt_tpu.io.codev import _seq_glass_token
+    from rayopt_tpu.materials import Material
+    tok = _seq_glass_token(Material.make(3.42))
+    assert tok == "999.999"
+    assert "clamped" in capsys.readouterr().out

@@ -81,3 +81,26 @@ def test_first_order_differentiable():
     i = 1
     fd = (efl(curv.at[i].add(eps)) - efl(curv.at[i].add(-eps)))/(2*eps)
     nptest.assert_allclose(g[i], fd, rtol=1e-5)
+
+
+def test_abcd_anamorphic_per_axis_power():
+    """The jnp ABCD twin reads curvature + curvature_dx for the
+    sagittal slot, matching the host Biconic per-axis matrices: a
+    y-cylinder has zero sagittal power."""
+    import numpy as np
+    import jax
+    from rayopt_tpu.models import anamorphic_pair
+    from rayopt_tpu.ops.paraxial import abcd_matrices
+    s = anamorphic_pair()
+    tab = s.table()
+    m = np.asarray(abcd_matrices(tab))
+    n0 = s.refractive_index(s.wavelengths[0], 0)
+    for j, e in enumerate(s):
+        if j == 0:
+            continue
+        n0, mh = e.paraxial_matrix(n0, s.wavelengths[0])
+        np.testing.assert_allclose(m[j], mh, rtol=1e-9, atol=1e-12,
+                                   err_msg=str(j))
+    # the y-cylinder front row: sagittal power strictly zero,
+    # tangential nonzero
+    assert m[1][2, 0] == 0. and m[1][3, 1] != 0.
