@@ -166,12 +166,15 @@ def test_pallas_multi_wavelength_parity():
     from rayopt_tpu.ops.geometric import trace_rays_final_multi
     from rayopt_tpu.ops.pallas_trace import (pallas_trace_multi,
                                              spot_rms_from_moments)
-    s = cooke_triplet()
+    from rayopt_tpu.models import doublet
+    s = doublet()
+    s.wavelengths = [480e-9, 550e-9, 644e-9]
     tabs = jax.tree_util.tree_map(jnp.asarray, s.tables())
     n = 256
     rng = np.random.RandomState(0)
     y = np.zeros((n, 3))
-    y[:, :2] = rng.uniform(-1, 1, (n, 2))*4.
+    # the doublet is sub-mm scale (roc ~ 0.6)
+    y[:, :2] = rng.uniform(-1, 1, (n, 2))*0.25
     u = np.zeros((n, 3))
     u[:, 2] = 1.
     nlam = 3
