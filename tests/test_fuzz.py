@@ -97,9 +97,10 @@ def test_df32_engine_agrees(seed):
 
 def test_fuzz_extended_vocabulary_parity():
     """Random systems mixing symmetric, biconic, cylinder, toroid,
-    odd-aspheric, and grating rows: the dynamic anamorphic scan, the
-    specialized unrolled engine (incl. the closed-form cyl_axis
-    path), and the eager df32 parity engine agree ray for ray."""
+    odd-aspheric, grating, and diffractive (DOE) rows: the dynamic
+    anamorphic scan, the specialized unrolled engine (incl. the
+    closed-form cyl_axis path), and the eager df32 parity engine
+    agree ray for ray."""
     import numpy as np
     from numpy import testing as nptest
     from rayopt_tpu.ops.tables import make_table, is_anamorphic
@@ -119,8 +120,9 @@ def test_fuzz_extended_vocabulary_parity():
         tor = np.zeros(S)
         grat = np.zeros(S)
         odd = np.zeros((S, 2))
+        doe = np.zeros((S, 2))
         for j in range(1, S - 1):
-            kind = rng.integers(0, 6)
+            kind = rng.integers(0, 7)
             if kind == 1:      # biconic
                 cdx[j] = rng.uniform(-.01, .01)
                 kdx[j] = rng.uniform(-.5, .5)
@@ -135,6 +137,9 @@ def test_fuzz_extended_vocabulary_parity():
                 kdx[j] = -conic[j]
             elif kind == 5:    # odd-aspheric figure
                 odd[j] = rng.uniform(-1e-5, 1e-5, 2)
+            elif kind == 6:    # radial diffractive kick
+                doe[j] = (rng.uniform(-3e-3, 3e-3),
+                          rng.uniform(-1e-5, 1e-5))
         mu = np.ones(S)
         mu[1:-1] = rng.uniform(.6, .9, S - 2)
         n_before = np.ones(S)
@@ -143,9 +148,9 @@ def test_fuzz_extended_vocabulary_parity():
             curvature=curv, conic=conic, distance=np.full(S, 8.),
             mu=mu, n_before=n_before, n_after=n_after,
             curvature_dx=cdx, conic_dx=kdx, toroidal=tor,
-            grating_dy=grat, aspherics_odd=odd)
+            grating_dy=grat, aspherics_odd=odd, doe=doe)
         assert is_anamorphic(tab) or not (
-            cdx.any() or tor.any() or grat.any())
+            cdx.any() or tor.any() or grat.any() or doe.any())
         y0 = np.zeros((16, 3))
         y0[:, :2] = rng.uniform(-2, 2, (16, 2))
         u0 = np.tile([0., 0., 1.], (16, 1))
