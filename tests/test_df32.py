@@ -252,10 +252,21 @@ def test_multi_plan_matches_single(rng):
     y0 = df32.to_f64(multi[0][0][1])
     y1 = df32.to_f64(multi[1][0][1])
     assert np.nanmax(np.abs(y0 - y1)) > 1e-6
-    # kernel wiring (interpret mode; EFT precision is checked on-chip)
-    pk = df32.pallas_trace_df32_multi(plans, state, tile=128,
+    # kernel wiring (interpret mode scales with unrolled op count:
+    # pin it on the Cooke at 2 wavelengths instead of the 12-row
+    # double Gauss x3; EFT precision is checked on-chip by bench.py)
+    sd = cooke_triplet()
+    sd.wavelengths = sd.wavelengths[:2]
+    plans_d = [df32.plan(sd.table(l)) for l in sd.wavelengths]
+    yd = np.zeros((128, 3))
+    yd[:, :2] = rng.uniform(-1, 1, (128, 2))*4.
+    ud = np.zeros((128, 3))
+    ud[:, 2] = 1.
+    state_d = df32.state_from_f64(yd, ud)
+    multi_d = df32.trace_df32_final_multi(plans_d, state_d)
+    pk = df32.pallas_trace_df32_multi(plans_d, state_d, tile=128,
                                       interpret=True)
-    for (got_e, _), got_k in zip(multi, pk):
+    for got_e, got_k in zip(multi_d, pk):
         for a, b in zip(got_e[:6], got_k):
             nptest.assert_allclose(df32.to_f64(b), df32.to_f64(a),
                                    atol=1e-5)
