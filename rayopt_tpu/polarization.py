@@ -358,6 +358,79 @@ class PolarizationTrace:
         return {name: fit_zernike(x, y, vals, nterms=nterms, w=w)
                 for name, vals in maps.items()}
 
+    def vector_field(self, e_in=(1., 0.)):
+        """Lab-frame complex output field per ray for a transverse
+        input polarization e_in = (Ex, Ey): the per-ray Jones matrix
+        (in its s/p bases) applied to the input's s/p decomposition,
+        re-expressed on the exit (s_out, p_out) frame.  Returns an
+        (nrays, 3) complex array (amplitudes include the Fresnel/
+        coating transmissions carried by the Jones chain)."""
+        e = np.zeros(3, complex)
+        e[:2] = e_in
+        n = np.linalg.norm(e)
+        if n == 0:
+            raise ValueError("zero input polarization")
+        e /= n
+        a = self.s_in @ e
+        b = self.p_in @ e
+        j = self.jones
+        c_s = j[:, 0, 0]*a + j[:, 0, 1]*b
+        c_p = j[:, 1, 0]*a + j[:, 1, 1]*b
+        return (c_s[:, None]*self.s_out.astype(complex)
+                + c_p[:, None]*self.p_out.astype(complex))
+
+    def vector_psf(self, e_in=(1., 0.), pad=4, resample=4):
+        """Polarization-aware (vector) point spread function: each
+        lab-frame field component rides the exit-pupil phase
+        exp(-2 pi i OPD) onto its own Fraunhofer integral and the
+        intensities add incoherently across components (the Jones-
+        pupil PSF; transverse-FFT approximation, so the z-component
+        is carried but small below ~0.5 NA).  With an identity Jones
+        chain this reduces exactly to GeometricTrace.psf.
+
+        Returns (p, q, psf) on the same frequency grid conventions as
+        GeometricTrace.psf."""
+        from .trace.geometric import _grid_resample
+        g = self.geometric
+        radius = self.system[-1].distance
+        x, y, o = g.opd(resample=0, radius=radius)
+        # the OPD phase oscillates across the pupil; grid it SEPARATELY
+        # (smooth, like the scalar psf) and exponentiate on the grid --
+        # gridding re/im of the full field would decorrelate the
+        # wavefront between ray samples.  The Jones envelope itself is
+        # smooth.  Each ray's envelope is rescaled to carry sqrt(T)
+        # (the per-surface n cos flux factors are polarization-
+        # independent, so the Jones diattenuation/retardance structure
+        # is preserved exactly).
+        E = self.vector_field(e_in)
+        mag = np.sqrt(np.einsum("ij,ij->i", E.conj(), E).real)
+        scale = np.sqrt(self.transmittance)/np.where(mag == 0, 1.,
+                                                     mag)
+        E = E*scale[:, None]
+        samples = int(resample*np.sqrt(g.nrays))
+        gx, _, go = _grid_resample(x, y, o, samples)
+        lit = np.isfinite(go)
+        phase = np.where(lit, np.exp(-2j*np.pi*np.where(lit, go, 0.)),
+                         0.)
+        grids = []
+        for c in range(3):
+            _, _, gr = _grid_resample(x, y, E[:, c].real, samples)
+            _, _, gi = _grid_resample(x, y, E[:, c].imag, samples)
+            env = (np.where(np.isfinite(gr), gr, 0.)
+                   + 1j*np.where(np.isfinite(gi), gi, 0.))
+            grids.append(env*phase)
+        norm = np.sqrt(np.count_nonzero(lit))
+        padded = tuple(pad*s for s in grids[0].shape)
+        psf = 0.
+        for gc in grids:
+            field = np.fft.fft2(gc/norm, padded)
+            psf = psf + np.abs(field)**2/field.size
+        step = gx[1, 0] - gx[0, 0]
+        cycles = self.system.scale/g.l
+        freq = np.fft.fftfreq(padded[0], step*cycles/radius)
+        p, q = np.broadcast_arrays(freq[:, None], freq)
+        return p, q, psf
+
     def text(self):
         g = self.good
         rows = [

@@ -188,3 +188,66 @@ def test_polarization_zernike_fit():
     assert apo_rms < 1e-4
     d_c, d_rms = fits["diattenuation"]
     assert np.isfinite(d_c).all() and d_rms < 1e-3
+
+
+def test_vector_psf_reduces_to_scalar():
+    """At low NA with uncoated surfaces, the Jones-pupil vector PSF
+    matches the scalar PSF in shape (corr > 1 - 1e-5) and carries
+    exactly the bundle's mean transmittance in energy, for any input
+    polarization."""
+    import rayopt_tpu as ro
+    from rayopt_tpu.models import cooke_triplet
+    s = cooke_triplet()
+    p = ro.PolarizationTrace(s, field=(0, .5), nrays=64)
+    _, _, psf_s = p.geometric.psf()
+    t_mean = p.transmittance[p.good].mean()
+    for e_in in ((1., 0.), (0., 1.), (1., 1j)):
+        _, _, psf_v = p.vector_psf(e_in=e_in)
+        a = psf_v.ravel()/psf_v.max()
+        b = psf_s.ravel()/psf_s.max()
+        corr = (a @ b)/np.sqrt((a @ a)*(b @ b))
+        assert corr > 1 - 1e-5, (e_in, corr)
+        nptest.assert_allclose(psf_v.sum()/psf_s.sum(), t_mean,
+                               rtol=1e-3)
+
+
+def test_vector_field_cross_polarization():
+    """An axially-symmetric low-NA system barely couples x input into
+    y (skew-ray geometric rotation only), and the output field stays
+    transverse-dominated."""
+    import rayopt_tpu as ro
+    from rayopt_tpu.models import cooke_triplet
+    p = ro.PolarizationTrace(cooke_triplet(), field=(0, 0.),
+                             nrays=32)
+    E = p.vector_field((1., 0.))
+    g = p.good
+    pow_ = np.abs(E[g])**2
+    assert pow_[:, 1].sum() < 1e-3*pow_[:, 0].sum()
+    assert pow_[:, 2].sum() < 0.05*pow_[:, 0].sum()
+    import pytest
+    with pytest.raises(ValueError):
+        p.vector_field((0., 0.))
+
+
+def test_vector_psf_fold_mirror_preserves_shape():
+    """A PEC fold mirror flips s against p (pi split) but a single
+    fold cannot blur the PSF: the vector PSF still correlates with
+    the scalar one."""
+    import rayopt_tpu as ro
+    s = ro.System([
+        dict(material="air"),
+        dict(roc=200., distance=10., material="1.5168/64.", radius=8.),
+        dict(roc=-200., distance=3., material="air", radius=8.),
+        dict(distance=30., material="mirror", angles=[np.pi/4, 0, 0],
+             radius=12.),
+        dict(distance=-60., angles=[np.pi/4, 0, 0], radius=8.),
+    ], wavelengths=[550e-9], object=dict(
+        angle_deg=0., pupil=dict(radius=4., update_radius=False)))
+    s.update()
+    p = ro.PolarizationTrace(s, field=(0, 0.), nrays=48)
+    _, _, psf_v = p.vector_psf(e_in=(1., 1.))
+    _, _, psf_s = p.geometric.psf()
+    a = psf_v.ravel()/psf_v.max()
+    b = psf_s.ravel()/psf_s.max()
+    corr = (a @ b)/np.sqrt((a @ a)*(b @ b))
+    assert corr > 0.999
