@@ -21,6 +21,17 @@ import os
 
 import jax
 
+if os.environ.get("RAYOPT_TPU_FORCE_CPU"):
+    # kill-switch for machines whose accelerator plugin wedges device
+    # discovery (e.g. a dead TPU tunnel hangs jax.devices() forever):
+    # pin the CPU backend BEFORE anything can touch the default
+    # backend.  Must be set before the first backend use; ignored if
+    # jax is already initialized.
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
 if not os.environ.get("RAYOPT_TPU_NO_X64"):
     jax.config.update("jax_enable_x64", True)
 
