@@ -20,7 +20,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax  # noqa: E402
 
-if jax.default_backend() not in ("tpu",):
+if os.environ.get("RAYOPT_TPU_FORCE_CPU"):
+    # wedged-tunnel kill-switch: don't even probe the default backend
+    jax.config.update("jax_platforms", "cpu")
+elif jax.default_backend() not in ("tpu",):
     jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
