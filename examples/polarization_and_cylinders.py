@@ -41,6 +41,14 @@ def polarization_tour():
         print("  %-14s max |Z| %.3g  residual %.3g"
               % (name, np.abs(coeffs).max(), rms))
 
+    # vector (Jones-pupil) PSF: the diffraction image carries the
+    # polarization-dependent transmission; energy = mean T
+    _, _, psf_v = bare.vector_psf(e_in=(1., 0.))
+    _, _, psf_s = bare.geometric.psf()
+    print("  vector PSF energy/scalar = %.4f (mean T %.4f)"
+          % (psf_v.sum()/psf_s.sum(),
+             bare.transmittance[bare.good].mean()))
+
 
 def cylinder_tour():
     # a plano-convex y-cylinder: focuses y, leaves x collimated
