@@ -29,8 +29,12 @@ if os.environ.get("RAYOPT_TPU_FORCE_CPU"):
     # jax is already initialized.
     try:
         jax.config.update("jax_platforms", "cpu")
-    except Exception:
-        pass
+    except Exception as _e:
+        import warnings
+        warnings.warn(
+            "RAYOPT_TPU_FORCE_CPU is set but the CPU pin failed "
+            "(jax backends already initialized?): %s -- accelerator "
+            "device discovery may hang" % (_e,))
 
 if not os.environ.get("RAYOPT_TPU_NO_X64"):
     jax.config.update("jax_enable_x64", True)

@@ -305,6 +305,7 @@ class PolarizationTrace:
         self.jones = np.asarray(out["jones"])
         self.geometry = np.asarray(out["geometry"])
         self.transmittance = np.asarray(out["transmittance"])
+        self.flux = np.asarray(out["flux"])
         self.s_in = np.asarray(out["s_in"])
         self.p_in = np.asarray(out["p_in"])
         self.s_out = np.asarray(out["s_out"])
@@ -362,9 +363,11 @@ class PolarizationTrace:
         """Lab-frame complex output field per ray for a transverse
         input polarization e_in = (Ex, Ey): the per-ray Jones matrix
         (in its s/p bases) applied to the input's s/p decomposition,
-        re-expressed on the exit (s_out, p_out) frame.  Returns an
-        (nrays, 3) complex array (amplitudes include the Fresnel/
-        coating transmissions carried by the Jones chain)."""
+        re-expressed on the exit (s_out, p_out) frame and scaled by
+        sqrt(flux) (the polarization-independent n cos factors), so
+        |E|^2 IS the physical intensity throughput for THIS input --
+        a diattenuator extinguishes the blocked polarization here,
+        unlike the unpolarized-average `transmittance`."""
         e = np.zeros(3, complex)
         e[:2] = e_in
         n = np.linalg.norm(e)
@@ -376,8 +379,9 @@ class PolarizationTrace:
         j = self.jones
         c_s = j[:, 0, 0]*a + j[:, 0, 1]*b
         c_p = j[:, 1, 0]*a + j[:, 1, 1]*b
-        return (c_s[:, None]*self.s_out.astype(complex)
-                + c_p[:, None]*self.p_out.astype(complex))
+        E = (c_s[:, None]*self.s_out.astype(complex)
+             + c_p[:, None]*self.p_out.astype(complex))
+        return E*np.sqrt(self.flux)[:, None]
 
     def vector_psf(self, e_in=(1., 0.), pad=4, resample=4):
         """Polarization-aware (vector) point spread function: each
@@ -390,46 +394,32 @@ class PolarizationTrace:
 
         Returns (p, q, psf) on the same frequency grid conventions as
         GeometricTrace.psf."""
-        from .trace.geometric import _grid_resample
+        from .trace.geometric import _grid_resample, _fraunhofer_psf
         g = self.geometric
         radius = self.system[-1].distance
         x, y, o = g.opd(resample=0, radius=radius)
         # the OPD phase oscillates across the pupil; grid it SEPARATELY
         # (smooth, like the scalar psf) and exponentiate on the grid --
         # gridding re/im of the full field would decorrelate the
-        # wavefront between ray samples.  The Jones envelope itself is
-        # smooth.  Each ray's envelope is rescaled to carry sqrt(T)
-        # (the per-surface n cos flux factors are polarization-
-        # independent, so the Jones diattenuation/retardance structure
-        # is preserved exactly).
+        # wavefront between ray samples.  The Jones envelope (already
+        # flux-scaled physical amplitudes) is smooth; one vector-valued
+        # interpolation shares the triangulation across OPD + 6
+        # envelope components.
         E = self.vector_field(e_in)
-        mag = np.sqrt(np.einsum("ij,ij->i", E.conj(), E).real)
-        scale = np.sqrt(self.transmittance)/np.where(mag == 0, 1.,
-                                                     mag)
-        E = E*scale[:, None]
         samples = int(resample*np.sqrt(g.nrays))
-        gx, _, go = _grid_resample(x, y, o, samples)
+        vals = np.column_stack([o, E.real, E.imag])
+        gx, _, gv = _grid_resample(x, y, vals, samples)
+        go = gv[..., 0]
         lit = np.isfinite(go)
         phase = np.where(lit, np.exp(-2j*np.pi*np.where(lit, go, 0.)),
                          0.)
         grids = []
         for c in range(3):
-            _, _, gr = _grid_resample(x, y, E[:, c].real, samples)
-            _, _, gi = _grid_resample(x, y, E[:, c].imag, samples)
-            env = (np.where(np.isfinite(gr), gr, 0.)
-                   + 1j*np.where(np.isfinite(gi), gi, 0.))
+            env = (np.where(lit, gv[..., 1 + c], 0.)
+                   + 1j*np.where(lit, gv[..., 4 + c], 0.))
             grids.append(env*phase)
-        norm = np.sqrt(np.count_nonzero(lit))
-        padded = tuple(pad*s for s in grids[0].shape)
-        psf = 0.
-        for gc in grids:
-            field = np.fft.fft2(gc/norm, padded)
-            psf = psf + np.abs(field)**2/field.size
-        step = gx[1, 0] - gx[0, 0]
-        cycles = self.system.scale/g.l
-        freq = np.fft.fftfreq(padded[0], step*cycles/radius)
-        p, q = np.broadcast_arrays(freq[:, None], freq)
-        return p, q, psf
+        return _fraunhofer_psf(grids, gx[1, 0] - gx[0, 0], g.l,
+                               self.system.scale, radius, pad)
 
     def text(self):
         g = self.good

@@ -46,9 +46,13 @@ def _complete_bundle(y, u):
 def _grid_resample(x, y, t, samples):
     """Scatter the (x, y, t) wavefront samples onto a square grid
     spanning the pupil footprint (linear interpolation, NaN outside
-    the convex hull)."""
+    the convex hull).  t may be (N,) or (N, m) (one shared
+    triangulation, vector-valued interpolation)."""
     from scipy.interpolate import griddata
-    finite = np.isfinite(x) & np.isfinite(y) & np.isfinite(t)
+    t = np.asarray(t)
+    tfin = (np.isfinite(t) if t.ndim == 1
+            else np.isfinite(t).all(axis=1))
+    finite = np.isfinite(x) & np.isfinite(y) & tfin
     if not finite.any():
         raise ValueError("no rays made it through")
     x, y, t = x[finite], y[finite], t[finite]
@@ -58,6 +62,26 @@ def _grid_resample(x, y, t, samples):
     gt = griddata((x, y), t, (gx, gy), method="linear",
                   fill_value=np.nan)
     return gx, gy, gt
+
+
+def _fraunhofer_psf(grids, step, wavelength, scale, radius, pad):
+    """Shared Fraunhofer tail: normalize the pupil grid(s) by the lit
+    sample count, zero-pad, FFT, and sum intensities incoherently
+    across grids.  Returns (p, q, psf) on the angular-frequency
+    conventions of GeometricTrace.psf."""
+    lit = np.zeros(grids[0].shape, bool)
+    for g in grids:
+        lit |= g != 0
+    norm = np.sqrt(np.count_nonzero(lit))
+    padded = tuple(pad*s for s in grids[0].shape)
+    psf = 0.
+    for g in grids:
+        field = np.fft.fft2(g/norm, padded)
+        psf = psf + np.abs(field)**2/field.size
+    cycles = scale/wavelength  # waves per unit length
+    freq = np.fft.fftfreq(padded[0], step*cycles/radius)
+    p, q = np.broadcast_arrays(freq[:, None], freq)
+    return p, q, psf
 
 
 class GeometricTrace(Trace):
@@ -175,15 +199,8 @@ class GeometricTrace(Trace):
         x, _, o = self.opd(resample=resample, radius=radius, **kwargs)
         lit = np.isfinite(o)
         pupil = np.where(lit, np.exp(-2j * np.pi * o), 0.)
-        pupil /= np.sqrt(np.count_nonzero(lit))
-        padded = tuple(pad * s for s in pupil.shape)
-        field = np.fft.fft2(pupil, padded)
-        psf = np.abs(field) ** 2 / field.size
-        step = x[1, 0] - x[0, 0]
-        cycles = self.system.scale / self.l  # waves per unit length
-        freq = np.fft.fftfreq(padded[0], step * cycles / radius)
-        p, q = np.broadcast_arrays(freq[:, None], freq)
-        return p, q, psf
+        return _fraunhofer_psf([pupil], x[1, 0] - x[0, 0], self.l,
+                               self.system.scale, radius, pad)
 
     def zernike(self, nterms=15, **kwargs):
         """Noll-Zernike decomposition of the exit-pupil wavefront (in

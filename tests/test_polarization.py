@@ -192,23 +192,62 @@ def test_polarization_zernike_fit():
 
 def test_vector_psf_reduces_to_scalar():
     """At low NA with uncoated surfaces, the Jones-pupil vector PSF
-    matches the scalar PSF in shape (corr > 1 - 1e-5) and carries
-    exactly the bundle's mean transmittance in energy, for any input
-    polarization."""
+    matches the scalar PSF in shape (corr > 1 - 1e-4) and carries
+    approximately the bundle's mean transmittance in energy (exactly,
+    for the x/y average -- the per-input energies differ by the tiny
+    Cooke diattenuation)."""
     import rayopt_tpu as ro
     from rayopt_tpu.models import cooke_triplet
     s = cooke_triplet()
     p = ro.PolarizationTrace(s, field=(0, .5), nrays=64)
     _, _, psf_s = p.geometric.psf()
     t_mean = p.transmittance[p.good].mean()
+    energies = {}
     for e_in in ((1., 0.), (0., 1.), (1., 1j)):
         _, _, psf_v = p.vector_psf(e_in=e_in)
         a = psf_v.ravel()/psf_v.max()
         b = psf_s.ravel()/psf_s.max()
         corr = (a @ b)/np.sqrt((a @ a)*(b @ b))
-        assert corr > 1 - 1e-5, (e_in, corr)
-        nptest.assert_allclose(psf_v.sum()/psf_s.sum(), t_mean,
-                               rtol=1e-3)
+        # physical Fresnel apodization perturbs the shape slightly
+        assert corr > 1 - 1e-4, (e_in, corr)
+        energies[e_in] = psf_v.sum()/psf_s.sum()
+        nptest.assert_allclose(energies[e_in], t_mean, rtol=2e-2)
+    # the unpolarized x/y average approaches the mean transmittance
+    # (grid-uniform vs ray-quadrature pupil weighting differ slightly)
+    nptest.assert_allclose(
+        (energies[(1., 0.)] + energies[(0., 1.)])/2., t_mean,
+        rtol=2e-2)
+
+
+def test_vector_field_diattenuation_identities():
+    """On a 45-deg tilted bare plate (a real diattenuator) the
+    physical per-ray intensities obey the Jones identities exactly:
+    P(s-in) + P(p-in) = 2 T(unpolarized), and the s/p contrast equals
+    the diattenuation."""
+    import rayopt_tpu as ro
+    s = ro.System([
+        dict(material="air"),
+        dict(distance=20., material="1.75", angles=[np.pi/4, 0, 0],
+             radius=30.),
+        dict(distance=3., material="air", angles=[np.pi/4, 0, 0],
+             radius=30.),
+        dict(distance=20., radius=30.),
+    ], wavelengths=[550e-9], object=dict(
+        angle_deg=0., pupil=dict(radius=.5, update_radius=False)))
+    s.update()
+    p = ro.PolarizationTrace(s, field=(0, 0.), nrays=16)
+    g = p.good
+    # tilt about x: the plane of incidence is y-z, so s = x-hat
+    Es = p.vector_field((1., 0.))
+    Ep = p.vector_field((0., 1.))
+    Ps = np.einsum("ij,ij->i", Es.conj(), Es).real
+    Pp = np.einsum("ij,ij->i", Ep.conj(), Ep).real
+    assert abs(Ps[g] - Pp[g]).max() > 1e-3     # a real diattenuator
+    nptest.assert_allclose((Ps + Pp)[g], 2*p.transmittance[g],
+                           rtol=1e-9)
+    nptest.assert_allclose(
+        np.abs(Ps - Pp)[g]/(Ps + Pp)[g], p.diattenuation[g],
+        atol=1e-6)
 
 
 def test_vector_field_cross_polarization():
