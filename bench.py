@@ -239,24 +239,32 @@ def main():
     # through all 3 wavelength tables while VMEM-resident (the HBM
     # lever for chromatic merits: rays read once for all colors)
     if on_tpu:
-        from rayopt_tpu.ops.pallas_trace import pallas_trace_multi
-        tabs3 = jax.tree_util.tree_map(
-            lambda a: jnp.asarray(a, dtype=dtype), s.tables())
-        nlam = int(np.asarray(tabs3.curvature).shape[0])
+        # non-fatal: a failure here must not cost the parity-grade
+        # measurements below
+        try:
+            from rayopt_tpu.ops.pallas_trace import pallas_trace_multi
+            tabs3 = jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a, dtype=dtype), s.tables())
+            nlam = int(np.asarray(tabs3.curvature).shape[0])
 
-        def multi_merit(st):
-            mom = pallas_trace_multi(tabs3, st, tile=16*1024,
-                                     merit=True)
-            return sum(mo[3] + mo[4] for mo in mom)
-        multi_merit = jax.jit(multi_merit)
-        log("timing pallas_f32_multi (chromatic, %d wavelengths)..."
-            % nlam)
-        tb = best_of(lambda a: float(multi_merit(a)), comps)
-        rate_m = n*nsurf*nlam/tb
-        details["pallas_f32_multi"] = {
-            "wavelengths": nlam, "best_time_s": tb, "rate": rate_m}
-        log("  pallas_f32_multi: %.1f ms -> %.3f G intersections/s "
-            "(x%d colors per HBM read)" % (tb*1e3, rate_m/1e9, nlam))
+            def multi_merit(st):
+                mom = pallas_trace_multi(tabs3, st, tile=16*1024,
+                                         merit=True)
+                return sum(mo[3] + mo[4] for mo in mom)
+            multi_merit = jax.jit(multi_merit)
+            log("timing pallas_f32_multi (chromatic, %d "
+                "wavelengths)..." % nlam)
+            tb = best_of(lambda a: float(multi_merit(a)), comps)
+            rate_m = n*nsurf*nlam/tb
+            details["pallas_f32_multi"] = {
+                "wavelengths": nlam, "best_time_s": tb,
+                "rate": rate_m}
+            log("  pallas_f32_multi: %.1f ms -> %.3f G "
+                "intersections/s (x%d colors per HBM read)"
+                % (tb*1e3, rate_m/1e9, nlam))
+        except Exception as e:
+            log("pallas_f32_multi failed (non-fatal):", e)
+            details["pallas_f32_multi"] = {"error": str(e)}
 
     # parity-grade engine: Pallas df32 -- throughput and on-device
     # spot-RMS parity vs the f64 trace
