@@ -174,7 +174,13 @@ def _clearance(table, specs, stop, fx, fy, z, px, py, scale, r2,
     if rim:
         y0 = jnp.stack(state[:3], -1)
         u0 = jnp.stack(state[3:], -1)
-        ys = trace_rays(table, y0, u0)[0]
+        # extended-vocabulary rows (anamorphic/grating/DOE/odd) need
+        # the general path here too -- specs is static, so this is a
+        # compile-time branch
+        ext = bool(specs) and any(
+            s.biconic or s.toroidal or s.grating or s.doe
+            or s.cyl_axis or s.odd for s in specs)
+        ys = trace_rays(table, y0, u0, biconic=ext)[0]
         h2 = jnp.square(ys[1:-1, :, :2]).sum(-1)
         d = h2/jnp.square(table.radius[1:-1])[:, None] - 1.
         d = jnp.where(jnp.isfinite(d), d, 1.)

@@ -172,3 +172,31 @@ def test_pupil_batched_matches_host():
         if f:
             nptest.assert_allclose(z[i], zh, rtol=1e-3)
         nptest.assert_allclose(boxes[i], ph, rtol=2e-2)
+
+
+def test_rim_aiming_sees_extended_vocabulary():
+    """Rim-mode (stop=-1) device aiming must trace the full surface
+    vocabulary: on a kinoform-bearing system the DOE kick moves the
+    vignetting-limited pupil box vs the bare-substrate trace."""
+    import numpy as np
+    import rayopt_tpu as ro
+    lam = 550e-9
+    a1 = -np.pi/((lam/1e-3)*60.)
+    def build(pc):
+        s = ro.System([
+            dict(material="air"),
+            dict(roc=80., distance=5., material="glass/N-BK7",
+                 radius=9.),
+            dict(type="binary2", distance=3., material="air",
+                 radius=9., phase_coefficients=pc, norm_radius=1.),
+            dict(distance=30., radius=4.),
+            dict(distance=30., radius=12.),
+        ], wavelengths=[lam], object=dict(
+            angle_deg=2., pupil=dict(radius=6., aim=True)), stop=3)
+        s.update()
+        return s
+    z1, box1 = build([a1]).pupils([(0., 1.)], stop=-1)
+    z0, box0 = build([]).pupils([(0., 1.)], stop=-1)
+    # the kick strongly converges the bundle: the rim-limited pupil
+    # box must widen vs the substrate-only system
+    assert abs(np.asarray(box1) - np.asarray(box0)).max() > 0.2
