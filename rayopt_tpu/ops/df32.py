@@ -550,7 +550,7 @@ def _apply_rot_df(R, vx, vy, vz):
 def _surface_df(state, c, mu, dz, kind, flat, k1=None, asp=None,
                 alternate=False, rotm=None, rot_df=None, dxy=None,
                 radius=None, clip=False, fast=False, asp_odd=(),
-                anam=None, grat=None, doe=None):
+                anam=None, grat=None, doe=None, doe_path=None):
     """One transfer-intercept-refract step in df32.  `c`, `mu`, `dz`,
     `k1` (= 1+conic) are df32 constants, `asp`/`asp_odd` tuples of
     df32 figure constants; kind: 0 passthrough, 1 refract, 2 mirror
@@ -638,6 +638,15 @@ def _surface_df(state, c, mu, dz, kind, flat, k1=None, asp=None,
         ux = where(bad, nanv, ux)
         uy = where(bad, nanv, uy)
         uz = where(bad, nanv, uz)
+    if doe_path is not None:
+        # imprinted diffractive phase = optical path: fold
+        # psi(r^2) * n_after/n_before into the returned length so the
+        # caller's s*nb accumulation sees m lambda phi/(2 pi)
+        r2p = add(sqr(x), sqr(y))
+        acc = doe_path[-1]
+        for cdf in doe_path[-2::-1]:
+            acc = add(mul(acc, r2p), cdf)
+        s = add(s, mul(acc, r2p))
     plane = flat and not asp and not asp_odd and anam is None
     # clean conic rows (incl. pure conic cylinders) take the
     # polynomial implicit-gradient normal N = (-c x, -c y,
@@ -887,6 +896,11 @@ def plan(table, clip=False, fast=False):
             doe=(tuple(const(2.*(i + 1)*a) for i, a
                        in enumerate(_trim(doe_tab[j])))
                  if doe_tab.shape[1] and doe_tab[j].any() else None),
+            doe_path=(tuple(const(
+                a*float(np.asarray(table.n_after, np.float64)[j])
+                / float(np.asarray(table.n_before, np.float64)[j]))
+                for a in _trim(doe_tab[j]))
+                if doe_tab.shape[1] and doe_tab[j].any() else None),
             radius=(np.float32(rad[j])**2 if clip
                     and np.isfinite(rad[j]) else None),
             clip=clip, fast=fast,
@@ -902,7 +916,8 @@ def _run_step(state, st):
                        st.get("radius"), st.get("clip", False),
                        st.get("fast", False),
                        st.get("asp_odd", ()), st.get("anam"),
-                       st.get("grat"), st.get("doe"))
+                       st.get("grat"), st.get("doe"),
+                       st.get("doe_path"))
 
 
 def _to_last_frame(steps, state):

@@ -750,6 +750,7 @@ def surface_step_spec(state, surf, spec, clip):
         t = intercept_spec(x, y, z, ux, uy, uz, surf.curvature,
                            surf.conic, surf.alternate, spec)
     x1, y1, z1 = x + t*ux, y + t*uy, z + t*uz
+    topt = t*surf.n_before
     ux0, uy0, uz0 = ux, uy, uz
     if clip and spec.finite_aperture:
         bad = x1*x1 + y1*y1 > surf.radius*surf.radius
@@ -781,6 +782,12 @@ def surface_step_spec(state, surf, spec, clip):
         ux1, uy1, uz1 = refract_grating(
             x1, y1, ux0, uy0, uz0, surf.mu, gdy,
             ngx, ngy, doe=surf.doe if spec.doe else None)
+        if spec.doe:
+            # the imprinted phase is optical path: the OPD/PSF
+            # machinery must see m lambda phi/(2 pi) = psi * n_after
+            # added at the surface (Fermat across the kinoform zones)
+            topt = topt + _poly_even(x1*x1 + y1*y1,
+                                     surf.doe)*surf.n_after
     elif spec.cyl_axis and spec.kind != 0:
         if spec.cyl_axis == 1:
             uy1, ux1, uz1 = refract_cyl(
@@ -814,8 +821,7 @@ def surface_step_spec(state, surf, spec, clip):
                                      surf.mu, surf.curvature,
                                      surf.conic, surf.aspherics, spec,
                                      aspherics_odd=surf.aspherics_odd)
-    out = ((x1, y1, z1), (ux1, uy1, uz1), (ux, uy, uz),
-           t*surf.n_before)
+    out = ((x1, y1, z1), (ux1, uy1, uz1), (ux, uy, uz), topt)
     if spec.rotated:
         r = surf.rot
         nstate = (*rot_apply_t(r, x1, y1, z1),
@@ -887,15 +893,21 @@ def surface_step(state, surf, clip, biconic=False):
         ux0 = jnp.where(bad, nan, ux0)
         uy0 = jnp.where(bad, nan, uy0)
         uz0 = jnp.where(bad, nan, uz0)
+    topt = t*surf.n_before
     if biconic:
         ux1, uy1, uz1 = _refract_anam(x1, y1, ux0, uy0, uz0, surf)
+        doe = getattr(surf, "doe", None)
+        if doe is not None and doe.shape[-1]:
+            # imprinted diffractive phase = optical path (see
+            # surface_step_spec); zero-coefficient rows add zero
+            topt = topt + _poly_even(x1*x1 + y1*y1,
+                                     doe)*surf.n_after
     else:
         ux1, uy1, uz1 = refract(x1, y1, ux0, uy0, uz0, surf.mu,
                                 surf.curvature, surf.conic,
                                 surf.aspherics,
                                 aspherics_odd=surf.aspherics_odd)
-    out = ((x1, y1, z1), (ux1, uy1, uz1), (ix, iy, iz),
-           t*surf.n_before)
+    out = ((x1, y1, z1), (ux1, uy1, uz1), (ix, iy, iz), topt)
     nx, ny, nz = rot_apply_t(r, x1, y1, z1)
     nux, nuy, nuz = rot_apply_t(r, ux1, uy1, uz1)
     return (nx, ny, nz, nux, nuy, nuz), out

@@ -156,7 +156,7 @@ def composite_merit(*parts):
 
 def opd_rays(table, y0, u0, ref=0, radius=None, wavelength=None,
              scale=1e-3, finite=False, sphere_offset=None,
-             with_pupil=False):
+             with_pupil=False, biconic=False):
     """Per-ray optical path difference on the exit-pupil reference
     sphere, in waves -- the differentiable jnp mirror of
     GeometricTrace.opd without the grid resample (reference
@@ -176,7 +176,7 @@ def opd_rays(table, y0, u0, ref=0, radius=None, wavelength=None,
     """
     from ..ops.geometric import trace_rays
     from ..ops.surfaces import intercept_conic
-    y, u, i, t = trace_rays(table, y0, u0)
+    y, u, i, t = trace_rays(table, y0, u0, biconic=biconic)
     tsum = (t[:-1] - t[:-1, ref][:, None]).sum(0)
     if not finite:
         # input reference is a plane normal to the chief ray
@@ -205,12 +205,14 @@ def opd_rays(table, y0, u0, ref=0, radius=None, wavelength=None,
 
 
 def wavefront_rms(table, y0, u0, w=None, ref=0, radius=None,
-                  wavelength=None, scale=1e-3, finite=False):
+                  wavelength=None, scale=1e-3, finite=False,
+                  biconic=False):
     """Weighted RMS wavefront error (waves, piston removed) -- a
     differentiable wavefront merit the reference's finite-difference
     optimizer cannot offer."""
     opd = opd_rays(table, y0, u0, ref=ref, radius=radius,
-                   wavelength=wavelength, scale=scale, finite=finite)
+                   wavelength=wavelength, scale=scale, finite=finite,
+                   biconic=biconic)
     if w is None:
         w = jnp.ones(y0.shape[0], opd.dtype)/y0.shape[0]
     good = jnp.isfinite(opd)

@@ -33,14 +33,16 @@ def shard_rays(y, u, mesh, axis="rays"):
     return jax.device_put(y, sh), jax.device_put(u, sh)
 
 
-def sharded_trace(table, y, u, mesh, clip=False, axis="rays"):
+def sharded_trace(table, y, u, mesh, clip=False, axis="rays",
+                  biconic=False):
     """Trace with rays sharded over the mesh (table replicated).
 
     Pure SPMD: no cross-ray communication is needed, XLA keeps every
     shard local to its chip.
     """
     fn = shard_map(
-        functools.partial(trace_rays_final, clip=clip),
+        functools.partial(trace_rays_final, clip=clip,
+                          biconic=biconic),
         mesh=mesh,
         in_specs=(P(), P(axis, None), P(axis, None)),
         out_specs=(P(axis, None), P(axis, None), P(axis)),

@@ -369,3 +369,26 @@ def test_reflective_zone_plate():
     # host paraxial trace agrees (finite EFL magnitude F0)
     nptest.assert_allclose(np.abs(s.paraxial.focal_length), F0,
                            rtol=1e-6)
+
+
+def test_doe_phase_enters_optical_path():
+    """Fermat across the kinoform: the imprinted phase is optical
+    path, so the focused wavefront is flat to the aberration residual
+    (milliwaves) instead of carrying tens of waves of sphere."""
+    from rayopt_tpu.parallel.grad import opd_rays
+    s = kinoform(angle=0.)
+    tab = s.table()
+    n = 8
+    y0 = np.zeros((n, 3))
+    y0[:, 1] = np.linspace(0., 2.5, n)
+    u0 = np.zeros((n, 3))
+    u0[:, 2] = 1.
+    o = np.asarray(opd_rays(tab, y0, u0, radius=-F0,
+                            wavelength=LAM0, biconic=True))
+    assert np.nanmax(np.abs(o - o[0])) < 0.02
+    # and the df32 engine carries the identical optical path
+    _, _, t64 = (np.asarray(a) for a in trace_rays_final(
+        tab, y0, u0, biconic=True))
+    _, tacc = df32.trace_df32_final(
+        df32.plan(tab), df32.state_from_f64(y0, u0), with_path=True)
+    nptest.assert_allclose(df32.to_f64(tacc), t64, atol=1e-10)

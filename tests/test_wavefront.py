@@ -87,3 +87,34 @@ def test_wavefront_grad():
     fd = (merit(curv.at[i].add(eps)) -
           merit(curv.at[i].add(-eps)))/(2*eps)
     nptest.assert_allclose(grad[i], fd, rtol=1e-4)
+
+
+def test_opd_rays_extended_vocabulary():
+    """The differentiable OPD path must see the DOE kick: the
+    wavefront of a kinoform lens differs from its bare substrate."""
+    import numpy as np
+    import rayopt_tpu as ro
+    from rayopt_tpu.parallel.grad import opd_rays
+    lam = 550e-9
+    a1 = -np.pi/((lam/1e-3)*100.)
+    s = ro.System([
+        dict(material="air"),
+        dict(type="binary2", phase_coefficients=[a1], norm_radius=1.,
+             distance=5., material="air", radius=10.),
+        dict(distance=100., radius=10.),
+    ], wavelengths=[lam], object=dict(
+        angle_deg=0., pupil=dict(radius=3., update_radius=False)))
+    s.update()
+    tab = s.table()
+    n = 16
+    y0 = np.zeros((n, 3))
+    y0[:, 1] = np.linspace(0., 2.5, n)
+    u0 = np.zeros((n, 3))
+    u0[:, 2] = 1.
+    o_doe = np.asarray(opd_rays(tab, y0, u0, radius=-100.,
+                                wavelength=lam, biconic=True))
+    o_bare = np.asarray(opd_rays(tab, y0, u0, radius=-100.,
+                                 wavelength=lam))
+    # focused wavefront: small residual; bare plane: huge defocus OPD
+    assert np.nanmax(np.abs(o_doe - o_doe[0])) < 2.
+    assert np.nanmax(np.abs(o_bare - o_bare[0])) > 5.
