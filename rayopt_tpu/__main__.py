@@ -56,6 +56,9 @@ def main(argv=None):
                     help="write the self-contained HTML report here")
     ap.add_argument("--no-text", action="store_true",
                     help="skip printing the text tables")
+    ap.add_argument("--no-plot", action="store_true",
+                    help="skip all figure generation (text only; "
+                         "much faster, -o writes a text-only report)")
     ap.add_argument("--refocus", action="store_true",
                     help="paraxial refocus before the report")
     ap.add_argument("--config", type=int, default=None,
@@ -80,7 +83,7 @@ def main(argv=None):
         s.update()
 
     from .analysis import Analysis
-    a = Analysis(s, print=False)
+    a = Analysis(s, print=False, plot=not args.no_plot)
     if not args.no_text:
         for block in a.text:
             sys.stdout.write(block)

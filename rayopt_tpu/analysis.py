@@ -259,7 +259,12 @@ def plot_field_curves(system, ax, height=1., wavelengths=None,
             (axf, "EY", "DEZ", "ASTIG"), (axs, "PY", "DEZ", "SPHA"),
             (axa, "L", "DEZ", "LCOLOR")):
         _style_axes(axi, xl, yl, tl, yzero=False, xzero=False)
-    href = np.linspace(0, height*system.image.radius, nrays)
+    radius = system.image.radius
+    if not np.isfinite(radius):
+        # unbounded image conjugate (e.g. a bare doublet): reference
+        # the distortion curve to the paraxial image height instead
+        radius = abs(system.paraxial.height[1])
+    href = np.linspace(0, height*radius, nrays)
     href[0] = np.nan
     base = None
     for i, (wi, ci) in enumerate(zip(wavelengths, colors)):
@@ -520,6 +525,7 @@ class Analysis:
     run = True
     update = True
     print = True
+    plot = True
     trace_gaussian = False
     print_gaussian = False
     print_system = True
@@ -617,6 +623,9 @@ class Analysis:
         if self.print_thermal:
             from .thermal import thermal_text
             self.text.append(thermal_text(s, temps=self.thermal_temps))
+
+        if not self.plot:
+            return
 
         fig, ax = plt.subplots(figsize=(self.figwidth, self.figwidth))
         self.figures.append(fig)
