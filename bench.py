@@ -122,8 +122,12 @@ def main():
     n = 1 << 27 if on_tpu else 1 << 18
     chain = 8
     rng = np.random.RandomState(0)
-    comps = (jnp.asarray(rng.uniform(-11.6, 11.6, n).astype(dtype)),
-             jnp.asarray(rng.uniform(-11.6, 11.6, n).astype(dtype)),
+    # generate the big timing bundle ON DEVICE (the tunnel moves
+    # single-digit MB/s; shipping ~1 GB of host seeds used to cost
+    # minutes and could outlast the driver's clock)
+    kx, ky = jax.random.split(jax.random.PRNGKey(0))
+    comps = (jax.random.uniform(kx, (n,), dtype, -11.6, 11.6),
+             jax.random.uniform(ky, (n,), dtype, -11.6, 11.6),
              jnp.zeros(n, dtype), jnp.zeros(n, dtype),
              jnp.zeros(n, dtype), jnp.ones(n, dtype))
     jax.block_until_ready(comps)
@@ -290,9 +294,15 @@ def main():
         # inside HBM next to the f32 buffers (rate is size-stable)
         n_df = 1 << 25
         reps = n_df // seed_y.shape[0]
-        state_df = df32.state_from_f64(
-            np.concatenate([seed_y]*reps), np.concatenate([seed_u]*reps))
-        state_df = jax.tree_util.tree_map(jnp.asarray, state_df)
+        # ship only the (m,) seed over the tunnel; replicate to the
+        # timing size on device (a ~1.6 GB host->device transfer here
+        # took >10 min on a slow tunnel and could hang the bench)
+        state_df = jax.tree_util.tree_map(
+            jnp.asarray, df32.state_from_f64(seed_y, seed_u))
+        state_df = jax.jit(
+            lambda s: jax.tree_util.tree_map(
+                lambda a: jnp.tile(a, reps), s))(state_df)
+        jax.block_until_ready(state_df)
 
         def df_chain(state):
             acc = 0.
