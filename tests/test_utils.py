@@ -23,6 +23,43 @@ def test_tanarcsin_direction():
     nptest.assert_allclose(tanarcsin(u), u[:, :2]/u[:, 2:])
 
 
+def test_trig_pair_roundtrip():
+    # a transverse (N, 2) pair shares one axial component
+    rng = np.random.RandomState(1)
+    t = rng.uniform(-.5, .5, (9, 2))
+    s = sinarctan(t)
+    assert s.shape == t.shape
+    nptest.assert_allclose(np.square(s).sum(1),
+                           np.square(t).sum(1)/(1 + np.square(t).sum(1)))
+    nptest.assert_allclose(tanarcsin(s), t, atol=1e-14)
+
+
+def test_sinarctan_direction_rows():
+    # (N, 3) input: columns 0:2 are the slope pair, the sign of the
+    # axial column propagates into the returned unit vector.  The
+    # reference's branch for this read u[:, 3] and always IndexError'd
+    # on a 3-column input; regression for the fixed semantics.
+    t = np.array([[.1, -.2, 1.], [.3, .1, -2.], [0., 0., .5]])
+    d = sinarctan(t)
+    assert d.shape == (3, 3)
+    nptest.assert_allclose(np.linalg.norm(d, axis=1), 1, atol=1e-14)
+    nptest.assert_allclose(d[:, :2]/d[:, 2:3]*np.sign(t[:, 2:3]),
+                           t[:, :2], atol=1e-14)
+    nptest.assert_allclose(np.sign(d[:, 2]), np.sign(t[:, 2]))
+
+
+def test_trig_sign_passthrough():
+    u = np.linspace(-.8, .8, 5)
+    t, sign = tanarcsin(u, v=-2.)
+    nptest.assert_allclose(t, u/np.sqrt(1 - u*u), atol=1e-14)
+    assert sign == -1
+    d = np.array([[.1, .2, np.sqrt(1 - .05)]])
+    t, sign = tanarcsin(d, v=True)
+    nptest.assert_allclose(sign, [1.])
+    s = sinarctan(t, v=np.array([-1.]))
+    nptest.assert_allclose(s, -d*[[-1, -1, 1]], atol=1e-14)
+
+
 def test_sagittal_meridional():
     rng = np.random.RandomState(0)
     u = rng.randn(10, 3)
