@@ -1075,3 +1075,175 @@ def pallas_trace_df32_multi(plans, state, tile=8*1024,
         tuple((outs[li*per + 2*i], outs[li*per + 2*i + 1])
               for i in range(per // 2))
         for li in range(len(plans)))
+
+def _df_sum_rows(hi, lo):
+    """Error-free pairwise tree sum of a (rows, 128) df32 value along
+    the sublane axis -> a (1, 128) per-lane df32 accumulator.  rows
+    must be a power of two (tile/128 always is).  Static halving keeps
+    every intermediate 2-D for Mosaic."""
+    r = hi.shape[0]
+    assert r & (r - 1) == 0, r
+    while r > 1:
+        half = r // 2
+        hi, lo = add((hi[:half], lo[:half]), (hi[half:], lo[half:]))
+        r = half
+    return hi, lo
+
+
+def _df32_moment_block(st):
+    """Reduce a traced df32 tile to per-lane spot moments packed into
+    a (16, 128) block: rows 2i/2i+1 are the (hi, lo) words of
+    [count, sum x, sum y, sum x^2, sum y^2], the rest zero.  The
+    cross-row accumulation is full df32 (pairwise two_sum trees), so
+    the only rounding left for the host is an exact f64 promotion."""
+    x, y, uz = st[0], st[1], st[5]
+    good = (jnp.isfinite(x[0]) & jnp.isfinite(y[0])
+            & jnp.isfinite(uz[0]))
+
+    def masked(a):
+        return (jnp.where(good, a[0], 0.), jnp.where(good, a[1], 0.))
+
+    xm, ym = masked(x), masked(y)
+    cnt = (good.astype(jnp.float32), jnp.zeros_like(x[0]))
+    moments = (cnt, xm, ym, mul(xm, xm), mul(ym, ym))
+    parts = []
+    for m in moments:
+        parts.extend(_df_sum_rows(*m))
+    parts.append(jnp.zeros((6, 128), jnp.float32))
+    return jnp.concatenate(parts, axis=0)
+
+
+def _merit_from_blocks(out, nblk):
+    """(nblk*16, 128) moment blocks -> five exact f64 totals."""
+    blk = out.reshape(nblk, 16, 128)
+    f64 = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    return tuple(
+        (blk[:, 2*i].astype(f64) + blk[:, 2*i + 1].astype(f64)).sum()
+        for i in range(5))
+
+
+def _df_sum_flat(hi, lo):
+    """Pairwise df32 tree sum of (N,) words -> scalar pair.  Pads to
+    a power of two with exact zeros.  Eager-path helper."""
+    n = hi.shape[0]
+    p = 1
+    while p < n:
+        p *= 2
+    if p != n:
+        pad = p - n
+        hi = jnp.concatenate([hi, jnp.zeros(pad, hi.dtype)])
+        lo = jnp.concatenate([lo, jnp.zeros(pad, lo.dtype)])
+    while p > 1:
+        half = p // 2
+        hi, lo = add((hi[:half], lo[:half]), (hi[half:], lo[half:]))
+        p = half
+    return hi[0], lo[0]
+
+
+def trace_df32_merit(steps, state):
+    """Eager reference of pallas_trace_df32_merit: trace, mask dead
+    rays, and reduce to (count, sum x, sum y, sum x^2, sum y^2) with
+    full df32 pairwise accumulation, promoted exactly to f64.
+
+    Runs op-by-op (never under a fused XLA jit -- see the module
+    caution), so it keeps parity grade on the CPU backend where the
+    interpret-mode kernel loses the error-free transforms to FMA
+    contraction."""
+    st = trace_df32_final(steps, state)
+    x, y, uz = st[0], st[1], st[5]
+    good = (jnp.isfinite(x[0]) & jnp.isfinite(y[0])
+            & jnp.isfinite(uz[0]))
+
+    def masked(a):
+        return (jnp.where(good, a[0], 0.), jnp.where(good, a[1], 0.))
+
+    xm, ym = masked(x), masked(y)
+    cnt = (good.astype(jnp.float32), jnp.zeros_like(x[0]))
+    out = []
+    for m in (cnt, xm, ym, mul(xm, xm), mul(ym, ym)):
+        hi, lo = _df_sum_flat(*m)
+        out.append(jnp.float64(hi) + jnp.float64(lo))
+    return tuple(out)
+
+
+def pallas_trace_df32_merit(steps, state, tile=8*1024,
+                            interpret=False):
+    """Fused parity-grade trace + in-kernel spot-moment reduction.
+
+    The df32 twin of ops.pallas_trace.pallas_trace_merit: each ray
+    tile is traced VMEM-resident and collapsed to five df32 moment
+    accumulators before leaving the kernel, so HBM sees only the 12
+    input words -- no per-ray writeback (vs 12 (N,) outputs for
+    pallas_trace_df32).  The common lens-optimization merit therefore
+    runs at parity grade without paying the full-state HBM writeback.
+
+    Returns (count, sum_x, sum_y, sum_xx, sum_yy) as f64 scalars
+    (exact promotions of the df32 accumulators); feed
+    ops.pallas_trace.spot_rms_from_moments.  Forward (monitoring/
+    merit) use only -- not differentiable."""
+    from jax.experimental import pallas as pl
+
+    n = state[0][0].shape[0]
+    assert n % tile == 0 and tile % 128 == 0, (n, tile)
+    rows = tile // 128
+
+    def kernel(*refs):
+        ins, out = refs[:12], refs[12]
+        st = tuple((ins[2*i][:], ins[2*i + 1][:]) for i in range(6))
+        for stp in steps:
+            st, _ = _run_step(st, stp)
+        st = _to_last_frame(steps, st)
+        out[:, :] = _df32_moment_block(st)
+
+    flat = [jnp.asarray(w).reshape(n // 128, 128)
+            for comp in state for w in comp]
+    spec = pl.BlockSpec((rows, 128), lambda i: (i, 0))
+    out_spec = pl.BlockSpec((16, 128), lambda i: (i, 0))
+    nblk = n // tile
+    out_shape = jax.ShapeDtypeStruct((nblk*16, 128), jnp.float32)
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kernel, grid=(nblk,),
+            in_specs=[spec]*12, out_specs=out_spec,
+            out_shape=out_shape, interpret=interpret,
+        )(*flat)
+    return _merit_from_blocks(out, nblk)
+
+
+def pallas_trace_df32_merit_multi(plans, state, tile=8*1024,
+                                  interpret=False):
+    """Polychromatic df32 merit kernel: one ray tile traced through
+    every wavelength plan while VMEM-resident, each reduced to its
+    five spot moments in-kernel.  Returns a tuple of f64 moment
+    5-tuples, one per plan."""
+    from jax.experimental import pallas as pl
+
+    n = state[0][0].shape[0]
+    assert n % tile == 0 and tile % 128 == 0, (n, tile)
+    rows = tile // 128
+    nlam = len(plans)
+
+    def kernel(*refs):
+        ins, outs = refs[:12], refs[12:]
+        st0 = tuple((ins[2*i][:], ins[2*i + 1][:]) for i in range(6))
+        for li, steps in enumerate(plans):
+            st = st0
+            for stp in steps:
+                st, _ = _run_step(st, stp)
+            st = _to_last_frame(steps, st)
+            outs[li][:, :] = _df32_moment_block(st)
+
+    flat = [jnp.asarray(w).reshape(n // 128, 128)
+            for comp in state for w in comp]
+    spec = pl.BlockSpec((rows, 128), lambda i: (i, 0))
+    out_spec = pl.BlockSpec((16, 128), lambda i: (i, 0))
+    nblk = n // tile
+    out_shape = [jax.ShapeDtypeStruct((nblk*16, 128), jnp.float32)
+                 for _ in range(nlam)]
+    with jax.enable_x64(False):
+        outs = pl.pallas_call(
+            kernel, grid=(nblk,),
+            in_specs=[spec]*12, out_specs=[out_spec]*nlam,
+            out_shape=out_shape, interpret=interpret,
+        )(*flat)
+    return tuple(_merit_from_blocks(o, nblk) for o in outs)

@@ -1,6 +1,8 @@
 from .sharding import (  # noqa: F401
     ray_mesh, shard_rays, sharded_trace, sharded_rms,
-    sharded_spot_rms, shard_bundles,
+    sharded_spot_rms, shard_bundles, shard_components,
+    sharded_pallas_trace, sharded_pallas_moments,
+    sharded_df32_trace, sharded_df32_moments,
 )
 from .tolerancing import (  # noqa: F401
     tolerance_analysis, monte_carlo_rms, sharded_monte_carlo_rms,

@@ -121,6 +121,114 @@ def sharded_spot_rms(table, y, u, w, mesh, clip=False, axis="rays",
     )(table, y, u, w)
 
 
+def shard_components(state, mesh, axis="rays"):
+    """Place component-layout ray state (a pytree of (N,) arrays --
+    the 6-tuple of the f32 engines or the 6x(hi, lo) df32 state) with
+    N sharded over the mesh axis."""
+    sh = NamedSharding(mesh, P(axis))
+    return jax.tree_util.tree_map(
+        lambda a: jax.device_put(jnp.asarray(a), sh), state)
+
+
+def sharded_pallas_trace(table, state, mesh, clip=False, specs=None,
+                         tile=None, interpret=False, axis="rays"):
+    """The flagship fused Pallas kernel under shard_map: each chip
+    runs the single-HBM-pass kernel on its resident ray shard; the
+    surface table replicates and no collectives are needed
+    (SURVEY.md's batched-kernel-under-shard_map parallelism row,
+    demonstrated rather than asserted).
+
+    state: 6-tuple of (N,) components, N divisible by
+    n_devices*tile.  tile defaults to the per-shard ray count (one
+    grid step per chip) when that is small enough, else the kernel
+    default.  Returns ((x, y, z, ux, uy, uz), t) sharded over rays.
+    """
+    from ..ops.pallas_trace import (pallas_trace_final, DEFAULT_TILE,
+                                    _resolve_specs)
+    specs = _resolve_specs(table, specs)
+    if tile is None:
+        per_shard = state[0].shape[0] // int(mesh.shape[axis])
+        tile = min(per_shard, DEFAULT_TILE)
+
+    def local(tab, *st):
+        return pallas_trace_final(tab, st, clip=clip, specs=specs,
+                                  tile=tile, interpret=interpret)
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(),) + (P(axis),)*6,
+                   out_specs=((P(axis),)*6, P(axis)),
+                   check_vma=False)
+    return jax.jit(fn)(table, *state)
+
+
+def sharded_pallas_moments(table, state, mesh, clip=False, specs=None,
+                           tile=None, interpret=False, axis="rays"):
+    """Fused Pallas trace + in-kernel spot-moment reduction per chip,
+    with the five moment totals psum'd over ICI -- the multi-chip
+    merit path of the headline engine (no per-ray writeback anywhere,
+    a handful of scalars on the wire).  Returns (count, sum x, sum y,
+    sum x^2, sum y^2); feed ops.pallas_trace.spot_rms_from_moments."""
+    from ..ops.pallas_trace import (pallas_trace_merit, DEFAULT_TILE,
+                                    _resolve_specs)
+    specs = _resolve_specs(table, specs)
+    if tile is None:
+        per_shard = state[0].shape[0] // int(mesh.shape[axis])
+        tile = min(per_shard, DEFAULT_TILE)
+
+    def local(tab, *st):
+        mom = pallas_trace_merit(tab, st, clip=clip, specs=specs,
+                                 tile=tile, interpret=interpret)
+        return tuple(jax.lax.psum(m, axis) for m in mom)
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(),) + (P(axis),)*6,
+                   out_specs=(P(),)*5, check_vma=False)
+    return jax.jit(fn)(table, *state)
+
+
+def sharded_df32_trace(steps, state, mesh, tile=None,
+                       interpret=False, axis="rays"):
+    """The parity-grade df32 Pallas kernel under shard_map: the
+    planned surface chain closes over the local kernel, rays shard
+    over the mesh, no collectives.  state: 6-tuple of (hi, lo) pairs;
+    returns the final state in the same (sharded) layout."""
+    from ..ops import df32
+
+    if tile is None:
+        per_shard = state[0][0].shape[0] // int(mesh.shape[axis])
+        tile = min(per_shard, 8*1024)
+
+    def local(st):
+        return df32.pallas_trace_df32(steps, st, tile=tile,
+                                      interpret=interpret)
+
+    fn = shard_map(local, mesh=mesh, in_specs=(P(axis),),
+                   out_specs=P(axis), check_vma=False)
+    return jax.jit(fn)(state)
+
+
+def sharded_df32_moments(steps, state, mesh, tile=None,
+                         interpret=False, axis="rays"):
+    """df32 merit under the mesh: each chip's fused
+    pallas_trace_df32_merit reduces its shard to exact f64 moment
+    totals, psum'd over ICI.  Parity-grade multi-chip optimization
+    merit with zero per-ray writeback."""
+    from ..ops import df32
+
+    if tile is None:
+        per_shard = state[0][0].shape[0] // int(mesh.shape[axis])
+        tile = min(per_shard, 8*1024)
+
+    def local(st):
+        mom = df32.pallas_trace_df32_merit(steps, st, tile=tile,
+                                           interpret=interpret)
+        return tuple(jax.lax.psum(m, axis) for m in mom)
+
+    fn = shard_map(local, mesh=mesh, in_specs=(P(axis),),
+                   out_specs=(P(),)*5, check_vma=False)
+    return jax.jit(fn)(state)
+
+
 def shard_bundles(bundles, mesh, axis="rays"):
     """Place the ray arrays of (y, u, w[, chroma]) merit bundles onto
     the mesh (chroma overrides stay replicated)."""

@@ -131,3 +131,105 @@ def test_dryrun_multichip():
     fn, args = mod.entry()
     out = jax.jit(fn)(*args)
     assert np.isfinite(float(out[3]))
+
+
+def test_sharded_pallas_trace_matches(setup):
+    # the flagship fused kernel under shard_map (interpret mode on the
+    # CPU mesh; the same composition compiles on a TPU mesh)
+    from rayopt_tpu.ops.kernels import split, specialize
+    from rayopt_tpu.parallel import shard_components, \
+        sharded_pallas_trace
+    tab, y, u, w = setup
+    mesh = ray_mesh()
+    state = tuple(np.ascontiguousarray(c)
+                  for part in (y, u) for c in split(part))
+    st = shard_components(state, mesh)
+    out, t = sharded_pallas_trace(tab, st, mesh,
+                                  specs=specialize(tab),
+                                  interpret=True)
+    yf, uf, tf = trace_rays_final(tab, y, u)
+    got_y = np.stack([np.asarray(c) for c in out[:3]], -1)
+    got_u = np.stack([np.asarray(c) for c in out[3:]], -1)
+    nptest.assert_allclose(got_y, np.asarray(yf), atol=1e-12,
+                           equal_nan=True)
+    nptest.assert_allclose(got_u, np.asarray(uf), atol=1e-12,
+                           equal_nan=True)
+    nptest.assert_allclose(np.asarray(t), np.asarray(tf), atol=1e-12,
+                           equal_nan=True)
+
+
+def test_sharded_pallas_moments_match(setup):
+    # trace + in-kernel moment reduction per shard, psum over the mesh
+    from rayopt_tpu.ops.kernels import split, specialize
+    from rayopt_tpu.ops.pallas_trace import spot_rms_from_moments
+    from rayopt_tpu.parallel import shard_components, \
+        sharded_pallas_moments
+    tab, y, u, w = setup
+    mesh = ray_mesh()
+    state = tuple(np.ascontiguousarray(c)
+                  for part in (y, u) for c in split(part))
+    st = shard_components(state, mesh)
+    mom = sharded_pallas_moments(tab, st, mesh, specs=specialize(tab),
+                                 interpret=True)
+    yf = np.asarray(trace_rays_final(tab, y, u)[0])
+    good = np.isfinite(yf[:, :2]).all(1)
+    pt = yf[good, :2]
+    assert int(mom[0]) == int(good.sum())
+    r_ref = np.sqrt(((pt - pt.mean(0))**2).sum(1).mean())
+    nptest.assert_allclose(float(spot_rms_from_moments(*mom)), r_ref,
+                           rtol=1e-12)
+
+
+def test_sharded_df32_trace_matches(setup):
+    # the parity-grade engine under shard_map: must equal the eager
+    # single-device df32 trace word-for-word (same plan, same rays)
+    from rayopt_tpu.ops import df32
+    from rayopt_tpu.parallel import shard_components, \
+        sharded_df32_trace
+    tab, y, u, w = setup
+    steps = df32.plan(tab)
+    mesh = ray_mesh()
+    st = shard_components(df32.state_from_f64(y, u), mesh)
+    out = sharded_df32_trace(steps, st, mesh, interpret=True)
+    ref = df32.pallas_trace_df32(steps, df32.state_from_f64(y, u),
+                                 tile=128, interpret=True)
+    for comp, comp_ref in zip(out, ref):
+        for word, word_ref in zip(comp, comp_ref):
+            nptest.assert_allclose(np.asarray(word),
+                                   np.asarray(word_ref),
+                                   atol=0, rtol=0, equal_nan=True)
+
+
+def test_sharded_df32_moments_match(setup):
+    # df32 merit under the mesh vs the eager single-device reference
+    # (CPU interpret mode loses the error-free transforms to XLA FMA
+    # contraction -- module caution -- so the wiring tolerance here is
+    # f32-grade; bench.py measures real parity on the TPU kernel)
+    from rayopt_tpu.ops import df32
+    from rayopt_tpu.ops.pallas_trace import spot_rms_from_moments
+    from rayopt_tpu.parallel import shard_components, \
+        sharded_df32_moments
+    tab, y, u, w = setup
+    steps = df32.plan(tab)
+    mesh = ray_mesh()
+    st = shard_components(df32.state_from_f64(y, u), mesh)
+    mom = sharded_df32_moments(steps, st, mesh, interpret=True)
+    mom_ref = df32.trace_df32_merit(steps, df32.state_from_f64(y, u))
+    assert int(mom[0]) == int(mom_ref[0])
+    nptest.assert_allclose(float(spot_rms_from_moments(*mom)),
+                           float(spot_rms_from_moments(*mom_ref)),
+                           rtol=1e-5)
+
+
+def test_df32_merit_eager_parity(setup):
+    # the eager df32 merit reduction keeps parity grade on CPU
+    from rayopt_tpu.ops import df32
+    from rayopt_tpu.ops.pallas_trace import spot_rms_from_moments
+    tab, y, u, w = setup
+    steps = df32.plan(tab)
+    mom = df32.trace_df32_merit(steps, df32.state_from_f64(y, u))
+    yf = np.asarray(trace_rays_final(tab, y, u)[0])
+    pt = yf[np.isfinite(yf[:, :2]).all(1), :2]
+    r_ref = np.sqrt(((pt - pt.mean(0))**2).sum(1).mean())
+    nptest.assert_allclose(float(spot_rms_from_moments(*mom)), r_ref,
+                           rtol=1e-12)
