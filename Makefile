@@ -3,9 +3,16 @@
 
 PYTHON ?= python
 
-.PHONY: test bench perf-gate check lint library
+.PHONY: test test-full bench perf-gate check lint library
 
+# fast tier: everything except @pytest.mark.slow (AD jets, MC sweeps,
+# interpret-mode Pallas on big systems, examples) -- the iteration
+# loop; every engine keeps at least one cross-pin here
 test:
+	$(PYTHON) -m pytest tests/ -q -m "not slow"
+
+# the whole suite, slow tests and example scripts included
+test-full:
 	$(PYTHON) -m pytest tests/ -q
 
 # real-TPU benchmark; writes the one-line JSON and gates on it

@@ -121,7 +121,16 @@ def main():
     on_tpu = backend == "tpu"
     n = 1 << 27 if on_tpu else 1 << 18
     chain = 8
+    # parity seed rays get their OWN stream: they must stay identical
+    # across rounds regardless of how the timing bundle is generated
+    # (the round-3 on-device rewrite shifted a shared stream once --
+    # recorded parity details before/after are not comparable)
     rng = np.random.RandomState(0)
+    log("warming the compiler (the FIRST compile in a process is the "
+        "remote cold start and can take minutes)...")
+    t0 = time.perf_counter()
+    float(jax.jit(lambda x: x*2 + 1)(jnp.ones(8))[0])
+    log("trivial jit: %.1f s" % (time.perf_counter() - t0))
     # generate the big timing bundle ON DEVICE (the tunnel moves
     # single-digit MB/s; shipping ~1 GB of host seeds used to cost
     # minutes and could outlast the driver's clock)
@@ -130,7 +139,9 @@ def main():
              jax.random.uniform(ky, (n,), dtype, -11.6, 11.6),
              jnp.zeros(n, dtype), jnp.zeros(n, dtype),
              jnp.zeros(n, dtype), jnp.ones(n, dtype))
-    jax.block_until_ready(comps)
+    # block_until_ready does NOT synchronize on the tunnel backend
+    # (CLAUDE.md); fetch a scalar to be sure the bundle exists
+    float(comps[0][0])
 
     def chain_of(trace_one):
         def fn(state):
@@ -161,12 +172,6 @@ def main():
         engines.append(("pallas_f32", chain_of(
             lambda st: pallas_trace_final(tab, st, specs=specs,
                                           tile=16*1024))))
-
-    log("warming the compiler (cold remote compile can take "
-        "minutes)...")
-    t0 = time.perf_counter()
-    jax.jit(lambda x: x*2 + 1)(jnp.ones(8)).block_until_ready()
-    log("trivial jit: %.1f s" % (time.perf_counter() - t0))
 
     def best_of(fn, arg, k=5):
         t0 = time.perf_counter()
@@ -302,7 +307,8 @@ def main():
         state_df = jax.jit(
             lambda s: jax.tree_util.tree_map(
                 lambda a: jnp.tile(a, reps), s))(state_df)
-        jax.block_until_ready(state_df)
+        # scalar fetch: block_until_ready is a no-op on the tunnel
+        float(state_df[0][0][0])
 
         def df_chain(state):
             acc = 0.

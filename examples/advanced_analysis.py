@@ -26,6 +26,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import rayopt_tpu as ro  # noqa: E402
 from rayopt_tpu.models import cooke_triplet  # noqa: E402
 
+QUICK = bool(os.environ.get("RAYOPT_TPU_EXAMPLE_QUICK"))  # reduced sizes for CI
+
 
 def main(outdir="/tmp/rayopt_tpu_demo"):
     os.makedirs(outdir, exist_ok=True)
@@ -75,12 +77,12 @@ GO
     # -- Seidel-coefficient Monte-Carlo through the polynomial trace
     from rayopt_tpu.parallel import aberration_tolerance
     tol = aberration_tolerance(s.table(), s.object.pupil.distance,
-                               n_samples=64,
+                               n_samples=16 if QUICK else 64,
                                sigmas={"curvature": 1e-5,
                                        "distance": 5e-3})
     names = ("s1", "s2", "s3", "s4", "s5")
     print()
-    print("Seidel tolerancing (64 samples):")
+    print("Seidel tolerancing (%d samples):" % (16 if QUICK else 64))
     for i, name in enumerate(names):
         print("  %s: nominal %+.3e  std %.2e" % (
             name, tol["nominal"][i], tol["std"][i]))

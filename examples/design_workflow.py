@@ -23,6 +23,8 @@ from rayopt_tpu.parallel.grad import (  # noqa: E402
     optimize_system, bundles_from_system)
 from rayopt_tpu.parallel.tolerancing import tolerance_analysis  # noqa: E402
 
+QUICK = bool(os.environ.get("RAYOPT_TPU_EXAMPLE_QUICK"))  # reduced sizes for CI
+
 
 def main(outdir="/tmp/rayopt_tpu_demo"):
     os.makedirs(outdir, exist_ok=True)
@@ -45,7 +47,7 @@ def main(outdir="/tmp/rayopt_tpu_demo"):
     s.update()
     bundles = bundles_from_system(s, nrays=32)
     hist = optimize_system(s, select=("curvature",), nrays=32,
-                           steps=60, lr=5e-5)
+                           steps=8 if QUICK else 60, lr=5e-5)
     print("merit %.4g -> %.4g after %d gradient steps"
           % (hist[0], hist[-1], len(hist)))
 
@@ -55,7 +57,7 @@ def main(outdir="/tmp/rayopt_tpu_demo"):
                            np.asarray(w),
                            sigmas={"curvature": 1e-6,
                                    "distance": 5e-3},
-                           n_samples=128)
+                           n_samples=32 if QUICK else 128)
     print("tolerance MC: nominal %.4g, p50 %.4g, p90 %.4g, p99 %.4g"
           % (r["nominal"], r["p50"], r["p90"], r["p99"]))
 

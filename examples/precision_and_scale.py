@@ -36,6 +36,8 @@ from rayopt_tpu.parallel import (  # noqa: E402
     optimize_grad, bundles_from_system, tolerance_analysis)
 from jax.sharding import Mesh  # noqa: E402
 
+QUICK = bool(os.environ.get("RAYOPT_TPU_EXAMPLE_QUICK"))  # reduced sizes for CI
+
 
 def rms(px, py):
     good = np.isfinite(px) & np.isfinite(py)
@@ -80,14 +82,18 @@ def main():
     devices = jax.devices()
     mesh = Mesh(np.asarray(devices), ("rays",))
     bundles = bundles_from_system(s, nrays=64)
-    tab_opt, history = optimize_grad(tab, bundles, steps=10, lr=1e-6,
+    tab_opt, history = optimize_grad(tab, bundles,
+                                     steps=3 if QUICK else 10,
+                                     lr=1e-6,
                                      mesh=mesh)
     print(f"sharded optimization over {len(devices)} device(s): "
           f"merit {history[0]:.6f} -> {history[-1]:.6f}")
 
     farm = Mesh(np.asarray(devices), ("samples",))
     w = np.ones(n)/n
-    stats = tolerance_analysis(tab, y, u, w, n_samples=64, mesh=farm)
+    stats = tolerance_analysis(tab, y, u, w,
+                               n_samples=16 if QUICK else 64,
+                               mesh=farm)
     print("tolerancing p50/p90/p99:",
           [round(stats[k], 4) for k in ("p50", "p90", "p99")])
 

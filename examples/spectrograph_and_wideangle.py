@@ -21,6 +21,8 @@ import numpy as np
 import rayopt_tpu as ro
 from rayopt_tpu.models import spectrograph, anamorphic_pair, fisheye
 
+QUICK = bool(os.environ.get("RAYOPT_TPU_EXAMPLE_QUICK"))  # reduced sizes for CI
+
 
 def blazed_spectrograph():
     s = spectrograph()
@@ -135,7 +137,7 @@ def zoom_positions():
                                      si.paraxial.focal_length[1],
                                      si[8].distance))
     tabs, hist = optimize_zoom(s, select=("curvature",), nrays=16,
-                               steps=10, lr=1e-5)
+                               steps=3 if QUICK else 10, lr=1e-5)
     print("  joint merit over both positions: %.4f -> %.4f "
           "(shared curvatures)" % (hist[0], hist[-1]))
 
@@ -148,7 +150,8 @@ def dcn_farm():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     r = subprocess.run(
         [sys.executable, os.path.join(repo, "tools", "dcn_farm.py"),
-         "--nprocs", "2", "--samples", "64"],
+         "--nprocs", "2",
+         "--samples", "32" if QUICK else "64"],
         capture_output=True, text=True, timeout=600, cwd=repo)
     stats = json.loads(r.stdout.strip().splitlines()[-1])
     print("2-process DCN tolerancing farm:", stats)

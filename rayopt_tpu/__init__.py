@@ -100,13 +100,22 @@ from .expansion import (  # noqa: E402,F401
     TransverseExpansion, transverse_expansion,
     ChromaticExpansion, chromatic_expansion,
 )
-from .io.library import (  # noqa: E402,F401
-    Library, Catalog, LibMaterial, LibLens,
-)
-from .io import library  # noqa: E402,F401
+_LIBRARY_NAMES = ("Library", "Catalog", "LibMaterial", "LibLens",
+                  "Lens", "library")
 
-#: reference name for the stock-lens record (reference
-#: library_items.py:78)
-Lens = LibLens
+
+def __getattr__(name):
+    # catalog-store names resolve lazily (PEP 562) so that
+    # `python -m rayopt_tpu.io.library` does not find the module
+    # pre-imported in sys.modules (runpy RuntimeWarning); Lens is the
+    # reference name for the stock-lens record (library_items.py:78)
+    if name in _LIBRARY_NAMES:
+        import importlib
+        mod = importlib.import_module(__name__ + ".io.library")
+        if name == "library":
+            return mod
+        return getattr(mod, "LibLens" if name == "Lens" else name)
+    raise AttributeError("module %r has no attribute %r"
+                         % (__name__, name))
 
 __version__ = "0.1.0"

@@ -19,6 +19,10 @@ def load_system(path):
     if path in PRESCRIPTIONS:
         return PRESCRIPTIONS[path]()
     ext = os.path.splitext(path)[1].lower()
+    if not os.path.exists(path):
+        raise SystemExit(
+            "no such file or bundled model: %r\nbundled models: %s"
+            % (path, ", ".join(sorted(PRESCRIPTIONS))))
     data = open(path, "rb").read()
     if ext == ".zmx":
         from .io.zemax import zmx_to_system

@@ -260,10 +260,15 @@ def plot_field_curves(system, ax, height=1., wavelengths=None,
             (axa, "L", "DEZ", "LCOLOR")):
         _style_axes(axi, xl, yl, tl, yzero=False, xzero=False)
     radius = system.image.radius
-    if not np.isfinite(radius):
+    if not np.isfinite(radius) or radius == 0:
         # unbounded image conjugate (e.g. a bare doublet): reference
         # the distortion curve to the paraxial image height instead
-        radius = abs(system.paraxial.height[1])
+        radius = system.paraxial.height[1]
+    if not np.isfinite(radius) or radius == 0:
+        # still degenerate (no off-axis field, or afocal): there is
+        # no meaningful field scale -- skip the panel instead of
+        # plotting all-NaN curves
+        return
     href = np.linspace(0, height*radius, nrays)
     href[0] = np.nan
     base = None

@@ -341,15 +341,18 @@ class System(AimingMixin, list):
 
     def _element_row(self, i, e):
         curv = getattr(e, "curvature", 0)
-        mat = getattr(e, "material", "")
-        nd = getattr(mat, "nd", np.nan)
-        n = (self.refractive_index(self.wavelengths[0], i)
-             if mat else nd)
-        return ("%2i %1s %10.5g %10.4g %10.5g %17s "
-                "%7.3f %7.3f %7.2f") % (
+        mat = getattr(e, "material", None)
+        if mat is not None:
+            tail = "%17s %7.3f %7.3f %7.2f" % (
+                mat, self.refractive_index(self.wavelengths[0], i),
+                getattr(mat, "nd", np.nan), getattr(mat, "vd", np.nan))
+        else:
+            # the image (or a dummy) surface carries no medium of its
+            # own -- print a clean placeholder, not None/nan columns
+            tail = "%17s %7s %7s %7s" % ("-", "", "", "")
+        return "%2i %1s %10.5g %10.4g %10.5g %s" % (
             i, e.typeletter, e.distance,
-            np.inf if curv == 0 else 1./curv, e.radius*2, mat, n, nd,
-            getattr(mat, "vd", np.nan))
+            np.inf if curv == 0 else 1./curv, e.radius*2, tail)
 
     _COLUMNS = ("{:>2} {:>1} {:>10} {:>10} {:>10} {:>17} "
                 "{:>7} {:>7} {:>7}")

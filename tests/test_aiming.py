@@ -1,5 +1,6 @@
 """Batched jit chief-ray aiming vs the host newton solver."""
 
+import pytest
 import numpy as np
 from numpy import testing as nptest
 
@@ -174,6 +175,7 @@ def test_pupil_batched_matches_host():
         nptest.assert_allclose(boxes[i], ph, rtol=2e-2)
 
 
+@pytest.mark.slow
 def test_rim_aiming_sees_extended_vocabulary():
     """Rim-mode (stop=-1) device aiming must trace the full surface
     vocabulary: on a kinoform-bearing system the DOE kick moves the

@@ -267,6 +267,7 @@ def test_element_oracle_methods():
                                rtol=1e-9, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_biconic_gradients_flow():
     """jax.grad of the spot RMS w.r.t. the anamorphic split matches
     central differences (the seeded-Newton intercept is
@@ -595,6 +596,7 @@ def test_paraxial_trace_both_axes():
     assert not np.isfinite(f_x) or abs(f_x) > 1e6
 
 
+@pytest.mark.slow
 def test_analysis_smoke_on_cylinder_system():
     """The full Analysis report renders for an anamorphic system
     (astigmatic foci, cylinder surfaces in every panel path)."""

@@ -11,6 +11,7 @@ import pytest
 from rayopt_tpu.__main__ import load_system, main
 
 
+@pytest.mark.slow
 def test_cli_model_report(tmp_path, capsys):
     out = tmp_path / "doublet.html"
     main(["doublet", "-o", str(out), "--refocus"])

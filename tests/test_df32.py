@@ -227,6 +227,7 @@ def test_fast_dispatcher_precision_kinds(rng):
         nptest.assert_allclose(tf, t64, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_multi_plan_matches_single(rng):
     """The polychromatic df32 trace equals per-plan single traces
     (eager) and the multi-output Pallas kernel wires its outputs to

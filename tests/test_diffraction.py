@@ -58,6 +58,7 @@ def test_strehl_orders_fields(setup):
     assert S1 < S0
 
 
+@pytest.mark.slow
 def test_strehl_gradient(setup):
     s, g, tab, kw = setup
     y0, u0 = jnp.asarray(g.y[0]), jnp.asarray(g.u[0])
@@ -95,6 +96,7 @@ def test_mtf_normalized(setup):
     assert (mx <= 1 + 1e-9).all() and (my <= 1 + 1e-9).all()
 
 
+@pytest.mark.slow
 def test_strehl_optimization_recovers_detuned_lens(setup):
     """Maximizing Strehl through jax.grad recovers a detuned surface
     (direct diffraction-merit optimization)."""

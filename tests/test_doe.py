@@ -293,6 +293,7 @@ def test_host_paraxial_matches_table_twin():
     nptest.assert_allclose(m_el, m_tab, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_ad_expansion_covers_doe():
     s = kinoform(angle=1.)
     e = ro.transverse_expansion(s)

@@ -59,6 +59,7 @@ def test_cubic_model_converges_v5(cooke_exp):
     nptest.assert_allclose(errs[1]/errs[2], 32., rtol=.05)
 
 
+@pytest.mark.slow
 def test_anamorphic_expansion():
     """A cylinder system (no classical Seidel available -- the
     classical path uses only the y-axis figure) gets a full third-
@@ -86,6 +87,7 @@ def test_anamorphic_expansion():
     nptest.assert_allclose(errs[0]/errs[1], 32., rtol=.08)
 
 
+@pytest.mark.slow
 def test_fifth_order_expansion():
     """order=5 jets: the model matches real rays to O(v^7) (ratio 128
     per halving), even jets vanish by rotational-parity symmetry, and
@@ -126,6 +128,7 @@ def cooke_chrom(cooke_exp):
     return s, ChromaticExpansion(s)
 
 
+@pytest.mark.slow
 def test_chromatic_model_matches_real_differences(cooke_chrom):
     """The w-model's chromatic DIFFERENCE (color minus reference,
     which cancels the shared monochromatic cubic truncation) matches
@@ -140,6 +143,7 @@ def test_chromatic_model_matches_real_differences(cooke_chrom):
         nptest.assert_allclose(model[1], truth[1], rtol=2e-2)
 
 
+@pytest.mark.slow
 def test_classical_chromatic_crosspins(cooke_chrom):
     """Band-edge (blue minus red) jet differences reproduce the
     classical paraxial axial/lateral chromatic sums (transverse3
@@ -168,6 +172,7 @@ def test_classical_chromatic_crosspins(cooke_chrom):
     assert abs(c["axial_color_2nd"]) > 1e-4
 
 
+@pytest.mark.slow
 def test_grating_dispersion_pin():
     """A plane transmission grating's AD `dispersion` coefficient
     matches the analytic derivative of the grating equation:

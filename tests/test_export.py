@@ -1,6 +1,7 @@
 """AOT export/serve round trip: the serialized StableHLO trace
 reproduces the live engine."""
 
+import pytest
 import numpy as np
 from numpy import testing as nptest
 
@@ -10,6 +11,7 @@ from rayopt_tpu.ops.geometric import trace_rays_final
 from rayopt_tpu.utils.export import export_trace, load_trace
 
 
+@pytest.mark.slow
 def test_export_roundtrip():
     s = cooke_triplet()
     n = 256

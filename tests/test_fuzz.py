@@ -95,6 +95,7 @@ def test_df32_engine_agrees(seed):
     nptest.assert_array_equal(np.isfinite(xd), good)
 
 
+@pytest.mark.slow
 def test_fuzz_extended_vocabulary_parity():
     """Random systems mixing symmetric, biconic, cylinder, toroid,
     odd-aspheric, grating, and diffractive (DOE) rows: the dynamic

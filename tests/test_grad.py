@@ -90,6 +90,7 @@ def test_grad_with_nan_rays():
     assert np.isfinite(np.asarray(g)).all()
 
 
+@pytest.mark.slow
 def test_first_order_constrained_optimization():
     """Differentiable first-order operands: spot RMS drops while a
     quadratic EFL penalty holds the focal length (the operand-style
@@ -120,6 +121,7 @@ def test_first_order_constrained_optimization():
     assert abs(f1 - efl0) < .05
 
 
+@pytest.mark.slow
 def test_checkpoint_resume(tmp_path):
     """optimize_grad(checkpoint_dir=...) resumes exactly: killing a
     run at step 6 and restarting reproduces the uninterrupted

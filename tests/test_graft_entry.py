@@ -8,6 +8,7 @@ subprocesses WITHOUT the conftest pin -- the plugin is active exactly
 as in the driver -- and require the dryrun to certify that no array
 ever left the CPU."""
 
+import pytest
 import os
 import subprocess
 import sys
@@ -31,6 +32,7 @@ def _run(code, extra_env=None):
         capture_output=True, text=True, timeout=900)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_fresh_process():
     """Driver shape: fresh process, no env hints, plugin active."""
     r = _run("import __graft_entry__ as g; g.dryrun_multichip(8)")
@@ -38,6 +40,7 @@ def test_dryrun_multichip_fresh_process():
     assert "all arrays on cpu" in r.stdout
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_after_backend_init():
     """Worst case: jax backends already initialized before the call
     (pinning impossible in-process) -- must re-exec and still pass."""

@@ -236,6 +236,7 @@ def test_poly_trace_rejects_gratings():
     with pytest.raises(NotImplementedError):
         poly_trace_table(s.table(), None, 3, 10.)
 
+@pytest.mark.slow
 def test_blaze_efficiency_scalar_model():
     """The scalar blaze model: unit efficiency at the blaze order,
     exact energy conservation over all orders, and the Littrow blaze

@@ -1,6 +1,7 @@
 """Extended-scene image simulation: PSF placement, energy
 conservation, and blur behavior."""
 
+import pytest
 import numpy as np
 from numpy import testing as nptest
 
@@ -100,6 +101,7 @@ def test_single_patch_uses_center_field():
     assert corr > .99
 
 
+@pytest.mark.slow
 def test_analysis_image_panel():
     import matplotlib
     matplotlib.use("agg")

@@ -402,6 +402,7 @@ def test_zmx_conjugate_field_round_trip():
     nptest.assert_allclose(s.object.pupil.radius, .1)
 
 
+@pytest.mark.slow
 def test_cli_report(tmp_path):
     """python -m rayopt_tpu <prescription> runs the full report on
     bundled models and .zmx files and writes the HTML export."""

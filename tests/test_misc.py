@@ -169,6 +169,7 @@ def test_focal_length_solve():
     nptest.assert_allclose(s.paraxial.focal_length[1], 55., rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_vignetting_panel():
     """The vignetting diagram renders from the batched rim solve and
     shows vignetting at the field edge for the Cooke triplet."""
@@ -187,6 +188,7 @@ def test_vignetting_panel():
     plt.close(fig)
 
 
+@pytest.mark.slow
 def test_analysis_vignetting_flag():
     import matplotlib
     matplotlib.use("agg")
@@ -199,6 +201,7 @@ def test_analysis_vignetting_flag():
     plt.close("all")
 
 
+@pytest.mark.slow
 def test_analysis_mtf_field_and_ghosts():
     import matplotlib
     matplotlib.use("agg")

@@ -43,6 +43,7 @@ def test_cavity_builds():
     assert g.stable.all()
 
 
+@pytest.mark.slow
 def test_analysis_double_gauss():
     import matplotlib
     matplotlib.use("agg")

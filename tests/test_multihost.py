@@ -3,6 +3,7 @@
 independent (the same global sample set regardless of device
 layout)."""
 
+import pytest
 import numpy as np
 from numpy import testing as nptest
 
@@ -52,6 +53,7 @@ def test_farm_stats_sane():
     assert out["rms"].std() > 0
 
 
+@pytest.mark.slow
 def test_dcn_farm_two_real_processes():
     """tools/dcn_farm.py spawns 2 REAL processes (jax.distributed +
     gloo over localhost: the DCN stand-in), farms the tolerancing

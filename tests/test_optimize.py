@@ -47,6 +47,7 @@ def test_scipy_optimize_wrapper():
     assert r1 < r0
 
 
+@pytest.mark.slow
 def test_optimize_system_grad():
     """Differentiable System-level optimization reduces the
     multi-field multi-wavelength merit."""

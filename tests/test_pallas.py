@@ -11,7 +11,10 @@ from rayopt_tpu.ops.pallas_trace import pallas_trace_final
 from rayopt_tpu.ops.kernels import specialize, split
 
 
-@pytest.mark.parametrize("build", [cooke_triplet, double_gauss])
+@pytest.mark.parametrize("build", [
+    cooke_triplet,
+    pytest.param(double_gauss, marks=pytest.mark.slow),
+])
 def test_pallas_matches_xla(build):
     s = build()
     tab = s.table()
@@ -59,6 +62,7 @@ def test_pallas_clip(build=cooke_triplet):
     assert np.isnan(got_u).any()
 
 
+@pytest.mark.slow
 def test_pallas_odd_aspherics():
     """The fused kernel traces odd-aspheric (ODDASPHE-style) surfaces
     identically to the XLA engine."""
@@ -156,6 +160,7 @@ def test_pallas_merit_matches_trace():
     assert good.sum() < n  # clip actually vignetted something
 
 
+@pytest.mark.slow
 def test_pallas_multi_wavelength_parity():
     """The polychromatic kernel (one ray tile traced through every
     wavelength table while VMEM-resident) matches the vmapped XLA

@@ -1,6 +1,7 @@
 """Polarization ray tracing: Fresnel physics, Jones chaining, and the
 derived diattenuation/retardance/transmittance maps."""
 
+import pytest
 import numpy as np
 from numpy import testing as nptest
 
@@ -268,6 +269,7 @@ def test_vector_field_cross_polarization():
         p.vector_field((0., 0.))
 
 
+@pytest.mark.slow
 def test_vector_psf_fold_mirror_preserves_shape():
     """A PEC fold mirror flips s against p (pi split) but a single
     fold cannot blur the PSF: the vector PSF still correlates with

@@ -32,6 +32,7 @@ def test_matches_host(doublet):
     nptest.assert_allclose(np.asarray(n), host.n, rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_jit_and_grad(doublet):
     s = doublet
     kmax = 3
@@ -56,6 +57,7 @@ def test_jit_and_grad(doublet):
     nptest.assert_allclose(g[i], fd, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_grad_wrt_distance(doublet):
     s = doublet
     kmax = 3

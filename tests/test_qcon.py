@@ -144,6 +144,7 @@ def test_reverse_and_rescale():
     nptest.assert_allclose(sag1, scale*sag0, rtol=1e-10)
 
 
+@pytest.mark.slow
 def test_seidel_and_expansion_cover_qcon():
     # the Q departure flows through aspherics: the classical Seidel
     # figure term and the AD expansion must both see it

@@ -121,6 +121,7 @@ def test_optimize_grad_mesh_parity(setup):
                            atol=1e-15)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip():
     import importlib.util
     spec = importlib.util.spec_from_file_location(
@@ -133,6 +134,7 @@ def test_dryrun_multichip():
     assert np.isfinite(float(out[3]))
 
 
+@pytest.mark.slow
 def test_sharded_pallas_trace_matches(setup):
     # the flagship fused kernel under shard_map (interpret mode on the
     # CPU mesh; the same composition compiles on a TPU mesh)
@@ -180,6 +182,7 @@ def test_sharded_pallas_moments_match(setup):
                            rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_sharded_df32_trace_matches(setup):
     # the parity-grade engine under shard_map: must equal the eager
     # single-device df32 trace word-for-word (same plan, same rays)
@@ -200,6 +203,7 @@ def test_sharded_df32_trace_matches(setup):
                                    atol=0, rtol=0, equal_nan=True)
 
 
+@pytest.mark.slow
 def test_sharded_df32_moments_match(setup):
     # df32 merit under the mesh vs the eager single-device reference
     # (CPU interpret mode loses the error-free transforms to XLA FMA

@@ -1,5 +1,6 @@
 """Thermal system analysis: dn/dT application and expansion scaling."""
 
+import pytest
 import numpy as np
 from numpy import testing as nptest
 
@@ -163,6 +164,7 @@ def test_heat_table_differentiable():
     nptest.assert_allclose(g[i], fd, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_heat_table_extended_vocabulary():
     """The differentiable thermal transform covers the extended
     columns: anamorphic curvature splits, grating terms, and

@@ -1,5 +1,6 @@
 """Monte-Carlo tolerancing over vmapped perturbed tables."""
 
+import pytest
 import numpy as np
 
 from rayopt_tpu.models import doublet
@@ -70,6 +71,7 @@ def test_sharded_farm_matches_single():
                                rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_aberration_tolerance_nominal_matches_host():
     """The vmapped Seidel tolerancing nominal row equals the host
     PolyTrace seidel sums."""
@@ -94,6 +96,7 @@ def test_aberration_tolerance_nominal_matches_host():
     assert np.all(out["std"] >= 0)
 
 
+@pytest.mark.slow
 def test_aberration_tolerance_mesh_parity():
     """Sample farming over the 8-device mesh returns the same Seidel
     distribution as the single-device vmap."""
@@ -114,6 +117,7 @@ def test_aberration_tolerance_mesh_parity():
                            rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_sensitivity_matches_finite_difference():
     """jax.grad sensitivities agree with central differences of the
     re-traced RMS for a couple of probe parameters."""
@@ -137,6 +141,7 @@ def test_sensitivity_matches_finite_difference():
                                    rtol=1e-5, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_inverse_sensitivity_hits_budget():
     """The returned tolerance, applied worst-sign, degrades the RMS by
     (approximately) the requested budget -- certified by re-trace."""
@@ -169,6 +174,7 @@ def test_inverse_sensitivity_hits_budget():
         np.testing.assert_allclose(worst, budget, rtol=.25)
 
 
+@pytest.mark.slow
 def test_inverse_sensitivity_insensitive_parameter():
     """A parameter the merit ignores reports a capped tolerance, not a
     spurious small one."""

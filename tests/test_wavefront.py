@@ -1,6 +1,7 @@
 """Differentiable wavefront merit: the jnp OPD matches
 GeometricTrace.opd ray-for-ray, and grads flow."""
 
+import pytest
 import numpy as np
 from numpy import testing as nptest
 import jax
@@ -19,6 +20,7 @@ def _setup(field=0.):
     return s, g
 
 
+@pytest.mark.slow
 def test_opd_matches_host():
     s, g = _setup(0.)
     x, y, t_host = g.opd(resample=0)
@@ -66,6 +68,7 @@ def test_opd_matches_host_tilted_image():
                            rtol=1e-9, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_wavefront_grad():
     s, g = _setup(0.)
     tab = s.table(g.l)

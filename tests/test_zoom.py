@@ -3,6 +3,7 @@ solve-driven refocus, stacked config tables, serialization, and joint
 differentiable optimization across zoom positions (beyond reference:
 rayopt has no multi-configuration support)."""
 
+import pytest
 import numpy as np
 from numpy import testing as nptest
 
@@ -61,6 +62,7 @@ def test_zoom_config_tables_and_multi_trace():
                                rtol=1e-12, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_optimize_zoom_shares_curvatures():
     """Joint optimization improves the summed merit over BOTH zoom
     positions with one shared set of curvatures; per-config geometry
@@ -85,6 +87,7 @@ def test_optimize_zoom_shares_curvatures():
         optimize_zoom(s, select=("distance",), steps=1)
 
 
+@pytest.mark.slow
 def test_optimize_zoom_on_mesh_with_padding():
     """optimize_zoom(mesh=) commits every configuration's closure
     data to the mesh and shards the rays; quadrature bundle sizes
