@@ -173,7 +173,11 @@ def main():
             lambda st: pallas_trace_final(tab, st, specs=specs,
                                           tile=16*1024))))
 
-    def best_of(fn, arg, k=5):
+    def best_of(fn, arg, k=5, stats=None):
+        """Best of k timed reps (compile+first excluded).  When a
+        `stats` dict is passed, the full rep list, median, and spread
+        land in it -- the per-round trend data the gate uses to judge
+        whether a floor miss is noise or regression."""
         t0 = time.perf_counter()
         v = float(fn(arg))
         log("  compile+first: %.1f s (value %.6g)"
@@ -183,6 +187,11 @@ def main():
             t0 = time.perf_counter()
             fn(arg)
             times.append(time.perf_counter() - t0)
+        if stats is not None:
+            ts = sorted(times)
+            stats["times_s"] = times
+            stats["median_time_s"] = ts[len(ts)//2]
+            stats["spread"] = (ts[-1] - ts[0])/ts[0]
         return min(times)
 
     details = {"config": "double_gauss f/2.8 (12 traced surfaces)",
@@ -195,9 +204,12 @@ def main():
     profile_dir = os.environ.get("BENCH_PROFILE")
     for name, fn in engines:
         log("timing %s..." % name)
-        tb = best_of(lambda a, fn=fn: float(fn(a)), comps)
+        stats = {}
+        tb = best_of(lambda a, fn=fn: float(fn(a)), comps,
+                     stats=stats)
         rates[name] = chain*n*nsurf/tb
-        details[name] = {"best_time_s": tb, "rate": rates[name]}
+        details[name] = {"best_time_s": tb, "rate": rates[name],
+                         **stats}
         log("  %s: %.1f ms -> %.3f G intersections/s"
             % (name, tb*1e3, rates[name]/1e9))
         if profile_dir:
@@ -324,11 +336,13 @@ def main():
             return acc
         df_chain = jax.jit(df_chain)
         log("timing %s..." % label)
-        tb = best_of(lambda a: float(df_chain(a)), state_df)
+        stats = {}
+        tb = best_of(lambda a: float(df_chain(a)), state_df,
+                     stats=stats)
         rate = chain*n_df*nsurf_l/tb
         log("  %s: %.1f ms -> %.3f G intersections/s (>= 1e9 "
             "target: %s)" % (label, tb*1e3, rate/1e9, rate >= 1e9))
-        return tb, rate
+        return tb, rate, stats
 
     if on_tpu:
         out = df32.pallas_trace_df32(steps, df32.state_from_f64(yp, up))
@@ -341,14 +355,15 @@ def main():
         log("df32 spot RMS parity vs f64 CPU: fast %.3g, exact %.3g "
             "(f64 %.15g)" % (parity, parity_exact, r_cpu))
 
-        tb, rate_df = time_df32_chain(steps, nsurf, yp, up,
-                                      "pallas_df32 (parity-grade)")
+        tb, rate_df, st_df = time_df32_chain(
+            steps, nsurf, yp, up, "pallas_df32 (parity-grade)")
         details["pallas_df32_parity_grade"] = {
             "best_time_s": tb, "rate": rate_df,
             "vs_target": rate_df/BASELINE_RATE,
             "spot_rms_parity_vs_f64": parity,
             "mode": "fast (one-round div/sqrt refinements)",
             "spot_rms_parity_exact_mode": parity_exact,
+            **st_df,
         }
     else:
         # CPU fallback: verify the df32 algorithm eagerly
@@ -382,13 +397,14 @@ def main():
         parity_a = abs(r_a - r_a_cpu)/max(r_a_cpu, 1e-30)
         log("anamorphic df32 spot RMS parity vs f64 CPU: %.3g"
             % parity_a)
-        tb, rate_a = time_df32_chain(steps_a, nsurf_a, ya, ua,
-                                     "pallas_df32 anamorphic")
+        tb, rate_a, st_a = time_df32_chain(
+            steps_a, nsurf_a, ya, ua, "pallas_df32 anamorphic")
         details["pallas_df32_anamorphic"] = {
             "config": "crossed-cylinder pair (5 traced surfaces)",
             "best_time_s": tb, "rate": rate_a,
             "vs_target": rate_a/BASELINE_RATE,
             "spot_rms_parity_vs_f64": parity_a,
+            **st_a,
         }
         tab_a32 = jax.tree_util.tree_map(
             lambda a: jnp.asarray(a, dtype=dtype), tab_a64)
@@ -409,6 +425,203 @@ def main():
         log("anamorphic df32 (eager) spot RMS parity: %.3g" % parity_a)
         details["pallas_df32_anamorphic"] = {
             "spot_rms_parity_vs_f64": parity_a}
+
+    # differentiable optimization step (BASELINE.json configs item 5):
+    # one jitted value_and_grad of the spot-RMS merit wrt double-Gauss
+    # curvatures AND distances -- the replacement of the reference's
+    # finite-difference scipy loop (reference optimize.py:93-161),
+    # timed on the chip and gradient-parity-checked vs the CPU f64
+    # merit.  Uses the same scan engine + nan-safe path optimize_grad
+    # dispatches (parallel/grad.py), i.e. the rates below are what a
+    # user's optimization loop actually gets per step.
+    from rayopt_tpu.parallel.grad import spot_rms
+
+    off64 = np.asarray(tab64.offset)
+    d64 = np.asarray(tab64.distance)
+    unit64 = np.divide(off64, d64[:, None], where=d64[:, None] != 0,
+                       out=np.tile(np.array([0., 0., 1.]),
+                                   (off64.shape[0], 1)))
+
+    def make_grad_step(tab_l, dt):
+        unit = jnp.asarray(unit64, dt)
+
+        def loss(params, y0, u0):
+            t2 = tab_l.replace(
+                curvature=params["curvature"],
+                offset=unit*params["distance"][:, None])
+            return spot_rms(t2, y0, u0)
+        return jax.jit(jax.value_and_grad(loss))
+
+    def grad_params(tab_l, dt):
+        return {"curvature": jnp.asarray(tab_l.curvature, dt),
+                "distance": jnp.asarray(tab_l.distance, dt)}
+
+    rng_g = np.random.RandomState(7)  # grad-parity seed stream
+    mg = 8192
+    yg = np.zeros((mg, 3))
+    yg[:, :2] = rng_g.uniform(-1, 1, (mg, 2))*11.
+    ug = np.zeros((mg, 3))
+    ug[:, 2] = 1.
+
+    with jax.default_device(cpu):
+        _, g_cpu = make_grad_step(tab64, jnp.float64)(
+            grad_params(tab64, jnp.float64), yg, ug)
+        g_cpu = {k: np.asarray(v) for k, v in g_cpu.items()}
+
+    def grad_rel_err(g):
+        num = sum(float(np.square(np.asarray(g[k])
+                                  - g_cpu[k]).sum()) for k in g_cpu)
+        den = sum(float(np.square(g_cpu[k]).sum()) for k in g_cpu)
+        return float(np.sqrt(num/den))
+
+    if on_tpu:
+        try:
+            # gradient parity: f64 (emulated, tight) and f32 (the
+            # throughput dtype, informational)
+            _, g64 = make_grad_step(tab64, jnp.float64)(
+                grad_params(tab64, jnp.float64), yg, ug)
+            gp64 = grad_rel_err(g64)
+            _, g32 = make_grad_step(tab, jnp.float32)(
+                grad_params(tab, jnp.float32),
+                yg.astype(np.float32), ug.astype(np.float32))
+            gp32 = grad_rel_err(g32)
+            log("grad parity vs CPU f64: tpu-f64 %.3g, tpu-f32 %.3g"
+                % (gp64, gp32))
+
+            # throughput: one full merit gradient step at 2^22 rays
+            n_g = 1 << 22
+            kxg, kyg = jax.random.split(jax.random.PRNGKey(1))
+            yg_dev = jnp.stack(
+                [jax.random.uniform(kxg, (n_g,), dtype, -11., 11.),
+                 jax.random.uniform(kyg, (n_g,), dtype, -11., 11.),
+                 jnp.zeros(n_g, dtype)], axis=1)
+            ug_dev = jnp.stack(
+                [jnp.zeros(n_g, dtype), jnp.zeros(n_g, dtype),
+                 jnp.ones(n_g, dtype)], axis=1)
+            step32 = make_grad_step(tab, jnp.float32)
+            p32 = grad_params(tab, jnp.float32)
+            log("timing grad_step (f32, 2^22 rays, curvature+"
+                "distance)...")
+            stats = {}
+            tb = best_of(lambda a: float(step32(a, yg_dev,
+                                                ug_dev)[0]),
+                         p32, stats=stats)
+            # nan-safe spot_rms runs a stop-gradient pre-trace, the
+            # differentiated forward, and the VJP sweep: >= 3 forward-
+            # equivalent passes; the conservative user-visible rate
+            # counts the bundle once per step
+            rate_g = n_g*nsurf/tb
+            details["grad_step"] = {
+                "config": "value_and_grad(spot RMS) wrt curvature+"
+                          "distance, nan-safe, scan engine",
+                "rays": n_g, "best_time_s": tb,
+                "steps_per_s": 1./tb,
+                "intersections_per_s_per_step": rate_g,
+                "vs_target": rate_g/BASELINE_RATE,
+                "grad_rel_err_f64_vs_cpu": gp64,
+                "grad_rel_err_f32_vs_cpu": gp32,
+                **stats,
+            }
+            log("  grad_step: %.1f ms/step (%.2f steps/s) -> %.3f G "
+                "intersections/s through value_and_grad"
+                % (tb*1e3, 1./tb, rate_g/1e9))
+        except Exception as e:
+            log("grad_step failed (non-fatal):", e)
+            details["grad_step"] = {"error": str(e)}
+    else:
+        gp = grad_rel_err(g_cpu)  # trivially 0; records the path ran
+        details["grad_step"] = {"grad_rel_err_f64_vs_cpu": gp}
+
+    # the flagship Pallas merit kernel under a real 1-device TPU mesh:
+    # proves the shard_map composition compiles and runs on hardware
+    # (the 8-device variant is CI-tested on the virtual CPU mesh)
+    if on_tpu:
+        try:
+            from rayopt_tpu.parallel import (
+                ray_mesh, shard_components, sharded_pallas_moments)
+            from rayopt_tpu.ops.pallas_trace import \
+                spot_rms_from_moments
+            mesh1 = ray_mesh(jax.devices()[:1])
+            st_m = shard_components(comps, mesh1)
+
+            def mesh_merit(st):
+                mom = sharded_pallas_moments(tab, st, mesh1,
+                                             specs=specs,
+                                             tile=16*1024)
+                return spot_rms_from_moments(*mom)
+            log("timing pallas_f32 under shard_map (1-device TPU "
+                "mesh)...")
+            stats = {}
+            tb = best_of(lambda a: float(mesh_merit(a)), st_m,
+                         stats=stats)
+            rate_m1 = n*nsurf/tb
+            details["pallas_f32_sharded_mesh1"] = {
+                "best_time_s": tb, "rate": rate_m1, **stats}
+            log("  pallas_f32 sharded (mesh=1): %.1f ms -> %.3f G "
+                "intersections/s" % (tb*1e3, rate_m1/1e9))
+        except Exception as e:
+            log("sharded pallas mesh row failed (non-fatal):", e)
+            details["pallas_f32_sharded_mesh1"] = {"error": str(e)}
+
+    # df32 merit mode: fused parity-grade trace + in-kernel moment
+    # reduction (no per-ray writeback) -- the optimization-merit path
+    if on_tpu:
+        try:
+            from rayopt_tpu.ops.pallas_trace import \
+                spot_rms_from_moments
+            n_dm = 1 << 25
+            reps = n_dm // yp.shape[0]
+            state_dm = jax.tree_util.tree_map(
+                jnp.asarray, df32.state_from_f64(yp, up))
+            state_dm = jax.jit(
+                lambda s: jax.tree_util.tree_map(
+                    lambda a: jnp.tile(a, reps), s))(state_dm)
+            float(state_dm[0][0][0])
+
+            def df_merit(st):
+                mom = df32.pallas_trace_df32_merit(steps, st,
+                                                   tile=8*1024)
+                return spot_rms_from_moments(*mom)
+            df_merit = jax.jit(df_merit)
+            log("timing pallas_df32_merit (fused moments, no "
+                "writeback)...")
+            stats = {}
+            tb = best_of(lambda a: float(df_merit(a)), state_dm,
+                         stats=stats)
+            rate_dm = n_dm*nsurf/tb
+            r_dm = float(df_merit(state_dm))
+            # replicated seed bundle: same RMS as the f64 CPU seeds
+            parity_dm = abs(r_dm - r_cpu)/max(r_cpu, 1e-30)
+            details["pallas_df32_merit"] = {
+                "best_time_s": tb, "rate": rate_dm,
+                "vs_target": rate_dm/BASELINE_RATE,
+                "spot_rms_parity_vs_f64": parity_dm, **stats}
+            log("  pallas_df32_merit: %.1f ms -> %.3f G "
+                "intersections/s, parity %.3g"
+                % (tb*1e3, rate_dm/1e9, parity_dm))
+        except Exception as e:
+            log("df32 merit row failed (non-fatal):", e)
+            details["pallas_df32_merit"] = {"error": str(e)}
+
+    # aberration-polynomial trace (reference simplex.py:41-49 is the
+    # only upstream perf number): re-measure the device poly trace
+    # every round instead of trusting the committed one-off JSON
+    try:
+        from rayopt_tpu.ops.poly_jax import poly_trace_table
+        kmax = 11
+        pd_poly = s.object.pupil.distance
+        one = jax.jit(lambda t: poly_trace_table(t, specs, kmax,
+                                                 pd_poly)[0])
+        log("timing poly trace (kmax=11, q=286)...")
+        stats = {}
+        tb = best_of(lambda t: float(np.asarray(one(t))[0, 0]), tab64,
+                     stats=stats, k=5)
+        details["poly_trace"] = {
+            "kmax": kmax, "device_ms": tb*1e3, **stats}
+        log("  poly trace: %.2f ms/system" % (tb*1e3))
+    except Exception as e:
+        log("poly row failed (non-fatal):", e)
+        details["poly_trace"] = {"error": str(e)}
 
     # f64 accel-vs-CPU parity (legacy metric from round 1)
     yf_acc = np.asarray(trace_rays_final(tab64, yp, up)[0])

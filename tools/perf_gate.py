@@ -1,16 +1,27 @@
 """Performance regression gate.
 
 Reads the one-line bench JSON (from a file argument or stdin) and
-fails unless every pinned engine floor is met, each with a 10%
-variance allowance for run-to-run TPU noise:
+fails unless every pinned engine floor is met.  Floors are ABSOLUTE
+(no multiplicative variance allowance): each is set ~10-15% under the
+round-4 measured best so that ordinary run-to-run tunnel noise --
+whose observed spread is recorded per row in the JSON as
+times_s/median_time_s/spread by bench.py's 5-rep timing -- cannot
+trip it, while a real regression does.  When a floor fails, compare
+the row's median/spread against the previous BENCH_r*.json before
+blaming the code: spread > ~20% means the tunnel was sick, rerun.
 
-* headline (best f32 engine, double-Gauss): vs_baseline, round-3
-  measured 49.6 (unrolled XLA after the polynomial-normal rewrite;
-  Pallas 47.3) -> floor 46.0
-* parity-grade df32: vs_target, measured 5.76 -> floor 5.0, and its
-  spot-RMS parity must stay inside the 1e-9 target
-* anamorphic df32 (closed-form cylinders): vs_target, measured
-  6.68 -> floor 5.5, parity likewise
+* headline (best f32 engine, double-Gauss): vs_baseline; measured
+  49.6 (r3 mid-round) / 47.8 (r3 driver) / 49.x (r4) -> floor 43
+* parity-grade df32: vs_target, measured 5.8-6.8 across rounds ->
+  floor 5.0; spot-RMS parity must stay inside the 1e-9 target
+* anamorphic df32 (closed-form cylinders): measured 6.7-7.4 ->
+  floor 5.5, parity likewise
+* df32 fused merit mode (round 4): vs_target -> floor 5.0, parity
+  likewise
+* grad_step (value_and_grad of the spot-RMS merit, round 4):
+  vs_target of the per-step intersection rate -> floor 1.0 (the
+  north-star target itself; the scan-engine VJP is dispatch- and
+  HBM-bound, see BENCH_r04 for the measured value)
 
 Usage:
     python bench.py | tee bench.json
@@ -20,19 +31,25 @@ Usage:
 import json
 import sys
 
-VARIANCE = 0.9  # tolerate 10% run-to-run noise
-
-#: (json path, floor before variance)
+#: (json path, absolute floor)
 RATE_FLOORS = [
-    (("vs_baseline",), 46.0),
+    (("vs_baseline",), 43.0),
     (("details", "pallas_df32_parity_grade", "vs_target"), 5.0),
     (("details", "pallas_df32_anamorphic", "vs_target"), 5.5),
+    (("details", "pallas_df32_merit", "vs_target"), 5.0),
+    (("details", "grad_step", "vs_target"), 1.0),
 ]
 PARITY_KEYS = [
-    ("details", "pallas_df32_parity_grade", "spot_rms_parity_vs_f64"),
-    ("details", "pallas_df32_anamorphic", "spot_rms_parity_vs_f64"),
+    (("details", "pallas_df32_parity_grade",
+      "spot_rms_parity_vs_f64"), 1e-9),
+    (("details", "pallas_df32_anamorphic",
+      "spot_rms_parity_vs_f64"), 1e-9),
+    (("details", "pallas_df32_merit",
+      "spot_rms_parity_vs_f64"), 1e-9),
+    # gradient of the merit wrt curvature+distance, emulated f64 on
+    # the chip vs CPU f64 (relative L2 over all parameters)
+    (("details", "grad_step", "grad_rel_err_f64_vs_cpu"), 1e-9),
 ]
-PARITY_TARGET = 1e-9
 
 
 def _get(rec, path):
@@ -44,9 +61,17 @@ def _get(rec, path):
 
 
 def main(argv):
-    src = open(argv[0]) if argv else sys.stdin
-    line = next(l for l in src if l.strip().startswith("{"))
-    rec = json.loads(line)
+    text = (open(argv[0]).read() if argv else sys.stdin.read())
+    try:
+        # whole-file JSON (e.g. the driver's pretty-printed BENCH_r*)
+        rec = json.loads(text)
+    except json.JSONDecodeError:
+        # bench.py | tee output: the record is the first "{" line
+        line = next(l for l in text.splitlines()
+                    if l.strip().startswith("{"))
+        rec = json.loads(line)
+    if "parsed" in rec and "metric" not in rec:
+        rec = rec["parsed"]
     failed = False
     for path, floor in RATE_FLOORS:
         value = _get(rec, path)
@@ -55,24 +80,23 @@ def main(argv):
             # CPU fallback runs omit the TPU rate sections
             print(f"{name}: absent (skipped)")
             continue
-        lim = floor*VARIANCE
-        print(f"{name} = {value:.2f} (floor {lim:.2f})")
-        if value < lim:
-            print(f"PERF REGRESSION: {name} {value:.2f} < {lim:.2f}",
+        print(f"{name} = {value:.2f} (floor {floor:.2f})")
+        if value < floor:
+            print(f"PERF REGRESSION: {name} {value:.2f} < {floor:.2f}",
                   file=sys.stderr)
             failed = True
-    for path in PARITY_KEYS:
+    for path, target in PARITY_KEYS:
         value = _get(rec, path)
         name = ".".join(path)
         if value is None:
             print(f"{name}: absent (skipped)")
             continue
-        print(f"{name} = {value:.2e} (target {PARITY_TARGET:.0e})")
+        print(f"{name} = {value:.2e} (target {target:.0e})")
         # NaN (e.g. a kernel that NaNs every ray) must FAIL, so test
         # for the good case and negate
-        if not value <= PARITY_TARGET:
+        if not value <= target:
             print(f"PARITY REGRESSION: {name} {value:.2e} > "
-                  f"{PARITY_TARGET:.0e}", file=sys.stderr)
+                  f"{target:.0e}", file=sys.stderr)
             failed = True
     if failed:
         return 1
