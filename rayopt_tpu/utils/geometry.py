@@ -143,3 +143,139 @@ def euler_from_matrix(matrix, axes="sxyz"):
         b = np.arctan2(sig*m[i, k], cb)
         c = 0.
     return a, b, c
+
+
+# -- quaternion family ---------------------------------------------------
+#
+# The reference vendors these in its Gohlke transformations module
+# (transformations.py:996-1310) but never calls them from rayopt
+# itself; implemented here from first principles for full surface
+# parity.  Convention: (w, x, y, z), scalar first, unit quaternions
+# for rotations.
+
+def quaternion_about_axis(angle, axis):
+    """Unit quaternion for a rotation by `angle` about `axis`."""
+    d = np.asarray(axis, dtype=float)[:3]
+    n = np.linalg.norm(d)
+    if n == 0:
+        return np.array([1., 0., 0., 0.])
+    h = 0.5*angle
+    return np.concatenate([[np.cos(h)], np.sin(h)*d/n])
+
+
+def quaternion_multiply(q1, q0):
+    """Hamilton product q1 * q0 (apply q0 first, then q1)."""
+    w1, x1, y1, z1 = np.asarray(q1, dtype=float)
+    w0, x0, y0, z0 = np.asarray(q0, dtype=float)
+    return np.array([
+        w1*w0 - x1*x0 - y1*y0 - z1*z0,
+        w1*x0 + x1*w0 + y1*z0 - z1*y0,
+        w1*y0 - x1*z0 + y1*w0 + z1*x0,
+        w1*z0 + x1*y0 - y1*x0 + z1*w0])
+
+
+def quaternion_conjugate(q):
+    q = np.asarray(q, dtype=float)
+    return q*np.array([1., -1., -1., -1.])
+
+
+def quaternion_inverse(q):
+    q = np.asarray(q, dtype=float)
+    return quaternion_conjugate(q)/np.dot(q, q)
+
+
+def quaternion_matrix(q):
+    """3x3 rotation matrix of a (not necessarily unit) quaternion."""
+    q = np.asarray(q, dtype=float)
+    nn = np.dot(q, q)
+    if nn == 0:
+        return np.eye(3)
+    w, x, y, z = q/np.sqrt(nn)
+    return np.array([
+        [1 - 2*(y*y + z*z), 2*(x*y - w*z), 2*(x*z + w*y)],
+        [2*(x*y + w*z), 1 - 2*(x*x + z*z), 2*(y*z - w*x)],
+        [2*(x*z - w*y), 2*(y*z + w*x), 1 - 2*(x*x + y*y)]])
+
+
+def quaternion_from_matrix(matrix):
+    """Unit quaternion of a rotation matrix (Shepperd's method: pick
+    the largest of the four squared components from the trace and the
+    diagonal, so the division is always well-conditioned)."""
+    m = np.asarray(matrix, dtype=float)[:3, :3]
+    tr = m.trace()
+    choices = np.array([tr, m[0, 0], m[1, 1], m[2, 2]])
+    i = int(np.argmax(choices))
+    if i == 0:
+        w = 0.5*np.sqrt(1. + tr)
+        f = 0.25/w
+        q = np.array([w, f*(m[2, 1] - m[1, 2]), f*(m[0, 2] - m[2, 0]),
+                      f*(m[1, 0] - m[0, 1])])
+    else:
+        j, k = i % 3, (i + 1) % 3  # i is 1-based axis index here
+        a, b, c = i - 1, j, k  # axis indices 0..2
+        s = 0.5*np.sqrt(1. + m[a, a] - m[b, b] - m[c, c])
+        f = 0.25/s
+        q = np.zeros(4)
+        q[0] = f*(m[c, b] - m[b, c])
+        q[1 + a] = s
+        q[1 + b] = f*(m[b, a] + m[a, b])
+        q[1 + c] = f*(m[c, a] + m[a, c])
+    # canonical sign: non-negative scalar part
+    return q if q[0] >= 0 else -q
+
+
+def quaternion_slerp(q0, q1, fraction):
+    """Spherical linear interpolation between unit quaternions along
+    the shorter great-circle arc."""
+    q0 = np.asarray(q0, dtype=float)/np.linalg.norm(q0)
+    q1 = np.asarray(q1, dtype=float)/np.linalg.norm(q1)
+    d = np.dot(q0, q1)
+    if d < 0:  # shorter arc
+        q1, d = -q1, -d
+    d = min(d, 1.)
+    theta = np.arccos(d)
+    if theta < 1e-12:
+        out = q0 + fraction*(q1 - q0)  # nearly parallel: lerp
+        return out/np.linalg.norm(out)
+    return (np.sin((1 - fraction)*theta)*q0
+            + np.sin(fraction*theta)*q1)/np.sin(theta)
+
+
+def quaternion_from_euler(ai=0., aj=0., ak=0., axes="sxyz"):
+    return quaternion_from_matrix(euler_matrix(ai, aj, ak, axes))
+
+
+def euler_from_quaternion(q, axes="sxyz"):
+    return euler_from_matrix(quaternion_matrix(q), axes)
+
+
+def random_quaternion(rng=None):
+    """Uniformly random unit rotation quaternion (Shoemake)."""
+    rng = np.random.RandomState() if rng is None else rng
+    u1, u2, u3 = rng.uniform(size=3)
+    a, b = np.sqrt(1 - u1), np.sqrt(u1)
+    return np.array([a*np.sin(2*np.pi*u2), a*np.cos(2*np.pi*u2),
+                     b*np.sin(2*np.pi*u3), b*np.cos(2*np.pi*u3)])
+
+
+def superimposition_matrix(v0, v1, scale=False):
+    """4x4 homogeneous transform mapping point set v0 (3, N) onto v1
+    (least squares; Kabsch/Umeyama via SVD of the cross-covariance --
+    a different, better-conditioned derivation than the reference's
+    quaternion-eigenvector construction, same result).  With `scale`
+    a uniform scale factor is solved too."""
+    p = np.asarray(v0, dtype=float)[:3]
+    q = np.asarray(v1, dtype=float)[:3]
+    mp, mq = p.mean(1, keepdims=True), q.mean(1, keepdims=True)
+    pc, qc = p - mp, q - mq
+    u, sv, vt = np.linalg.svd(qc @ pc.T)
+    d = np.sign(np.linalg.det(u @ vt))
+    dd = np.diag([1., 1., d])
+    r = u @ dd @ vt
+    s = 1.
+    if scale:
+        s = (sv @ np.diag([1., 1., d]).diagonal())/np.square(pc).sum()
+    out = np.eye(4)
+    out[:3, :3] = s*r
+    out[:3, 3:] = mq - s*(r @ mp)
+    return out

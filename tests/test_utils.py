@@ -182,3 +182,70 @@ def test_euler_all_24_conventions_roundtrip():
     nptest.assert_allclose(a, (.3, -.7, 1.2), atol=1e-12)
     with pytest.raises(ValueError):
         euler_matrix(1., 2., 3., axes="sxxz")
+
+
+def test_quaternion_roundtrips():
+    from rayopt_tpu.utils.geometry import (
+        quaternion_about_axis, quaternion_matrix,
+        quaternion_from_matrix, quaternion_multiply,
+        quaternion_inverse, rotation_matrix, random_quaternion)
+    rng = np.random.RandomState(3)
+    for _ in range(20):
+        q = random_quaternion(rng)
+        m = quaternion_matrix(q)
+        # proper rotation
+        nptest.assert_allclose(m @ m.T, np.eye(3), atol=1e-12)
+        nptest.assert_allclose(np.linalg.det(m), 1, atol=1e-12)
+        # matrix -> quaternion -> matrix round trip
+        nptest.assert_allclose(quaternion_matrix(
+            quaternion_from_matrix(m)), m, atol=1e-12)
+        # composition homomorphism
+        p = random_quaternion(rng)
+        nptest.assert_allclose(
+            quaternion_matrix(quaternion_multiply(p, q)),
+            quaternion_matrix(p) @ quaternion_matrix(q), atol=1e-12)
+        # inverse
+        nptest.assert_allclose(
+            quaternion_multiply(q, quaternion_inverse(q)),
+            [1, 0, 0, 0], atol=1e-12)
+    # axis-angle agrees with Rodrigues
+    ang, ax = 0.7, (1., -2., .5)
+    nptest.assert_allclose(
+        quaternion_matrix(quaternion_about_axis(ang, ax)),
+        rotation_matrix(ang, ax), atol=1e-12)
+
+
+def test_quaternion_euler_and_slerp():
+    from rayopt_tpu.utils.geometry import (
+        quaternion_from_euler, euler_from_quaternion,
+        quaternion_slerp, quaternion_about_axis, quaternion_matrix,
+        rotation_matrix)
+    ai, aj, ak = .3, -.4, 1.2
+    q = quaternion_from_euler(ai, aj, ak, "rxyz")
+    nptest.assert_allclose(
+        euler_from_quaternion(q, "rxyz"), (ai, aj, ak), atol=1e-12)
+    # slerp endpoints and the half-angle property
+    q0 = quaternion_about_axis(0., (0, 0, 1.))
+    q1 = quaternion_about_axis(1., (0, 0, 1.))
+    nptest.assert_allclose(quaternion_slerp(q0, q1, 0.), q0,
+                           atol=1e-12)
+    nptest.assert_allclose(quaternion_slerp(q0, q1, 1.), q1,
+                           atol=1e-12)
+    nptest.assert_allclose(
+        quaternion_matrix(quaternion_slerp(q0, q1, .5)),
+        rotation_matrix(.5, (0, 0, 1.)), atol=1e-12)
+
+
+def test_superimposition_matrix():
+    from rayopt_tpu.utils.geometry import (
+        superimposition_matrix, rotation_matrix)
+    rng = np.random.RandomState(4)
+    v0 = rng.randn(3, 30)
+    r = rotation_matrix(.8, (1., 2., 3.))
+    t = np.array([[1.], [-2.], [.5]])
+    for s in (1., 1.7):
+        v1 = s*(r @ v0) + t
+        m = superimposition_matrix(v0, v1, scale=(s != 1.))
+        got = m[:3, :3] @ v0 + m[:3, 3:]
+        nptest.assert_allclose(got, v1, atol=1e-10)
+        nptest.assert_allclose(m[:3, :3], s*r, atol=1e-10)
