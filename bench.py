@@ -442,14 +442,16 @@ def main():
                        out=np.tile(np.array([0., 0., 1.]),
                                    (off64.shape[0], 1)))
 
-    def make_grad_step(tab_l, dt):
+    def make_grad_step(tab_l, dt, unroll=False):
         unit = jnp.asarray(unit64, dt)
 
         def loss(params, y0, u0):
             t2 = tab_l.replace(
                 curvature=params["curvature"],
                 offset=unit*params["distance"][:, None])
-            return spot_rms(t2, y0, u0)
+            return spot_rms(t2, y0, u0,
+                            specs=specs if unroll else None,
+                            unroll=unroll)
         return jax.jit(jax.value_and_grad(loss))
 
     def grad_params(tab_l, dt):
@@ -498,10 +500,13 @@ def main():
             ug_dev = jnp.stack(
                 [jnp.zeros(n_g, dtype), jnp.zeros(n_g, dtype),
                  jnp.ones(n_g, dtype)], axis=1)
-            step32 = make_grad_step(tab, jnp.float32)
+            # the unrolled specialized engine: its VJP runs 6.4x the
+            # scan engine's (71.5 vs 456 ms at 2^22; 2^23 OOMs on VJP
+            # residuals -- 22.6G of (12, N) temps vs 15.75G HBM)
+            step32 = make_grad_step(tab, jnp.float32, unroll=True)
             p32 = grad_params(tab, jnp.float32)
             log("timing grad_step (f32, 2^22 rays, curvature+"
-                "distance)...")
+                "distance, unrolled engine)...")
             stats = {}
             tb = best_of(lambda a: float(step32(a, yg_dev,
                                                 ug_dev)[0]),
@@ -511,20 +516,26 @@ def main():
             # equivalent passes; the conservative user-visible rate
             # counts the bundle once per step
             rate_g = n_g*nsurf/tb
+            # one nan-safe gradient step = stop-gradient pre-trace +
+            # differentiated forward + VJP sweep (~2 forward-
+            # equivalents) = ~4 forward passes over the bundle
             details["grad_step"] = {
                 "config": "value_and_grad(spot RMS) wrt curvature+"
-                          "distance, nan-safe, scan engine",
+                          "distance, nan-safe, unrolled specialized "
+                          "engine",
                 "rays": n_g, "best_time_s": tb,
                 "steps_per_s": 1./tb,
                 "intersections_per_s_per_step": rate_g,
+                "fwd_equivalent_rate_est": 4*rate_g,
                 "vs_target": rate_g/BASELINE_RATE,
                 "grad_rel_err_f64_vs_cpu": gp64,
                 "grad_rel_err_f32_vs_cpu": gp32,
                 **stats,
             }
             log("  grad_step: %.1f ms/step (%.2f steps/s) -> %.3f G "
-                "intersections/s through value_and_grad"
-                % (tb*1e3, 1./tb, rate_g/1e9))
+                "intersections/s per step through value_and_grad "
+                "(~%.1f G fwd-equivalent)"
+                % (tb*1e3, 1./tb, rate_g/1e9, 4*rate_g/1e9))
         except Exception as e:
             log("grad_step failed (non-fatal):", e)
             details["grad_step"] = {"error": str(e)}
@@ -569,7 +580,7 @@ def main():
         try:
             from rayopt_tpu.ops.pallas_trace import \
                 spot_rms_from_moments
-            n_dm = 1 << 25
+            n_dm = 1 << 26
             reps = n_dm // yp.shape[0]
             state_dm = jax.tree_util.tree_map(
                 jnp.asarray, df32.state_from_f64(yp, up))
@@ -614,8 +625,9 @@ def main():
                                                  pd_poly)[0])
         log("timing poly trace (kmax=11, q=286)...")
         stats = {}
-        tb = best_of(lambda t: float(np.asarray(one(t))[0, 0]), tab64,
-                     stats=stats, k=5)
+        tb = best_of(
+            lambda t: float(np.asarray(one(t)).ravel()[0]), tab64,
+            stats=stats, k=5)
         details["poly_trace"] = {
             "kmax": kmax, "device_ms": tb*1e3, **stats}
         log("  poly trace: %.2f ms/system" % (tb*1e3))

@@ -19,7 +19,7 @@ from ..ops.geometric import trace_rays_final
 
 
 def spot_rms(table, y0, u0, w=None, clip=False, nan_safe=True,
-             biconic=False):
+             biconic=False, specs=None, unroll=False):
     """Weighted RMS spot radius at the last surface.
 
     Vignetted/missed rays become NaN in the trace; masking their
@@ -38,7 +38,8 @@ def spot_rms(table, y0, u0, w=None, clip=False, nan_safe=True,
     if nan_safe:
         tab0 = jax.tree_util.tree_map(jax.lax.stop_gradient, table)
         yp, up, tp = trace_rays_final(tab0, y0, u0, clip=clip,
-                                      biconic=biconic)
+                                      biconic=biconic, specs=specs,
+                                      unroll=unroll)
         # the final u matters too: a clip at the image surface NaNs u
         # after y was already computed, and any NaN primal in a dead
         # ray's chain turns the shared-parameter cotangent sum to NaN
@@ -49,7 +50,8 @@ def spot_rms(table, y0, u0, w=None, clip=False, nan_safe=True,
         u0 = jnp.where(alive[:, None], u0, u0[i0])
         w = jnp.where(alive, w, 0.)
     y, u, t = trace_rays_final(table, y0, u0, clip=clip,
-                               biconic=biconic)
+                               biconic=biconic, specs=specs,
+                               unroll=unroll)
     pt = y[:, :2]
     good = jnp.all(jnp.isfinite(pt), axis=1)
     wg = jnp.where(good, w, 0.)

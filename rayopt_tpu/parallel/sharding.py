@@ -33,13 +33,12 @@ def shard_rays(y, u, mesh, axis="rays"):
     return jax.device_put(y, sh), jax.device_put(u, sh)
 
 
-def sharded_trace(table, y, u, mesh, clip=False, axis="rays",
-                  biconic=False):
-    """Trace with rays sharded over the mesh (table replicated).
-
-    Pure SPMD: no cross-ray communication is needed, XLA keeps every
-    shard local to its chip.
-    """
+@functools.lru_cache(maxsize=128)
+def _sharded_trace_fn(mesh, clip, axis, biconic):
+    # jit + shard_map construction is cached per configuration:
+    # rebuilding it per call costs a full retrace every step (round-4
+    # bench measured ~1 s/call of pure tracing overhead on a kernel
+    # that executes in ~70 ms)
     fn = shard_map(
         functools.partial(trace_rays_final, clip=clip,
                           biconic=biconic),
@@ -47,7 +46,17 @@ def sharded_trace(table, y, u, mesh, clip=False, axis="rays",
         in_specs=(P(), P(axis, None), P(axis, None)),
         out_specs=(P(axis, None), P(axis, None), P(axis)),
     )
-    return jax.jit(fn)(table, y, u)
+    return jax.jit(fn)
+
+
+def sharded_trace(table, y, u, mesh, clip=False, axis="rays",
+                  biconic=False):
+    """Trace with rays sharded over the mesh (table replicated).
+
+    Pure SPMD: no cross-ray communication is needed, XLA keeps every
+    shard local to its chip.
+    """
+    return _sharded_trace_fn(mesh, clip, axis, biconic)(table, y, u)
 
 
 def _substitute_dead(table, y, u, w, clip, axis, biconic=False):
@@ -93,16 +102,21 @@ def _rms_local(table, y, u, w, clip, axis, nan_safe=False,
     return jnp.sqrt(r2 + 1e-30)
 
 
-def sharded_rms(table, y, u, w, mesh, clip=False, axis="rays"):
-    """Weighted spot RMS of a sharded bundle: local moment sums plus
-    `psum` over the mesh (the only collective in the hot path)."""
+@functools.lru_cache(maxsize=128)
+def _sharded_rms_fn(mesh, clip, axis):
     fn = shard_map(
         functools.partial(_rms_local, clip=clip, axis=axis),
         mesh=mesh,
         in_specs=(P(), P(axis, None), P(axis, None), P(axis)),
         out_specs=P(),
     )
-    return jax.jit(fn)(table, y, u, w)
+    return jax.jit(fn)
+
+
+def sharded_rms(table, y, u, w, mesh, clip=False, axis="rays"):
+    """Weighted spot RMS of a sharded bundle: local moment sums plus
+    `psum` over the mesh (the only collective in the hot path)."""
+    return _sharded_rms_fn(mesh, clip, axis)(table, y, u, w)
 
 
 def sharded_spot_rms(table, y, u, w, mesh, clip=False, axis="rays",
@@ -130,6 +144,21 @@ def shard_components(state, mesh, axis="rays"):
         lambda a: jax.device_put(jnp.asarray(a), sh), state)
 
 
+@functools.lru_cache(maxsize=128)
+def _sharded_pallas_trace_fn(mesh, clip, specs, tile, interpret, axis):
+    from ..ops.pallas_trace import pallas_trace_final
+
+    def local(tab, *st):
+        return pallas_trace_final(tab, st, clip=clip, specs=specs,
+                                  tile=tile, interpret=interpret)
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(),) + (P(axis),)*6,
+                   out_specs=((P(axis),)*6, P(axis)),
+                   check_vma=False)
+    return jax.jit(fn)
+
+
 def sharded_pallas_trace(table, state, mesh, clip=False, specs=None,
                          tile=None, interpret=False, axis="rays"):
     """The flagship fused Pallas kernel under shard_map: each chip
@@ -143,37 +172,19 @@ def sharded_pallas_trace(table, state, mesh, clip=False, specs=None,
     grid step per chip) when that is small enough, else the kernel
     default.  Returns ((x, y, z, ux, uy, uz), t) sharded over rays.
     """
-    from ..ops.pallas_trace import (pallas_trace_final, DEFAULT_TILE,
-                                    _resolve_specs)
+    from ..ops.pallas_trace import DEFAULT_TILE, _resolve_specs
     specs = _resolve_specs(table, specs)
     if tile is None:
         per_shard = state[0].shape[0] // int(mesh.shape[axis])
         tile = min(per_shard, DEFAULT_TILE)
-
-    def local(tab, *st):
-        return pallas_trace_final(tab, st, clip=clip, specs=specs,
-                                  tile=tile, interpret=interpret)
-
-    fn = shard_map(local, mesh=mesh,
-                   in_specs=(P(),) + (P(axis),)*6,
-                   out_specs=((P(axis),)*6, P(axis)),
-                   check_vma=False)
-    return jax.jit(fn)(table, *state)
+    return _sharded_pallas_trace_fn(
+        mesh, clip, specs, tile, interpret, axis)(table, *state)
 
 
-def sharded_pallas_moments(table, state, mesh, clip=False, specs=None,
-                           tile=None, interpret=False, axis="rays"):
-    """Fused Pallas trace + in-kernel spot-moment reduction per chip,
-    with the five moment totals psum'd over ICI -- the multi-chip
-    merit path of the headline engine (no per-ray writeback anywhere,
-    a handful of scalars on the wire).  Returns (count, sum x, sum y,
-    sum x^2, sum y^2); feed ops.pallas_trace.spot_rms_from_moments."""
-    from ..ops.pallas_trace import (pallas_trace_merit, DEFAULT_TILE,
-                                    _resolve_specs)
-    specs = _resolve_specs(table, specs)
-    if tile is None:
-        per_shard = state[0].shape[0] // int(mesh.shape[axis])
-        tile = min(per_shard, DEFAULT_TILE)
+@functools.lru_cache(maxsize=128)
+def _sharded_pallas_moments_fn(mesh, clip, specs, tile, interpret,
+                               axis):
+    from ..ops.pallas_trace import pallas_trace_merit
 
     def local(tab, *st):
         mom = pallas_trace_merit(tab, st, clip=clip, specs=specs,
@@ -183,7 +194,56 @@ def sharded_pallas_moments(table, state, mesh, clip=False, specs=None,
     fn = shard_map(local, mesh=mesh,
                    in_specs=(P(),) + (P(axis),)*6,
                    out_specs=(P(),)*5, check_vma=False)
-    return jax.jit(fn)(table, *state)
+    return jax.jit(fn)
+
+
+def sharded_pallas_moments(table, state, mesh, clip=False, specs=None,
+                           tile=None, interpret=False, axis="rays"):
+    """Fused Pallas trace + in-kernel spot-moment reduction per chip,
+    with the five moment totals psum'd over ICI -- the multi-chip
+    merit path of the headline engine (no per-ray writeback anywhere,
+    a handful of scalars on the wire).  Returns (count, sum x, sum y,
+    sum x^2, sum y^2); feed ops.pallas_trace.spot_rms_from_moments."""
+    from ..ops.pallas_trace import DEFAULT_TILE, _resolve_specs
+    specs = _resolve_specs(table, specs)
+    if tile is None:
+        per_shard = state[0].shape[0] // int(mesh.shape[axis])
+        tile = min(per_shard, DEFAULT_TILE)
+    return _sharded_pallas_moments_fn(
+        mesh, clip, specs, tile, interpret, axis)(table, *state)
+
+
+#: (id(steps), mesh, tile, interpret, axis, merit) -> (steps, fn);
+#: holding `steps` pins its id (a plan is a pytree of arrays --
+#: unhashable, so lru_cache cannot key on it directly)
+_df32_fn_cache = {}
+
+
+def _sharded_df32_fn(steps, mesh, tile, interpret, axis, merit):
+    key = (id(steps), mesh, tile, interpret, axis, merit)
+    hit = _df32_fn_cache.get(key)
+    if hit is not None:
+        return hit[1]
+    from ..ops import df32
+
+    if merit:
+        def local(st):
+            mom = df32.pallas_trace_df32_merit(steps, st, tile=tile,
+                                               interpret=interpret)
+            return tuple(jax.lax.psum(m, axis) for m in mom)
+        fn = shard_map(local, mesh=mesh, in_specs=(P(axis),),
+                       out_specs=(P(),)*5, check_vma=False)
+    else:
+        def local(st):
+            return df32.pallas_trace_df32(steps, st, tile=tile,
+                                          interpret=interpret)
+        fn = shard_map(local, mesh=mesh, in_specs=(P(axis),),
+                       out_specs=P(axis), check_vma=False)
+    fn = jax.jit(fn)
+    if len(_df32_fn_cache) > 128:
+        _df32_fn_cache.clear()
+    _df32_fn_cache[key] = (steps, fn)
+    return fn
 
 
 def sharded_df32_trace(steps, state, mesh, tile=None,
@@ -192,19 +252,11 @@ def sharded_df32_trace(steps, state, mesh, tile=None,
     planned surface chain closes over the local kernel, rays shard
     over the mesh, no collectives.  state: 6-tuple of (hi, lo) pairs;
     returns the final state in the same (sharded) layout."""
-    from ..ops import df32
-
     if tile is None:
         per_shard = state[0][0].shape[0] // int(mesh.shape[axis])
         tile = min(per_shard, 8*1024)
-
-    def local(st):
-        return df32.pallas_trace_df32(steps, st, tile=tile,
-                                      interpret=interpret)
-
-    fn = shard_map(local, mesh=mesh, in_specs=(P(axis),),
-                   out_specs=P(axis), check_vma=False)
-    return jax.jit(fn)(state)
+    return _sharded_df32_fn(steps, mesh, tile, interpret, axis,
+                            merit=False)(state)
 
 
 def sharded_df32_moments(steps, state, mesh, tile=None,
@@ -213,20 +265,11 @@ def sharded_df32_moments(steps, state, mesh, tile=None,
     pallas_trace_df32_merit reduces its shard to exact f64 moment
     totals, psum'd over ICI.  Parity-grade multi-chip optimization
     merit with zero per-ray writeback."""
-    from ..ops import df32
-
     if tile is None:
         per_shard = state[0][0].shape[0] // int(mesh.shape[axis])
         tile = min(per_shard, 8*1024)
-
-    def local(st):
-        mom = df32.pallas_trace_df32_merit(steps, st, tile=tile,
-                                           interpret=interpret)
-        return tuple(jax.lax.psum(m, axis) for m in mom)
-
-    fn = shard_map(local, mesh=mesh, in_specs=(P(axis),),
-                   out_specs=(P(),)*5, check_vma=False)
-    return jax.jit(fn)(state)
+    return _sharded_df32_fn(steps, mesh, tile, interpret, axis,
+                            merit=True)(state)
 
 
 def shard_bundles(bundles, mesh, axis="rays"):
