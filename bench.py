@@ -536,6 +536,53 @@ def main():
                 "intersections/s per step through value_and_grad "
                 "(~%.1f G fwd-equivalent)"
                 % (tb*1e3, 1./tb, rate_g/1e9, 4*rate_g/1e9))
+
+            # fused-step optimization (parallel.grad jit_steps): k
+            # value_and_grad+adam steps inside one lax.scan dispatch,
+            # amortizing the ~40 ms tunnel roundtrip that dominates a
+            # single 2^22-ray step
+            import optax
+            kf = 4
+            opt = optax.adam(1e-9)
+
+            def loss32(params):
+                t2 = tab.replace(
+                    curvature=params["curvature"],
+                    offset=jnp.asarray(unit64, jnp.float32)
+                    * params["distance"][:, None])
+                return spot_rms(t2, yg_dev, ug_dev, specs=specs,
+                                unroll=True)
+
+            @jax.jit
+            def fused_chunk(params, state):
+                def body(carry, _):
+                    params, state = carry
+                    value, grads = jax.value_and_grad(loss32)(params)
+                    updates, state = opt.update(grads, state, params)
+                    params = optax.apply_updates(params, updates)
+                    return (params, state), value
+                (params, state), values = jax.lax.scan(
+                    body, (params, state), None, length=kf)
+                return params, state, values[-1]
+
+            opt_state = opt.init(p32)
+            log("timing grad_step_fused (jit_steps=%d)..." % kf)
+            stats = {}
+            tb_f = best_of(
+                lambda a: float(fused_chunk(a, opt_state)[2]), p32,
+                stats=stats)
+            rate_f = kf*n_g*nsurf/tb_f
+            details["grad_step_fused"] = {
+                "jit_steps": kf, "rays": n_g,
+                "best_time_s": tb_f,
+                "steps_per_s": kf/tb_f,
+                "intersections_per_s_per_step": rate_f,
+                "vs_target": rate_f/BASELINE_RATE,
+                **stats,
+            }
+            log("  grad_step_fused: %.1f ms/chunk = %.1f ms/step "
+                "(%.2f steps/s) -> %.3f G intersections/s per step"
+                % (tb_f*1e3, tb_f/kf*1e3, kf/tb_f, rate_f/1e9))
         except Exception as e:
             log("grad_step failed (non-fatal):", e)
             details["grad_step"] = {"error": str(e)}
@@ -615,22 +662,47 @@ def main():
             details["pallas_df32_merit"] = {"error": str(e)}
 
     # aberration-polynomial trace (reference simplex.py:41-49 is the
-    # only upstream perf number): re-measure the device poly trace
-    # every round instead of trusting the committed one-off JSON
+    # only upstream perf number): re-measure every round.  All
+    # timings synchronize by fetching a scalar -- block_until_ready
+    # is a no-op on the tunnel, which made earlier async "device"
+    # numbers (benchmarks/bench_poly_v5e.json round 3) meaningless.
+    # The single-system trace is tiny-tensor serial work the TPU is
+    # BAD at; the device case is the vmapped tolerancing batch.
     try:
         from rayopt_tpu.ops.poly_jax import poly_trace_table
         kmax = 11
         pd_poly = s.object.pupil.distance
         one = jax.jit(lambda t: poly_trace_table(t, specs, kmax,
                                                  pd_poly)[0])
-        log("timing poly trace (kmax=11, q=286)...")
+        log("timing poly trace single (kmax=11, q=286)...")
         stats = {}
-        tb = best_of(
+        tb1 = best_of(
             lambda t: float(np.asarray(one(t)).ravel()[0]), tab64,
             stats=stats, k=5)
+        batch = 256
+        tabs_b = jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(
+                jnp.asarray(a)[None], (batch,) + np.shape(a)).copy(),
+            tab64)
+        curv_b = tabs_b.curvature*(1 + 1e-6*jnp.arange(batch)[:, None])
+        tabs_b = tabs_b.replace(curvature=jnp.where(
+            tabs_b.curvature == 0, 0., curv_b))
+        many = jax.jit(jax.vmap(
+            lambda t: poly_trace_table(t, specs, kmax,
+                                       pd_poly)[0][-1, :2]))
+        log("timing poly trace batch-%d (tolerancing shape)..."
+            % batch)
+        stats_b = {}
+        tbb = best_of(
+            lambda ts: float(np.asarray(many(ts)).ravel()[0]), tabs_b,
+            stats=stats_b, k=5)
         details["poly_trace"] = {
-            "kmax": kmax, "device_ms": tb*1e3, **stats}
-        log("  poly trace: %.2f ms/system" % (tb*1e3))
+            "kmax": kmax, "device_single_ms": tb1*1e3,
+            "single": stats,
+            "device_batch%d_ms" % batch: tbb*1e3,
+            "per_member_ms": tbb*1e3/batch, "batch": stats_b}
+        log("  poly trace: single %.1f ms; batch-%d %.1f ms = %.3f "
+            "ms/member" % (tb1*1e3, batch, tbb*1e3, tbb*1e3/batch))
     except Exception as e:
         log("poly row failed (non-fatal):", e)
         details["poly_trace"] = {"error": str(e)}

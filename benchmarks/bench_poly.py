@@ -50,9 +50,12 @@ def main():
     t_host = timed(lambda: PolyTrace(s, kmax))
 
     # single jitted trace
-    jax.jit(lambda x: x*2 + 1)(jnp.ones(8)).block_until_ready()
+    float(jax.jit(lambda x: x*2 + 1)(jnp.ones(8))[0])
     one = jax.jit(lambda t: poly_trace_table(t, specs, kmax, pd)[0])
-    t_dev = timed(lambda: one(tab)[0].block_until_ready())
+    # scalar fetch: block_until_ready does NOT synchronize on the
+    # tunnel backend (the round-3 numbers timed only the async
+    # dispatch and were ~2600x too small)
+    t_dev = timed(lambda: float(np.asarray(one(tab)).ravel()[0]))
 
     # vmapped batch (tolerancing shape): perturb curvature
     tabs = jax.tree_util.tree_map(
@@ -65,7 +68,7 @@ def main():
     tabs = tabs.replace(curvature=curv)
     many = jax.jit(jax.vmap(
         lambda t: poly_trace_table(t, specs, kmax, pd)[0][-1, :2]))
-    t_batch = timed(lambda: many(tabs).block_until_ready())
+    t_batch = timed(lambda: float(np.asarray(many(tabs)).ravel()[0]))
 
     # parity spot check
     host = PolyTrace(s, kmax)

@@ -369,7 +369,7 @@ def optimize_zoom(system, select=("curvature",), fields=None,
 def optimize_grad(table, bundles, select=("curvature",), steps=100,
                   lr=1e-4, optimizer=None, merit=None, callback=None,
                   mesh=None, axis="rays", checkpoint_dir=None,
-                  checkpoint_every=50):
+                  checkpoint_every=50, jit_steps=None):
     """Gradient-descent lens optimization.
 
     table:   initial SurfaceTable
@@ -386,6 +386,13 @@ def optimize_grad(table, bundles, select=("curvature",), steps=100,
              history) are saved every `checkpoint_every` steps with
              orbax and the run RESUMES from the latest checkpoint if
              one exists -- kill-safe long optimizations.
+    jit_steps: fuse this many optimization steps into one compiled
+             lax.scan (value_and_grad + optax update inside) so each
+             device dispatch carries k steps.  On the tunneled TPU the
+             per-dispatch roundtrip (~40 ms) is comparable to one
+             2^22-ray gradient step, so k=8 nearly halves wall time;
+             numerics are identical to the host loop.  Host callbacks
+             and checkpoints run at chunk boundaries.
 
     Returns (optimized table, history of merit values).
     """
@@ -452,15 +459,46 @@ def optimize_grad(table, bundles, select=("curvature",), steps=100,
             ckpt.save(step, args=ocp.args.StandardSave(
                 {"params": params, "state": state}))
             json.dump(history, open(hist_file, "w"))
-    for i in range(start, steps):
-        value, grads = value_and_grad(params)
-        updates, state = optimizer.update(grads, state, params)
-        params = optax.apply_updates(params, updates)
-        history.append(float(value))
-        if callback:
-            callback(i, value, params)
-        if ckpt is not None and (i + 1) % checkpoint_every == 0:
-            _save(i + 1, params, state)
+    if jit_steps:
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def run_chunk(params, state, k):
+            def body(carry, _):
+                params, state = carry
+                value, grads = jax.value_and_grad(loss)(params)
+                updates, state = optimizer.update(grads, state,
+                                                  params)
+                params = optax.apply_updates(params, updates)
+                return (params, state), value
+            (params, state), values = jax.lax.scan(
+                body, (params, state), None, length=k)
+            return params, state, values
+
+        i = start
+        while i < steps:
+            k = min(jit_steps, steps - i)
+            if ckpt is not None:
+                # land exactly on checkpoint boundaries
+                to_ckpt = checkpoint_every - i % checkpoint_every
+                k = min(k, to_ckpt)
+            params, state, values = run_chunk(params, state, k)
+            values = np.asarray(values)
+            history.extend(values.tolist())
+            if callback:
+                for j, v in enumerate(values):
+                    callback(i + j, v, params)
+            i += k
+            if ckpt is not None and i % checkpoint_every == 0:
+                _save(i, params, state)
+    else:
+        for i in range(start, steps):
+            value, grads = value_and_grad(params)
+            updates, state = optimizer.update(grads, state, params)
+            params = optax.apply_updates(params, updates)
+            history.append(float(value))
+            if callback:
+                callback(i, value, params)
+            if ckpt is not None and (i + 1) % checkpoint_every == 0:
+                _save(i + 1, params, state)
     if ckpt is not None:
         if ckpt.latest_step() != steps:
             _save(steps, params, state)

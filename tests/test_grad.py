@@ -152,3 +152,56 @@ def test_checkpoint_resume(tmp_path):
     np.testing.assert_allclose(np.asarray(t_res.curvature),
                                np.asarray(t_full.curvature),
                                rtol=1e-12)
+
+
+def test_jit_steps_matches_host_loop():
+    """Fused lax.scan optimization chunks (jit_steps) must reproduce
+    the host step loop's trajectory (same merit history, same final
+    parameters) -- the dispatch-amortization path for the tunneled
+    TPU."""
+    from rayopt_tpu.models import cooke_triplet
+    from rayopt_tpu.parallel import optimize_grad
+    s = cooke_triplet()
+    tab = s.table()
+    rng = np.random.RandomState(0)
+    n = 256
+    y = np.zeros((n, 3))
+    y[:, :2] = rng.uniform(-1, 1, (n, 2))*5.
+    u = np.zeros((n, 3))
+    u[:, 2] = 1.
+    w = np.ones(n)/n
+    tab_a, hist_a = optimize_grad(tab, [(y, u, w)], steps=7, lr=1e-5)
+    tab_b, hist_b = optimize_grad(tab, [(y, u, w)], steps=7, lr=1e-5,
+                                  jit_steps=3)
+    nptest.assert_allclose(hist_b, hist_a, rtol=1e-12)
+    nptest.assert_allclose(np.asarray(tab_b.curvature),
+                           np.asarray(tab_a.curvature), rtol=1e-12)
+
+
+@pytest.mark.slow
+def test_jit_steps_checkpoint_boundaries(tmp_path):
+    """jit_steps chunks must land on checkpoint boundaries so resume
+    semantics stay step-exact."""
+    from rayopt_tpu.models import cooke_triplet
+    from rayopt_tpu.parallel import optimize_grad
+    s = cooke_triplet()
+    tab = s.table()
+    rng = np.random.RandomState(1)
+    n = 256
+    y = np.zeros((n, 3))
+    y[:, :2] = rng.uniform(-1, 1, (n, 2))*5.
+    u = np.zeros((n, 3))
+    u[:, 2] = 1.
+    w = np.ones(n)/n
+    d = str(tmp_path/"ck")
+    tab_a, hist_a = optimize_grad(tab, [(y, u, w)], steps=10,
+                                  lr=1e-5, jit_steps=4,
+                                  checkpoint_dir=d,
+                                  checkpoint_every=5)
+    # resume from the persisted state: same final history
+    tab_b, hist_b = optimize_grad(tab, [(y, u, w)], steps=10,
+                                  lr=1e-5, jit_steps=4,
+                                  checkpoint_dir=d,
+                                  checkpoint_every=5)
+    assert len(hist_a) == 10 and len(hist_b) == 10
+    nptest.assert_allclose(hist_b[-1], hist_a[-1], rtol=1e-12)
