@@ -11,6 +11,7 @@ implementation, reference elements.py:306-501); the two are
 cross-checked in tests/test_ops.py.
 """
 
+import functools
 from functools import partial
 
 import jax
@@ -359,7 +360,13 @@ def refract_grating(x, y, ux, uy, uz, mu, gdy, gx, gy, doe=None):
         # sx == sy == 0 exactly, and a per-ray select would route the
         # forward-mode derivatives of the AD aberration jets through
         # the passthrough branch at the vertex
-        kick0 = jnp.all(doe == 0, axis=-1)
+        if hasattr(doe, "vals"):
+            # scalar-tuple coefficient view (ops.pallas_grad.Coeffs):
+            # reduce elementwise, no array comparison
+            kick0 = functools.reduce(
+                lambda a, b: a & b, [c == 0 for c in doe.vals])
+        else:
+            kick0 = jnp.all(doe == 0, axis=-1)
     bn = (bx*gx + by*gy + bz)*inv_nn
     bb = bx*bx + by*by + bz*bz
     disc = bn*bn - (bb - 1.)*inv_nn

@@ -1,0 +1,482 @@
+"""Analytic-adjoint Pallas merit kernel: differentiable fused
+spot-RMS with an in-kernel backward pass.
+
+The XLA reverse-mode trace stores every per-surface intermediate as a
+VJP residual in HBM (~56 arrays per surface: 22.6 GB at 2^23 rays on
+the double Gauss), which caps gradient-step bundles at 2^22 rays and
+makes the step residual-bandwidth-bound.  This module removes the
+residuals entirely:
+
+* forward: the fused Pallas merit kernel (trace + weighted spot-moment
+  reduction, no per-ray writeback) -- HBM sees only the input reads.
+* backward (jax.custom_vjp): a second Pallas kernel RECOMPUTES the
+  trace tile-by-tile in VMEM, saving only the per-surface ray states
+  (6 x nsurf x tile floats, ~2.5 MB at tile=8192 on a 13-row table),
+  then runs the chained per-surface VJPs in reverse -- built by
+  jax.vjp of the same kernels.surface_step_spec the forward uses, so
+  the adjoint physics can never drift from the primal -- and reduces
+  the parameter cotangents over the tile before writing a single
+  small block back.  Per-ray state and weight cotangents stream out
+  in one pass.
+
+HBM traffic per gradient step: read the bundle twice, write the
+cotangents once -- independent of surface count, same asymptotics as
+the forward kernel.  This is what lets optimization merits run at
+2^26+ rays per step (the XLA path OOMs at 2^23).
+
+Vignetted/missed (NaN) rays are handled inside the backward kernel by
+the same dead-ray substitution parallel.grad.spot_rms performs
+globally: each tile nominates a surviving donor ray, dead slots are
+replaced by the donor's (finite) per-surface states, and their
+cotangents are zero -- so no NaN ever enters the reverse sweep.
+
+Gradient semantics are those of the SPECIALIZED engine (the same as
+spot_rms(specs=..., unroll=True)): a parameter the static
+specialization bakes out -- the conic of an exactly-spherical row, the
+transverse offset of an on-axis row, the aspherics of a row without
+any -- carries a structurally zero gradient.  To optimize such a
+parameter away from its baked point, seed it off zero (respecialize)
+or use the generic scan engine.
+
+Parity with jax.grad(parallel.grad.spot_rms(specs, unroll=True)) is
+pinned in tests/test_pallas_grad.py (interpret mode, f64).  Replaces
+the merit gradient of the reference's finite-difference scipy loop
+(reference optimize.py:93-161) at production ray counts.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from . import kernels as K
+from .pallas_trace import (DEFAULT_TILE, _fields_for, _resolve_specs,
+                           spot_rms_from_moments)
+
+#: kernel-carried table fields that never receive cotangents (the
+#: rotation matrix is constrained geometry; radius/alternate are
+#: aperture/branch selectors)
+_NONDIFF = ("rot", "radius", "alternate")
+
+
+@jax.tree_util.register_pytree_node_class
+class Coeffs:
+    """A tuple of per-surface scalars presented with just enough of
+    the jnp array surface (shape[-1], [..., i] indexing) for the
+    kernels' polynomial evaluators.
+
+    The adjoint kernel reads every surface parameter as a SCALAR
+    before differentiating the step: jax.vjp of an array index is a
+    scatter-add, which Mosaic does not lower, while scalar reads
+    transpose to pure elementwise math.  Registered as a pytree node
+    (not a plain tuple) so jax.vjp/custom_jvp reconstruct Coeffs --
+    and its .shape -- on the other side of a transform boundary.
+    """
+
+    def __init__(self, vals):
+        self.vals = tuple(vals)
+
+    @property
+    def shape(self):
+        return (len(self.vals),)
+
+    def __len__(self):
+        return len(self.vals)
+
+    def __getitem__(self, idx):
+        if isinstance(idx, tuple):  # coeffs[..., i]
+            idx = idx[-1]
+        return self.vals[idx]
+
+    def tree_flatten(self):
+        return self.vals, None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children)
+
+
+class _Vals:
+    """Attribute view of one surface row from plain traced values
+    (differentiable dict + nondifferentiable dict); absent coefficient
+    columns read as empty, like pallas_trace._SurfRow."""
+
+    def __init__(self, diff, nondiff):
+        d = dict(nondiff)
+        d.update(diff)
+        object.__setattr__(self, "_d", d)
+
+    def __getattr__(self, name):
+        d = object.__getattribute__(self, "_d")
+        if name in d:
+            return d[name]
+        if name in ("aspherics", "aspherics_odd", "doe"):
+            return Coeffs(())
+        raise AttributeError(name)
+
+
+def _read_row(param_refs, fields, j):
+    """Read surface row j out of the kernel refs as scalar leaves:
+    (diff dict, nondiff dict)."""
+    diff, nondiff = {}, {}
+    for f in fields:
+        ref = param_refs[f]
+        if f in _NONDIFF:
+            nondiff[f] = ref[j]
+        elif f == "offset":
+            row = ref[j]
+            diff[f] = Coeffs((row[0], row[1], row[2]))
+        elif f in ("aspherics", "aspherics_odd", "doe"):
+            row = ref[j]
+            diff[f] = Coeffs(tuple(row[i]
+                                   for i in range(ref.shape[-1])))
+        else:
+            diff[f] = ref[j]
+    return diff, nondiff
+
+
+def _esize(table_or_params, f):
+    """Number of scalar slots one surface row of field f occupies."""
+    if f == "offset":
+        return 3
+    if f in ("aspherics", "aspherics_odd", "doe"):
+        return int(table_or_params[f].shape[-1])
+    return 1
+
+
+def _slot_count(params, diff_fields, nsurf):
+    return sum(_esize(params, f)*(nsurf - 1) for f in diff_fields)
+
+
+def _wmoment_final(state, specs, nsurf, rot_last):
+    """Final local-frame transverse coordinates and liveness mask."""
+    if specs[nsurf - 1].rotated:
+        yl = K.rot_apply(rot_last, *state[:3])
+        ul = K.rot_apply(rot_last, *state[3:])
+    else:
+        yl, ul = state[:3], state[3:]
+    x, y = yl[0], yl[1]
+    good = jnp.isfinite(x) & jnp.isfinite(y) & jnp.isfinite(ul[2])
+    return x, y, good
+
+
+def _fwd_kernel(specs, clip, nsurf, fields, *refs):
+    """Forward: trace the tile and reduce to WEIGHTED spot moments
+    (sum w, sum wx, sum wy, sum wx^2, sum wy^2); dead rays drop out
+    at zero weight."""
+    param_refs = dict(zip(fields, refs[:len(fields)]))
+    comp_refs = refs[len(fields):len(fields) + 6]
+    w_ref = refs[len(fields) + 6]
+    out_ref = refs[len(fields) + 7]
+    state = tuple(r[:] for r in comp_refs)
+    w = w_ref[:]
+    dtype = state[0].dtype
+    if specs[0].rotated:
+        r0 = param_refs["rot"][0]
+        state = (*K.rot_apply_t(r0, *state[:3]),
+                 *K.rot_apply_t(r0, *state[3:]))
+    from .pallas_trace import _SurfRow
+    for j in range(1, nsurf):
+        surf = _SurfRow(param_refs, j, dtype)
+        state, _ = K.surface_step_spec(state, surf, specs[j], clip)
+    x, y, good = _wmoment_final(state, specs, nsurf,
+                                param_refs["rot"][nsurf - 1])
+    wg = jnp.where(good, w, 0.)
+    xg = jnp.where(good, x, 0.)
+    yg = jnp.where(good, y, 0.)
+    moments = (wg.sum(), (wg*xg).sum(), (wg*yg).sum(),
+               (wg*xg*xg).sum(), (wg*yg*yg).sum())
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    row = jnp.zeros((8, 128), dtype)
+    for i, v in enumerate(moments):
+        row = jnp.where((rowi == 0) & (lane == i), v, row)
+    out_ref[:, :] = row
+
+
+def _adjoint_kernel(specs, clip, nsurf, fields, diff_fields, rows_p,
+                    *refs):
+    """Backward: recompute the trace saving per-surface states in
+    VMEM, substitute dead rays with a donor survivor, then chain the
+    per-surface jax.vjp's in reverse, reducing parameter cotangents
+    over the tile."""
+    nf = len(fields)
+    param_refs = dict(zip(fields, refs[:nf]))
+    comp_refs = refs[nf:nf + 6]
+    w_ref = refs[nf + 6]
+    ct_ref = refs[nf + 7]
+    out_pg = refs[nf + 8]
+    out_ct = refs[nf + 9:nf + 15]
+    out_ctw = refs[nf + 15]
+
+    state_in = tuple(r[:] for r in comp_refs)
+    w = w_ref[:]
+    dtype = state_in[0].dtype
+    zeros = jnp.zeros_like(state_in[0])
+
+    # ---- forward recompute, saving per-surface states ----
+    r0 = param_refs["rot"][0]
+    if specs[0].rotated:
+        state = (*K.rot_apply_t(r0, *state_in[:3]),
+                 *K.rot_apply_t(r0, *state_in[3:]))
+    else:
+        state = state_in
+    saved = [state]
+    drows, ndrows = [None], [None]
+    for j in range(1, nsurf):
+        d, nd = _read_row(param_refs, fields, j)
+        surf = _Vals(d, nd)
+        state, _ = K.surface_step_spec(state, surf, specs[j], clip)
+        saved.append(state)
+        drows.append(d)
+        ndrows.append(nd)
+    rot_last = param_refs["rot"][nsurf - 1]
+    x, y, good = _wmoment_final(state, specs, nsurf, rot_last)
+
+    # ---- dead-ray substitution: donor = last surviving ray ----
+    shape2 = state_in[0].shape
+    rowi = jax.lax.broadcasted_iota(jnp.int32, shape2, 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape2, 1)
+    idx = rowi*128 + lane
+    m = jnp.where(good, idx, -1).max()
+    sel = (idx == m) & good
+    any_good = m >= 0
+    # the all-dead-tile fallback traces the axis ray: finite through
+    # any sane system, and every cotangent is zero anyway
+    safe = (0., 0., 0., 0., 0., 1.)
+    sub = []
+    for s in saved:
+        donor = tuple(
+            jnp.where(any_good, jnp.where(sel, c, 0.).sum(),
+                      jnp.asarray(sf, dtype))
+            for c, sf in zip(s, safe))
+        sub.append(tuple(jnp.where(good, c, dc)
+                         for c, dc in zip(s, donor)))
+
+    # substituted final local coordinates (== originals on live rays)
+    xs, ys, _ = _wmoment_final(sub[-1], specs, nsurf, rot_last)
+
+    # ---- per-ray cotangents from the moment cotangents ----
+    ct = ct_ref[:, :]
+    ct_sw, ct_sx, ct_sy = ct[0, 0], ct[0, 1], ct[0, 2]
+    ct_sxx, ct_syy = ct[0, 3], ct[0, 4]
+    wg = jnp.where(good, w, 0.)
+    ct_x = wg*(ct_sx + 2.*xs*ct_sxx)
+    ct_y = wg*(ct_sy + 2.*ys*ct_syy)
+    ct_w = jnp.where(
+        good,
+        ct_sw + xs*ct_sx + ys*ct_sy + xs*xs*ct_sxx + ys*ys*ct_syy,
+        0.)
+
+    if specs[nsurf - 1].rotated:
+        ct3 = K.rot_apply_t(rot_last, ct_x, ct_y, zeros)
+    else:
+        ct3 = (ct_x, ct_y, zeros)
+    ct_state = (*ct3, zeros, zeros, zeros)
+
+    # ---- reverse sweep: chained per-surface VJPs ----
+    acc = {f: [None]*nsurf for f in diff_fields}
+    for j in range(nsurf - 1, 0, -1):
+        spec_j = specs[j]
+        nd = ndrows[j]
+
+        def step(st, d, spec_j=spec_j, nd=nd):
+            nst, _ = K.surface_step_spec(st, _Vals(d, nd), spec_j,
+                                         clip)
+            return nst
+        _, vjp = jax.vjp(step, sub[j - 1], drows[j])
+        ct_state, ct_d = vjp(ct_state)
+        for f in diff_fields:
+            acc[f][j] = ct_d[f]
+    if specs[0].rotated:
+        ct_state = (*K.rot_apply(r0, *ct_state[:3]),
+                    *K.rot_apply(r0, *ct_state[3:]))
+    # dead slots already carry zero cotangents (every step is
+    # elementwise per ray); the mask also shields the all-dead
+    # fallback from any non-finite partials
+    ct_state = tuple(jnp.where(good, c, 0.) for c in ct_state)
+
+    # ---- pack parameter cotangents into one small block ----
+    pgrow = jax.lax.broadcasted_iota(jnp.int32, (rows_p, 128), 0)
+    pglane = jax.lax.broadcasted_iota(jnp.int32, (rows_p, 128), 1)
+    pg = jnp.zeros((rows_p, 128), dtype)
+    slot = 0
+    for f in diff_fields:
+        for j in range(1, nsurf):
+            v = acc[f][j]
+            vals = v.vals if isinstance(v, Coeffs) else (v,)
+            for e in vals:
+                pg = jnp.where((pgrow == slot // 128)
+                               & (pglane == slot % 128), e, pg)
+                slot += 1
+    out_pg[:, :] = pg
+    for r, v in zip(out_ct, ct_state):
+        r[:] = v
+    out_ctw[:] = ct_w
+
+
+def _param_blockspecs(params, fields):
+    return [pl.BlockSpec(params[f].shape,
+                         lambda i, nd=params[f].ndim: (0,)*nd)
+            for f in fields]
+
+
+def _x64_ctx(dtype):
+    import contextlib
+    return (jax.enable_x64(False) if dtype == jnp.float32
+            else contextlib.nullcontext())
+
+
+def _moments_impl(specs, clip, tile, interpret, fields, params, state,
+                  w):
+    n = state[0].shape[0]
+    nsurf = params["curvature"].shape[0]
+    assert n % tile == 0 and tile % 128 == 0, (n, tile)
+    rows = tile // 128
+    grid = (n // tile,)
+    dtype = state[0].dtype
+    state2 = tuple(c.reshape(n // 128, 128) for c in state)
+    w2 = w.reshape(n // 128, 128)
+    pvals = [params[f] for f in fields]
+    comp_spec = pl.BlockSpec((rows, 128), lambda i: (i, 0))
+    out_spec = pl.BlockSpec((8, 128), lambda i: (i, 0))
+    out_shape = jax.ShapeDtypeStruct((n // tile*8, 128), dtype)
+    with _x64_ctx(dtype):
+        out = pl.pallas_call(
+            functools.partial(_fwd_kernel, specs, clip, nsurf, fields),
+            grid=grid,
+            in_specs=_param_blockspecs(params, fields)
+            + [comp_spec]*7,
+            out_specs=out_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(*pvals, *state2, w2)
+    tot = out.sum(0)
+    return tot[0], tot[1], tot[2], tot[3], tot[4]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
+def _moments(specs, clip, tile, interpret, fields, diff_fields,
+             params, state, w):
+    return _moments_impl(specs, clip, tile, interpret, fields, params,
+                         state, w)
+
+
+def _moments_fwd(specs, clip, tile, interpret, fields, diff_fields,
+                 params, state, w):
+    mom = _moments_impl(specs, clip, tile, interpret, fields, params,
+                        state, w)
+    return mom, (params, state, w)
+
+
+def _moments_bwd(specs, clip, tile, interpret, fields, diff_fields,
+                 res, ct_mom):
+    params, state, w = res
+    n = state[0].shape[0]
+    nsurf = params["curvature"].shape[0]
+    rows = tile // 128
+    grid = (n // tile,)
+    dtype = state[0].dtype
+    state2 = tuple(c.reshape(n // 128, 128) for c in state)
+    w2 = w.reshape(n // 128, 128)
+    pvals = [params[f] for f in fields]
+
+    nslots = _slot_count(params, diff_fields, nsurf)
+    rows_p = max(8, -(-nslots // 128))
+
+    # moment cotangents ride in as one replicated block; the sum-w
+    # cotangent reaches only the weights (liveness is a primal-side
+    # constant, as in parallel.grad.spot_rms)
+    ctv = jnp.zeros((8, 128), dtype)
+    for i, c in enumerate(ct_mom):
+        ctv = ctv.at[0, i].set(jnp.asarray(c, dtype))
+
+    comp_spec = pl.BlockSpec((rows, 128), lambda i: (i, 0))
+    ct_spec = pl.BlockSpec((8, 128), lambda i: (0, 0))
+    pg_spec = pl.BlockSpec((rows_p, 128), lambda i: (i, 0))
+    out_specs = ([pg_spec] + [comp_spec]*7)
+    out_shape = ([jax.ShapeDtypeStruct((n // tile*rows_p, 128), dtype)]
+                 + [jax.ShapeDtypeStruct((n // 128, 128), dtype)
+                    for _ in range(7)])
+    with _x64_ctx(dtype):
+        outs = pl.pallas_call(
+            functools.partial(_adjoint_kernel, specs, clip, nsurf,
+                              fields, diff_fields, rows_p),
+            grid=grid,
+            in_specs=_param_blockspecs(params, fields)
+            + [comp_spec]*7 + [ct_spec],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(*pvals, *state2, w2, ctv)
+    pg = outs[0].reshape(n // tile, rows_p, 128).sum(0).reshape(-1)
+    ct_state = tuple(o.reshape(n) for o in outs[1:7])
+    ct_w = outs[7].reshape(n)
+
+    ct_params = {}
+    pos = 0
+    for f in fields:
+        if f in _NONDIFF:
+            ct_params[f] = jnp.zeros_like(params[f])
+            continue
+        es = _esize(params, f)
+        cnt = es*(nsurf - 1)
+        body = pg[pos:pos + cnt].reshape(nsurf - 1, es)
+        full = jnp.concatenate(
+            [jnp.zeros((1, es), body.dtype), body], axis=0)
+        ct_params[f] = full.reshape(params[f].shape).astype(
+            params[f].dtype)
+        pos += cnt
+    ct_state = tuple(c.astype(s.dtype)
+                     for c, s in zip(ct_state, state))
+    return ct_params, ct_state, ct_w.astype(w.dtype)
+
+
+_moments.defvjp(_moments_fwd, _moments_bwd)
+
+
+def pallas_spot_moments(table, state, w, specs=None, clip=False,
+                        tile=DEFAULT_TILE, interpret=False):
+    """Differentiable weighted spot moments (sum w, sum wx, sum wy,
+    sum wx^2, sum wy^2) of the fused Pallas trace.  state: 6-tuple of
+    (N,) components; w: (N,) weights.  Gradients w.r.t. the table's
+    float fields, the ray state, and the weights flow through the
+    in-kernel adjoint (see module docstring)."""
+    specs = _resolve_specs(table, specs)
+    if specs is None:
+        if isinstance(table.curvature, jax.core.Tracer):
+            raise ValueError(
+                "pallas_spot_moments inside jit needs static specs="
+                " (kernels.specialize on the concrete table)")
+        specs = K.specialize(table)
+    fields = _fields_for(table, specs)
+    diff_fields = tuple(f for f in fields if f not in _NONDIFF)
+    dtype = state[0].dtype
+    params = {f: (jnp.asarray(getattr(table, f), dtype=dtype)
+                  if getattr(table, f).dtype.kind == "f"
+                  else getattr(table, f)) for f in fields}
+    return _moments(specs, clip, tile, interpret, fields, diff_fields,
+                    params, state, jnp.asarray(w, dtype))
+
+
+def pallas_spot_rms(table, y0, u0, w=None, specs=None, clip=False,
+                    tile=DEFAULT_TILE, interpret=False):
+    """Weighted RMS spot radius via the fused Pallas merit kernel,
+    differentiable end-to-end through the in-kernel analytic adjoint
+    -- the production-scale replacement of parallel.grad.spot_rms for
+    TPU optimization loops (no VJP residuals: O(N) HBM regardless of
+    surface count; 2^26-ray merits fit where the XLA path OOMs at
+    2^23).
+
+    Semantics match spot_rms(nan_safe=True) with the same weights:
+    vignetted/missed rays drop out of the moments and contribute zero
+    cotangent everywhere."""
+    y0 = jnp.asarray(y0)
+    u0 = jnp.asarray(u0)
+    if w is None:
+        w = jnp.ones(y0.shape[0], y0.dtype)/y0.shape[0]
+    state = (*K.split(y0), *K.split(u0))
+    mom = pallas_spot_moments(table, state, w, specs=specs, clip=clip,
+                              tile=tile, interpret=interpret)
+    return spot_rms_from_moments(*mom)

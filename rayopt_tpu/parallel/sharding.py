@@ -213,6 +213,51 @@ def sharded_pallas_moments(table, state, mesh, clip=False, specs=None,
         mesh, clip, specs, tile, interpret, axis)(table, *state)
 
 
+def sharded_pallas_spot_rms(table, y, u, w, mesh, specs=None,
+                            clip=False, tile=None, interpret=False,
+                            axis="rays"):
+    """Differentiable multi-chip merit on the analytic-adjoint Pallas
+    kernel (ops.pallas_grad): each chip traces its resident shard
+    with the fused merit kernel, the five weighted moments psum over
+    ICI, and under jax.grad the in-kernel adjoint runs per chip with
+    the table cotangents psum'd by shard_map's transpose -- the
+    production multi-chip optimization step with NO per-ray residuals
+    anywhere (the sharded_spot_rms XLA path stores ~56 arrays per
+    surface per chip).
+
+    Traceable (no jit inside) so it composes under jit/value_and_grad;
+    specs must be passed when the table is traced, as with every
+    specialized engine."""
+    from ..ops.kernels import specialize
+    from ..ops.pallas_grad import pallas_spot_moments
+    from ..ops.pallas_trace import (DEFAULT_TILE, _resolve_specs,
+                                    spot_rms_from_moments)
+    from ..ops.kernels import split
+    specs = _resolve_specs(table, specs)
+    if specs is None:
+        if isinstance(table.curvature, jax.core.Tracer):
+            raise ValueError(
+                "sharded_pallas_spot_rms inside jit needs static "
+                "specs= (kernels.specialize on the concrete table)")
+        specs = specialize(table)
+    if tile is None:
+        per_shard = y.shape[0] // int(mesh.shape[axis])
+        tile = min(per_shard, DEFAULT_TILE)
+
+    def local(tab, y, u, w):
+        state = (*split(y), *split(u))
+        mom = pallas_spot_moments(tab, state, w, specs=specs,
+                                  clip=clip, tile=tile,
+                                  interpret=interpret)
+        mom = tuple(jax.lax.psum(m, axis) for m in mom)
+        return spot_rms_from_moments(*mom)
+
+    return shard_map(local, mesh=mesh,
+                     in_specs=(P(), P(axis, None), P(axis, None),
+                               P(axis)),
+                     out_specs=P(), check_vma=False)(table, y, u, w)
+
+
 #: (id(steps), mesh, tile, interpret, axis, merit) -> (steps, fn);
 #: holding `steps` pins its id (a plan is a pytree of arrays --
 #: unhashable, so lru_cache cannot key on it directly)

@@ -1,0 +1,172 @@
+"""Analytic-adjoint Pallas merit kernel (ops.pallas_grad): value and
+gradient parity with jax.grad(parallel.grad.spot_rms) in interpret
+mode (f64 on CPU; the same kernels compile on TPU -- bench.py times
+and parity-checks them on hardware)."""
+
+import numpy as np
+from numpy import testing as nptest
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rayopt_tpu.models import doublet, cooke_triplet
+from rayopt_tpu.ops.kernels import specialize
+from rayopt_tpu.ops.pallas_grad import pallas_spot_rms
+from rayopt_tpu.parallel.grad import spot_rms
+
+
+def _bundle(s, n=256, seed=0, dead_frac=0.):
+    rng = np.random.RandomState(seed)
+    r = s.object.pupil.radius
+    sl = s.object.pupil.slope
+    y = np.zeros((n, 3))
+    y[:, :2] = rng.uniform(-1, 1, (n, 2))*.8*r
+    u = np.zeros((n, 3))
+    u[:, :2] = rng.uniform(-1, 1, (n, 2))*.3*sl
+    u[:, 2] = np.sqrt(1 - np.square(u[:, :2]).sum(1))
+    k = int(n*dead_frac)
+    if k:
+        # push a leading block far off the clear aperture so it
+        # vignettes (under clip) -- leading so one whole tile dies
+        y[:k, 1] += 50*r
+    w = rng.uniform(.5, 1.5, n)
+    w /= w.sum()
+    return y, u, w
+
+
+def _grads(tab, specs, y, u, w, select, clip=False):
+    """Both sides run the SPECIALIZED engine: parameters the static
+    specialization bakes out (conic of an exactly-spherical row,
+    transverse offset of an on-axis row) carry zero gradient in both
+    -- that is the specialized engines' documented semantics."""
+    p0 = {k: jnp.asarray(getattr(tab, k)) for k in select}
+
+    def loss_ref(p):
+        return spot_rms(tab.replace(**p), y, u, w, clip=clip,
+                        specs=specs, unroll=True)
+
+    def loss_pal(p):
+        return pallas_spot_rms(tab.replace(**p), y, u, w, specs=specs,
+                               clip=clip, tile=128, interpret=True)
+
+    v1, g1 = jax.value_and_grad(loss_ref)(p0)
+    v2, g2 = jax.value_and_grad(loss_pal)(p0)
+    return (v1, g1), (v2, g2)
+
+
+SELECT = ("curvature", "conic", "offset", "mu")
+
+
+@pytest.mark.parametrize("build", [
+    doublet,
+    pytest.param(cooke_triplet, marks=pytest.mark.slow),
+])
+def test_adjoint_grad_matches_xla(build):
+    s = build()
+    tab = s.table()
+    specs = specialize(tab)
+    y, u, w = _bundle(s)
+    (v1, g1), (v2, g2) = _grads(tab, specs, y, u, w, SELECT)
+    nptest.assert_allclose(float(v2), float(v1), rtol=1e-9)
+    for k in SELECT:
+        nptest.assert_allclose(np.asarray(g2[k]), np.asarray(g1[k]),
+                               rtol=1e-9, atol=1e-12, err_msg=k)
+
+
+def test_adjoint_grad_dead_rays():
+    """Vignetted/missed rays must drop out of value AND gradient
+    exactly as spot_rms(nan_safe=True) does -- including a tile whose
+    rays are ALL dead (tile=128; the first 128 rays are pushed far off
+    the clear aperture)."""
+    s = doublet()
+    tab = s.table()
+    specs = specialize(tab)
+    y, u, w = _bundle(s, dead_frac=.5)
+    (v1, g1), (v2, g2) = _grads(tab, specs, y, u, w, SELECT,
+                                clip=True)
+    assert np.isfinite(float(v1)) and np.isfinite(float(v2))
+    nptest.assert_allclose(float(v2), float(v1), rtol=1e-9)
+    for k in SELECT:
+        assert np.all(np.isfinite(np.asarray(g2[k]))), k
+        nptest.assert_allclose(np.asarray(g2[k]), np.asarray(g1[k]),
+                               rtol=1e-9, atol=1e-12, err_msg=k)
+
+
+def test_adjoint_grad_rays_weights():
+    """Cotangents w.r.t. the ray state and the weights stream out of
+    the adjoint kernel; parity with the XLA path."""
+    s = doublet()
+    tab = s.table()
+    specs = specialize(tab)
+    y, u, w = _bundle(s, n=128)
+
+    def loss_ref(y, u, w):
+        return spot_rms(tab, y, u, w, specs=specs, unroll=True)
+
+    def loss_pal(y, u, w):
+        return pallas_spot_rms(tab, y, u, w, specs=specs, tile=128,
+                               interpret=True)
+
+    g1 = jax.grad(loss_ref, argnums=(0, 1, 2))(
+        jnp.asarray(y), jnp.asarray(u), jnp.asarray(w))
+    g2 = jax.grad(loss_pal, argnums=(0, 1, 2))(
+        jnp.asarray(y), jnp.asarray(u), jnp.asarray(w))
+    for a, b, name in zip(g1, g2, ("y", "u", "w")):
+        nptest.assert_allclose(np.asarray(b), np.asarray(a),
+                               rtol=1e-9, atol=1e-12, err_msg=name)
+
+
+@pytest.mark.slow
+def test_adjoint_grad_aspheric_conic():
+    """An aspheric + conic row routes the adjoint through the
+    implicit-diff Newton intercept (custom_jvp transpose) and the
+    Coeffs scalar view; gradients w.r.t. the aspheric coefficients and
+    the (non-baked-out) conic included."""
+    s = doublet()
+    tab = s.table()
+    nsurf = tab.curvature.shape[0]
+    asp = np.zeros((nsurf, 2))
+    asp[1] = [1e-5, -1e-7]
+    conic = np.asarray(tab.conic).copy()
+    conic[2] = -.5
+    tab = tab.replace(aspherics=jnp.asarray(asp),
+                      conic=jnp.asarray(conic))
+    specs = specialize(tab)
+    y, u, w = _bundle(s, n=128)
+    select = ("curvature", "aspherics", "conic", "offset")
+    (v1, g1), (v2, g2) = _grads(tab, specs, y, u, w, select)
+    nptest.assert_allclose(float(v2), float(v1), rtol=1e-9)
+    assert np.any(np.asarray(g1["aspherics"]) != 0)
+    assert np.asarray(g1["conic"])[2] != 0
+    for k in select:
+        nptest.assert_allclose(np.asarray(g2[k]), np.asarray(g1[k]),
+                               rtol=1e-9, atol=1e-12, err_msg=k)
+
+
+def test_adjoint_under_jit_value_and_grad():
+    """The custom-VJP merit composes with jit(value_and_grad) and an
+    optimizer-style parameter dict (static specs passed explicitly,
+    as with every engine inside jit)."""
+    s = doublet()
+    tab = s.table()
+    specs = specialize(tab)
+    y, u, w = _bundle(s, n=128)
+    y, u, w = jnp.asarray(y), jnp.asarray(u), jnp.asarray(w)
+
+    @jax.jit
+    def step(p):
+        def loss(p):
+            return pallas_spot_rms(tab.replace(**p), y, u, w,
+                                   specs=specs, tile=128,
+                                   interpret=True)
+        return jax.value_and_grad(loss)(p)
+
+    p0 = {"curvature": jnp.asarray(tab.curvature)}
+    v, g = step(p0)
+    vr, gr = jax.value_and_grad(
+        lambda p: spot_rms(tab.replace(**p), y, u, w, specs=specs,
+                           unroll=True))(p0)
+    nptest.assert_allclose(float(v), float(vr), rtol=1e-9)
+    nptest.assert_allclose(np.asarray(g["curvature"]),
+                           np.asarray(gr["curvature"]), rtol=1e-9)
