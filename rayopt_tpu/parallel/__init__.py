@@ -2,6 +2,7 @@ from .sharding import (  # noqa: F401
     ray_mesh, shard_rays, sharded_trace, sharded_rms,
     sharded_spot_rms, shard_bundles, shard_components,
     sharded_pallas_trace, sharded_pallas_moments,
+    sharded_pallas_spot_rms,
     sharded_df32_trace, sharded_df32_moments,
 )
 from .tolerancing import (  # noqa: F401

@@ -237,3 +237,34 @@ def test_df32_merit_eager_parity(setup):
     r_ref = np.sqrt(((pt - pt.mean(0))**2).sum(1).mean())
     nptest.assert_allclose(float(spot_rms_from_moments(*mom)), r_ref,
                            rtol=1e-12)
+
+
+@pytest.mark.slow
+def test_sharded_adjoint_merit_grad(setup):
+    """The analytic-adjoint Pallas merit under the 8-device mesh:
+    value and table gradient match the single-device custom-VJP
+    kernel (moments psum forward, cotangents psum in transpose)."""
+    import jax.numpy as jnp
+    from rayopt_tpu.ops.kernels import specialize
+    from rayopt_tpu.ops.pallas_grad import pallas_spot_rms
+    from rayopt_tpu.parallel import sharded_pallas_spot_rms
+    tab, y, u, w = setup
+    specs = specialize(tab)
+    mesh = ray_mesh()
+
+    def merit_single(curv):
+        return pallas_spot_rms(tab.replace(curvature=curv), y, u, w,
+                               specs=specs, tile=128, interpret=True)
+
+    def merit_sharded(curv):
+        return sharded_pallas_spot_rms(
+            tab.replace(curvature=curv), jnp.asarray(y),
+            jnp.asarray(u), jnp.asarray(w), mesh, specs=specs,
+            interpret=True)
+
+    curv = np.asarray(tab.curvature)
+    v0, g0 = jax.value_and_grad(merit_single)(curv)
+    v1, g1 = jax.jit(jax.value_and_grad(merit_sharded))(curv)
+    nptest.assert_allclose(float(v1), float(v0), rtol=1e-12)
+    nptest.assert_allclose(np.asarray(g1), np.asarray(g0),
+                           rtol=1e-10, atol=1e-14)
