@@ -586,6 +586,110 @@ def main():
         except Exception as e:
             log("grad_step failed (non-fatal):", e)
             details["grad_step"] = {"error": str(e)}
+
+        # analytic-adjoint Pallas merit (ops.pallas_grad): the
+        # backward pass runs IN-KERNEL (per-surface states live in
+        # VMEM, parameter cotangents reduce per tile) -- no VJP
+        # residuals, so the bundle scales to 2^26 rays where the XLA
+        # VJP OOMs at 2^23
+        try:
+            from rayopt_tpu.ops.pallas_grad import pallas_spot_rms
+
+            # gradient parity on the same seed bundle as gp32
+            def loss_adj_of(tab_l, y_l, u_l, w_l):
+                def loss(params):
+                    t2 = tab_l.replace(
+                        curvature=params["curvature"],
+                        offset=jnp.asarray(unit64, jnp.float32)
+                        * params["distance"][:, None])
+                    return pallas_spot_rms(t2, y_l, u_l, w_l,
+                                           specs=specs, tile=8*1024)
+                return loss
+
+            p32a = grad_params(tab, jnp.float32)
+            kfa = 4
+            wg_par = jnp.ones(mg, jnp.float32)/mg
+            _, g_adj = jax.jit(jax.value_and_grad(loss_adj_of(
+                tab, yg.astype(np.float32), ug.astype(np.float32),
+                wg_par)))(p32a)
+            gp_adj = grad_rel_err(g_adj)
+            log("adjoint-kernel grad parity vs CPU f64: %.3g" % gp_adj)
+
+            n_a = 1 << 26
+            kxa, kya = jax.random.split(jax.random.PRNGKey(2))
+            y_adj = jnp.stack(
+                [jax.random.uniform(kxa, (n_a,), dtype, -11., 11.),
+                 jax.random.uniform(kya, (n_a,), dtype, -11., 11.),
+                 jnp.zeros(n_a, dtype)], axis=1)
+            u_adj = jnp.stack(
+                [jnp.zeros(n_a, dtype), jnp.zeros(n_a, dtype),
+                 jnp.ones(n_a, dtype)], axis=1)
+            w_adj = jnp.ones(n_a, dtype)/n_a
+            step_adj = jax.jit(jax.value_and_grad(loss_adj_of(
+                tab, y_adj, u_adj, w_adj)))
+            log("timing grad_step_adjoint (f32, 2^26 rays, in-kernel "
+                "backward)...")
+            stats = {}
+            tb_a = best_of(lambda a: float(step_adj(a)[0]), p32a,
+                           stats=stats)
+            rate_a = n_a*nsurf/tb_a
+            details["grad_step_adjoint"] = {
+                "config": "value_and_grad(pallas_spot_rms) wrt "
+                          "curvature+distance, analytic in-kernel "
+                          "adjoint, no VJP residuals",
+                "rays": n_a, "best_time_s": tb_a,
+                "steps_per_s": 1./tb_a,
+                "intersections_per_s_per_step": rate_a,
+                "vs_target": rate_a/BASELINE_RATE,
+                "grad_rel_err_f32_vs_cpu": gp_adj,
+                **stats,
+            }
+            log("  grad_step_adjoint: %.1f ms/step (%.2f steps/s) -> "
+                "%.3f G intersections/s per step through the "
+                "in-kernel adjoint"
+                % (tb_a*1e3, 1./tb_a, rate_a/1e9))
+
+            # fused adam steps on the adjoint merit
+            import optax
+            opt_a = optax.adam(1e-9)
+
+            @jax.jit
+            def fused_adj(params, state):
+                def body(carry, _):
+                    params, state = carry
+                    value, grads = jax.value_and_grad(
+                        loss_adj_of(tab, y_adj, u_adj, w_adj))(params)
+                    updates, state = opt_a.update(grads, state,
+                                                  params)
+                    params = optax.apply_updates(params, updates)
+                    return (params, state), value
+                (params, state), values = jax.lax.scan(
+                    body, (params, state), None, length=kfa)
+                return params, state, values[-1]
+
+            log("timing grad_step_adjoint_fused (jit_steps=%d)..."
+                % kfa)
+            stats = {}
+            opt_state_a = opt_a.init(p32a)
+            tb_af = best_of(
+                lambda a: float(fused_adj(a, opt_state_a)[2]),
+                p32a, stats=stats)
+            rate_af2 = kfa*n_a*nsurf/tb_af
+            details["grad_step_adjoint_fused"] = {
+                "jit_steps": kfa, "rays": n_a,
+                "best_time_s": tb_af,
+                "steps_per_s": kfa/tb_af,
+                "intersections_per_s_per_step": rate_af2,
+                "vs_target": rate_af2/BASELINE_RATE,
+                **stats,
+            }
+            log("  grad_step_adjoint_fused: %.1f ms/chunk = %.1f "
+                "ms/step (%.2f steps/s) -> %.3f G intersections/s "
+                "per step" % (tb_af*1e3, tb_af/kfa*1e3, kfa/tb_af,
+                              rate_af2/1e9))
+        except Exception as e:
+            log("grad_step_adjoint failed (non-fatal):", e)
+            details["grad_step_adjoint"] = {"error": str(e)}
     else:
         gp = grad_rel_err(g_cpu)  # trivially 0; records the path ran
         details["grad_step"] = {"grad_rel_err_f64_vs_cpu": gp}
