@@ -55,7 +55,7 @@ from .materials import (  # noqa: E402,F401
 )
 from .elements import (  # noqa: E402,F401
     Element, Interface, Spheroid, Biconic, Toroid, Grating,
-    DiffractiveSurface, ForbesQcon,
+    DiffractiveSurface, ForbesQcon, FreeformXY, ZernikeSag,
     TransformMixin,
 )
 from .utils.registry import NameMixin  # noqa: E402,F401

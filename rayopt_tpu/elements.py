@@ -738,6 +738,192 @@ class Toroid(Spheroid):
 
 
 @Element.register
+class FreeformXY(Spheroid):
+    """Freeform surface: conic/aspheric base plus a general
+    XY-polynomial figure (beyond reference -- rayopt has no freeform
+    surfaces; the model matches the Zemax Extended Polynomial idea),
+
+        sag = conic(r2) + poly(r2) + sum_t A_t (x/R)^i (y/R)^j
+
+    with the triangular term ordering of ops.kernels._xy_terms:
+    total degree d = 1..D, within each degree from x^d down to y^d
+    (x, y, x^2, xy, y^2, x^3, x^2 y, ...).  There is deliberately no
+    constant term: sag(0, 0) == 0 by construction and the vertex
+    position carries any piston (a constant would be degenerate with
+    `distance` under optimization).  `norm_radius` R normalizes the
+    coordinates, so each A_t is the term's sag contribution (in lens
+    units) at the normalization radius.
+
+    Linear terms (x, y) tilt the vertex tangent plane; they trace
+    exactly but contribute no paraxial power, so first-order
+    properties describe the untilted carrier (as with `angles`).
+    The quadratic terms feed per-axis paraxial power
+    (cx += 2 A_(2,0)/R^2, cy += 2 A_(0,2)/R^2; the xy cross term
+    rotates the principal sections and is ignored at first order).
+
+    All exact engines trace it: the scan/unrolled XLA engines and the
+    Pallas f32 kernel dispatch freeform rows via the static
+    SurfaceSpec (seeded-Newton intercept on the full sag, implicit
+    differentiation), so gradients, tolerancing, and the AD
+    aberration expansion cover freeform systems too.  The df32
+    parity engine and the polynomial (Andersen) trace reject
+    freeform rows loudly; parity-grade work uses the f64 scan
+    engine.
+    """
+
+    _type = "xypoly"
+
+    def __init__(self, xy_coefficients=None, norm_radius=1.,
+                 **kwargs):
+        super().__init__(**kwargs)
+        self.xy_coefficients = (None if xy_coefficients is None
+                                else list(xy_coefficients))
+        self.norm_radius = float(norm_radius)
+
+    def dict(self):
+        dat = super().dict()
+        if self.xy_coefficients is not None:
+            dat["xy_coefficients"] = list(map(float,
+                                              self.xy_coefficients))
+        if self.norm_radius != 1.:
+            dat["norm_radius"] = float(self.norm_radius)
+        return dat
+
+    @property
+    def _xy_arr(self):
+        """Denormalized monomial coefficients, zero-padded to a full
+        triangle: term t multiplies x^i y^j in lens units."""
+        from .ops.kernels import _xy_terms
+        a = np.asarray(self.xy_coefficients or (), dtype=float)
+        if not a.size:
+            return np.zeros(0)
+        deg, n = 0, 0
+        while n < a.size:
+            deg += 1
+            n += deg + 1
+        out = np.zeros(n)
+        out[:a.size] = a
+        scale = np.array([self.norm_radius**(i + j)
+                          for i, j in _xy_terms(deg)])
+        return out/scale
+
+    def surface_sag(self, xyz):
+        with on_host():
+            return _np(_ops.surface_sag(
+                np.asarray(xyz, dtype=float), self.curvature,
+                self.conic, self._aspheric_arr,
+                self._aspheric_odd_arr, self._xy_arr))
+
+    def surface_normal(self, xyz):
+        with on_host():
+            return _np(_ops.surface_normal(
+                np.asarray(xyz, dtype=float), self.curvature,
+                self.conic, self._aspheric_arr,
+                self._aspheric_odd_arr, self._xy_arr))
+
+    def intercept(self, y, u):
+        with on_host():
+            return _np(_ops.intercept(
+                np.asarray(y, dtype=float), np.asarray(u, dtype=float),
+                self.curvature, self.conic, self._aspheric_arr,
+                alternate=1. if self.alternate_intersection else 0.,
+                aspherics_odd=self._aspheric_odd_arr,
+                xy_poly=self._xy_arr))
+
+    def refract(self, y, u0, mu):
+        with on_host():
+            return _np(_ops.refract(
+                np.asarray(y, dtype=float),
+                np.asarray(u0, dtype=float), mu, self.curvature,
+                self.conic, self._aspheric_arr,
+                aspherics_odd=self._aspheric_odd_arr,
+                xy_poly=self._xy_arr))
+
+    def _xy_quadratic(self):
+        """(2 c20, 2 c11, 2 c02): second-derivative curvatures of the
+        freeform figure at the vertex (denormalized)."""
+        a = self._xy_arr
+        if a.size < 5:
+            return 0., 0., 0.
+        return 2*a[2], 2*a[3], 2*a[4]
+
+    def _vertex_power(self):
+        return super()._vertex_power() + self._xy_quadratic()[2]
+
+    def _vertex_power_x(self):
+        return super()._vertex_power() + self._xy_quadratic()[0]
+
+    def reverse(self):
+        super().reverse()
+        if self.xy_coefficients is not None:
+            self.xy_coefficients = [-a for a in self.xy_coefficients]
+
+    def rescale(self, scale):
+        super().rescale(scale)
+        self.norm_radius *= scale
+        if self.xy_coefficients is not None:
+            # A_t is a sag (length): scales with the system
+            self.xy_coefficients = [a*scale
+                                    for a in self.xy_coefficients]
+
+
+@Element.register
+class ZernikeSag(FreeformXY):
+    """Zernike-sag freeform surface: conic/aspheric base plus a
+    wavefront-style Zernike figure (beyond reference),
+
+        sag = conic(r2) + poly(r2) + sum_j z_j Z_j(x/R, y/R)
+
+    with Z_j the ORTHONORMAL Noll-ordered Zernikes of
+    utils.zernike.zernike (the same convention Analysis and
+    GeometricTrace.zernike report in), evaluated on coordinates
+    normalized by `norm_radius`.  Coefficients are therefore sag RMS
+    contributions over the normalization disc, in lens units.
+
+    At construction the Zernike sum is lowered EXACTLY onto the
+    XY-monomial basis (utils.zernike.zernike_xy_coefficients) and
+    traced by the freeform machinery of FreeformXY -- every engine,
+    gradient, and analysis path that handles FreeformXY handles this
+    surface with no new kernels.  The constant (piston) part of the
+    Zernike sum is dropped so sag(0, 0) == 0: the vertex is
+    re-referenced to the surface (z_1 and the constant parts of
+    Z4/Z11/... move the vertex, not the shape).
+    """
+
+    _type = "zernike"
+
+    def __init__(self, zernike_coefficients=None, norm_radius=1.,
+                 **kwargs):
+        from .utils.zernike import zernike_xy_coefficients
+        z = list(zernike_coefficients or ())
+        xy, const = zernike_xy_coefficients(z)
+        super().__init__(xy_coefficients=xy, norm_radius=norm_radius,
+                         **kwargs)
+        self.zernike_coefficients = z
+        self.piston = const  # dropped constant (vertex re-reference)
+
+    def dict(self):
+        dat = super().dict()
+        dat.pop("xy_coefficients", None)
+        if self.zernike_coefficients:
+            dat["zernike_coefficients"] = list(
+                map(float, self.zernike_coefficients))
+        return dat
+
+    def reverse(self):
+        super().reverse()
+        self.zernike_coefficients = [-z
+                                     for z in self.zernike_coefficients]
+        self.piston = -self.piston
+
+    def rescale(self, scale):
+        super().rescale(scale)
+        self.zernike_coefficients = [z*scale
+                                     for z in self.zernike_coefficients]
+        self.piston *= scale
+
+
+@Element.register
 class Grating(Spheroid):
     """Linear diffraction grating on a conic/aspheric substrate
     (beyond reference): grooves ruled along the local x axis

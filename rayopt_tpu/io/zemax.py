@@ -749,6 +749,13 @@ def system_to_zmx(system):
         biconic = not toroid and cx is not None and (
             cx != getattr(e, "curvature", 0.)
             or (kx or 0.) != getattr(e, "conic", 0.))
+        if np.any(np.asarray(getattr(e, "_xy_arr", ())) != 0):
+            import warnings
+            warnings.warn(
+                "surface %d: freeform (XY-polynomial / Zernike-sag) "
+                "figure has no .zmx mapping; the base conic/aspheric "
+                "is exported, the freeform terms are dropped "
+                "(serialize via YAML/JSON to keep them)" % j)
         if doe:
             out.append("  TYPE BINARY_2")
         elif grating:

@@ -820,6 +820,13 @@ def plan(table, clip=False, fast=False):
     doe_tab = getattr(table, "doe", None)
     doe_tab = (np.zeros((s_count, 0)) if doe_tab is None
                else np.asarray(doe_tab, np.float64))
+    xy_tab = getattr(table, "xy_poly", None)
+    if xy_tab is not None and np.asarray(xy_tab).size \
+            and np.any(np.asarray(xy_tab) != 0):
+        raise NotImplementedError(
+            "freeform (xy_poly) rows are not covered by the df32 "
+            "parity engine; use the f64 scan engine "
+            "(trace_rays_final) for parity-grade freeform work")
     alt = np.asarray(table.alternate, np.float64)
     rad = np.asarray(table.radius, np.float64)
     df_iters = ANAM_DF_ITERS + (0 if fast else 1)

@@ -88,6 +88,75 @@ def _dpoly_odd(r2, coeffs):
     return p/r + 2*r*dp
 
 
+@functools.lru_cache()
+def _xy_terms(deg):
+    """Triangular XY-monomial ordering: total degree d = 1..deg, within
+    each degree from x^d down to y^d, i.e. (i, j) exponent pairs
+    (d, 0), (d-1, 1), ..., (0, d).  No (0, 0) term: a constant sag is
+    a vertex shift and belongs in the surface position (it would be
+    degenerate with `distance` under optimization)."""
+    return tuple((d - j, j) for d in range(1, deg + 1)
+                 for j in range(d + 1))
+
+
+def xy_degree(nterms):
+    """Polynomial degree from the triangular term count
+    nterms = deg*(deg + 3)/2 (inverse of len(_xy_terms(deg)))."""
+    deg, n = 0, 0
+    while n < nterms:
+        deg += 1
+        n += deg + 1
+    if n != nterms:
+        raise ValueError(
+            "xy_poly width %d is not triangular (expected deg*(deg+3)/2"
+            " for some integer degree)" % nterms)
+    return deg
+
+
+def _xy_pows(v, deg):
+    pows = [None, v]
+    for _ in range(2, deg + 1):
+        pows.append(pows[-1]*v)
+    return pows
+
+
+def _poly_xy(x, y, coeffs):
+    """sum_t coeffs[t] x^i y^j over the triangular ordering
+    (_xy_terms); the freeform XY-polynomial figure."""
+    deg = xy_degree(coeffs.shape[-1])
+    xp = _xy_pows(x, deg)
+    yp = _xy_pows(y, deg)
+    out = jnp.zeros_like(x)
+    for t, (i, j) in enumerate(_xy_terms(deg)):
+        m = xp[i] if i else yp[j]
+        if i and j:
+            m = m*yp[j]
+        out = out + coeffs[..., t]*m
+    return out
+
+
+def _dpoly_xy(x, y, coeffs):
+    """(d/dx, d/dy) of _poly_xy."""
+    deg = xy_degree(coeffs.shape[-1])
+    xp = _xy_pows(x, deg)
+    yp = _xy_pows(y, deg)
+    gx = jnp.zeros_like(x)
+    gy = jnp.zeros_like(x)
+    for t, (i, j) in enumerate(_xy_terms(deg)):
+        c = coeffs[..., t]
+        if i:
+            m = xp[i - 1] if i > 1 else None
+            if j:
+                m = yp[j] if m is None else m*yp[j]
+            gx = gx + (i*c if m is None else (i*c)*m)
+        if j:
+            m = yp[j - 1] if j > 1 else None
+            if i:
+                m = xp[i] if m is None else m*xp[i]
+            gy = gy + (j*c if m is None else (j*c)*m)
+    return gx, gy
+
+
 def sag(x, y, z, c, k, aspherics, aspherics_odd=None):
     """z - surface_sag(x, y) (reference elements.py:440)."""
     r2 = x*x + y*y
@@ -159,19 +228,25 @@ def normal_biconic(x, y, cx, kx, cy, ky, aspherics,
 
 
 def _newton_residual(kind, s, x, y, z, ux, uy, uz, pa, pb, pc, pd,
-                     asp, aspo):
+                     asp, aspo, xy):
     """Sag residual F(s) at distance s along the ray, for the three
-    Newton-refined figures (pa..pd = figure scalars per kind)."""
+    Newton-refined figures (pa..pd = figure scalars per kind).  A
+    nonzero-width `xy` (triangular XY-monomial coefficients) adds the
+    freeform figure on top of any base."""
     px, py, pz = x + s*ux, y + s*uy, z + s*uz
     if kind == "radial":
-        return sag(px, py, pz, pa, pb, asp, aspo)
-    if kind == "biconic":
-        return sag_biconic(px, py, pz, pa, pb, pc, pd, asp, aspo)
-    return sag_toroid(px, py, pz, pa, pb, pc, asp, aspo)
+        e = sag(px, py, pz, pa, pb, asp, aspo)
+    elif kind == "biconic":
+        e = sag_biconic(px, py, pz, pa, pb, pc, pd, asp, aspo)
+    else:
+        e = sag_toroid(px, py, pz, pa, pb, pc, asp, aspo)
+    if xy.shape[-1]:
+        e = e - _poly_xy(px, py, xy)
+    return e
 
 
 def _newton_slope(kind, s, x, y, z, ux, uy, uz, pa, pb, pc, pd,
-                  asp, aspo):
+                  asp, aspo, xy):
     """dF/ds = u . grad(z - sag) via the hand-written normals."""
     px, py = x + s*ux, y + s*uy
     if kind == "radial":
@@ -181,12 +256,16 @@ def _newton_slope(kind, s, x, y, z, ux, uy, uz, pa, pb, pc, pd,
         gx, gy = normal_biconic(px, py, pa, pb, pc, pd, asp, aspo)
     else:
         gx, gy = normal_toroid(px, py, pa, pb, pc, asp, aspo)
+    if xy.shape[-1]:
+        dpx, dpy = _dpoly_xy(px, py, xy)
+        gx = gx - dpx
+        gy = gy - dpy
     return ux*gx + uy*gy + uz
 
 
 @partial(jax.custom_jvp, nondiff_argnums=(0, 1, 2))
 def _newton_root(kind, iters, tol, seed, x, y, z, ux, uy, uz,
-                 pa, pb, pc, pd, asp, aspo):
+                 pa, pb, pc, pd, asp, aspo, xy):
     """Fixed-count Newton refinement of the intercept distance with
     IMPLICIT differentiation: the JVP comes from the implicit function
     theorem at the converged root (one residual jet), not from
@@ -197,13 +276,13 @@ def _newton_root(kind, iters, tol, seed, x, y, z, ux, uy, uz,
     s = seed
     for _ in range(iters):
         fn = _newton_residual(kind, s, x, y, z, ux, uy, uz,
-                              pa, pb, pc, pd, asp, aspo)
+                              pa, pb, pc, pd, asp, aspo, xy)
         fp = _newton_slope(kind, s, x, y, z, ux, uy, uz,
-                           pa, pb, pc, pd, asp, aspo)
+                           pa, pb, pc, pd, asp, aspo, xy)
         fp = jnp.where(fp == 0, 1., fp)
         s = s - fn/fp
     res = _newton_residual(kind, s, x, y, z, ux, uy, uz,
-                           pa, pb, pc, pd, asp, aspo)
+                           pa, pb, pc, pd, asp, aspo, xy)
     tol = _tol_for(s, tol)
     return jnp.where(jnp.abs(res) <= tol*(1 + jnp.abs(s)), s, jnp.nan)
 
@@ -224,7 +303,8 @@ def _newton_root_jvp(kind, iters, tol, primals, tangents):
 
 def intercept_biconic(x, y, z, ux, uy, uz, cx, kx, cy, ky, aspherics,
                       alternate, iters=ASPHERIC_ITERS,
-                      tol=ASPHERIC_TOL, aspherics_odd=None):
+                      tol=ASPHERIC_TOL, aspherics_odd=None,
+                      xy_poly=None):
     """Ray length to a biconic surface: the y-axis conic closed form
     seeds a fixed-count Newton on the exact sag; rays whose conic
     seed misses (e.g. a wide-x ray on a y-cylinder, where the
@@ -235,9 +315,11 @@ def intercept_biconic(x, y, z, ux, uy, uz, cx, kx, cy, ky, aspherics,
     seed = jnp.where(jnp.isnan(seed), -z/uz_safe, seed)
     if aspherics_odd is None:
         aspherics_odd = jnp.zeros((0,))
+    if xy_poly is None:
+        xy_poly = jnp.zeros((0,))
     return _newton_root("biconic", iters, tol, seed, x, y, z,
                         ux, uy, uz, cx, kx, cy, ky, aspherics,
-                        aspherics_odd)
+                        aspherics_odd, xy_poly)
 
 
 def refract_biconic(x, y, ux, uy, uz, mu, cx, kx, cy, ky, aspherics,
@@ -295,7 +377,8 @@ def normal_toroid(x, y, cr, cy, ky, aspherics, aspherics_odd=None):
 
 def intercept_toroid(x, y, z, ux, uy, uz, cr, cy, ky, aspherics,
                      alternate, iters=ASPHERIC_ITERS,
-                     tol=ASPHERIC_TOL, aspherics_odd=None):
+                     tol=ASPHERIC_TOL, aspherics_odd=None,
+                     xy_poly=None):
     """Ray length to a toroidal surface: y-conic seed (plane restart
     for rays the seeding sphere misses) + fixed-count Newton on the
     exact sag; non-converged rays give NaN."""
@@ -304,15 +387,38 @@ def intercept_toroid(x, y, z, ux, uy, uz, cr, cy, ky, aspherics,
     seed = jnp.where(jnp.isnan(seed), -z/uz_safe, seed)
     if aspherics_odd is None:
         aspherics_odd = jnp.zeros((0,))
+    if xy_poly is None:
+        xy_poly = jnp.zeros((0,))
     return _newton_root("toroid", iters, tol, seed, x, y, z,
                         ux, uy, uz, cr, cy, ky, jnp.zeros(()),
-                        aspherics, aspherics_odd)
+                        aspherics, aspherics_odd, xy_poly)
 
 
 def refract_toroid(x, y, ux, uy, uz, mu, cr, cy, ky, aspherics,
                    aspherics_odd=None):
     """Snell/mirror refraction with the toroidal normal."""
     gx, gy = normal_toroid(x, y, cr, cy, ky, aspherics, aspherics_odd)
+    return _refract_general(x, y, ux, uy, uz, mu, gx, gy)
+
+
+def normal_freeform(x, y, c, k, aspherics, aspherics_odd, xy_poly):
+    """Transverse components (gx, gy) of the unnormalized normal
+    (gx, gy, 1) = grad(z - sag) of a freeform surface: symmetric
+    conic/aspheric base plus the triangular XY-monomial figure."""
+    e = normal_radial(x, y, c, k, aspherics, aspherics_odd)
+    gx, gy = x*e, y*e
+    if xy_poly.shape[-1]:
+        dpx, dpy = _dpoly_xy(x, y, xy_poly)
+        gx = gx - dpx
+        gy = gy - dpy
+    return gx, gy
+
+
+def refract_freeform(x, y, ux, uy, uz, mu, c, k, aspherics,
+                     aspherics_odd, xy_poly):
+    """Snell/mirror refraction with the freeform normal."""
+    gx, gy = normal_freeform(x, y, c, k, aspherics, aspherics_odd,
+                             xy_poly)
     return _refract_general(x, y, ux, uy, uz, mu, gx, gy)
 
 
@@ -480,17 +586,29 @@ def intercept_conic(x, y, z, ux, uy, uz, c, k, alternate):
 
 def intercept(x, y, z, ux, uy, uz, c, k, aspherics, alternate,
               iters=ASPHERIC_ITERS, tol=ASPHERIC_TOL,
-              aspherics_odd=None):
+              aspherics_odd=None, xy_poly=None):
     s = intercept_conic(x, y, z, ux, uy, uz, c, k, alternate)
     odd = aspherics_odd is not None and aspherics_odd.shape[-1]
-    if aspherics.shape[-1] or odd:
+    has_xy = xy_poly is not None and xy_poly.shape[-1]
+    if aspherics.shape[-1] or odd or has_xy:
         s0 = s
         if aspherics_odd is None:
             aspherics_odd = jnp.zeros((0,))
+        if xy_poly is None:
+            xy_poly = jnp.zeros((0,))
+        if has_xy:
+            # a freeform figure breaks rotational symmetry: the conic
+            # seed can miss rays the true surface catches -- restart
+            # those from the vertex-plane intercept (as the biconic
+            # seeding does)
+            uz_safe = jnp.where(uz == 0, 1., uz)
+            s0 = jnp.where(jnp.isnan(s0), -z/uz_safe, s0)
         s = _newton_root("radial", iters, tol, s0, x, y, z,
                          ux, uy, uz, c, k, jnp.zeros(()),
-                         jnp.zeros(()), aspherics, aspherics_odd)
-        s = jnp.where(jnp.isnan(s0) & (c != 0), jnp.nan, s)
+                         jnp.zeros(()), aspherics, aspherics_odd,
+                         xy_poly)
+        if not has_xy:
+            s = jnp.where(jnp.isnan(s0) & (c != 0), jnp.nan, s)
     return s
 
 
@@ -547,6 +665,7 @@ class SurfaceSpec(NamedTuple):
     #                    2 = curved in x only (closed-form intercept
     #                    instead of the seeded Newton)
     doe: bool = False  # radial diffractive phase (kinoform) on the row
+    freeform: bool = False  # XY-monomial freeform figure on the row
 
 
 def specialize(table):
@@ -574,6 +693,9 @@ def specialize(table):
         doe_all = getattr(table, "doe", None)
         doe_row = (np.zeros(0) if doe_all is None
                    else np.asarray(doe_all)[j])
+        xy_all = getattr(table, "xy_poly", None)
+        xy_row = (np.zeros(0) if xy_all is None
+                  else np.asarray(xy_all)[j])
         cdx = 0. if cdx.ndim == 0 else float(cdx[j])
         kdx = 0. if kdx.ndim == 0 else float(kdx[j])
         tor = 0. if tor.ndim == 0 else float(tor[j])
@@ -605,7 +727,14 @@ def specialize(table):
             grating=bool(grat != 0.),
             cyl_axis=cyl_axis,
             doe=bool(doe_row.size and np.any(doe_row != 0)),
+            freeform=bool(xy_row.size and np.any(xy_row != 0)),
         ))
+        if specs[-1].freeform and (specs[-1].biconic
+                                   or specs[-1].toroidal):
+            raise NotImplementedError(
+                "row %d combines an anamorphic base with a freeform "
+                "XY figure; express the full figure in xy_poly "
+                "(quadratic terms carry the cylinder power)" % j)
     return tuple(specs)
 
 
@@ -749,6 +878,11 @@ def surface_step_spec(state, surf, spec, clip):
                               surf.curvature, surf.conic,
                               surf.aspherics, surf.alternate,
                               aspherics_odd=surf.aspherics_odd)
+    elif spec.freeform:
+        t = intercept(x, y, z, ux, uy, uz, surf.curvature, surf.conic,
+                      surf.aspherics, surf.alternate,
+                      aspherics_odd=surf.aspherics_odd,
+                      xy_poly=surf.xy_poly)
     elif spec.aspheric or spec.odd:
         t = intercept(x, y, z, ux, uy, uz, surf.curvature, surf.conic,
                       surf.aspherics, surf.alternate,
@@ -778,6 +912,10 @@ def surface_step_spec(state, surf, spec, clip):
                 x1, y1, surf.curvature + surf.curvature_dx,
                 surf.conic + surf.conic_dx, surf.curvature,
                 surf.conic, surf.aspherics, surf.aspherics_odd)
+        elif spec.freeform:
+            ngx, ngy = normal_freeform(
+                x1, y1, surf.curvature, surf.conic, surf.aspherics,
+                surf.aspherics_odd, surf.xy_poly)
         elif spec.flat and not (spec.aspheric or spec.odd):
             ngx = jnp.zeros_like(x1)
             ngy = jnp.zeros_like(y1)
@@ -823,6 +961,14 @@ def surface_step_spec(state, surf, spec, clip):
             surf.conic + surf.conic_dx,
             surf.curvature, surf.conic, surf.aspherics,
             aspherics_odd=surf.aspherics_odd)
+    elif spec.freeform:
+        if spec.kind == 0:
+            ux1, uy1, uz1 = ux0, uy0, uz0
+        else:
+            ux1, uy1, uz1 = refract_freeform(
+                x1, y1, ux0, uy0, uz0, surf.mu, surf.curvature,
+                surf.conic, surf.aspherics, surf.aspherics_odd,
+                surf.xy_poly)
     else:
         ux1, uy1, uz1 = refract_spec(x1, y1, z1, ux0, uy0, uz0,
                                      surf.mu, surf.curvature,
@@ -841,17 +987,23 @@ def surface_step_spec(state, surf, spec, clip):
 def _intercept_anam(x, y, z, ux, uy, uz, surf):
     """Per-row biconic-or-toroid intercept for the dynamic scan path
     (row kind is a traced value; both candidates evaluate, a where
-    selects -- the static spec path pays for only one)."""
+    selects -- the static spec path pays for only one).  A freeform
+    XY figure (zero-padded table column) rides the biconic candidate:
+    a symmetric base (zero curvature/conic split) plus the monomial
+    terms is exactly the freeform sag."""
     cx = surf.curvature + surf.curvature_dx
     kx = surf.conic + surf.conic_dx
+    xy = getattr(surf, "xy_poly", None)
     tb = intercept_biconic(x, y, z, ux, uy, uz, cx, kx,
                            surf.curvature, surf.conic, surf.aspherics,
                            surf.alternate,
-                           aspherics_odd=surf.aspherics_odd)
+                           aspherics_odd=surf.aspherics_odd,
+                           xy_poly=xy)
     tt = intercept_toroid(x, y, z, ux, uy, uz, cx,
                           surf.curvature, surf.conic, surf.aspherics,
                           surf.alternate,
-                          aspherics_odd=surf.aspherics_odd)
+                          aspherics_odd=surf.aspherics_odd,
+                          xy_poly=xy)
     return jnp.where(surf.toroidal != 0, tt, tb)
 
 
@@ -866,6 +1018,11 @@ def _refract_anam(x, y, ux, uy, uz, surf):
     tor = surf.toroidal != 0
     gx = jnp.where(tor, gtx, gbx)
     gy = jnp.where(tor, gty, gby)
+    xy = getattr(surf, "xy_poly", None)
+    if xy is not None and xy.shape[-1]:
+        dpx, dpy = _dpoly_xy(x, y, xy)
+        gx = gx - dpx
+        gy = gy - dpy
     return refract_grating(x, y, ux, uy, uz, surf.mu,
                            surf.grating_dy, gx, gy,
                            doe=getattr(surf, "doe", None))
@@ -886,12 +1043,15 @@ def surface_step(state, surf, clip, biconic=False):
     r = surf.rot
     x, y, z = rot_apply(r, x - ox, y - oy, z - oz)
     ix, iy, iz = rot_apply(r, ux, uy, uz)
+    xy = getattr(surf, "xy_poly", None)
+    if xy is not None and not xy.shape[-1]:
+        xy = None
     if biconic:
         t = _intercept_anam(x, y, z, ix, iy, iz, surf)
     else:
         t = intercept(x, y, z, ix, iy, iz, surf.curvature, surf.conic,
                       surf.aspherics, surf.alternate,
-                      aspherics_odd=surf.aspherics_odd)
+                      aspherics_odd=surf.aspherics_odd, xy_poly=xy)
     x1, y1, z1 = x + t*ix, y + t*iy, z + t*iz
     ux0, uy0, uz0 = ix, iy, iz
     if clip:
@@ -909,6 +1069,10 @@ def surface_step(state, surf, clip, biconic=False):
             # surface_step_spec); zero-coefficient rows add zero
             topt = topt + _poly_even(x1*x1 + y1*y1,
                                      doe)*surf.n_after
+    elif xy is not None:
+        ux1, uy1, uz1 = refract_freeform(
+            x1, y1, ux0, uy0, uz0, surf.mu, surf.curvature,
+            surf.conic, surf.aspherics, surf.aspherics_odd, xy)
     else:
         ux1, uy1, uz1 = refract(x1, y1, ux0, uy0, uz0, surf.mu,
                                 surf.curvature, surf.conic,

@@ -111,7 +111,7 @@ class _Vals:
         d = object.__getattribute__(self, "_d")
         if name in d:
             return d[name]
-        if name in ("aspherics", "aspherics_odd", "doe"):
+        if name in ("aspherics", "aspherics_odd", "doe", "xy_poly"):
             return Coeffs(())
         raise AttributeError(name)
 
@@ -127,7 +127,7 @@ def _read_row(param_refs, fields, j):
         elif f == "offset":
             row = ref[j]
             diff[f] = Coeffs((row[0], row[1], row[2]))
-        elif f in ("aspherics", "aspherics_odd", "doe"):
+        elif f in ("aspherics", "aspherics_odd", "doe", "xy_poly"):
             row = ref[j]
             diff[f] = Coeffs(tuple(row[i]
                                    for i in range(ref.shape[-1])))
@@ -140,7 +140,7 @@ def _esize(table_or_params, f):
     """Number of scalar slots one surface row of field f occupies."""
     if f == "offset":
         return 3
-    if f in ("aspherics", "aspherics_odd", "doe"):
+    if f in ("aspherics", "aspherics_odd", "doe", "xy_poly"):
         return int(table_or_params[f].shape[-1])
     return 1
 

@@ -34,7 +34,7 @@ class _SurfRow:
         self._dtype = dtype
 
     def __getattr__(self, name):
-        if (name in ("aspherics", "aspherics_odd", "doe")
+        if (name in ("aspherics", "aspherics_odd", "doe", "xy_poly")
                 and name not in self._refs):
             # zero-width blocks are not representable; absent
             # aspherics are a static property of the table
@@ -62,6 +62,8 @@ def _fields_for(table, specs):
             fields += ["grating_dy"]
         if any(s.doe for s in specs):
             fields += ["doe"]
+        if any(s.freeform for s in specs):
+            fields += ["xy_poly"]
     return tuple(fields)
 
 

@@ -17,7 +17,8 @@ import jax.numpy as jnp
 
 
 def surface_abcd(curvature, distance, n_before, n_after, mu, theta=0.,
-                 aspheric0=0., doe0=0., curvature_dx=0.):
+                 aspheric0=0., doe0=0., curvature_dx=0., xy20=0.,
+                 xy02=0.):
     """4x4 paraxial matrix for one surface: free propagation to the
     vertex followed by refraction/reflection.  State vector
     (y_sag, y_tan, nu_sag, nu_tan).  doe0 is the r^2 coefficient of a
@@ -26,9 +27,12 @@ def surface_abcd(curvature, distance, n_before, n_after, mu, theta=0.,
     vertex-curvature split: the sagittal power slot reads
     curvature + curvature_dx (matching the host twin's
     _vertex_power_x), so cylinders/biconics/toroids get per-axis
-    first-order properties here too."""
-    cy = curvature + 2*aspheric0
-    cx = curvature + curvature_dx + 2*aspheric0
+    first-order properties here too.  xy20/xy02 are the denormalized
+    quadratic freeform coefficients (table xy_poly columns for x^2 /
+    y^2): each adds twice its value to the respective axis curvature
+    (matching FreeformXY._xy_quadratic)."""
+    cy = curvature + 2*aspheric0 + 2*xy02
+    cx = curvature + curvature_dx + 2*aspheric0 + 2*xy20
     costheta = jnp.cos(theta)
     is_mirror = mu == -1
     is_bare = mu == 1
@@ -72,9 +76,15 @@ def abcd_matrices(table, theta=None):
             else jnp.zeros(s))
     cdx = getattr(table, "curvature_dx", None)
     cdx = jnp.zeros(s) if cdx is None else cdx
+    xy = getattr(table, "xy_poly", None)
+    if xy is not None and xy.shape[1] >= 5:
+        xy20, xy02 = xy[:, 2], xy[:, 4]
+    else:
+        xy20 = xy02 = jnp.zeros(s)
     m = jax.vmap(surface_abcd)(table.curvature, table.distance,
                                table.n_before, table.n_after,
-                               table.mu, theta, asp0, doe0, cdx)
+                               table.mu, theta, asp0, doe0, cdx,
+                               xy20, xy02)
     return m.at[0].set(jnp.eye(4))
 
 

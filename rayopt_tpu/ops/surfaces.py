@@ -69,10 +69,13 @@ def _dpoly_odd(r2, coeffs):
     return p/r + 2*r*dp
 
 
-def surface_sag(xyz, curvature, conic, aspherics, aspherics_odd=None):
+def surface_sag(xyz, curvature, conic, aspherics, aspherics_odd=None,
+                xy_poly=None):
     """Signed distance along z from the surface: z - sag(x, y).
 
-    Zero on the surface; matches reference elements.py:440.
+    Zero on the surface; matches reference elements.py:440.  A
+    nonzero-width xy_poly adds the freeform XY-monomial figure
+    (triangular ordering of ops.kernels._xy_terms).
     """
     e = xyz[..., 2]
     r2 = jnp.square(xyz[..., :2]).sum(-1)
@@ -83,11 +86,14 @@ def surface_sag(xyz, curvature, conic, aspherics, aspherics_odd=None):
         e = e - _poly_even(r2, aspherics)
     if aspherics_odd is not None and aspherics_odd.shape[-1]:
         e = e - _poly_odd(r2, aspherics_odd)
+    if xy_poly is not None and xy_poly.shape[-1]:
+        from . import kernels as _K
+        e = e - _K._poly_xy(xyz[..., 0], xyz[..., 1], xy_poly)
     return e
 
 
 def surface_normal(xyz, curvature, conic, aspherics,
-                   aspherics_odd=None):
+                   aspherics_odd=None, xy_poly=None):
     """(Unnormalized) surface normal of the sag function, pointing +z
     (reference elements.py:457)."""
     r2 = jnp.square(xyz[..., :2]).sum(-1)
@@ -97,8 +103,14 @@ def surface_normal(xyz, curvature, conic, aspherics,
         e = e - _dpoly_even(r2, aspherics)
     if aspherics_odd is not None and aspherics_odd.shape[-1]:
         e = e - _dpoly_odd(r2, aspherics_odd)
-    q = jnp.stack([xyz[..., 0]*e, xyz[..., 1]*e,
-                   jnp.ones_like(e)], axis=-1)
+    gx = xyz[..., 0]*e
+    gy = xyz[..., 1]*e
+    if xy_poly is not None and xy_poly.shape[-1]:
+        from . import kernels as _K
+        dpx, dpy = _K._dpoly_xy(xyz[..., 0], xyz[..., 1], xy_poly)
+        gx = gx - dpx
+        gy = gy - dpy
+    q = jnp.stack([gx, gy, jnp.ones_like(e)], axis=-1)
     return q
 
 
@@ -132,7 +144,7 @@ def intercept_conic(y, u, curvature, conic, alternate):
 
 def intercept(y, u, curvature, conic, aspherics,
               iters=ASPHERIC_ITERS, tol=ASPHERIC_TOL, alternate=0.,
-              aspherics_odd=None):
+              aspherics_odd=None, xy_poly=None):
     """Ray length from y along unit u to the surface.
 
     Conic part is closed-form; if aspheric coefficients are present
@@ -142,34 +154,43 @@ def intercept(y, u, curvature, conic, aspherics,
     """
     s = intercept_conic(y, u, curvature, conic, alternate)
     odd = aspherics_odd is not None and aspherics_odd.shape[-1]
-    if aspherics.shape[-1] or odd:
+    has_xy = xy_poly is not None and xy_poly.shape[-1]
+    if aspherics.shape[-1] or odd or has_xy:
         s0 = s
+        if has_xy:
+            # freeform: restart conic-seed misses from the vertex
+            # plane (the symmetric seed can miss rays the true
+            # surface catches)
+            uz_safe = jnp.where(u[..., 2] == 0, 1., u[..., 2])
+            s = jnp.where(jnp.isnan(s0), -y[..., 2]/uz_safe, s0)
         for _ in range(iters):
             p = y + s[..., None]*u
             fn = surface_sag(p, curvature, conic, aspherics,
-                             aspherics_odd)
+                             aspherics_odd, xy_poly)
             fp = (surface_normal(p, curvature, conic, aspherics,
-                                 aspherics_odd)*u).sum(-1)
+                                 aspherics_odd, xy_poly)*u).sum(-1)
             fp = jnp.where(fp == 0, 1., fp)
             s = s - fn/fp
         p = y + s[..., None]*u
         res = surface_sag(p, curvature, conic, aspherics,
-                          aspherics_odd)
+                          aspherics_odd, xy_poly)
         scale = 1 + jnp.abs(s)
         s = jnp.where(jnp.abs(res) <= tol*scale, s, jnp.nan)
-        s = jnp.where(jnp.isnan(s0) & (curvature != 0), jnp.nan, s)
+        if not has_xy:
+            s = jnp.where(jnp.isnan(s0) & (curvature != 0), jnp.nan, s)
     return s
 
 
 def refract(y, u0, mu, curvature, conic, aspherics,
-            aspherics_odd=None):
+            aspherics_odd=None, xy_poly=None):
     """Vector Snell refraction / mirror reflection at the intercept
     (Spencer & Murty 1962; reference elements.py:351-369).
 
     mu = n_before/n_after; mu == -1 reflects, mu == 1 passes through.
     Total internal reflection produces NaN.
     """
-    r = surface_normal(y, curvature, conic, aspherics, aspherics_odd)
+    r = surface_normal(y, curvature, conic, aspherics, aspherics_odd,
+                       xy_poly)
     r2 = jnp.square(r).sum(-1)
     muf = jnp.abs(mu)
     a = muf*(u0*r).sum(-1)/r2
@@ -201,13 +222,17 @@ def propagate_surface(y, u, surf, clip=False):
     (y1, u1, t) with t the geometric path length (multiply by n_before
     for the optical path, as the trace engine does).
     """
+    xy = getattr(surf, "xy_poly", None)
+    if xy is not None and not xy.shape[-1]:
+        xy = None
     t = intercept(y, u, surf.curvature, surf.conic, surf.aspherics,
                   alternate=surf.alternate,
-                  aspherics_odd=surf.aspherics_odd)
+                  aspherics_odd=surf.aspherics_odd, xy_poly=xy)
     y1 = y + t[..., None]*u
     u0 = u
     if clip:
         u0 = clip_aperture(y1, u0, surf.radius)
     u1 = refract(y1, u0, surf.mu, surf.curvature, surf.conic,
-                 surf.aspherics, aspherics_odd=surf.aspherics_odd)
+                 surf.aspherics, aspherics_odd=surf.aspherics_odd,
+                 xy_poly=xy)
     return y1, u1, t

@@ -58,6 +58,12 @@ class SurfaceTable(NamedTuple):
                         multiplies r**(2i+2) of psi(r^2) =
                         m * lambda * phi(r) / (2 pi n_after), baked
                         per trace wavelength; zero-width = no DOE
+    xy_poly:    (S, KX) freeform XY-monomial sag coefficients in the
+                        triangular ordering of kernels._xy_terms
+                        (degree d = 1..D, within d from x^d to y^d;
+                        KX = D(D+3)/2, no constant term), in lens
+                        units (denormalized): sag += sum c x^i y^j.
+                        Zero-width = no freeform rows
     """
 
     curvature: jnp.ndarray
@@ -77,6 +83,7 @@ class SurfaceTable(NamedTuple):
     toroidal: jnp.ndarray = None
     grating_dy: jnp.ndarray = None
     doe: jnp.ndarray = None
+    xy_poly: jnp.ndarray = None
 
     @property
     def nsurfaces(self):
@@ -98,7 +105,7 @@ def make_table(curvature, conic=None, aspherics=None, offset=None,
                n_before=None, n_after=None, distance=None,
                aspherics_odd=None, curvature_dx=None, conic_dx=None,
                toroidal=None, grating_dy=None, doe=None,
-               dtype=np.float64):
+               xy_poly=None, dtype=np.float64):
     """Assemble a SurfaceTable from plain arrays, filling defaults."""
     curvature = np.asarray(curvature, dtype=dtype)
     s = curvature.shape[0]
@@ -127,6 +134,12 @@ def make_table(curvature, conic=None, aspherics=None, offset=None,
         doe = np.zeros((s, 0), dtype=dtype)
     else:
         doe = np.asarray(doe, dtype=dtype).reshape(s, -1)
+    if xy_poly is None:
+        xy_poly = np.zeros((s, 0), dtype=dtype)
+    else:
+        xy_poly = np.asarray(xy_poly, dtype=dtype).reshape(s, -1)
+        from .kernels import xy_degree
+        xy_degree(xy_poly.shape[1])  # validate triangular width
     if offset is None and distance is not None:
         offset = np.zeros((s, 3), dtype=dtype)
         offset[:, 2] = distance
@@ -150,6 +163,7 @@ def make_table(curvature, conic=None, aspherics=None, offset=None,
         toroidal=arr(toroidal, 0., (s,)),
         grating_dy=arr(grating_dy, 0., (s,)),
         doe=np.ascontiguousarray(doe),
+        xy_poly=np.ascontiguousarray(xy_poly),
     )
 
 
@@ -171,10 +185,13 @@ def is_anamorphic(table):
     tor = getattr(table, "toroidal", None)
     grat = getattr(table, "grating_dy", None)
     doe = getattr(table, "doe", None)
+    xy = getattr(table, "xy_poly", None)
     return bool(np.any(np.asarray(dx) != 0)
                 or np.any(np.asarray(table.conic_dx) != 0)
                 or (tor is not None and np.any(np.asarray(tor) != 0))
                 or (grat is not None
                     and np.any(np.asarray(grat) != 0))
                 or (doe is not None and np.asarray(doe).size
-                    and np.any(np.asarray(doe) != 0)))
+                    and np.any(np.asarray(doe) != 0))
+                or (xy is not None and np.asarray(xy).size
+                    and np.any(np.asarray(xy) != 0)))

@@ -527,6 +527,18 @@ class System(AimingMixin, list):
         kd = max((len(getattr(e, "phase_coefficients", None) or ())
                   for e in self), default=0)
         doe = np.zeros((s, kd))
+        xy_rows = [np.asarray(getattr(e, "_xy_arr", np.zeros(0)))
+                   for e in self]
+        kxy = max((r.size for r in xy_rows), default=0)
+        if kxy:
+            from .ops.kernels import xy_degree
+            # pad every row to the widest triangle
+            xy_degree(kxy)
+            xy_poly = np.zeros((s, kxy))
+            for j, r in enumerate(xy_rows):
+                xy_poly[j, :r.size] = r
+        else:
+            xy_poly = np.zeros((s, 0))
         aspherics = np.zeros((s, kmax))
         aspherics_odd = np.zeros((s, kmax_odd))
         offset = np.zeros((s, 3))
@@ -585,7 +597,8 @@ class System(AimingMixin, list):
             n_before=n_before, n_after=n_after,
             distance=distance, curvature_dx=curvature_dx,
             conic_dx=conic_dx, toroidal=toroidal,
-            grating_dy=grating_dy, doe=doe, dtype=dtype)
+            grating_dy=grating_dy, doe=doe, xy_poly=xy_poly,
+            dtype=dtype)
 
     def tables(self, wavelengths=None, dtype=np.float64):
         """Stacked SurfaceTable with a leading wavelength axis, for

@@ -189,6 +189,14 @@ def heat_table(table, dt, alpha_gap, alpha_elem, dn_before,
     if doe is not None and doe.shape[1]:
         k_doe = jnp.arange(doe.shape[1])
         extra["doe"] = doe/fig_grow[:, None]**(2*k_doe + 2)
+    xyp = getattr(table, "xy_poly", None)
+    if xyp is not None and xyp.shape[1]:
+        # a monomial coefficient of total degree d carries units
+        # length**(1-d): under homothety it scales as g**(1-d)
+        from .ops.kernels import _xy_terms, xy_degree
+        degs = jnp.asarray([i + j for i, j in _xy_terms(
+            xy_degree(xyp.shape[1]))])
+        extra["xy_poly"] = xyp/fig_grow[:, None]**(degs - 1)
     return table.replace(
         curvature=curvature, conic=conic, aspherics=aspherics,
         aspherics_odd=aspherics_odd, offset=offset,

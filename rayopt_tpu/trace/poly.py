@@ -105,6 +105,12 @@ def intercept_poly_spheroid(element, S, r, p, k):
             "diffractive (binary2) kicks are not implemented in the "
             "aberration-polynomial basis; use transverse_expansion "
             "(AD jets) or the geometric trace")
+    if np.any(np.asarray(getattr(element, "_xy_arr", ())) != 0):
+        raise NotImplementedError(
+            "freeform (XY-polynomial / Zernike-sag) figures break "
+            "the rotational symmetry of the aberration-polynomial "
+            "basis; use transverse_expansion (AD jets) or the "
+            "geometric trace")
     u = element.curvature*np.sign(element.offset[2])
     if u == 0.:
         r, f, fr, g = intercept_poly_plane(S, r, p, k)

@@ -87,3 +87,75 @@ def zernike_table(coeff):
         name = NOLL_NAMES.get(j, "")
         lines.append("Z%-3d %-14s % .4e" % (j, name, c))
     return lines
+
+
+def zernike_xy(j):
+    """Exact Cartesian monomial expansion of Noll Zernike Z_j
+    (orthonormal, same convention as `zernike`): returns a dict
+    {(i, k): coefficient} with Z_j(x, y) = sum coeff * x^i y^k on
+    unit-disc coordinates.
+
+    Built from the closed forms: the radial polynomial's rho^(n-2s)
+    factors as (x^2+y^2)^((n-2s-|m|)/2) * rho^|m|, and
+    rho^m cos(m th) = Re[(x+iy)^m], rho^m sin(m th) = Im[(x+iy)^m]
+    expand binomially with integer coefficients -- the only floating
+    factor is the orthonormal normalization, so the expansion is
+    exact to one rounding of that factor per term.
+    """
+    n, m = noll_to_nm(j)
+    am = abs(m)
+    if m == 0:
+        norm = math.sqrt(n + 1)
+    else:
+        norm = math.sqrt(2*(n + 1))
+    # angular part: rho^am * trig(am th) as monomials of (x, y)
+    ang = {}
+    for t in range(am + 1):
+        b = math.comb(am, t)
+        if m >= 0 and t % 2 == 0:                 # Re[(x+iy)^m]
+            ang[(am - t, t)] = ang.get((am - t, t), 0) + b*(-1)**(t//2)
+        elif m < 0 and t % 2 == 1:                # Im[(x+iy)^|m|]
+            ang[(am - t, t)] = (ang.get((am - t, t), 0)
+                                + b*(-1)**((t - 1)//2))
+    if am == 0:
+        ang = {(0, 0): 1}
+    out = {}
+    for s in range((n - am)//2 + 1):
+        rc = ((-1)**s*math.factorial(n - s) /
+              (math.factorial(s)*math.factorial((n + am)//2 - s) *
+               math.factorial((n - am)//2 - s)))
+        q = (n - 2*s - am)//2                     # (x^2+y^2)^q
+        for p in range(q + 1):
+            bc = math.comb(q, p)                  # x^(2(q-p)) y^(2p)
+            for (ai, ak), ac in ang.items():
+                key = (ai + 2*(q - p), ak + 2*p)
+                out[key] = out.get(key, 0.) + norm*rc*bc*ac
+    return {k: v for k, v in out.items() if v != 0.}
+
+
+def zernike_xy_coefficients(coeff, drop_piston=True):
+    """Lower a Noll coefficient vector (coeff[0] = Z1) onto the
+    triangular XY-monomial ordering of ops.kernels._xy_terms.
+
+    Returns (xy, const): xy is the flat triangular coefficient list
+    (unit-disc coordinates; callers divide term t by R^(i+j) to
+    denormalize) and const the dropped constant (piston) part -- the
+    freeform basis re-references the vertex so sag(0, 0) == 0; the
+    constant is reported for callers that track the vertex shift.
+    """
+    from ..ops.kernels import _xy_terms
+    mono = {}
+    for j, c in enumerate(coeff, start=1):
+        if not c:
+            continue
+        for k, v in zernike_xy(j).items():
+            mono[k] = mono.get(k, 0.) + c*v
+    const = mono.pop((0, 0), 0.)
+    if not drop_piston and const:
+        raise ValueError("constant (piston) sag term %g cannot be "
+                         "represented; shift the surface vertex" % const)
+    deg = max((i + k for i, k in mono), default=1)
+    terms = _xy_terms(deg)
+    xy = [mono.pop(t, 0.) for t in terms]
+    assert not mono, mono
+    return xy, const
