@@ -766,9 +766,10 @@ class FreeformXY(Spheroid):
     SurfaceSpec (seeded-Newton intercept on the full sag, implicit
     differentiation), so gradients, tolerancing, and the AD
     aberration expansion cover freeform systems too.  The df32
-    parity engine and the polynomial (Andersen) trace reject
-    freeform rows loudly; parity-grade work uses the f64 scan
-    engine.
+    parity engine covers freeform rows by mixed-precision Newton
+    (f32 pre-polish + df32 polish; ~1e-12 spot parity vs f64); only
+    the polynomial (Andersen) trace rejects them (non-rotationally-
+    symmetric basis).
     """
 
     _type = "xypoly"

@@ -354,7 +354,58 @@ def _normal_toroid_df(x, y, an, dv, sq):
     return neg(dv(mul(x, crp), w)), neg(dv(dzy, w))
 
 
+def _xy_pows_df(v, deg):
+    pows = [None, v]
+    for _ in range(2, deg + 1):
+        pows.append(mul(pows[-1], v))
+    return pows
+
+
+def _poly_xy_df(x, y, terms, deg):
+    """sum c x^i y^j in df32.  `terms` is a tuple of
+    (df_const, i, j); exponents (0, 0) broadcast the constant (the
+    gradient term lists contain them)."""
+    xp = _xy_pows_df(x, deg)
+    yp = _xy_pows_df(y, deg)
+    acc = None
+    for cdf, i, j in terms:
+        if i == 0 and j == 0:
+            t = _broadcast(cdf, x[0])
+        else:
+            m = xp[i] if i else yp[j]
+            if i and j:
+                m = mul(m, yp[j])
+            t = mul(cdf, m)
+        acc = t if acc is None else add(acc, t)
+    return acc
+
+
+def _sag_freeform_df(x, y, z, an, dv, sq):
+    """z - freeform_sag: symmetric conic/aspheric base (_sag_df) plus
+    the triangular XY-monomial figure (kernels._poly_xy in df32)."""
+    e = _sag_df(x, y, z, an["c"], an["k1"], an["asp"], dv, sq,
+                an["asp_odd"])
+    return sub(e, _poly_xy_df(x, y, an["xy"], an["deg"]))
+
+
+def _normal_freeform_df(x, y, an, dv, sq):
+    """(gx, gy) of the freeform normal: radial base factor plus the
+    pre-differentiated monomial gradient terms (host-scaled, so the
+    kernel only evaluates polynomials)."""
+    e = _normal_radial_df(x, y, an["c"], an["k1"], an["asp"], dv, sq,
+                          an["asp_odd"])
+    gx, gy = mul(x, e), mul(y, e)
+    if an["xy_gx"]:
+        gx = sub(gx, _poly_xy_df(x, y, an["xy_gx"], an["deg"]))
+    if an["xy_gy"]:
+        gy = sub(gy, _poly_xy_df(x, y, an["xy_gy"], an["deg"]))
+    return gx, gy
+
+
 def _anam_funcs_df(an, dv, sq):
+    if an["mode"] == "freeform":
+        return (lambda x, y, z: _sag_freeform_df(x, y, z, an, dv, sq),
+                lambda x, y: _normal_freeform_df(x, y, an, dv, sq))
     if an["mode"] == "toroid":
         return (lambda x, y, z: _sag_toroid_df(x, y, z, an, dv, sq),
                 lambda x, y: _normal_toroid_df(x, y, an, dv, sq))
@@ -364,6 +415,13 @@ def _anam_funcs_df(an, dv, sq):
 
 def _anam_funcs_f32(an):
     f = an["f32"]
+    if an["mode"] == "freeform":
+        return (lambda x, y, z: K.sag(x, y, z, f["cy"], f["ky"],
+                                      f["asp"], f["asp_odd"])
+                - K._poly_xy(x, y, f["xy"]),
+                lambda x, y: K.normal_freeform(
+                    x, y, f["cy"], f["ky"], f["asp"], f["asp_odd"],
+                    f["xy"]))
     if an["mode"] == "toroid":
         return (lambda x, y, z: K.sag_toroid(
                     x, y, z, f["cr"], f["cy"], f["ky"], f["asp"],
@@ -821,12 +879,8 @@ def plan(table, clip=False, fast=False):
     doe_tab = (np.zeros((s_count, 0)) if doe_tab is None
                else np.asarray(doe_tab, np.float64))
     xy_tab = getattr(table, "xy_poly", None)
-    if xy_tab is not None and np.asarray(xy_tab).size \
-            and np.any(np.asarray(xy_tab) != 0):
-        raise NotImplementedError(
-            "freeform (xy_poly) rows are not covered by the df32 "
-            "parity engine; use the f64 scan engine "
-            "(trace_rays_final) for parity-grade freeform work")
+    xy_tab = (np.zeros((s_count, 0)) if xy_tab is None
+              else np.asarray(xy_tab, np.float64))
     alt = np.asarray(table.alternate, np.float64)
     rad = np.asarray(table.radius, np.float64)
     df_iters = ANAM_DF_ITERS + (0 if fast else 1)
@@ -852,7 +906,39 @@ def plan(table, clip=False, fast=False):
         codd = _trim(asp_odd[j] if asp_odd.shape[1] else np.zeros(0))
         figured = coeffs.size or codd.size
         anam = None
-        if tor[j] != 0 or cdx[j] != 0 or kdx[j] != 0:
+        xy_row = xy_tab[j] if xy_tab.shape[1] else np.zeros(0)
+        if np.any(xy_row != 0):
+            if tor[j] != 0 or cdx[j] != 0 or kdx[j] != 0:
+                raise NotImplementedError(
+                    "row %d combines an anamorphic base with a "
+                    "freeform XY figure; express the full figure in "
+                    "xy_poly" % j)
+            from .kernels import _xy_terms, xy_degree
+            deg = xy_degree(xy_row.size)
+            terms = _xy_terms(deg)
+            val, gx_t, gy_t = [], [], []
+            for a, (ti, tj) in zip(xy_row, terms):
+                if a == 0.:
+                    continue
+                val.append((const(a), ti, tj))
+                if ti:
+                    gx_t.append((const(ti*a), ti - 1, tj))
+                if tj:
+                    gy_t.append((const(tj*a), ti, tj - 1))
+            anam = dict(
+                mode="freeform", df_iters=df_iters, deg=deg,
+                c=const(curv[j]), k1=const(1. + conic[j]),
+                asp=tuple(const(a) for a in coeffs),
+                asp_odd=tuple(const(a) for a in codd),
+                xy=tuple(val), xy_gx=tuple(gx_t),
+                xy_gy=tuple(gy_t),
+                f32=dict(cy=np.float32(curv[j]),
+                         ky=np.float32(conic[j]),
+                         alt=np.float32(alt[j]),
+                         asp=np.asarray(coeffs, np.float32),
+                         asp_odd=np.asarray(codd, np.float32),
+                         xy=np.asarray(xy_row, np.float32)))
+        elif tor[j] != 0 or cdx[j] != 0 or kdx[j] != 0:
             cy, ky = curv[j], conic[j]
             if tor[j] != 0:
                 cx, kx = 0., 0.          # placeholders (toroid uses cr)

@@ -364,19 +364,46 @@ def test_reverse_rescale():
 
 
 def test_loud_rejections():
-    """df32 plan, polynomial trace, and anamorphic+freeform rows all
-    reject with actionable errors."""
+    """The polynomial trace and anamorphic+freeform combinations
+    reject with actionable errors (df32 covers freeform rows)."""
     s = _xysystem()
     tab = s.table()
-    from rayopt_tpu.ops import df32
-    with pytest.raises(NotImplementedError, match="freeform"):
-        df32.plan(tab)
     from rayopt_tpu.trace.poly import PolyTrace
     with pytest.raises(NotImplementedError, match="freeform"):
         PolyTrace(s, kmax=3)
     bad = tab.replace(curvature_dx=np.array([0., 1e-3, 0., 0.]))
     with pytest.raises(NotImplementedError, match="anamorphic"):
         K.specialize(bad)
+    from rayopt_tpu.ops import df32
+    with pytest.raises(NotImplementedError, match="anamorphic"):
+        df32.plan(bad)
+
+
+def test_df32_freeform_parity():
+    """The df32 parity engine covers freeform rows: eager df32 trace
+    of the Zernike-corrector system agrees with the f64 scan engine
+    far inside the 1e-9 parity target."""
+    from rayopt_tpu.ops import df32
+    s, _ = _zernike_system()
+    tab = s.table()
+    t = ro.GeometricTrace(s)
+    t.rays_point((0., 0.), nrays=32, distribution="hexapolar",
+                 clip=False)
+    y0 = np.asarray(t.y[0], float)
+    u0 = np.asarray(t.u[0], float)
+    yf, uf, _ = G.trace_rays_final(tab, y0, u0, biconic=True)
+    for fast in (False, True):
+        steps = df32.plan(tab, fast=fast)
+        out = df32.trace_df32_final(steps, df32.state_from_f64(y0, u0))
+        xd = df32.to_f64(out[0])
+        yd = df32.to_f64(out[1])
+        nptest.assert_allclose(xd, np.asarray(yf)[:, 0], rtol=0,
+                               atol=2e-12)
+        nptest.assert_allclose(yd, np.asarray(yf)[:, 1], rtol=0,
+                               atol=2e-12)
+        ud = df32.to_f64(out[3])
+        nptest.assert_allclose(ud, np.asarray(uf)[:, 0], rtol=0,
+                               atol=2e-12)
 
 
 @pytest.mark.slow
