@@ -770,6 +770,15 @@ class FreeformXY(Spheroid):
     (f32 pre-polish + df32 polish; ~1e-12 spot parity vs f64); only
     the polynomial (Andersen) trace rejects them (non-rotationally-
     symmetric basis).
+
+    Optimization: optimize the NORMALIZED coefficients (divide the
+    table's xy_poly row by norm_radius**(i+j) per term) -- the
+    denormalized monomials span ~R**degree in scale and condition
+    first-order optimizers badly -- and seed the row with tiny
+    nonzero values (e.g. 1e-10): an exactly-zero row is baked out of
+    the static specialization and carries zero gradient by design
+    (tests/test_freeform.py::test_freeform_corrector_design is the
+    worked Schmidt-corrector example).
     """
 
     _type = "xypoly"

@@ -454,3 +454,67 @@ def test_thermal_freeform_parity():
     nptest.assert_allclose(np.asarray(tab_dev.xy_poly),
                            np.asarray(tab_host.xy_poly),
                            rtol=1e-12, atol=0)
+
+
+@pytest.mark.slow
+def test_freeform_corrector_design():
+    """End-to-end freeform design: a flat XY-polynomial plate in front
+    of an f/2 spherical mirror (Schmidt-camera layout) optimized in
+    the element's NORMALIZED coefficient space (the denormalized table
+    monomials span ~R^4 in scale and condition adam badly).  The
+    optimizer must cut the spot RMS several-fold and discover a
+    rotationally-symmetric profile (x^2 == y^2, x^4 == y^4 within
+    tolerance) -- nobody told it the aberration is symmetric.
+
+    Note the 1e-10 coefficient seed: an exactly-zero freeform row is
+    baked out of the static specialization and carries zero gradient
+    BY DESIGN (same semantics as conic on an exactly-spherical row)."""
+    import optax
+
+    s = ro.System([
+        dict(material="air"),
+        dict(type="xypoly", xy_coefficients=[1e-10]*14,
+             norm_radius=25., distance=5.,
+             material="SCHOTT-BK|N-BK7", radius=26.),
+        dict(distance=4., material="air", radius=26.),
+        dict(roc=-200., distance=100., material="mirror", radius=30.),
+        dict(distance=-95., radius=5.),
+    ])
+    s.object.pupil.radius = 25.
+    s.object.pupil.update_radius = False
+    s.update()
+    t = ro.GeometricTrace(s)
+    t.rays_point((0., 0.), nrays=128, distribution="hexapolar",
+                 clip=False)
+    tab = s.table()
+    specs = K.specialize(tab)
+    assert specs[1].freeform
+    y0 = jnp.asarray(t.y[0])
+    u0 = jnp.asarray(t.u[0])
+    w = jnp.ones(y0.shape[0])/y0.shape[0]
+    from rayopt_tpu.parallel.grad import spot_rms
+    scales = jnp.asarray([25.**(i + j) for i, j in K._xy_terms(4)])
+    xy0 = jnp.asarray(tab.xy_poly)
+
+    def merit(a):
+        xy = xy0.at[1].set(a/scales)
+        return spot_rms(tab.replace(xy_poly=xy), y0, u0, w=w,
+                        specs=specs, unroll=True)
+
+    opt = optax.adam(2e-4)
+    a = jnp.zeros(14)
+    st = opt.init(a)
+    vg = jax.jit(jax.value_and_grad(merit))
+    v0 = float(merit(a))
+    for _ in range(600):
+        _, g = vg(a)
+        up, st = opt.update(g, st, a)
+        a = optax.apply_updates(a, up)
+    v1 = float(merit(a))
+    assert v1 < v0/3.5, (v0, v1)
+    an = np.asarray(a)
+    terms = K._xy_terms(4)
+    c = {t_: an[i] for i, t_ in enumerate(terms)}
+    # rotational symmetry emerges from the on-axis merit
+    nptest.assert_allclose(c[(2, 0)], c[(0, 2)], rtol=0.05)
+    nptest.assert_allclose(c[(4, 0)], c[(0, 4)], rtol=0.05)
