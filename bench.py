@@ -612,8 +612,31 @@ def main():
             _, g_adj = jax.jit(jax.value_and_grad(loss_adj_of(
                 tab, yg.astype(np.float32), ug.astype(np.float32),
                 wg_par)))(p32a)
-            gp_adj = grad_rel_err(g_adj)
-            log("adjoint-kernel grad parity vs CPU f64: %.3g" % gp_adj)
+            # parity reference with the SAME gradient semantics: the
+            # adjoint kernel mirrors the specialized unrolled engine,
+            # which bakes flat rows' curvature out of the graph (zero
+            # gradient BY DESIGN, see ops/pallas_grad.py) -- the scan
+            # reference g_cpu carries those components and would
+            # report the ~1% semantic difference as if it were
+            # numeric error
+            with jax.default_device(cpu):
+                _, g_cpu_spec = make_grad_step(
+                    tab64, jnp.float64, unroll=True)(
+                        grad_params(tab64, jnp.float64), yg, ug)
+                g_cpu_spec = {k: np.asarray(v)
+                              for k, v in g_cpu_spec.items()}
+
+            def grad_rel_err_spec(g):
+                num = sum(float(np.square(np.asarray(g[k])
+                                          - g_cpu_spec[k]).sum())
+                          for k in g_cpu_spec)
+                den = sum(float(np.square(g_cpu_spec[k]).sum())
+                          for k in g_cpu_spec)
+                return float(np.sqrt(num/den))
+
+            gp_adj = grad_rel_err_spec(g_adj)
+            log("adjoint-kernel grad parity vs CPU f64 (spec-engine "
+                "reference): %.3g" % gp_adj)
 
             n_a = 1 << 26
             kxa, kya = jax.random.split(jax.random.PRNGKey(2))
@@ -641,7 +664,7 @@ def main():
                 "steps_per_s": 1./tb_a,
                 "intersections_per_s_per_step": rate_a,
                 "vs_target": rate_a/BASELINE_RATE,
-                "grad_rel_err_f32_vs_cpu": gp_adj,
+                "grad_rel_err_f32_vs_cpu_spec_ref": gp_adj,
                 **stats,
             }
             log("  grad_step_adjoint: %.1f ms/step (%.2f steps/s) -> "
