@@ -91,6 +91,7 @@ from .gratings import (  # noqa: E402,F401
     blaze_order, blaze_efficiency,
 )
 from . import rcwa  # noqa: E402,F401
+from . import glass  # noqa: E402,F401
 from . import physical  # noqa: E402,F401
 from .thermal import (  # noqa: E402,F401
     at_temperature, thermal_defocus, thermal_text, heat_table,
