@@ -25,6 +25,8 @@ KEY_LINES = {
     "polarization_and_cylinders.py": ["diattenuation", "anamorphic"],
     "spectrograph_and_wideangle.py": ["blaze", "fisheye",
                                       "tolerancing farm"],
+    "achromat_design.py": ["thin-lens achromat prediction",
+                           "color improvement", "achromat designed"],
 }
 
 
