@@ -638,7 +638,14 @@ def main():
             log("adjoint-kernel grad parity vs CPU f64 (spec-engine "
                 "reference): %.3g" % gp_adj)
 
-            n_a = 1 << 26
+            # 2^23 rays: exactly the scale where the XLA VJP OOMs
+            # on residuals (22.6G of temps vs 15.75G HBM) while the
+            # in-kernel adjoint runs in O(N).  Bigger bundles work
+            # too, but Mosaic/XLA compile time scales superlinearly
+            # with the Pallas grid count on the remote compiler
+            # (2^20: 19 s, 2^23: 44 s, 2^26: >35 min and a tunnel
+            # reset), so the bench pins the OOM-boundary size
+            n_a = 1 << 23
             kxa, kya = jax.random.split(jax.random.PRNGKey(2))
             y_adj = jnp.stack(
                 [jax.random.uniform(kxa, (n_a,), dtype, -11., 11.),
@@ -650,8 +657,8 @@ def main():
             w_adj = jnp.ones(n_a, dtype)/n_a
             step_adj = jax.jit(jax.value_and_grad(loss_adj_of(
                 tab, y_adj, u_adj, w_adj)))
-            log("timing grad_step_adjoint (f32, 2^26 rays, in-kernel "
-                "backward)...")
+            log("timing grad_step_adjoint (f32, 2^23 rays -- the "
+                "XLA-VJP OOM boundary -- in-kernel backward)...")
             stats = {}
             tb_a = best_of(lambda a: float(step_adj(a)[0]), p32a,
                            stats=stats)
