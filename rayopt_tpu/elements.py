@@ -771,12 +771,13 @@ class FreeformXY(Spheroid):
     the polynomial (Andersen) trace rejects them (non-rotationally-
     symmetric basis).
 
-    Optimization: optimize the NORMALIZED coefficients (divide the
-    table's xy_poly row by norm_radius**(i+j) per term) -- the
+    Optimization: optimize the NORMALIZED coefficients -- the
     denormalized monomials span ~R**degree in scale and condition
-    first-order optimizers badly -- and seed the row with tiny
-    nonzero values (e.g. 1e-10): an exactly-zero row is baked out of
-    the static specialization and carries zero gradient by design
+    first-order optimizers badly.  `parallel.grad.optimize_grad(
+    select=("xy_poly",), scales={"xy_poly": freeform_scales(system)})`
+    does this built-in; seed the row with tiny nonzero values (e.g.
+    1e-10), because an exactly-zero row is baked out of the static
+    specialization and carries zero gradient by design
     (tests/test_freeform.py::test_freeform_corrector_design is the
     worked Schmidt-corrector example).
     """

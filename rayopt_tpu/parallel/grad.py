@@ -366,10 +366,32 @@ def optimize_zoom(system, select=("curvature",), fields=None,
     return out_tabs, history
 
 
+def freeform_scales(system):
+    """(S, KXY) preconditioning matrix for optimizing `xy_poly`: the
+    table's denormalized monomial coefficients of total degree d span
+    ~norm_radius**d in magnitude, which conditions first-order
+    optimizers badly; dividing by these scales puts every term in the
+    element's normalized-coefficient units (sag at the normalization
+    radius).  Rows without a freeform element scale by 1."""
+    from ..ops.kernels import _xy_terms, xy_degree
+    rows = [np.asarray(getattr(e, "_xy_arr", np.zeros(0)))
+            for e in system]
+    kxy = max((r.size for r in rows), default=0)
+    if not kxy:
+        return np.ones((len(system), 0))
+    terms = _xy_terms(xy_degree(kxy))
+    out = np.ones((len(system), kxy))
+    for j, e in enumerate(system):
+        r = float(getattr(e, "norm_radius", 0.) or 0.)
+        if r and np.asarray(getattr(e, "_xy_arr", np.zeros(0))).size:
+            out[j] = [r**(i + k) for i, k in terms]
+    return out
+
+
 def optimize_grad(table, bundles, select=("curvature",), steps=100,
                   lr=1e-4, optimizer=None, merit=None, callback=None,
                   mesh=None, axis="rays", checkpoint_dir=None,
-                  checkpoint_every=50, jit_steps=None):
+                  checkpoint_every=50, jit_steps=None, scales=None):
     """Gradient-descent lens optimization.
 
     table:   initial SurfaceTable
@@ -417,7 +439,15 @@ def optimize_grad(table, bundles, select=("curvature",), steps=100,
                                   mesh=mesh, axis=axis,
                                   biconic=is_anamorphic(table))
 
-    params = {k: jnp.asarray(getattr(table, k)) for k in select}
+    # optional per-field preconditioning: params are stored DIVIDED
+    # by their scale (so adam's per-parameter step is commensurate)
+    # and multiplied back when writing the table.  The canonical use
+    # is select=("xy_poly",) with scales={"xy_poly":
+    # freeform_scales(system)} -- denormalized freeform monomials
+    # span ~R**degree and are near-unoptimizable raw.
+    scales = {k: jnp.asarray(v) for k, v in (scales or {}).items()}
+    params = {k: jnp.asarray(getattr(table, k))/scales.get(k, 1.)
+              for k in select}
     if mesh is not None:
         params = jax.device_put(params, replicated)
     # distance is a derived length; the trace consumes offset, so tie
@@ -429,7 +459,8 @@ def optimize_grad(table, bundles, select=("curvature",), steps=100,
                                  (off.shape[0], 1)))
 
     def loss(params):
-        tab = table.replace(**params)
+        tab = table.replace(**{k: v*scales.get(k, 1.)
+                               for k, v in params.items()})
         if "distance" in params:
             tab = tab.replace(
                 offset=jnp.asarray(unit)*params["distance"][:, None])
@@ -503,4 +534,7 @@ def optimize_grad(table, bundles, select=("curvature",), steps=100,
         if ckpt.latest_step() != steps:
             _save(steps, params, state)
         ckpt.wait_until_finished()
-    return table.replace(**params), np.asarray(history)
+    final = {k: v*scales.get(k, 1.) for k, v in params.items()}
+    if "distance" in final:
+        final["offset"] = jnp.asarray(unit)*final["distance"][:, None]
+    return table.replace(**final), np.asarray(history)

@@ -518,3 +518,50 @@ def test_freeform_corrector_design():
     # rotational symmetry emerges from the on-axis merit
     nptest.assert_allclose(c[(2, 0)], c[(0, 2)], rtol=0.05)
     nptest.assert_allclose(c[(4, 0)], c[(0, 4)], rtol=0.05)
+
+
+@pytest.mark.slow
+def test_optimize_grad_xy_poly_scales():
+    """optimize_grad(select=("xy_poly",), scales=freeform_scales)
+    optimizes the freeform coefficients directly: the preconditioned
+    parameterization makes raw adam work on the ~R^degree-spanned
+    monomial columns, and the returned table carries the DENORMALIZED
+    coefficients."""
+    from rayopt_tpu.parallel.grad import (optimize_grad,
+                                          freeform_scales)
+    s = ro.System([
+        dict(material="air"),
+        dict(type="xypoly", xy_coefficients=[1e-10]*14,
+             norm_radius=25., distance=5.,
+             material="SCHOTT-BK|N-BK7", radius=26.),
+        dict(distance=4., material="air", radius=26.),
+        dict(roc=-200., distance=100., material="mirror", radius=30.),
+        dict(distance=-95., radius=5.),
+    ])
+    s.object.pupil.radius = 25.
+    s.object.pupil.update_radius = False
+    s.update()
+    t = ro.GeometricTrace(s)
+    t.rays_point((0., 0.), nrays=64, distribution="hexapolar",
+                 clip=False)
+    tab = s.table()
+    w = np.ones(t.y[0].shape[0])/t.y[0].shape[0]
+    bundles = [(jnp.asarray(t.y[0]), jnp.asarray(t.u[0]),
+                jnp.asarray(w))]
+    from rayopt_tpu.ops.kernels import specialize
+    specs = specialize(tab)
+    from rayopt_tpu.parallel.grad import spot_rms
+
+    def merit(tb):
+        return spot_rms(tb, *bundles[0][:2], w=bundles[0][2],
+                        specs=specs, unroll=True)
+
+    sc = freeform_scales(s)
+    assert sc.shape == (5, 14) and sc[1, 2] == 25.**2
+    tab1, hist = optimize_grad(tab, bundles, select=("xy_poly",),
+                               steps=200, lr=2e-4, merit=merit,
+                               scales={"xy_poly": sc})
+    assert hist[-1] < hist[0]/2, (hist[0], hist[-1])
+    # returned table is denormalized: re-evaluating the merit on it
+    # reproduces the final history value
+    nptest.assert_allclose(float(merit(tab1)), hist[-1], rtol=1e-6)
