@@ -565,3 +565,44 @@ def test_optimize_grad_xy_poly_scales():
     # returned table is denormalized: re-evaluating the merit on it
     # reproduces the final history value
     nptest.assert_allclose(float(merit(tab1)), hist[-1], rtol=1e-6)
+
+
+def test_zernike_sag_imprints_wavefront():
+    """Closed loop through the analysis machinery: a thin ZernikeSag
+    plate in collimated light ahead of an exactly stigmatic paraboloid
+    mirror imprints OPD = (n-1) * sag, and GeometricTrace.zernike
+    recovers the coefficient to the thin-plate approximation's
+    accuracy (<0.1% for a half-micron figure)."""
+    def build(z11):
+        z = np.zeros(11)
+        z[10] = z11
+        s = ro.System([
+            dict(material="air"),
+            dict(type="zernike", zernike_coefficients=list(z),
+                 norm_radius=8., distance=5.,
+                 material="SCHOTT-BK|N-BK7", radius=9.),
+            dict(distance=3., material="air", radius=9.),
+            dict(roc=-400., conic=-1., distance=20.,
+                 material="mirror", radius=12.),
+            dict(distance=-200., radius=9.),
+        ])
+        s.object.pupil.radius = 8.
+        s.object.pupil.update_radius = False
+        s.update()
+        t = ro.GeometricTrace(s)
+        t.rays_point((0., 0.), nrays=128, distribution="hexapolar",
+                     clip=False)
+        coeff, _ = t.zernike(nterms=16)
+        return np.asarray(coeff), s
+
+    c0, _ = build(0.)
+    assert np.abs(c0[1:]).max() < 1e-6  # stigmatic baseline
+    c1, s = build(5e-4)
+    d = c1 - c0
+    lam = s.wavelengths[0]
+    n = s[1].material.refractive_index(lam)
+    expected = (n - 1)*5e-4/(lam/s.scale)
+    nptest.assert_allclose(d[10], expected, rtol=1e-3)
+    # nothing leaks into other non-piston/defocus modes
+    other = np.delete(d, [0, 3, 10])
+    assert np.abs(other).max() < 1e-3*expected
