@@ -40,6 +40,10 @@ RATE_FLOORS = [
     (("details", "pallas_df32_merit", "vs_target"), 5.0),
     (("details", "grad_step", "vs_target"), 0.6),
     (("details", "grad_step_fused", "vs_target"), 1.0),
+    # analytic-adjoint merit kernel (2^23 rays, the XLA-OOM
+    # boundary): measured 3.28 single / 7.07 fused on v5e
+    (("details", "grad_step_adjoint", "vs_target"), 2.5),
+    (("details", "grad_step_adjoint_fused", "vs_target"), 5.0),
 ]
 PARITY_KEYS = [
     (("details", "pallas_df32_parity_grade",
