@@ -171,11 +171,13 @@ def aberration_tolerance(table, pupil_distance, sigmas=None,
     }
 
 
-def _rms_and_weight(table, y0, u0, w, clip=False, biconic=False):
+def _rms_and_weight(table, y0, u0, w, clip=False, biconic=False,
+                    specs=None):
     """(weighted transverse spot RMS, surviving weight) of one traced
     table; NaN (vignetted/missed) rays drop out of both."""
     y, u, t = trace_rays_final(table, y0, u0, clip=clip,
-                               biconic=biconic)
+                               biconic=biconic, specs=specs,
+                               unroll=specs is not None)
     pt = y[:, :2]
     good = jnp.all(jnp.isfinite(pt), axis=1)
     wg = jnp.where(good, w, 0.)
@@ -186,12 +188,13 @@ def _rms_and_weight(table, y0, u0, w, clip=False, biconic=False):
     return jnp.sqrt(r2), wsum
 
 
-def _rms_of_table(table, y0, u0, w, clip=False, biconic=False):
+def _rms_of_table(table, y0, u0, w, clip=False, biconic=False,
+                  specs=None):
     """Weighted transverse spot RMS of one traced table (NaN rays
     dropped) -- the scalar merit all sensitivity machinery differentiates
     or samples."""
     return _rms_and_weight(table, y0, u0, w, clip=clip,
-                           biconic=biconic)[0]
+                           biconic=biconic, specs=specs)[0]
 
 
 def _perturb_entry(table, field, idx, delta):
@@ -233,6 +236,20 @@ def sensitivity(table, y0, u0, w=None, fields=("curvature", "distance"),
     w = jnp.asarray(w)
     from ..ops.tables import is_anamorphic
     bic = is_anamorphic(table)
+    # freeform rows: the dynamic scan path (three Newton candidates
+    # per row) makes the vmapped forward-over-reverse second-order
+    # pass compile pathologically on XLA:CPU -- route through the
+    # statically specialized engine instead (NOTE: specialization
+    # bake-out semantics apply, e.g. a flat row's curvature slot
+    # reports zero sensitivity; symmetric/anamorphic tables keep the
+    # scan path and its full-parameter semantics)
+    xyp = getattr(table, "xy_poly", None)
+    specs = None
+    if xyp is not None and np.asarray(xyp).size \
+            and np.any(np.asarray(xyp) != 0):
+        from ..ops.kernels import specialize
+        specs = specialize(table)
+        bic = False
 
     def merit_from(deltas):
         tab = table.replace(**{
@@ -242,7 +259,8 @@ def sensitivity(table, y0, u0, w=None, fields=("curvature", "distance"),
             off = jnp.asarray(table.offset)
             tab = tab.replace(offset=off.at[:, 2].add(
                 deltas["distance"]))
-        return _rms_of_table(tab, y0, u0, w, clip=clip, biconic=bic)
+        return _rms_of_table(tab, y0, u0, w, clip=clip, biconic=bic,
+                             specs=specs)
 
     zeros = {f: jnp.zeros(jnp.shape(getattr(table, f)))
              for f in fields}

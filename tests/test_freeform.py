@@ -606,3 +606,33 @@ def test_zernike_sag_imprints_wavefront():
     # nothing leaks into other non-piston/defocus modes
     other = np.delete(d, [0, 3, 10])
     assert np.abs(other).max() < 1e-3*expected
+
+
+def test_sensitivity_xy_poly():
+    """Tolerancing sensitivity covers the freeform coefficients:
+    exact d(RMS)/d(xy_poly) plus the Hessian diagonal, routed through
+    the statically specialized engine (the dynamic scan path's
+    forward-over-reverse pass compiles pathologically on XLA:CPU for
+    freeform rows)."""
+    from rayopt_tpu.parallel.tolerancing import sensitivity
+    s = _xysystem()
+    t = ro.GeometricTrace(s)
+    t.rays_point((0., 0.), nrays=32, distribution="hexapolar",
+                 clip=False)
+    tab = s.table()
+    out = sensitivity(tab, np.asarray(t.y[0]), np.asarray(t.u[0]),
+                      fields=("curvature", "xy_poly"))
+    g = np.asarray(out["xy_poly"]["grad"])[1]
+    h = np.asarray(out["xy_poly"]["hess"])[1]
+    assert np.all(np.isfinite(g)) and np.all(np.isfinite(h))
+    assert np.any(g[2:] != 0)
+    # cross-check against the plain jax.grad of the same merit
+    import jax
+    from rayopt_tpu.parallel.grad import spot_rms
+    specs = K.specialize(tab)
+    y0 = jnp.asarray(t.y[0])
+    u0 = jnp.asarray(t.u[0])
+    gref = np.asarray(jax.grad(lambda xy: spot_rms(
+        tab.replace(xy_poly=xy), y0, u0, specs=specs, unroll=True,
+        nan_safe=False))(tab.xy_poly))[1]
+    nptest.assert_allclose(g, gref, rtol=1e-9, atol=1e-12)
