@@ -905,12 +905,17 @@ class ZernikeSag(FreeformXY):
 
     def __init__(self, zernike_coefficients=None, norm_radius=1.,
                  **kwargs):
+        super().__init__(norm_radius=norm_radius, **kwargs)
+        self.zernike_coefficients = list(zernike_coefficients or ())
+        self._relower()
+
+    def _relower(self):
+        """Recompute the traced XY-monomial lowering from
+        `zernike_coefficients` (after in-place edits, e.g. by the
+        Zemax importer collecting XDAT rows)."""
         from .utils.zernike import zernike_xy_coefficients
-        z = list(zernike_coefficients or ())
-        xy, const = zernike_xy_coefficients(z)
-        super().__init__(xy_coefficients=xy, norm_radius=norm_radius,
-                         **kwargs)
-        self.zernike_coefficients = z
+        xy, const = zernike_xy_coefficients(self.zernike_coefficients)
+        self.xy_coefficients = xy
         self.piston = const  # dropped constant (vertex re-reference)
 
     def dict(self):

@@ -144,7 +144,8 @@ def _zmx_surf(ctx, args):
 
 #: surface TYPEs whose PARM rows we can map onto the Spheroid model
 _ZMX_TYPES = {"STANDARD", "EVENASPH", "ODDASPHE", "COORDBRK",
-              "BICONICX", "TOROIDAL", "DGRATING", "BINARY_2"}
+              "BICONICX", "TOROIDAL", "DGRATING", "BINARY_2",
+              "XPOLYNOM", "FZERNSAG", "SZERNSAG"}
 
 
 @_zmx_on("TYPE")
@@ -198,29 +199,78 @@ def _zmx_type(ctx, args):
         e.phase_coefficients = []
         e.norm_radius = 1.
         e.diffraction_order = 1
+    elif typ == "XPOLYNOM":
+        # Extended Polynomial: conic base + general XY polynomial.
+        # Extra data (XDAT) 1 = number of terms, 2 = normalization
+        # radius, 3.. = coefficients (lens units, i.e. the sag
+        # contribution at the normalization radius) in the triangular
+        # ordering x, y, x^2, xy, y^2, x^3, ... -- exactly the
+        # FreeformXY convention (elements.py), so the mapping is the
+        # identity.
+        from ..elements import FreeformXY
+        e = ctx.system[-1]
+        e.__class__ = FreeformXY
+        e.xy_coefficients = []
+        e.norm_radius = 1.
+    elif typ in ("FZERNSAG", "SZERNSAG"):
+        # Zernike Fringe Sag / Zernike Standard Sag: conic + even
+        # asphere (PARM rows, handled by the EVENASPH fall-through)
+        # + Zernike figure.  Extra data (XDAT) 1 = number of terms,
+        # 2 = normalization radius, 3.. = coefficients in lens units.
+        # FZERNSAG coefficients scale UNNORMALIZED Fringe-ordered
+        # Zernikes (utils.zernike.fringe_to_nm); SZERNSAG scales the
+        # orthonormal Noll-ordered set -- ZernikeSag's native
+        # convention, so Fringe rows are converted exactly via
+        # utils.zernike.fringe_to_noll.
+        from ..elements import ZernikeSag
+        e = ctx.system[-1]
+        e.__class__ = ZernikeSag
+        e.xy_coefficients = []
+        e.zernike_coefficients = []
+        e.piston = 0.
+        e.norm_radius = 1.
+        ctx.fringe = [] if typ == "FZERNSAG" else None
     elif typ not in _ZMX_TYPES:
         print("surface type not supported, treating as STANDARD:", typ)
 
 
 @_zmx_on("XDAT")
 def _zmx_xdat(ctx, args):
-    # extra data rows; only BINARY_2 consumes them (1 = term count,
-    # 2 = normalization radius, 3.. = phase coefficients in radians)
-    if getattr(ctx, "surf_type", None) != "BINARY_2":
+    # extra data rows: BINARY_2 / XPOLYNOM / FZERNSAG / SZERNSAG all
+    # use the same layout (1 = term count, 2 = normalization radius,
+    # 3.. = coefficients); what the coefficients mean depends on the
+    # type (phase in radians / XY-monomial sags / Zernike sags)
+    typ = getattr(ctx, "surf_type", None)
+    if typ not in ("BINARY_2", "XPOLYNOM", "FZERNSAG", "SZERNSAG"):
         return
     toks = args.split()
     i, j = int(toks[0]), float(toks[1])
     e = ctx.surface
     if i == 1:
-        pass  # term count is implied by the coefficient rows
-    elif i == 2:
+        return  # term count is implied by the coefficient rows
+    if i == 2:
         if j:
             e.norm_radius = j
-    elif i >= 3 and j:
-        pc = e.phase_coefficients
-        while len(pc) < i - 2:
-            pc.append(0.)
-        pc[i - 3] = j
+        return
+    if i < 3 or not j:
+        return
+    if typ == "BINARY_2":
+        coeffs = e.phase_coefficients
+    elif typ == "XPOLYNOM":
+        coeffs = e.xy_coefficients
+    elif typ == "FZERNSAG":
+        coeffs = ctx.fringe
+    else:
+        coeffs = e.zernike_coefficients
+    while len(coeffs) < i - 2:
+        coeffs.append(0.)
+    coeffs[i - 3] = j
+    if typ == "FZERNSAG":
+        from ..utils.zernike import fringe_to_noll
+        e.zernike_coefficients = fringe_to_noll(ctx.fringe)
+        e._relower()
+    elif typ == "SZERNSAG":
+        e._relower()
 
 
 @_zmx_on("CURV")
@@ -392,6 +442,8 @@ class _ZmxContext:
         self.pending = np.zeros(3)
         #: PARMs of a coordinate break awaiting the next surface
         self.break_row = None
+        #: raw Fringe-ordered coefficients of an FZERNSAG in progress
+        self.fringe = None
         #: multi-configuration (MCE) collection state
         self.mce_active = False
         self.mce_nconf = 0
@@ -749,13 +801,20 @@ def system_to_zmx(system):
         biconic = not toroid and cx is not None and (
             cx != getattr(e, "curvature", 0.)
             or (kx or 0.) != getattr(e, "conic", 0.))
-        if np.any(np.asarray(getattr(e, "_xy_arr", ())) != 0):
+        zsag = [z for z in getattr(e, "zernike_coefficients", None)
+                or () if z]
+        has_xy = bool(np.any(np.asarray(getattr(e, "_xy_arr", ()))
+                             != 0))
+        if has_xy and (doe or grating or toroid or biconic):
+            # zmx has no type combining a freeform figure with a
+            # grating/DOE/anamorphic carrier; keep the carrier type
             import warnings
             warnings.warn(
-                "surface %d: freeform (XY-polynomial / Zernike-sag) "
-                "figure has no .zmx mapping; the base conic/aspheric "
-                "is exported, the freeform terms are dropped "
-                "(serialize via YAML/JSON to keep them)" % j)
+                "surface %d: freeform figure on a grating/DOE/"
+                "anamorphic carrier has no .zmx type; the carrier is "
+                "exported, the freeform terms are dropped (serialize "
+                "via YAML/JSON to keep them)" % j)
+            zsag, has_xy = [], False
         if doe:
             out.append("  TYPE BINARY_2")
         elif grating:
@@ -764,6 +823,10 @@ def system_to_zmx(system):
             out.append("  TYPE TOROIDAL")
         elif biconic:
             out.append("  TYPE BICONICX")
+        elif zsag:
+            out.append("  TYPE SZERNSAG")
+        elif has_xy:
+            out.append("  TYPE XPOLYNOM")
         elif odd:
             out.append("  TYPE ODDASPHE")
         elif even:
@@ -818,6 +881,30 @@ def system_to_zmx(system):
             if even or odd:
                 print("biconic aspheric terms are not representable "
                       "in TYPE BICONICX; dropped on export")
+        elif zsag or has_xy:
+            # Zernike Standard Sag / Extended Polynomial: even
+            # aspherics ride in the PARM columns (the surface's
+            # alpha_i rho^(2i) terms), the figure coefficients in the
+            # XDAT block (1 = count, 2 = norm radius, 3.. = values).
+            # SZERNSAG coefficients are Noll-ordered orthonormal sags
+            # in lens units (ZernikeSag's native convention);
+            # XPOLYNOM coefficients are the triangular XY-monomial
+            # sags at the normalization radius (FreeformXY's native
+            # convention).
+            for i, v in enumerate(even or ()):
+                if v:
+                    out.append("  PARM %d %.17g" % (i + 1, v))
+            coeffs = (list(e.zernike_coefficients) if zsag
+                      else list(e.xy_coefficients or ()))
+            out.append("  XDAT 1 %d" % len(coeffs))
+            out.append("  XDAT 2 %.17g" % e.norm_radius)
+            for i, v in enumerate(coeffs):
+                if v:
+                    out.append("  XDAT %d %.17g" % (i + 3, v))
+            if odd:
+                print("freeform substrate odd aspherics are not "
+                      "representable in TYPE SZERNSAG/XPOLYNOM; "
+                      "dropped on export")
         elif odd:
             for i, v in enumerate(odd):
                 if v:

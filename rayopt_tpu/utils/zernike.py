@@ -8,6 +8,7 @@ so fits can run under jit; the host path takes NumPy arrays.
 """
 
 import math
+from functools import lru_cache as _lru_cache
 
 import numpy as np
 
@@ -30,6 +31,90 @@ def noll_to_nm(j):
         j1 -= n
     m = (-1)**j * ((n % 2) + 2*((j1 + ((n + 1) % 2))//2))
     return n, int(m)
+
+
+@_lru_cache()
+def _fringe_order():
+    """The 37-term Fringe ("University of Arizona") ordering as
+    (n, signed m) pairs: groups of constant n + |m| ascending, |m|
+    descending within a group (so spherical-aberration orders close
+    each group), cosine (m > 0) before sine (m < 0); term 37 is the
+    conventional high-order spherical (12, 0).  This is the set the
+    Zemax/OpticStudio "Zernike Fringe" surfaces and interferometer
+    software use."""
+    seq = [(0, 0)]
+    for s in range(1, 6):
+        for am in range(s, -1, -1):
+            n = 2*s - am
+            if am:
+                seq.append((n, am))
+                seq.append((n, -am))
+            else:
+                seq.append((n, 0))
+    seq.append((12, 0))
+    return tuple(seq)
+
+
+def fringe_to_nm(i):
+    """Fringe index (1-based, 1..37) -> (n, signed m)."""
+    order = _fringe_order()
+    if not 1 <= i <= len(order):
+        raise ValueError("Fringe Zernike index %d outside the "
+                         "37-term set" % i)
+    return order[i - 1]
+
+
+def noll_from_nm(n, m):
+    """(n, signed m) -> Noll index (inverse of noll_to_nm)."""
+    # Noll index for radial order n starts at n(n+1)/2 + 1; scan the
+    # (at most n + 1) candidates in that row
+    j0 = n*(n + 1)//2 + 1
+    for j in range(j0, j0 + n + 1):
+        if noll_to_nm(j) == (n, m):
+            return j
+    raise ValueError("no Noll index for (n, m) = (%d, %d)" % (n, m))
+
+
+def _orthonorm(n, m):
+    """Orthonormal (Noll) over unnormalized (Fringe/Born & Wolf,
+    peak 1 at the rim for cosine terms) amplitude ratio."""
+    return math.sqrt(n + 1) if m == 0 else math.sqrt(2*(n + 1))
+
+
+def fringe_to_noll(coeff):
+    """Fringe coefficient vector (coeff[0] = Fringe term 1, scaling
+    UNNORMALIZED Zernikes) -> Noll coefficient vector (scaling the
+    orthonormal `zernike` basis).  Same surface, different labels:
+    sum_i c_i Z_i^fringe == sum_j out_j Z_j^noll exactly."""
+    pairs = [fringe_to_nm(i) for i in range(1, len(coeff) + 1)]
+    jmax = max((noll_from_nm(n, m) for n, m in pairs), default=0)
+    out = [0.]*jmax
+    for c, (n, m) in zip(coeff, pairs):
+        if c:
+            out[noll_from_nm(n, m) - 1] += c/_orthonorm(n, m)
+    return out
+
+
+def noll_to_fringe(coeff):
+    """Noll (orthonormal) coefficient vector -> Fringe coefficient
+    vector (inverse of fringe_to_noll).  Raises if a term has no
+    Fringe slot (the Fringe set stops at 37 terms)."""
+    order = _fringe_order()
+    index = {nm: i + 1 for i, nm in enumerate(order)}
+    out = [0.]*0
+    for j, c in enumerate(coeff, start=1):
+        if not c:
+            continue
+        n, m = noll_to_nm(j)
+        i = index.get((n, m))
+        if i is None:
+            raise ValueError(
+                "Noll term %d (n=%d, m=%d) has no slot in the 37-term "
+                "Fringe set" % (j, n, m))
+        while len(out) < i:
+            out.append(0.)
+        out[i - 1] += c*_orthonorm(n, m)
+    return out
 
 
 def _radial(n, m, rho):

@@ -520,3 +520,140 @@ def test_zmx_mce_zoom_round_trip():
         fb = z2.at_configuration(i).paraxial.focal_length
         nptest.assert_allclose(np.asarray(fb), np.asarray(fa),
                                rtol=1e-6)
+
+
+def test_zmx_freeform_roundtrip():
+    """FreeformXY exports as TYPE XPOLYNOM, ZernikeSag as SZERNSAG
+    (both: XDAT 1 = term count, 2 = norm radius, 3.. = coefficients,
+    even aspherics in the PARM columns); reimport reproduces the
+    coefficients and the sag exactly."""
+    import numpy as np
+    from rayopt_tpu.elements import FreeformXY, ZernikeSag, Spheroid
+    from rayopt_tpu.system import System
+    from rayopt_tpu.io.zemax import system_to_zmx, zmx_to_system
+    from rayopt_tpu.materials import ModelMaterial
+    glass = ModelMaterial(n=1.58913, name="glass", solid=True)
+    s = System(wavelengths=[587.56e-9])
+    s.object.angle = np.deg2rad(1.)
+    s.object.pupil.radius = 5.
+    s.append(Spheroid(material="basic/air", radius=np.inf,
+                      distance=20.))
+    s.append(FreeformXY(
+        curvature=0.01, conic=-0.5, aspherics=[1e-6, 2e-9],
+        xy_coefficients=[0., 0., 1e-3, 5e-4, -2e-3, 0., 1e-5, 0.,
+                         3e-5],
+        norm_radius=12., material=glass, radius=10., distance=5.))
+    s.append(ZernikeSag(
+        curvature=-0.005,
+        zernike_coefficients=[0., 0., 0., 2e-4, 0., 1e-4, 0., 0., 0.,
+                              0., -5e-5],
+        norm_radius=11., material="basic/air", radius=10.,
+        distance=3.))
+    s.append(Spheroid(material="basic/air", radius=8., distance=40.))
+    text = system_to_zmx(s)
+    assert "TYPE XPOLYNOM" in text
+    assert "TYPE SZERNSAG" in text
+    s2 = zmx_to_system(text)
+    e1, e2 = s2[2], s2[3]
+    assert isinstance(e1, FreeformXY) and not isinstance(e1,
+                                                         ZernikeSag)
+    assert isinstance(e2, ZernikeSag)
+    np.testing.assert_allclose(e1.xy_coefficients,
+                               s[1].xy_coefficients)
+    assert e1.norm_radius == s[1].norm_radius
+    np.testing.assert_allclose(e1.aspherics, s[1].aspherics)
+    np.testing.assert_allclose(e2.zernike_coefficients,
+                               s[2].zernike_coefficients)
+    np.testing.assert_allclose(e2.xy_coefficients,
+                               s[2].xy_coefficients)
+    gx, gy = np.meshgrid(np.linspace(-8., 8., 7),
+                         np.linspace(-8., 8., 7))
+    xyz = np.stack([gx, gy, np.zeros_like(gx)], -1).reshape(-1, 3)
+    np.testing.assert_allclose(e1.surface_sag(xyz),
+                               s[1].surface_sag(xyz), atol=1e-14)
+    np.testing.assert_allclose(e2.surface_sag(xyz),
+                               s[2].surface_sag(xyz), atol=1e-14)
+
+
+def test_zmx_fringe_zernike_import():
+    """TYPE FZERNSAG: unnormalized Fringe-ordered coefficients are
+    converted exactly to the native Noll-orthonormal convention;
+    pinned against the textbook Fringe defocus (2 rho^2 - 1) and
+    spherical (6 rho^4 - 6 rho^2 + 1) polynomials."""
+    import numpy as np
+    from rayopt_tpu.elements import ZernikeSag
+    from rayopt_tpu.io.zemax import zmx_to_system
+    from rayopt_tpu.utils.zernike import fringe_to_noll
+    text = """VERS 1.0 test
+UNIT MM IN IN IN
+WAVL 0.58756
+SURF 0
+  TYPE STANDARD
+  DISZ 20
+SURF 1
+  TYPE FZERNSAG
+  CURV 0.002
+  PARM 1 1e-06
+  XDAT 1 9
+  XDAT 2 10
+  XDAT 6 0.0005
+  XDAT 11 -0.0002
+  DISZ 30
+SURF 2
+  TYPE STANDARD
+"""
+    s = zmx_to_system(text)
+    e = s[2]
+    assert isinstance(e, ZernikeSag)
+    fringe = [0.]*9
+    fringe[3] = 5e-4    # Fringe term 4: defocus, 2 rho^2 - 1
+    fringe[8] = -2e-4   # Fringe term 9: spherical, 6 r^4 - 6 r^2 + 1
+    np.testing.assert_allclose(e.zernike_coefficients,
+                               fringe_to_noll(fringe))
+    np.testing.assert_allclose(e.aspherics, [1e-6])
+    assert e.norm_radius == 10.
+    # analytic sag at one point (surface_sag returns z - sag; the
+    # vertex re-reference drops the constant parts of Z4/Z9)
+    x, y = 5., 3.
+    r2 = x*x + y*y
+    rho2 = r2/e.norm_radius**2
+    want = (0.002*r2/(1 + np.sqrt(1 - 0.002**2*r2)) + 1e-6*r2
+            + 5e-4*(2*rho2 - 1) - 2e-4*(6*rho2**2 - 6*rho2 + 1))
+    const = 5e-4*(-1) - 2e-4*(+1)
+    got = -e.surface_sag(np.array([[x, y, 0.]]))[0]
+    np.testing.assert_allclose(got, want - const, atol=1e-15)
+
+
+def test_fringe_noll_conversion():
+    """Fringe <-> Noll index map and amplitude conversion: the same
+    surface under both labels, and a lossless round trip."""
+    import numpy as np
+    from rayopt_tpu.utils.zernike import (
+        fringe_to_nm, fringe_to_noll, noll_to_fringe, noll_from_nm,
+        zernike)
+    gold = {1: (0, 0), 2: (1, 1), 3: (1, -1), 4: (2, 0), 5: (2, 2),
+            6: (2, -2), 7: (3, 1), 8: (3, -1), 9: (4, 0),
+            10: (3, 3), 16: (6, 0), 17: (4, 4), 25: (8, 0),
+            36: (10, 0), 37: (12, 0)}
+    for i, nm in gold.items():
+        assert fringe_to_nm(i) == nm, (i, fringe_to_nm(i), nm)
+    c = np.zeros(37)
+    c[[3, 4, 8, 36]] = [1.5, -0.2, 0.7, 0.01]
+    noll = fringe_to_noll(list(c))
+    back = noll_to_fringe(noll)
+    back = back + [0.]*(37 - len(back))
+    np.testing.assert_allclose(back, c)
+    # functional identity on random disc samples
+    rng = np.random.RandomState(0)
+    x, y = rng.uniform(-0.7, 0.7, (2, 64))
+    s_fringe = 0.
+    for i, ci in enumerate(c):
+        if not ci:
+            continue
+        n, m = fringe_to_nm(i + 1)
+        norm = np.sqrt(n + 1.) if m == 0 else np.sqrt(2.*(n + 1.))
+        s_fringe = s_fringe + ci*zernike(noll_from_nm(n, m), x,
+                                         y)/norm
+    s_noll = sum(cj*zernike(j + 1, x, y)
+                 for j, cj in enumerate(noll) if cj)
+    np.testing.assert_allclose(s_fringe, s_noll, atol=1e-12)
