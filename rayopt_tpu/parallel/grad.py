@@ -367,12 +367,17 @@ def optimize_zoom(system, select=("curvature",), fields=None,
 
 
 def freeform_scales(system):
-    """(S, KXY) preconditioning matrix for optimizing `xy_poly`: the
-    table's denormalized monomial coefficients of total degree d span
-    ~norm_radius**d in magnitude, which conditions first-order
-    optimizers badly; dividing by these scales puts every term in the
-    element's normalized-coefficient units (sag at the normalization
-    radius).  Rows without a freeform element scale by 1."""
+    """(S, KXY) preconditioning matrix for optimizing `xy_poly`.
+
+    The table holds DENORMALIZED monomial coefficients c = A/R**d
+    (A = normalized coefficient, sag contribution in length units at
+    the normalization radius R; d = total degree), so a degree-d
+    column spans ~R**-d in magnitude -- near-unoptimizable raw for a
+    first-order optimizer.  optimize_grad stores params = value/scale,
+    so the scale of a degree-d term is its characteristic magnitude
+    R**-d: dividing the table value by it recovers the normalized
+    coefficient A (c/R**-d = c*R**d = A), which is what the optimizer
+    steps in.  Rows without a freeform element scale by 1."""
     from ..ops.kernels import _xy_terms, xy_degree
     rows = [np.asarray(getattr(e, "_xy_arr", np.zeros(0)))
             for e in system]
@@ -384,7 +389,7 @@ def freeform_scales(system):
     for j, e in enumerate(system):
         r = float(getattr(e, "norm_radius", 0.) or 0.)
         if r and np.asarray(getattr(e, "_xy_arr", np.zeros(0))).size:
-            out[j] = [r**(i + k) for i, k in terms]
+            out[j] = [r**-(i + k) for i, k in terms]
     return out
 
 
@@ -440,11 +445,13 @@ def optimize_grad(table, bundles, select=("curvature",), steps=100,
                                   biconic=is_anamorphic(table))
 
     # optional per-field preconditioning: params are stored DIVIDED
-    # by their scale (so adam's per-parameter step is commensurate)
-    # and multiplied back when writing the table.  The canonical use
-    # is select=("xy_poly",) with scales={"xy_poly":
-    # freeform_scales(system)} -- denormalized freeform monomials
-    # span ~R**degree and are near-unoptimizable raw.
+    # by their scale (the parameter's characteristic magnitude, so
+    # adam's per-parameter step is commensurate) and multiplied back
+    # when writing the table.  The canonical use is
+    # select=("xy_poly",) with scales={"xy_poly":
+    # freeform_scales(system)} -- denormalized degree-d freeform
+    # monomials c = A/R**d span ~R**-d, and dividing by that scale
+    # steps the optimizer in the normalized coefficients A.
     scales = {k: jnp.asarray(v) for k, v in (scales or {}).items()}
     params = {k: jnp.asarray(getattr(table, k))/scales.get(k, 1.)
               for k in select}

@@ -230,6 +230,16 @@ def sensitivity(table, y0, u0, w=None, fields=("curvature", "distance"),
 
     Returns {field: {"grad": (S,...), "hess": (S,...)}} with hess
     omitted when second_order=False.
+
+    Freeform caveat: a table with a nonzero xy_poly row is rerouted
+    through the statically specialized engine (the dynamic scan path
+    compiles pathologically under forward-over-reverse on XLA:CPU),
+    and specialization BAKES OUT parameters that are exactly zero in
+    non-freeform rows -- e.g. the curvature of an exactly-flat row
+    reports structurally zero grad/hess there (the flat corrector-
+    plate carrier itself is unaffected: its xy_poly row stays fully
+    differentiable).  Symmetric/anamorphic tables keep the scan path
+    and its full-parameter semantics.
     """
     if w is None:
         w = jnp.full(y0.shape[0], 1./y0.shape[0])

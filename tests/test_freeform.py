@@ -557,14 +557,26 @@ def test_optimize_grad_xy_poly_scales():
                         specs=specs, unroll=True)
 
     sc = freeform_scales(s)
-    assert sc.shape == (5, 14) and sc[1, 2] == 25.**2
+    assert sc.shape == (5, 14) and sc[1, 2] == 25.**-2
     tab1, hist = optimize_grad(tab, bundles, select=("xy_poly",),
-                               steps=200, lr=2e-4, merit=merit,
+                               steps=600, lr=2e-4, merit=merit,
                                scales={"xy_poly": sc})
     assert hist[-1] < hist[0]/2, (hist[0], hist[-1])
     # returned table is denormalized: re-evaluating the merit on it
-    # reproduces the final history value
-    nptest.assert_allclose(float(merit(tab1)), hist[-1], rtol=1e-6)
+    # reproduces the final history value (hist[-1] is pre-final-update
+    # so exact equality is not expected; a wrong denormalization would
+    # be off by orders of magnitude)
+    nptest.assert_allclose(float(merit(tab1)), hist[-1], rtol=1e-2)
+    # guard against the degenerate all-rays-vignetted "optimum" (the
+    # nan-safe merit silently drops dead rays): the optimized table
+    # must keep (nearly) every ray alive and the denormalized
+    # coefficients must stay physically small
+    from rayopt_tpu.ops.geometric import trace_rays_final
+    yf, uf, _ = trace_rays_final(tab1, *bundles[0][:2], specs=specs,
+                                 unroll=True)
+    alive = np.isfinite(np.asarray(yf)[:, :2]).all(1)
+    assert alive.sum() >= 0.95*alive.size, alive.sum()
+    assert np.abs(np.asarray(tab1.xy_poly)).max() < 1e-2
 
 
 def test_zernike_sag_imprints_wavefront():
