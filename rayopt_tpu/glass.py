@@ -108,7 +108,8 @@ def glass_tables(tables, nd, vd, assignment, wavelengths):
 
 def polychromatic_spot_rms(tables, y0, u0, w=None, specs=None,
                            unroll=True, clip=False, nan_safe=True,
-                           biconic=False):
+                           biconic=False, engine="xla", tile=None,
+                           interpret=False):
     """ONE centroid-referenced weighted RMS over the union of every
     wavelength's image-surface spot samples.
 
@@ -119,7 +120,22 @@ def polychromatic_spot_rms(tables, y0, u0, w=None, specs=None,
     as parallel.grad.spot_rms (dead rays are donor-substituted with
     zero weight, independently per wavelength, before the
     differentiated trace).
+
+    engine="adjoint" routes through the fused multi-wavelength Pallas
+    merit kernel (ops.pallas_grad.pallas_polychromatic_spot_rms):
+    identical union-RMS semantics, but the bundle is read from HBM
+    once for all wavelengths and the gradient runs the in-kernel
+    analytic adjoint instead of storing XLA VJP residuals -- the
+    production path for chromatic optimization at >= 2^23 rays, where
+    the XLA path OOMs.  Requires static specs (or a concrete table to
+    derive them from) and ray counts tiling by `tile`.
     """
+    if engine == "adjoint":
+        from .ops.pallas_grad import (DEFAULT_TILE,
+                                      pallas_polychromatic_spot_rms)
+        return pallas_polychromatic_spot_rms(
+            tables, y0, u0, w, specs=specs, clip=clip,
+            tile=tile or DEFAULT_TILE, interpret=interpret)
     from .ops.geometric import trace_rays_final_multi
     y0 = jnp.asarray(y0)
     u0 = jnp.asarray(u0)

@@ -854,6 +854,8 @@ def plan(table, clip=False, fast=False):
     (div1/sqrt1): lower op count at ~1e-12/~1e-8 per-op accuracy --
     measured end-to-end spot parity stays well inside the 1e-9
     target (bench.py reports both modes)."""
+    from .tables import lower_pose
+    table = lower_pose(table)  # fold concrete tilt/decenter deltas
     curv = np.asarray(table.curvature, np.float64)
     conic = np.asarray(table.conic, np.float64)
     mu = np.asarray(table.mu, np.float64)

@@ -54,6 +54,8 @@ def trace_rays(table, y0, u0, clip=False, specs=None, unroll=False,
     the surface loop unrolls into one fused specialized kernel -- the
     accelerator fast path; the default scan keeps compile time
     depth-independent for host work."""
+    from .tables import lower_pose
+    table = lower_pose(table)
     state = _entry(table, y0, u0)
     if unroll:
         nsurf = table.curvature.shape[0]
@@ -101,6 +103,8 @@ def trace_components_final(table, state, clip=False, specs=None,
     XLA's CPU backend compiles deeply unrolled chains very slowly, so
     keep it off the host.
     """
+    from .tables import lower_pose
+    table = lower_pose(table)
     tacc = jnp.zeros_like(state[0])
     nsurf = table.curvature.shape[0]
     if specs is None or specs[0].rotated:
@@ -179,7 +183,8 @@ def trace_rays_final_fast(table, y0, u0, clip=False, specs=None,
     """
     n = y0.shape[0]
     on_tpu = jax.default_backend() == "tpu"
-    from .tables import is_anamorphic
+    from .tables import is_anamorphic, lower_pose
+    table = lower_pose(table)  # fold tilt/decenter for the host plans
     anam = is_anamorphic(table)
     if precision == "parity":
         if on_tpu and n % tile == 0:

@@ -670,8 +670,11 @@ class SurfaceSpec(NamedTuple):
 
 def specialize(table):
     """Host-side: derive the static SurfaceSpec tuple from a (NumPy)
-    SurfaceTable."""
+    SurfaceTable.  Pose deltas (tilt/decenter) are folded first, so a
+    concretely tilted/decentered row gets rotated/off_axis flags."""
     import numpy as np
+    from .tables import lower_pose
+    table = lower_pose(table)
     specs = []
     s = np.asarray(table.curvature).shape[0]
     for j in range(s):

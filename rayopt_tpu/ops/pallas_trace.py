@@ -115,7 +115,10 @@ def pallas_trace_final(table, state, clip=False, specs=None,
 
     Covers the full surface vocabulary: anamorphic (biconic/cylinder/
     toroid), grating, and odd-aspheric rows dispatch through the
-    static SurfaceSpec flags (auto-derived from a concrete table)."""
+    static SurfaceSpec flags (auto-derived from a concrete table).
+    Pose deltas (tilt/decenter) are folded into rot/offset first."""
+    from .tables import lower_pose
+    table = lower_pose(table)
     return _pallas_trace_final(table, state, clip=clip,
                                specs=_resolve_specs(table, specs),
                                tile=tile, interpret=interpret)

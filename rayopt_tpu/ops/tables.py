@@ -64,6 +64,21 @@ class SurfaceTable(NamedTuple):
                         KX = D(D+3)/2, no constant term), in lens
                         units (denormalized): sag += sum c x^i y^j.
                         Zero-width = no freeform rows
+    tilt:       (S, 3)  differentiable pose DELTA: rotation vector
+                        (radians; axis * angle) applied in the row's
+                        nominal local frame AFTER the baked rotation
+                        (rot_eff = rodrigues(tilt) @ rot, lowered
+                        inside the trace graph by lower_pose).  Zero
+                        (the default) = nominal pose; for an untilted
+                        element a single-axis tilt equals the host's
+                        euler `angles` about that axis (reference
+                        elements.py:116-147).  Stored as a delta so
+                        perturb/optimize/differentiate on `tilt` works
+                        on any system without touching the baked rot
+    decenter:   (S, 3)  differentiable pose delta: lab-frame vertex
+                        shift added to `offset` (x/y = decenter,
+                        z = despace).  Note `distance` (path
+                        bookkeeping) does not track a z-decenter
     """
 
     curvature: jnp.ndarray
@@ -84,6 +99,8 @@ class SurfaceTable(NamedTuple):
     grating_dy: jnp.ndarray = None
     doe: jnp.ndarray = None
     xy_poly: jnp.ndarray = None
+    tilt: jnp.ndarray = None
+    decenter: jnp.ndarray = None
 
     @property
     def nsurfaces(self):
@@ -105,7 +122,8 @@ def make_table(curvature, conic=None, aspherics=None, offset=None,
                n_before=None, n_after=None, distance=None,
                aspherics_odd=None, curvature_dx=None, conic_dx=None,
                toroidal=None, grating_dy=None, doe=None,
-               xy_poly=None, dtype=np.float64):
+               xy_poly=None, tilt=None, decenter=None,
+               dtype=np.float64):
     """Assemble a SurfaceTable from plain arrays, filling defaults."""
     curvature = np.asarray(curvature, dtype=dtype)
     s = curvature.shape[0]
@@ -164,7 +182,91 @@ def make_table(curvature, conic=None, aspherics=None, offset=None,
         grating_dy=arr(grating_dy, 0., (s,)),
         doe=np.ascontiguousarray(doe),
         xy_poly=np.ascontiguousarray(xy_poly),
+        tilt=arr(tilt, 0., (s, 3)),
+        decenter=arr(decenter, 0., (s, 3)),
     )
+
+
+def _rodrigues(v, xp):
+    """Rodrigues rotation matrices from rotation vectors: (..., 3) ->
+    (..., 3, 3), R = I + a [v]x + b [v]x^2 with a = sin(th)/th,
+    b = (1-cos(th))/th^2, th = |v|.  Smooth (NaN-free gradients)
+    through th = 0 via guarded branches + Taylor series, so jax.grad
+    at the nominal (zero-tilt) pose is exact.  `xp` is numpy or
+    jax.numpy (the host/concrete and traced twins share this body)."""
+    v = xp.asarray(v)
+    t = (v*v).sum(-1)
+    small = t < 1e-12
+    ts = xp.where(small, 1., t)         # guards sqrt/div (and their
+    th = xp.sqrt(ts)                    # gradients) at t == 0
+    a = xp.where(small, 1. - t/6. + t*t/120., xp.sin(th)/th)
+    b = xp.where(small, .5 - t/24. + t*t/720.,
+                 (1. - xp.cos(th))/ts)
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    zero = xp.zeros_like(x)
+    kx = xp.stack([
+        xp.stack([zero, -z, y], -1),
+        xp.stack([z, zero, -x], -1),
+        xp.stack([-y, x, zero], -1)], -2)
+    eye = xp.eye(3, dtype=kx.dtype)
+    return (eye + a[..., None, None]*kx
+            + b[..., None, None]*(kx @ kx))
+
+
+def rodrigues(v):
+    """Differentiable Rodrigues rotation matrices (jnp; see
+    _rodrigues).  The convention matches the host's euler `angles`
+    for a single-axis rotation: rodrigues((ax, 0, 0)) ==
+    euler_matrix(ax, 0, 0, 'rxyz')."""
+    return _rodrigues(v, jnp)
+
+
+def lower_pose(table):
+    """Fold the differentiable pose deltas (tilt, decenter) into the
+    baked rot/offset: rot_eff = rodrigues(tilt) @ rot, offset_eff =
+    offset + decenter.  Returns a table with zero tilt/decenter
+    (idempotent).
+
+    Called at the top of every trace engine.  Under jit the Rodrigues
+    lowering is part of the differentiated graph, so jax.grad /
+    sensitivity / MC tolerancing w.r.t. table.tilt and table.decenter
+    give exact pose derivatives through the generic (scan) engines.
+    The statically specialized engines derive their `rotated` /
+    `off_axis` flags from the pose-folded table (kernels.specialize
+    lowers first), so a CONCRETELY tilted/decentered row traces
+    exactly on every engine; gradients AT the untilted point through a
+    specs-specialized graph are baked out like any other specialized
+    parameter (seed the tilt off zero or use the scan path).
+
+    Host-side with concrete all-zero poses this is a no-op (the many
+    tiny host-driven traces pay nothing); concrete nonzero NumPy
+    tables fold in NumPy so nothing round-trips to a remote device.
+    """
+    import jax
+    tilt = getattr(table, "tilt", None)
+    dec = getattr(table, "decenter", None)
+    if tilt is None and dec is None:
+        return table
+    involved = [f for f in (tilt, dec, table.rot, table.offset)
+                if f is not None]
+    traced = any(isinstance(f, jax.core.Tracer) for f in involved)
+    if not traced:
+        z_t = tilt is None or not np.any(np.asarray(tilt))
+        z_d = dec is None or not np.any(np.asarray(dec))
+        if z_t and z_d:
+            return table
+        xp = (np if all(isinstance(f, np.ndarray) or np.isscalar(f)
+                        for f in involved) else jnp)
+    else:
+        xp = jnp
+    kw = {}
+    if tilt is not None:
+        kw["rot"] = _rodrigues(tilt, xp) @ xp.asarray(table.rot)
+        kw["tilt"] = xp.zeros_like(xp.asarray(tilt))
+    if dec is not None:
+        kw["offset"] = xp.asarray(table.offset) + xp.asarray(dec)
+        kw["decenter"] = xp.zeros_like(xp.asarray(dec))
+    return table.replace(**kw)
 
 
 def is_anamorphic(table):

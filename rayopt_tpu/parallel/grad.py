@@ -96,12 +96,18 @@ _WRITE_BACK = {"curvature": "curvature", "conic": "conic",
 
 def write_back_table(system, table, select):
     """Write the selected optimized table fields back into the
-    System's elements (curvature/conic/distance; other table fields
-    have no single element attribute and warn).  Runs update()."""
+    System's elements.  curvature/conic/distance map to single element
+    attributes; optimized pose deltas (tilt/decenter) are composed
+    with each element's baked pose and written back via
+    elements.set_pose (the element's angles/offset absorb the delta
+    and the table's tilt/decenter return to zero on the next
+    lowering).  Other table fields warn.  Runs update()."""
     import warnings
     arrays = {k: np.asarray(getattr(table, k))
               for k in select if k in _WRITE_BACK}
-    skipped = [k for k in select if k not in _WRITE_BACK]
+    pose = [k for k in select if k in ("tilt", "decenter")]
+    skipped = [k for k in select
+               if k not in _WRITE_BACK and k not in pose]
     if skipped:
         warnings.warn("optimized fields not written back to the "
                       "System (no element attribute): %s" % skipped)
@@ -110,6 +116,19 @@ def write_back_table(system, table, select):
             attr = _WRITE_BACK[field]
             if hasattr(e, attr):
                 setattr(e, attr, float(vals[j]))
+    if pose:
+        from ..ops.tables import _rodrigues
+        from ..elements import set_pose
+        tilt = np.asarray(table.tilt)
+        dec = np.asarray(table.decenter)
+        rot = np.asarray(table.rot)
+        off = np.asarray(table.offset)
+        for j, e in enumerate(system):
+            dt = tilt[j] if "tilt" in pose else np.zeros(3)
+            dd = dec[j] if "decenter" in pose else np.zeros(3)
+            if not (np.any(dt) or np.any(dd)):
+                continue
+            set_pose(e, off[j] + dd, _rodrigues(dt, np) @ rot[j])
     system.update()
 
 

@@ -170,3 +170,118 @@ def test_adjoint_under_jit_value_and_grad():
     nptest.assert_allclose(float(v), float(vr), rtol=1e-9)
     nptest.assert_allclose(np.asarray(g["curvature"]),
                            np.asarray(gr["curvature"]), rtol=1e-9)
+
+
+# ---------------------------------------------------------------------
+# Polychromatic (stacked-table) adjoint
+# ---------------------------------------------------------------------
+
+def _poly_bundle(s, n=128, seed=0):
+    rng = np.random.RandomState(seed)
+    y = np.zeros((n, 3))
+    u = np.zeros((n, 3))
+    u[:, :2] = rng.uniform(-1, 1, (n, 2))*s.object.pupil.slope
+    u[:, 2] = np.sqrt(1 - np.square(u[:, :2]).sum(1))
+    w = np.ones(n)/n
+    return y, u, w
+
+
+def test_poly_adjoint_value_matches_xla():
+    """The fused multi-wavelength Pallas merit reproduces
+    glass.polychromatic_spot_rms (union centroid) exactly."""
+    from rayopt_tpu.glass import polychromatic_spot_rms
+    s = doublet()
+    tabs = s.tables()
+    tab0 = jax.tree_util.tree_map(lambda a: a[0], tabs)
+    specs = specialize(tab0)
+    y, u, w = _poly_bundle(s)
+    ref = polychromatic_spot_rms(tabs, y, u, w, specs=specs,
+                                 unroll=True)
+    got = polychromatic_spot_rms(tabs, y, u, w, specs=specs,
+                                 engine="adjoint", tile=128,
+                                 interpret=True)
+    nptest.assert_allclose(float(got), float(ref), rtol=1e-12)
+
+
+@pytest.mark.slow
+def test_poly_adjoint_grad_matches_xla():
+    """Gradients through the multi-chain in-kernel adjoint match the
+    XLA VJP: shared geometry (curvature broadcast over wavelengths,
+    summed through the stacking transpose) and per-wavelength indices
+    (mu)."""
+    from rayopt_tpu.glass import polychromatic_spot_rms
+    s = doublet()
+    tabs = s.tables()
+    tab0 = jax.tree_util.tree_map(lambda a: a[0], tabs)
+    specs = specialize(tab0)
+    y, u, w = _poly_bundle(s)
+
+    def ref(c, mu):
+        t = tabs.replace(
+            curvature=jnp.broadcast_to(c, tabs.curvature.shape),
+            mu=mu)
+        return polychromatic_spot_rms(t, y, u, w, specs=specs,
+                                      unroll=True)
+
+    def pal(c, mu):
+        t = tabs.replace(
+            curvature=jnp.broadcast_to(c, tabs.curvature.shape),
+            mu=mu)
+        return polychromatic_spot_rms(t, y, u, w, specs=specs,
+                                      engine="adjoint", tile=128,
+                                      interpret=True)
+
+    c0 = jnp.asarray(tab0.curvature)
+    mu0 = jnp.asarray(tabs.mu)
+    g1c, g1m = jax.grad(ref, argnums=(0, 1))(c0, mu0)
+    g2c, g2m = jax.grad(pal, argnums=(0, 1))(c0, mu0)
+    nptest.assert_allclose(np.asarray(g2c), np.asarray(g1c),
+                           rtol=1e-9, atol=1e-12)
+    nptest.assert_allclose(np.asarray(g2m), np.asarray(g1m),
+                           rtol=1e-9, atol=1e-12)
+
+
+@pytest.mark.slow
+def test_glass_gradient_on_adjoint_path():
+    """The achromatization gradient (d merit / d vd through
+    glass_tables' Abbe model) flows through the multi-wavelength
+    adjoint kernel and matches the XLA path -- the chromatic merit no
+    longer needs VJP residuals (VERDICT r4 task 2)."""
+    import rayopt_tpu.glass as GL
+    import rayopt_tpu as ro
+    from rayopt_tpu.materials import lambda_d, lambda_F, lambda_C
+    # dispersive fixture (models.doublet is a dispersionless model
+    # glass: vd = inf, d merit / d vd == 0 exactly)
+    s = ro.System([
+        dict(material="air"),
+        dict(roc=60., distance=5., material="SCHOTT-BK|N-BK7",
+             radius=12.),
+        dict(roc=-45., distance=6., material="SCHOTT-BK|N-BK7",
+             radius=12.),
+        dict(roc=-150., distance=2., material="air", radius=12.),
+        dict(distance=95., radius=3.),
+    ])
+    s.wavelengths = [lambda_d, lambda_F, lambda_C]
+    s.object.pupil.radius = 3.
+    s.object.pupil.update_radius = False
+    s.update()
+    asg = GL.glass_assignment(s)
+    nd0, vd0 = GL.initial_glass_params(s, asg[2])
+    tabs = s.tables()
+    tab0 = jax.tree_util.tree_map(lambda a: a[0], tabs)
+    specs = specialize(tab0)
+    y, u, w = _poly_bundle(s)
+
+    def merit(vd, engine):
+        tb = GL.glass_tables(tabs, jnp.asarray(nd0), vd, asg,
+                             s.wavelengths)
+        return GL.polychromatic_spot_rms(
+            tb, y, u, w, specs=specs, unroll=True, engine=engine,
+            tile=128, interpret=True)
+
+    g_ref = np.asarray(jax.grad(lambda v: merit(v, "xla"))(
+        jnp.asarray(vd0)))
+    g_adj = np.asarray(jax.grad(lambda v: merit(v, "adjoint"))(
+        jnp.asarray(vd0)))
+    assert np.all(np.abs(g_adj) > 0)
+    nptest.assert_allclose(g_adj, g_ref, rtol=1e-9)
