@@ -24,8 +24,20 @@ from .grad import opd_rays
 
 
 def _pupil_samples(table, y0, u0, w, **opd_kw):
-    """(opd, xy, weights, good): NaN-guarded pupil samples."""
-    opd, xy = opd_rays(table, y0, u0, with_pupil=True, **opd_kw)
+    """(opd, xy, weights, good): NaN-guarded pupil samples.
+
+    engine="adjoint" (in opd_kw) samples through the per-ray OPD
+    Pallas adjoint kernel (ops.pallas_grad.pallas_opd_rays) instead
+    of the XLA trace: identical values, in-kernel backward -- Strehl/
+    MTF optimization at production ray counts without VJP residuals.
+    """
+    if opd_kw.pop("engine", "xla") == "adjoint":
+        from ..ops.pallas_grad import pallas_opd_rays
+        opd_kw.pop("biconic", None)
+        opd, xy = pallas_opd_rays(table, y0, u0, with_pupil=True,
+                                  **opd_kw)
+    else:
+        opd, xy = opd_rays(table, y0, u0, with_pupil=True, **opd_kw)
     good = jnp.isfinite(opd) & jnp.all(jnp.isfinite(xy), axis=1)
     if w is None:
         w = jnp.ones(opd.shape[0], opd.dtype)

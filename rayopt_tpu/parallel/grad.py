@@ -177,7 +177,8 @@ def composite_merit(*parts):
 
 def opd_rays(table, y0, u0, ref=0, radius=None, wavelength=None,
              scale=1e-3, finite=False, sphere_offset=None,
-             with_pupil=False, biconic=False):
+             with_pupil=False, biconic=False, specs=None,
+             unroll=False):
     """Per-ray optical path difference on the exit-pupil reference
     sphere, in waves -- the differentiable jnp mirror of
     GeometricTrace.opd without the grid resample (reference
@@ -197,7 +198,8 @@ def opd_rays(table, y0, u0, ref=0, radius=None, wavelength=None,
     """
     from ..ops.geometric import trace_rays
     from ..ops.surfaces import intercept_conic
-    y, u, i, t = trace_rays(table, y0, u0, biconic=biconic)
+    y, u, i, t = trace_rays(table, y0, u0, biconic=biconic,
+                            specs=specs, unroll=unroll)
     tsum = (t[:-1] - t[:-1, ref][:, None]).sum(0)
     if not finite:
         # input reference is a plane normal to the chief ray
@@ -205,6 +207,11 @@ def opd_rays(table, y0, u0, ref=0, radius=None, wavelength=None,
         tsum = tsum - tj*table.n_before[0]
     if sphere_offset is None:
         gap = -table.offset[-1]
+        if specs is not None and not specs[-1].off_axis:
+            # the specialized trace baked out the image row's
+            # transverse offset; the gap must see the same geometry
+            # or the sphere center and the exit step disagree
+            gap = gap*jnp.asarray([0., 0., 1.], gap.dtype)
     else:
         gap = -jnp.concatenate(
             [jnp.zeros(2, y.dtype), sphere_offset[None]])
@@ -227,13 +234,16 @@ def opd_rays(table, y0, u0, ref=0, radius=None, wavelength=None,
 
 def wavefront_rms(table, y0, u0, w=None, ref=0, radius=None,
                   wavelength=None, scale=1e-3, finite=False,
-                  biconic=False):
+                  biconic=False, specs=None, unroll=False):
     """Weighted RMS wavefront error (waves, piston removed) -- a
     differentiable wavefront merit the reference's finite-difference
-    optimizer cannot offer."""
+    optimizer cannot offer.  Pass specs/unroll for the statically
+    specialized engine (the parity twin of
+    ops.pallas_grad.pallas_wavefront_rms, which shares its baked-out
+    gradient semantics)."""
     opd = opd_rays(table, y0, u0, ref=ref, radius=radius,
                    wavelength=wavelength, scale=scale, finite=finite,
-                   biconic=biconic)
+                   biconic=biconic, specs=specs, unroll=unroll)
     if w is None:
         w = jnp.ones(y0.shape[0], opd.dtype)/y0.shape[0]
     good = jnp.isfinite(opd)

@@ -285,3 +285,95 @@ def test_glass_gradient_on_adjoint_path():
         jnp.asarray(vd0)))
     assert np.all(np.abs(g_adj) > 0)
     nptest.assert_allclose(g_adj, g_ref, rtol=1e-9)
+
+
+# ---------------------------------------------------------------------
+# Per-ray OPD / wavefront-RMS adjoint
+# ---------------------------------------------------------------------
+
+def _wf_setup(field=.5):
+    import rayopt_tpu as ro
+    s = cooke_triplet()
+    g = ro.GeometricTrace(s)
+    g.rays_point((0, field), nrays=50, distribution="hexapolar",
+                 filter=False)
+    y0 = np.asarray(g.y[0])
+    u0 = np.asarray(g.u[0])
+    pad = (128 - y0.shape[0] % 128) % 128
+    n0 = y0.shape[0]
+    y0 = np.concatenate([y0, np.repeat(y0[-1:], pad, 0)])
+    u0 = np.concatenate([u0, np.repeat(u0[-1:], pad, 0)])
+    w = np.ones(y0.shape[0])
+    w[n0:] = 0.
+    w /= w.sum()
+    kw = dict(ref=g.ref, radius=-s.image.pupil.distance,
+              wavelength=g.l, scale=s.scale, finite=s.object.finite)
+    return s, s.table(g.l), y0, u0, w, n0, kw
+
+
+def test_opd_adjoint_matches_xla():
+    """Per-ray OPD and landing coordinates through the adjoint kernel
+    match parallel.grad.opd_rays on the specialized engine (the
+    declared parity twin; VERDICT r4 task 3)."""
+    from rayopt_tpu.parallel.grad import opd_rays
+    from rayopt_tpu.ops.pallas_grad import pallas_opd_rays
+    s, tab, y0, u0, w, n0, kw = _wf_setup()
+    specs = specialize(tab)
+    o_r, xy_r = opd_rays(tab, jnp.asarray(y0), jnp.asarray(u0),
+                         with_pupil=True, specs=specs, unroll=True,
+                         **kw)
+    o_p, xy_p = pallas_opd_rays(tab, y0, u0, with_pupil=True,
+                                specs=specs, tile=128,
+                                interpret=True, **kw)
+    good = np.isfinite(np.asarray(o_r))
+    assert good[:n0].sum() > 20
+    nptest.assert_allclose(np.asarray(o_p)[good], np.asarray(o_r)[good],
+                           atol=1e-9)
+    nptest.assert_allclose(np.asarray(xy_p)[good], np.asarray(xy_r)[good],
+                           atol=1e-12)
+
+
+@pytest.mark.slow
+def test_wavefront_adjoint_grad_matches_xla():
+    """d(wavefront RMS)/d(curvature, offset) through the in-kernel
+    adjoint matches the XLA VJP on the specialized engine."""
+    from rayopt_tpu.parallel.grad import wavefront_rms
+    from rayopt_tpu.ops.pallas_grad import pallas_wavefront_rms
+    s, tab, y0, u0, w, n0, kw = _wf_setup()
+    specs = specialize(tab)
+
+    def m_ref(c, o):
+        return wavefront_rms(tab.replace(curvature=c, offset=o),
+                             y0, u0, w=w, specs=specs, unroll=True,
+                             **kw)
+
+    def m_pal(c, o):
+        return pallas_wavefront_rms(tab.replace(curvature=c, offset=o),
+                                    y0, u0, w=w, specs=specs,
+                                    tile=128, interpret=True, **kw)
+
+    c0 = jnp.asarray(tab.curvature)
+    o0 = jnp.asarray(tab.offset)
+    v1 = float(m_ref(c0, o0))
+    v2 = float(m_pal(c0, o0))
+    nptest.assert_allclose(v2, v1, rtol=1e-10)
+    g1c, g1o = jax.grad(m_ref, argnums=(0, 1))(c0, o0)
+    g2c, g2o = jax.grad(m_pal, argnums=(0, 1))(c0, o0)
+    nptest.assert_allclose(np.asarray(g2c), np.asarray(g1c),
+                           rtol=1e-6)
+    nptest.assert_allclose(np.asarray(g2o), np.asarray(g1o),
+                           rtol=1e-6, atol=1e-9)
+
+
+def test_strehl_on_adjoint_path():
+    """strehl_ratio(engine='adjoint') samples the pupil through the
+    OPD adjoint kernel and reproduces the XLA value."""
+    from rayopt_tpu.parallel.diffraction import strehl_ratio
+    s, tab, y0, u0, w, n0, kw = _wf_setup()
+    specs = specialize(tab)
+    sr_x = float(strehl_ratio(tab, y0, u0, w=w, specs=specs,
+                              unroll=True, **kw))
+    sr_a = float(strehl_ratio(tab, y0, u0, w=w, engine="adjoint",
+                              specs=specs, tile=128, interpret=True,
+                              **kw))
+    nptest.assert_allclose(sr_a, sr_x, rtol=1e-9)
