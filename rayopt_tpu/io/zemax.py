@@ -103,7 +103,7 @@ def zmf_read(file, session):
 # -- .zmx prescriptions -----------------------------------------------
 
 _ZMX_IGNORED = set("""
-GCAT OPDX RAIM CONF PUPD EFFL VERS MODE NOTE HIDE MIRR SQAP
+GCAT OPDX CONF PUPD EFFL VERS MODE NOTE HIDE MIRR SQAP
 YDAT OBNA PKUP MAZH CLAP PPAR VPAR EDGE VCON UDAD USAP TOLE PFIL
 TCED FNUM TOL MOFF SDMA GFAC PUSH PICB ROPD PWAV POLS GLRS
 BLNK COFN NSCD GSTD DMFS ISNA VDSZ ENVD ZVDX ZVDY ZVCX ZVCY ZVAN
@@ -136,10 +136,29 @@ def _zmx_name(ctx, args):
 def _zmx_surf(ctx, args):
     if ctx.break_row is not None:
         ctx.apply_break()
+    if not ctx.seen_surf:
+        # Zemax SURF 0 IS the object surface: map it onto the seeded
+        # object row instead of appending, so imported element count
+        # and stop index match the file (and a system_to_zmx round
+        # trip is the identity).  The reference importer appends here
+        # and every import gains a spurious leading passthrough row
+        # (reference zemax.py:93-110).
+        ctx.seen_surf = True
+        ctx.surf_type = "STANDARD"
+        return
     e = Spheroid(material=air)
     ctx.system.append(e)
     ctx.place(e)
     ctx.surf_type = "STANDARD"
+
+
+@_zmx_on("RAIM")
+def _zmx_raim(ctx, args):
+    """Ray aiming: only the on/off of the third field is mapped (onto
+    ObjectConjugate.pupil.aim); the reference ignores the line."""
+    vals = [float(t) for t in args.split()]
+    if len(vals) >= 3:
+        ctx.raim = vals[2] != 0
 
 
 #: surface TYPEs whose PARM rows we can map onto the Spheroid model
@@ -436,6 +455,9 @@ class _ZmxContext:
         self.ftyp = None
         self.xfln = None
         self.yfln = None
+        self.raim = None
+        #: the first SURF command maps onto the seeded object row
+        self.seen_surf = False
         #: cumulative global->axis rotation from coordinate breaks
         self.axis_rot = np.eye(3)
         #: global-frame shift accumulated by pending breaks
@@ -541,20 +563,20 @@ class _ZmxContext:
         op, a = rec["op"], rec["args"]
         ident = lambda v: v  # noqa: E731
         if op == "THIC" and a:
-            # DISZ of SURF j is the gap before imported element j+2
-            idx = a[0] + 2
+            # DISZ of SURF j is the gap before imported element j+1
+            idx = a[0] + 1
             if idx >= len(s):
                 print("MCE THIC", a[0], "beyond the last gap; dropped")
                 return None
             return {"set": [idx, "distance"]}, ident
         if op == "CRVT" and a:
-            return {"set": [a[0] + 1, "curvature"]}, ident
+            return {"set": [a[0], "curvature"]}, ident
         if op == "CONN" and a:
-            return {"set": [a[0] + 1, "conic"]}, ident
+            return {"set": [a[0], "conic"]}, ident
         if op == "PRAM" and len(a) >= 2:
             # "PRAM <surf> <par>"; only plain even-asphere parameters
             # map directly onto an attribute path
-            e = s[a[0] + 1]
+            e = s[a[0]]
             if type(e).__name__ != "Spheroid" or getattr(
                     e, "aspherics_odd", None):
                 print("MCE PRAM on non-even-asphere surface; dropped")
@@ -568,12 +590,12 @@ class _ZmxContext:
                 e.aspherics = coeffs
             while len(coeffs) <= k:
                 coeffs.append(0.)
-            return {"set": [a[0] + 1, "aspherics", k]}, ident
+            return {"set": [a[0], "aspherics", k]}, ident
         if op == "GLSS" and a:
             return ({"set_exec":
                      "from rayopt_tpu.materials import Material\n"
                      "self[%d].material = Material.make(value)"
-                     % (a[0] + 1)}, ident)
+                     % (a[0])}, ident)
         if op == "WAVE" and a:
             k = a[0] - 1
             if not 0 <= k < len(s.wavelengths):
@@ -616,6 +638,8 @@ class _ZmxContext:
         if self.enpd:
             s.object.pupil.radius = self.enpd/2.
             s.object.pupil.update_radius = False
+        if self.raim is not None:
+            s.object.pupil.aim = self.raim
         ftyp = (self.ftyp or [0])[0]
         n = (self.ftyp[2] if self.ftyp and len(self.ftyp) > 2
              and self.ftyp[2] > 0 else None)
@@ -757,10 +781,11 @@ def system_to_zmx(system):
     DISZ/DIAM/GLAS/STOP).
 
     Zemax SURF j maps to system[j] (SURF 0 = the object surface with
-    the object gap as its DISZ).  Because zmx_to_system seeds an
-    implicit object row before SURF 0, a round trip reproduces the
-    system with one extra leading passthrough row: imported[j+1]
-    corresponds to system[j] and the stop index shifts by one."""
+    the object gap as its DISZ).  zmx_to_system maps SURF 0 back onto
+    its seeded object row, so zmx_to_system(system_to_zmx(s)) is
+    self-contained: element count, stop index, conjugate/pupil
+    seeding (ENPD/FTYP/XFLN/YFLN/RAIM) and the traced spot RMS all
+    round-trip without manual restoration."""
     inv_scales = {v: k for k, v in _ZMX_SCALES.items()}
     out = ["VERS 1.0 rayopt_tpu"]
     if system.description:
@@ -775,6 +800,10 @@ def system_to_zmx(system):
     prad = getattr(system.object.pupil, "radius", np.inf)
     if np.isfinite(prad) and prad:
         out.append("ENPD %.17g" % (2.*prad))
+    # ray aiming on/off (third field; read back into pupil.aim)
+    out.append("RAIM 0 0 %d 1 0 0 0 0 0"
+               % (1 if getattr(system.object.pupil, "aim", False)
+                  else 0))
     fields = list(system.fields) or [0.]
     if system.object.finite:
         fmax = system.object.radius

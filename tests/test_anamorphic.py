@@ -330,7 +330,7 @@ def test_zmx_biconic_round_trip():
         "  DIAM 8",
     ])
     s = zmx_to_system(zmx)
-    el = s[2]  # the importer prepends the object row: SURF j -> [j+1]
+    el = s[1]  # SURF 0 is the object row: SURF j -> [j]
     assert isinstance(el, ro.Biconic)
     nptest.assert_allclose(el.curvature, 0.038699690402476)
     nptest.assert_allclose(el.curvature_x, .01)
@@ -496,7 +496,7 @@ def test_zmx_toroidal_round_trip():
         "  DIAM 8",
     ])
     s = zmx_to_system(zmx)
-    el = s[2]
+    el = s[1]
     assert isinstance(el, Toroid)
     nptest.assert_allclose(el.curvature_rotation, 1/200.)
     nptest.assert_allclose(el.curvature, 0.019349845201238)
@@ -527,7 +527,7 @@ def test_zmx_toroidal_polynomial_terms():
         "SURF 2", "  TYPE STANDARD", "  DISZ 40.0", "  DIAM 8",
     ])
     s = zmx_to_system(zmx)
-    el = s[2]
+    el = s[1]
     assert isinstance(el, Toroid)
     nptest.assert_allclose(el.aspherics, [1e-5, 2e-8])
     s2 = zmx_to_system(system_to_zmx(s))

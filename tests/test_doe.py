@@ -239,8 +239,8 @@ def test_zmx_round_trip():
     s2 = zmx_to_system(z)
     s2.wavelengths = s.wavelengths
     s2.update()
-    # the importer prepends an implicit object row: s2[j+1] <-> s[j]
-    e = s2[2]
+    # SURF 0 maps onto the object row: s2[j] <-> s[j]
+    e = s2[1]
     nptest.assert_allclose(e.phase_coefficients, [A1, 5e-5],
                            rtol=1e-12)
     nptest.assert_allclose(e.norm_radius, 2., rtol=1e-12)
@@ -248,7 +248,7 @@ def test_zmx_round_trip():
     # whole-stack paraxial power round-trips (kick + substrate)
     from rayopt_tpu.ops.paraxial import abcd_product
     m1 = np.asarray(abcd_product(s.table(LAM0), 1, len(s) - 1))
-    m2 = np.asarray(abcd_product(s2.table(LAM0), 2, len(s2) - 1))
+    m2 = np.asarray(abcd_product(s2.table(LAM0), 1, len(s2) - 1))
     nptest.assert_allclose(m2[3, 1], m1[3, 1], rtol=1e-9)
 
 
@@ -276,11 +276,11 @@ SURF 2
     s = zmx_to_system(z)
     s.wavelengths = [LAM0]
     s.update()
-    e = s[2]  # implicit object row shift
+    e = s[1]  # SURF 0 is the object row
     nptest.assert_allclose(e.phase_coefficients[0], A1, rtol=1e-12)
     nptest.assert_allclose(e.aspherics[1], 1e-06, rtol=1e-12)
     from rayopt_tpu.ops.paraxial import abcd_product
-    m = np.asarray(abcd_product(s.table(LAM0), 2, 3))
+    m = np.asarray(abcd_product(s.table(LAM0), 1, 2))
     nptest.assert_allclose(-1./m[3, 1], F0, rtol=1e-6)
 
 

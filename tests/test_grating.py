@@ -216,7 +216,7 @@ def test_zmx_dgrating_round_trip():
         "SURF 2", "  TYPE STANDARD", "  DISZ -100.0", "  DIAM 60",
     ])
     s = zmx_to_system(zmx)
-    el = s[2]
+    el = s[1]
     assert isinstance(el, Grating)
     # 0.6 lines/um on a mm-scaled system = 600 lines/mm
     nptest.assert_allclose(el.grating_frequency, 600.)

@@ -39,12 +39,13 @@ def test_zmx():
     s = ro.zmx_to_system(ZMX)
     assert s.description == "zmx singlet"
     assert s.scale == 1e-3
-    assert len(s) == 5
-    assert s.stop == 3
-    assert s[2].curvature == .02
-    assert s[2].conic == -.5
-    assert s[2].aspherics == [1e-5, 1e-8]
-    nptest.assert_allclose(s[2].material.nd, 1.5168, atol=2e-4)
+    # SURF 0 is the object surface (Zemax semantics): 4 rows
+    assert len(s) == 4
+    assert s.stop == 2
+    assert s[1].curvature == .02
+    assert s[1].conic == -.5
+    assert s[1].aspherics == [1e-5, 1e-8]
+    nptest.assert_allclose(s[1].material.nd, 1.5168, atol=2e-4)
 
 
 AGF = textwrap.dedent("""\
@@ -227,16 +228,18 @@ def test_zmf_end_to_end(tmp_path):
     assert len(lenses) == 2
     by_desc = {len(s): s for s in lenses}
     s1 = lib.get("lens", "LA100", "vendor")
-    assert abs(s1[2].curvature - 0.02) < 1e-12
-    assert s1[2].material.nd == pytest.approx(1.5168, abs=1e-3)
+    assert abs(s1[1].curvature - 0.02) < 1e-12
+    assert s1[1].material.nd == pytest.approx(1.5168, abs=1e-3)
     s2 = lib.get("lens", "ODD200", "vendor")
-    assert s2[2].aspherics_odd == [0., 1e-6]
+    assert s2[1].aspherics_odd == [0., 1e-6]
 
 
 def test_zmx_writer_roundtrip():
-    """system_to_zmx -> zmx_to_system reproduces the geometry (with
-    the documented one-row shift from the importer's implicit object)
-    and the re-imported system traces to the same spot RMS."""
+    """zmx_to_system(system_to_zmx(s)) is SELF-CONTAINED: element
+    count, stop index, geometry, and the conjugate/pupil seeding
+    (ENPD/FTYP/RAIM) all survive, so the re-imported system traces
+    the full-field radau bundle to the same spot RMS with NO manual
+    restoration (VERDICT r4 task 4)."""
     import numpy as np
     from rayopt_tpu.models import cooke_triplet
     from rayopt_tpu.io.zemax import system_to_zmx, zmx_to_system
@@ -245,30 +248,29 @@ def test_zmx_writer_roundtrip():
     s.update()
     text = system_to_zmx(s)
     s2 = zmx_to_system(text)
-    assert len(s2) == len(s) + 1
-    assert s2.stop == s.stop + 1
+    assert len(s2) == len(s)
+    assert s2.stop == s.stop
+    np.testing.assert_allclose(s2.wavelengths, s.wavelengths,
+                               rtol=1e-8)
+    assert s2.object.pupil.aim == s.object.pupil.aim
+    np.testing.assert_allclose(s2.object.pupil.radius,
+                               s.object.pupil.radius, rtol=1e-8)
+    np.testing.assert_allclose(s2.object.angle, s.object.angle,
+                               rtol=1e-8)
     for j, e in enumerate(s):
-        e2 = s2[j + 1]
+        e2 = s2[j]
         np.testing.assert_allclose(getattr(e2, "curvature", 0.),
                                    getattr(e, "curvature", 0.),
                                    rtol=1e-12)
         np.testing.assert_allclose(e2.distance, e.distance, rtol=1e-12)
         np.testing.assert_allclose(e2.radius, e.radius)
-    # zmx carries the prescription, not rayopt-side seeding flags:
-    # restore conjugate/pupil settings before comparing traces
-    s2.wavelengths = s.wavelengths
-    s2.object.angle = s.object.angle
-    s2.object.pupil.radius = s.object.pupil.radius
-    s2.object.pupil.update_radius = False
-    s2.object.pupil.aim = s.object.pupil.aim
-    s2.fields = s.fields
     s2.update()
     g = GeometricTrace(s)
     g.rays_point((0, 1.), nrays=13, distribution="radau", filter=False)
     g2 = GeometricTrace(s2)
     g2.rays_point((0, 1.), nrays=13, distribution="radau",
                   filter=False)
-    np.testing.assert_allclose(g2.rms(), g.rms(), rtol=1e-4)
+    np.testing.assert_allclose(g2.rms(), g.rms(), rtol=1e-6)
 
 
 def test_zmx_writer_odd_aspheres():
@@ -287,7 +289,7 @@ def test_zmx_writer_odd_aspheres():
     s.append(Spheroid(distance=50., material=None, radius=20.))
     s.wavelengths = [550e-9]
     s2 = zmx_to_system(system_to_zmx(s))
-    e = s2[2]
+    e = s2[1]
     np.testing.assert_allclose(e.conic, -.4)
     np.testing.assert_allclose(e.aspherics, [0., 1e-6])
     np.testing.assert_allclose(e.aspherics_odd, [0., 2e-5])
@@ -312,8 +314,8 @@ def test_zmx_coordbrk_tilted_plate():
         "SURF 5", "  DISZ 0",
     ])
     s = zmx_to_system(zmx)
-    # breaks fold away: object row + implicit + 2 plate + image
-    assert len(s) == 5
+    # breaks fold away: object row + 2 plate rows + image
+    assert len(s) == 4
     s.wavelengths = [587.56e-9]
     y0 = np.zeros((1, 3))
     u0 = np.array([[0., 0., 1.]])
@@ -491,18 +493,18 @@ def test_zmx_mce_import():
         """)
     s = ro.io.zemax.zmx_to_system(zmx)
     assert s.n_configurations == 2
-    # THIC j maps onto imported[j+2].distance (implicit object row)
-    assert {"set": [4, "distance"], "value": 12.0} \
+    # THIC j maps onto imported[j+1].distance (SURF 0 = object row)
+    assert {"set": [3, "distance"], "value": 12.0} \
         in s.configurations[0]
     s0 = s.at_configuration(0, update=False)
     s1 = s.at_configuration(1, update=False)
-    assert s0[4].distance == 12. and s1[4].distance == 4.
-    assert s1[2].curvature == 0.025
+    assert s0[3].distance == 12. and s1[3].distance == 4.
+    assert s1[1].curvature == 0.025
     assert abs(s1.wavelengths[0] - 0.6562725e-6) < 1e-15
     assert s0.object.pupil.radius == 5.
     assert s1.object.pupil.radius == 3.
-    assert "SF5" in str(s1[2].material)
-    assert "BK7" in str(s0[2].material)
+    assert "SF5" in str(s1[1].material)
+    assert "BK7" in str(s0[1].material)
 
 
 def test_zmx_mce_zoom_round_trip():
@@ -554,7 +556,7 @@ def test_zmx_freeform_roundtrip():
     assert "TYPE XPOLYNOM" in text
     assert "TYPE SZERNSAG" in text
     s2 = zmx_to_system(text)
-    e1, e2 = s2[2], s2[3]
+    e1, e2 = s2[1], s2[2]
     assert isinstance(e1, FreeformXY) and not isinstance(e1,
                                                          ZernikeSag)
     assert isinstance(e2, ZernikeSag)
@@ -603,7 +605,7 @@ SURF 2
   TYPE STANDARD
 """
     s = zmx_to_system(text)
-    e = s[2]
+    e = s[1]
     assert isinstance(e, ZernikeSag)
     fringe = [0.]*9
     fringe[3] = 5e-4    # Fringe term 4: defocus, 2 rho^2 - 1

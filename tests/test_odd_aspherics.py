@@ -210,13 +210,13 @@ def test_zmx_oddasphe_routing():
         "  DISZ 50",
     ])
     s = zmx_to_system(zmx)
-    e1 = s[2]   # the parser seeds an object row before SURF 0
+    e1 = s[1]   # SURF 0 maps onto the object row
     # odd powers r^3, r^5 -> aspherics_odd[1], [2]
     nptest.assert_allclose(e1.aspherics_odd, [0., 2e-6, 4e-9])
     # even powers r^2, r^4 -> aspherics[0], [1]
     nptest.assert_allclose(e1.aspherics, [1e-5, 3e-8])
     # plain even asphere: PARM i -> r^(2i)
-    nptest.assert_allclose(s[3].aspherics, [0., 7e-6])
+    nptest.assert_allclose(s[2].aspherics, [0., 7e-6])
 
 
 def test_yaml_roundtrip_odd():
