@@ -522,6 +522,60 @@ def _moments_bwd(specs, clip, tile, interpret, fields, diff_fields,
 _moments.defvjp(_moments_fwd, _moments_bwd)
 
 
+
+
+def _baked_out_rows(specs, field):
+    """Surface rows (1-indexed into the chain) whose static
+    specialization never READS `field`, so its gradient there is
+    structurally zero (module docstring: specialized-engine
+    semantics)."""
+    rows = []
+    for j, sp in enumerate(specs):
+        if j == 0:
+            continue
+        figured = (sp.aspheric or sp.odd or sp.freeform or sp.doe
+                   or sp.grating or sp.biconic or sp.toroidal
+                   or sp.cyl_axis)
+        if field == "curvature" and sp.flat and not figured:
+            rows.append(j)
+        elif field == "conic" and sp.spherical and not figured \
+                and not sp.flat:
+            rows.append(j)
+        elif field == "conic" and sp.flat and not figured:
+            rows.append(j)
+        elif field == "offset" and not sp.off_axis:
+            rows.append(j)     # transverse components only
+        elif field in ("curvature_dx", "conic_dx") \
+                and not (sp.biconic or sp.toroidal or sp.cyl_axis):
+            rows.append(j)
+        elif field == "mu" and sp.kind == 0:
+            rows.append(j)
+    return rows
+
+
+def _warn_baked_params(specs, params):
+    """Host-side (trace-time, zero jit cost): when a table field the
+    caller is differentiating/varying (it arrives as a tracer while
+    the rest of the table is concrete) has rows the static
+    specialization bakes out, say so once -- otherwise an optimizer
+    silently never moves that parameter (VERDICT r4 task 7)."""
+    import warnings
+    for f, v in params.items():
+        if f in _NONDIFF or not isinstance(v, jax.core.Tracer):
+            continue
+        rows = _baked_out_rows(specs, f)
+        if rows:
+            detail = (" (transverse x/y components)"
+                      if f == "offset" else "")
+            warnings.warn(
+                "adjoint kernel: '%s' of surface row(s) %s is baked "
+                "out by the static specialization%s -- its gradient "
+                "there is structurally zero; seed it off the baked "
+                "point (respecialize) or use the generic scan engine"
+                % (f, rows, detail), stacklevel=3)
+
+
+
 def pallas_spot_moments(table, state, w, specs=None, clip=False,
                         tile=DEFAULT_TILE, interpret=False):
     """Differentiable weighted spot moments (sum w, sum wx, sum wy,
@@ -544,6 +598,7 @@ def pallas_spot_moments(table, state, w, specs=None, clip=False,
     params = {f: (jnp.asarray(getattr(table, f), dtype=dtype)
                   if getattr(table, f).dtype.kind == "f"
                   else getattr(table, f)) for f in fields}
+    _warn_baked_params(specs, params)
     return _moments(specs, clip, tile, interpret, fields, diff_fields,
                     params, state, jnp.asarray(w, dtype))
 
@@ -723,6 +778,7 @@ def pallas_spot_moments_multi(tables, state, w, specs=None,
     params = {f: (jnp.asarray(getattr(tables, f), dtype=dtype)
                   if getattr(tables, f).dtype.kind == "f"
                   else getattr(tables, f)) for f in fields}
+    _warn_baked_params(specs, params)
     return _moments_multi(specs, clip, tile, interpret, fields,
                           diff_fields, params, state,
                           jnp.asarray(w, dtype))
@@ -1135,6 +1191,7 @@ def pallas_opd_rays(table, y0, u0, ref=0, radius=None,
     params = {f: (jnp.asarray(getattr(table, f), dtype=dtype)
                   if getattr(table, f).dtype.kind == "f"
                   else getattr(table, f)) for f in fields}
+    _warn_baked_params(specs, params)
     # sphere center: the reference ray's image point (local frame),
     # one differentiable XLA ray
     yr, ur, tr = trace_rays_final(table, y0[ref:ref + 1],
