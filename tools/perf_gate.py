@@ -35,6 +35,13 @@ import sys
 #: (json path, absolute floor)
 RATE_FLOORS = [
     (("vs_baseline",), 43.0),
+    # the Pallas engine's own floor (round-5; previously only the
+    # best-of headline was gated, so a Pallas-only regression could
+    # hide behind the XLA chain): measured 47.3-48.8 across rounds
+    (("details", "pallas_f32", "rate_vs_target"), 42.0),
+    # shard_map twin of the SAME 8-chained workload (round-5): the
+    # gap vs pallas_f32 is pure shard_map overhead, expected < ~10%
+    (("details", "pallas_f32_sharded_mesh1", "vs_baseline"), 38.0),
     (("details", "pallas_df32_parity_grade", "vs_target"), 5.0),
     (("details", "pallas_df32_anamorphic", "vs_target"), 5.5),
     (("details", "pallas_df32_merit", "vs_target"), 5.0),
@@ -44,6 +51,16 @@ RATE_FLOORS = [
     # boundary): measured 3.28 single / 7.07 fused on v5e
     (("details", "grad_step_adjoint", "vs_target"), 2.5),
     (("details", "grad_step_adjoint_fused", "vs_target"), 5.0),
+    # polychromatic 3-chain adjoint (round-5): counts nlam
+    # intersections per ray per surface; floor set 15% under the
+    # round-5 measurement
+    (("details", "grad_step_adjoint_poly", "vs_target"), 2.5),
+    # wavefront (per-ray OPD) adjoint (round-5)
+    (("details", "grad_step_wavefront_adjoint", "vs_target"), 1.5),
+    # realistic composite design step (round-5): 9 aimed spot bundles
+    # + wavefront + first-order penalty, fused jit_steps=4; this row
+    # is dispatch/latency-bound, so the gate pins steps/s
+    (("details", "design_merit_step", "steps_per_s"), 8.0),
 ]
 PARITY_KEYS = [
     (("details", "pallas_df32_parity_grade",
@@ -60,6 +77,14 @@ PARITY_KEYS = [
     # curvature is baked out by design).  f32 numeric floor ~1e-7
     (("details", "grad_step_adjoint",
       "grad_rel_err_f32_vs_cpu_spec_ref"), 1e-5),
+    (("details", "grad_step_adjoint_poly",
+      "grad_rel_err_f32_vs_xla_f64_ref"), 1e-5),
+    (("details", "grad_step_wavefront_adjoint",
+      "grad_rel_err_f32_vs_cpu_spec_ref"), 1e-3),
+    (("details", "design_merit_step",
+      "value_rel_err_f32_vs_cpu_f64"), 1e-4),
+    (("details", "design_merit_step",
+      "grad_rel_err_f32_vs_cpu_f64_live"), 1e-3),
 ]
 
 
@@ -84,6 +109,11 @@ def main(argv):
     if "parsed" in rec and "metric" not in rec:
         rec = rec["parsed"]
     failed = False
+    sick = _get(rec, ("details", "tunnel_sick_rows")) or []
+    if sick:
+        print("TUNNEL-SICK rows (5-rep spread > 20%% -- floor misses "
+              "below may be noise; rerun before blaming code): %s"
+              % ", ".join(sick))
     for path, floor in RATE_FLOORS:
         value = _get(rec, path)
         name = ".".join(path)
