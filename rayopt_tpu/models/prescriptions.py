@@ -43,11 +43,17 @@ elements:
 stop: 5
 """
 
-# classic 6-element double Gauss, ~100 mm EFL, f/2.8, 28 deg full field
+# THE classic 6-element double Gauss: the published US2532751-type
+# sample (the OpticStudio "Double Gauss 28 degree field" prescription,
+# EFL 99.5 mm, f/3, 28 deg full field) -- an external literature
+# anchor, pinned against the PUBLISHED first-order data in
+# tests/test_published.py.  (Until round 5 the stop gaps were
+# mis-assigned -- stop gap 0, 14.253/12.428 shifted one row -- giving
+# EFL 92.37; the published gap assignment restores EFL 99.56.)
 DOUBLE_GAUSS_YAML = """
-description: 'double gauss 100mm f/2.8 28deg'
+description: 'double gauss 99.5mm f/3 28deg (US2532751-type sample)'
 wavelengths: [587.56e-9, 656.27e-9, 486.13e-9]
-object: {angle_deg: 14, pupil: {radius: 16.6, aim: True}}
+object: {angle_deg: 14, pupil: {radius: 16.7, aim: True}}
 image: {type: finite, pupil: {radius: 0, update_radius: True}}
 elements:
 - {material: air}
@@ -56,8 +62,8 @@ elements:
 - {roc: 35.951, distance: 0.5, material: SCHOTT-SK|N-SK16, radius: 24.0}
 - {distance: 14.0, material: SCHOTT-F|F5, radius: 21.3}
 - {roc: 22.270, distance: 3.777, material: air, radius: 14.8}
-- {material: air, radius: 11.3}
-- {roc: -25.685, distance: 14.253, material: SCHOTT-F|F5, radius: 14.3}
+- {distance: 14.253, material: air, radius: 11.3}
+- {roc: -25.685, distance: 12.428, material: SCHOTT-F|F5, radius: 14.3}
 - {distance: 3.777, material: SCHOTT-SK|N-SK16, radius: 20.8}
 - {roc: -36.980, distance: 10.834, material: air, radius: 21.1}
 - {roc: 196.417, distance: 0.5, material: SCHOTT-SK|N-SK16, radius: 20.0}
@@ -82,6 +88,44 @@ elements:
 - {roc: 109.0, distance: 2.0, material: air, radius: 12.}
 - {distance: 64.0, radius: 8.}
 stop: 4
+"""
+
+# -- published catalog prescriptions (external goldens) ---------------
+# These two are REAL vendor catalog lenses whose prescriptions AND
+# first-order data are published on the vendor spec sheets; the pinned
+# numbers in tests/test_published.py come from the spec sheets (and
+# the textbook thick-lens formulas), NOT from this repo's own output
+# -- the external anchor of the parity claim (round-5 VERDICT task 8).
+
+# Thorlabs LA1131 (N-BK7 plano-convex, Ø25.4 mm): spec-sheet values
+# R = 25.8 mm, center thickness 5.3 mm, f = 50.0 mm (design 587.6 nm),
+# back focal length 46.3 mm.
+LA1131_YAML = """
+description: 'Thorlabs LA1131 plano-convex singlet f=50'
+wavelengths: [587.56e-9]
+object: {angle_deg: 0.5, pupil: {radius: 6.35, aim: False}}
+image: {type: finite, pupil: {radius: 0, update_radius: True}}
+elements:
+- {material: air}
+- {roc: 25.8, distance: 10., material: SCHOTT-BK|N-BK7, radius: 12.7}
+- {distance: 5.3, material: air, radius: 12.7}
+- {distance: 46.3, radius: 1.}
+stop: 1
+"""
+
+# Thorlabs LA1509 (N-BK7 plano-convex, Ø25.4 mm): spec-sheet values
+# R = 51.5 mm, center thickness 3.6 mm, f = 100.0 mm, BFL = 97.6 mm.
+LA1509_YAML = """
+description: 'Thorlabs LA1509 plano-convex singlet f=100'
+wavelengths: [587.56e-9]
+object: {angle_deg: 0.5, pupil: {radius: 6.35, aim: False}}
+image: {type: finite, pupil: {radius: 0, update_radius: True}}
+elements:
+- {material: air}
+- {roc: 51.5, distance: 10., material: SCHOTT-BK|N-BK7, radius: 12.7}
+- {distance: 3.6, material: air, radius: 12.7}
+- {distance: 97.6, radius: 1.}
+stop: 1
 """
 
 PARABOLIC_YAML = """
@@ -273,6 +317,16 @@ def parabolic_mirror(update=True):
     return _build(PARABOLIC_YAML, update)
 
 
+def thorlabs_la1131(update=True):
+    """Published catalog singlet (see LA1131_YAML provenance)."""
+    return _build(LA1131_YAML, update)
+
+
+def thorlabs_la1509(update=True):
+    """Published catalog singlet (see LA1509_YAML provenance)."""
+    return _build(LA1509_YAML, update)
+
+
 def hene_cavity(update=False):
     return _build(HENE_CAVITY_YAML, update)
 
@@ -310,6 +364,8 @@ PRESCRIPTIONS = {
     "double_gauss": double_gauss,
     "petzval": petzval,
     "parabolic": parabolic_mirror,
+    "la1131": thorlabs_la1131,
+    "la1509": thorlabs_la1509,
     "hene_cavity": hene_cavity,
     "beam_expander": beam_expander,
     "spectrograph": spectrograph,

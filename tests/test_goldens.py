@@ -24,25 +24,28 @@ def petz():
 
 
 def test_double_gauss_first_order(gauss):
+    # round-5: the flagship is now the PUBLISHED US2532751-type
+    # sample (EFL 99.5; tests/test_published.py pins the literature
+    # values); these are the regenerated self-consistency goldens
     p = gauss
-    nptest.assert_allclose(p.focal_length, [-92.37162897, 92.37162897],
+    nptest.assert_allclose(p.focal_length, [-99.56245406, 99.56245406],
                            rtol=1e-8)
-    nptest.assert_allclose(p.working_f_number[1], 2.8268482, rtol=1e-7)
-    nptest.assert_allclose(p.numerical_aperture[1], 0.17692446,
+    nptest.assert_allclose(p.working_f_number[1], 3.02255441, rtol=1e-7)
+    nptest.assert_allclose(p.numerical_aperture[1], 0.16546885,
                            rtol=1e-6)
     nptest.assert_allclose(p.pupil_distance,
-                           [23.77010616, -56.96627503], rtol=1e-7)
-    nptest.assert_allclose(p.pupil_height, [16.6, 21.16224988],
+                           [58.92036222, -50.72494333], rtol=1e-7)
+    nptest.assert_allclose(p.pupil_height, [16.7, 18.1658159],
                            rtol=1e-7)
-    nptest.assert_allclose(p.lagrange, -4.139992031, rtol=1e-8)
+    nptest.assert_allclose(p.lagrange, -4.164931742, rtol=1e-8)
 
 
 def test_double_gauss_seidel_sums(gauss):
     # SA3 CMA3 AST3 PTZ3 DIS3 TACHC TCHC, transverse, OSLO scaling
     nptest.assert_allclose(
         gauss.transverse3.sum(0),
-        [-0.08547613, -0.06149775, 0.12825301, -0.07418908,
-         -0.01837551, -0.00520328, 0.00524783], rtol=1e-5)
+        [-0.07557316, 0.01136717, 0.02113808, -0.0826938,
+         -0.18152228, -0.00404807, 0.01799245], rtol=1e-5)
 
 
 def test_petzval_first_order(petz):

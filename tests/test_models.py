@@ -33,8 +33,8 @@ def test_aims_all_fields(name):
 def test_double_gauss_first_order():
     s = models.double_gauss()
     p = s.paraxial
-    np.testing.assert_allclose(p.focal_length[1], 92.4, rtol=1e-2)
-    np.testing.assert_allclose(p.working_f_number[1], 2.83, rtol=1e-2)
+    np.testing.assert_allclose(p.focal_length[1], 99.56, rtol=1e-2)
+    np.testing.assert_allclose(p.working_f_number[1], 3.02, rtol=1e-2)
 
 
 def test_cavity_builds():
