@@ -1069,7 +1069,8 @@ def main():
 
             mesh_chain = jax.jit(shard_map(
                 local_chain, mesh=mesh1,
-                in_specs=(P(),) + (P("rays"),)*6, out_specs=P()))
+                in_specs=(P(),) + (P("rays"),)*6, out_specs=P(),
+                check_vma=False))
             log("timing pallas_f32 under shard_map (1-device TPU "
                 "mesh, same 8-chained workload)...")
             stats = {}

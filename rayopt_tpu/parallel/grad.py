@@ -263,7 +263,7 @@ def _device_pupils(system, fields, wavelength):
 
 def bundles_from_system(system, fields=None, wavelengths=None,
                         nrays=32, distribution="radau",
-                        device_aim=False):
+                        device_aim=False, pad_to=None):
     """Aim one weighted ray bundle per (field, wavelength) through the
     system's pupils: the standard multi-configuration merit input.
 
@@ -275,6 +275,11 @@ def bundles_from_system(system, fields=None, wavelengths=None,
     resulting seeds are treated as constants of the merit, as in
     classical lens optimization where pupil aiming is refreshed
     between optimization macro-cycles.
+
+    pad_to: pad every bundle's ray count up to a multiple of this
+    (repeating the first ray at zero weight) -- the Pallas merit
+    engines tile rays by 128, so pass pad_to=128 when the bundles
+    feed optimize_grad(engine="adjoint").
     """
     from ..utils.distributions import pupil_distribution
     if fields is None:
@@ -301,8 +306,14 @@ def bundles_from_system(system, fields=None, wavelengths=None,
             else:
                 z, p = system.pupil((0, h), l=l)
             y0, u0 = system.aim((0, h), yp, z, p, filter=False)
+            wb = w
+            if pad_to and y0.shape[0] % pad_to:
+                pad = pad_to - y0.shape[0] % pad_to
+                y0 = np.concatenate([y0, np.repeat(y0[:1], pad, 0)])
+                u0 = np.concatenate([u0, np.repeat(u0[:1], pad, 0)])
+                wb = np.concatenate([w, np.zeros(pad)])
             out.append((jnp.asarray(y0), jnp.asarray(u0),
-                        jnp.asarray(w), chroma))
+                        jnp.asarray(wb), chroma))
     return out
 
 
@@ -425,7 +436,8 @@ def freeform_scales(system):
 def optimize_grad(table, bundles, select=("curvature",), steps=100,
                   lr=1e-4, optimizer=None, merit=None, callback=None,
                   mesh=None, axis="rays", checkpoint_dir=None,
-                  checkpoint_every=50, jit_steps=None, scales=None):
+                  checkpoint_every=50, jit_steps=None, scales=None,
+                  engine="xla", tile=None, interpret=False):
     """Gradient-descent lens optimization.
 
     table:   initial SurfaceTable
@@ -449,6 +461,16 @@ def optimize_grad(table, bundles, select=("curvature",), steps=100,
              2^22-ray gradient step, so k=8 nearly halves wall time;
              numerics are identical to the host loop.  Host callbacks
              and checkpoints run at chunk boundaries.
+    engine:  "xla" (default: the scan-engine spot RMS) or "adjoint"
+             (the analytic-adjoint Pallas merit kernel,
+             ops.pallas_grad.pallas_spot_rms): no VJP residuals, so
+             production-scale bundles (2^26 rays) fit where the XLA
+             path OOMs at 2^23.  Requires bundle ray counts tiling by
+             128 (bundles_from_system(pad_to=128)); gradient
+             semantics are the SPECIALIZED engine's (parameters the
+             nominal table bakes out stay fixed and warn).  Composes
+             with `mesh` through sharded_pallas_spot_rms.  Ignored
+             when `merit` is passed.
 
     Returns (optimized table, history of merit values).
     """
@@ -467,7 +489,48 @@ def optimize_grad(table, bundles, select=("curvature",), steps=100,
         replicated = NamedSharding(mesh, PartitionSpec())
         table = jax.device_put(table, replicated)
         bundles = shard_bundles(bundles, mesh, axis)
-    if merit is None:
+    if merit is None and engine == "adjoint":
+        from ..ops.kernels import specialize
+        from ..ops.pallas_grad import DEFAULT_TILE, pallas_spot_rms
+        specs_adj = specialize(jax.tree_util.tree_map(np.asarray,
+                                                      table))
+
+        def _tile_for(n):
+            t = tile or min(n, DEFAULT_TILE)
+            while n % t or t % 128:
+                t -= 128
+                if t <= 0:
+                    raise ValueError(
+                        "engine='adjoint' needs bundle ray counts in "
+                        "multiples of 128 (got %d); aim with "
+                        "bundles_from_system(pad_to=128)" % n)
+            return t
+
+        def merit(tab):
+            total = 0.
+            for bundle in bundles:
+                if len(bundle) == 4:
+                    y0, u0, w0, chroma = bundle
+                    ov = {k: v for k, v in chroma.items()
+                          if k != "wavelength"}
+                    t2 = tab.replace(**ov)
+                else:
+                    y0, u0, w0 = bundle
+                    t2 = tab
+                t_b = _tile_for(y0.shape[0])
+                if mesh is None:
+                    total = total + pallas_spot_rms(
+                        t2, y0, u0, w0, specs=specs_adj, tile=t_b,
+                        interpret=interpret)
+                else:
+                    # per-shard ray counts differ from the global n:
+                    # let the sharded wrapper derive its own tile
+                    from .sharding import sharded_pallas_spot_rms
+                    total = total + sharded_pallas_spot_rms(
+                        t2, y0, u0, w0, mesh, specs=specs_adj,
+                        tile=tile, interpret=interpret, axis=axis)
+            return total
+    elif merit is None:
         from ..ops.tables import is_anamorphic
         merit = functools.partial(trace_rms_merit, bundles=bundles,
                                   mesh=mesh, axis=axis,

@@ -151,32 +151,42 @@ def pupil_distribution(distribution, nrays):
     return generate(nrays)
 
 
-def _legendre(n):
-    """Legendre polynomial P_n as np.poly1d (highest power first)."""
+def _legcoef(n):
+    """Legendre-basis coefficient vector selecting P_n."""
     c = np.zeros(n + 1)
-    c[n] = 1
-    return np.poly1d(np.polynomial.legendre.leg2poly(c)[::-1])
+    c[n] = 1.
+    return c
 
 
 def gl_roots(n):
     """Gauss-Lobatto nodes/weights on [-1, 1], -1 first, 1 last.
 
-    (reference utils.py:203)"""
-    leg = _legendre(n - 1)
-    x = np.r_[-1, np.sort(leg.deriv().roots.real), 1]
-    w = 2/(n*(n - 1)*leg(x)**2)
+    Interior nodes are the roots of P'_{n-1}, found via the
+    Legendre-basis companion matrix (numpy legroots) -- the monomial-
+    basis np.poly1d.roots the reference uses (reference utils.py:203)
+    loses the roots entirely past degree ~40 (nrays ~ 1600)."""
+    from numpy.polynomial.legendre import legder, legroots, legval
+    c = _legcoef(n - 1)
+    x = np.r_[-1, np.sort(legroots(legder(c)).real), 1]
+    w = 2/(n*(n - 1)*legval(x, c)**2)
     return x, w
 
 
 def gr_roots(n):
     """Gauss-Radau nodes/weights on [-1, 1], -1 first.
 
-    (reference utils.py:214)"""
-    leg = _legendre(n - 1)
-    num = leg + _legendre(n)
-    quot, rem = np.polydiv(num.coeffs, np.array([1., 1.]))
-    x = np.r_[-1, np.sort(np.poly1d(quot).roots.real)]
-    w = (1 - x)/(n*leg(x))**2
+    Nodes are the roots of P_{n-1} + P_n (reference utils.py:214):
+    the fixed -1 endpoint is dropped from the numerically-found set
+    and re-inserted exactly; Legendre-basis companion roots keep the
+    rule valid at thousands of nodes (the reference's monomial
+    polydiv+roots collapses past degree ~40)."""
+    from numpy.polynomial.legendre import legroots, legval
+    c = np.zeros(n + 1)
+    c[n - 1] = 1.
+    c[n] = 1.
+    x = np.sort(legroots(c).real)
+    x = np.r_[-1, x[1:]]  # replace the found endpoint by exact -1
+    w = (1 - x)/(n*legval(x, _legcoef(n - 1)))**2
     return x, w
 
 

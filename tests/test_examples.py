@@ -27,6 +27,10 @@ KEY_LINES = {
                                       "tolerancing farm"],
     "achromat_design.py": ["thin-lens achromat prediction",
                            "color improvement", "achromat designed"],
+    "alignment_and_pose.py": ["pose sensitivity",
+                              "pose tolerance MC",
+                              "alignment compensation",
+                              "compensator written back"],
 }
 
 

@@ -428,3 +428,57 @@ def test_baked_out_param_warns():
         float(pallas_spot_rms(tab, y, u, w, specs=specs, tile=128,
                               interpret=True))
     assert not [r for r in rec if "baked out" in str(r.message)]
+
+
+def test_optimize_grad_adjoint_engine():
+    """optimize_grad(engine='adjoint') drives the analytic-adjoint
+    merit end-to-end (bundle padding via pad_to=128) and matches the
+    specialized XLA merit's trajectory."""
+    import optax
+    from rayopt_tpu.parallel.grad import optimize_grad
+    s = doublet()
+    tab = s.table()
+    y, u, w = _bundle(s, n=128)
+    bundles = [(jnp.asarray(y), jnp.asarray(u), jnp.asarray(w))]
+
+    tab_a, hist_a = optimize_grad(
+        tab, bundles, select=("curvature",), steps=5,
+        optimizer=optax.sgd(1e-6), engine="adjoint", tile=128,
+        interpret=True)
+    # XLA twin with the SAME gradient semantics (specialized engine)
+    specs = specialize(tab)
+
+    def merit_x(t2):
+        return spot_rms(t2, y, u, w, specs=specs, unroll=True)
+
+    tab_x, hist_x = optimize_grad(
+        tab, bundles, select=("curvature",), steps=5,
+        optimizer=optax.sgd(1e-6), merit=merit_x)
+    nptest.assert_allclose(hist_a, hist_x, rtol=1e-9)
+    nptest.assert_allclose(np.asarray(tab_a.curvature),
+                           np.asarray(tab_x.curvature), rtol=1e-9)
+    assert hist_a[-1] < hist_a[0]
+
+
+def test_optimize_grad_adjoint_engine_sharded():
+    """engine='adjoint' composes with a device mesh: the in-kernel
+    adjoint runs per chip, moments and table cotangents psum."""
+    import optax
+    from jax.sharding import Mesh
+    from rayopt_tpu.parallel.grad import optimize_grad
+    s = doublet()
+    tab = s.table()
+    y, u, w = _bundle(s, n=1024)     # 128 rays per virtual device
+    bundles = [(jnp.asarray(y), jnp.asarray(u), jnp.asarray(w))]
+    mesh = Mesh(np.asarray(jax.devices()), ("rays",))
+    tab_m, hist_m = optimize_grad(
+        tab, bundles, select=("curvature",), steps=3,
+        optimizer=optax.sgd(1e-6), engine="adjoint", interpret=True,
+        mesh=mesh)
+    tab_1, hist_1 = optimize_grad(
+        tab, bundles, select=("curvature",), steps=3,
+        optimizer=optax.sgd(1e-6), engine="adjoint", tile=128,
+        interpret=True)
+    nptest.assert_allclose(hist_m, hist_1, rtol=1e-9)
+    nptest.assert_allclose(np.asarray(tab_m.curvature),
+                           np.asarray(tab_1.curvature), rtol=1e-9)

@@ -249,3 +249,19 @@ def test_superimposition_matrix():
         got = m[:3, :3] @ v0 + m[:3, 3:]
         nptest.assert_allclose(got, v1, atol=1e-10)
         nptest.assert_allclose(m[:3, :3], s*r, atol=1e-10)
+
+
+def test_quadrature_scales_to_production_ray_counts():
+    """Gauss-Radau/Lobatto pupil quadrature stays a valid rule at
+    thousands of rays (the reference's monomial-basis root finding
+    collapses past degree ~40 / ~1600 rays: weights summed to 3.05 at
+    nrays=4096 and radii went NaN)."""
+    import numpy as np
+    from rayopt_tpu.utils.distributions import pupil_distribution
+    for dist in ("radau", "lobatto"):
+        for n in (1024, 4096, 16384):
+            ref, xy, w = pupil_distribution(dist, n)
+            assert np.isfinite(xy).all(), (dist, n)
+            assert np.all(np.square(xy).sum(1) <= 1 + 1e-12)
+            np.testing.assert_allclose(np.sum(w), 1., rtol=1e-9)
+            assert np.all(np.asarray(w) > 0)
