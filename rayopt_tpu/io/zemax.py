@@ -818,8 +818,71 @@ def system_to_zmx(system):
                                   for f in fields))
     if getattr(system, "configurations", None):
         out.extend(_mce_block(system))
+    # element poses (tilt/decenter/fold): emitted as COORDBRK rows
+    # whose decenter+tilt+thickness reproduce each element's exact
+    # lab-frame offset and rotation through the importer's running-
+    # axis model (apply_break) -- previously poses were silently
+    # dropped on export
+    from ..utils.geometry import euler_from_matrix
+
+    def _pose_of(e):
+        rot = (np.asarray(e.rot_normal, float)
+               if getattr(e, "rotated", False) else np.eye(3))
+        return np.asarray(e.offset, float), rot
+
+    posed = []
+    a_run = np.eye(3)
     for j, e in enumerate(system):
-        out.append("SURF %d" % j)
+        off, rot = _pose_of(e)
+        if not np.all(np.isfinite(off)):
+            # infinite conjugate gap: straight by construction (a
+            # 0*inf matmul would NaN the transverse test)
+            posed.append(False)
+            a_run = rot
+            continue
+        tr = a_run @ off
+        plain = (np.allclose(rot, a_run, atol=1e-14)
+                 and abs(tr[0]) < 1e-12 and abs(tr[1]) < 1e-12)
+        posed.append(not plain)
+        a_run = rot
+    if any(posed) and getattr(system, "configurations", None):
+        import warnings
+        warnings.warn(
+            "element poses + MCE configurations cannot both be "
+            "exported (COORDBRK rows shift the MCE surface indices); "
+            "poses dropped -- serialize via YAML/JSON to keep both")
+        posed = [False]*len(system)
+
+    surf_idx = 0
+    a_old = np.eye(3)
+    for j, e in enumerate(system):
+        if j > 0:
+            off, rot = _pose_of(e)
+            if not posed[j]:
+                gap = (off[2] if not np.all(np.isfinite(off))
+                       else (a_old @ off)[2])
+                out.append("  DISZ %.17g" % gap)
+            else:
+                # previous gap rides inside the break: solve
+                # [x_old y_old z_new][dx dy t]^T = offset
+                out.append("  DISZ 0")
+                m3 = np.column_stack([a_old.T[:, 0], a_old.T[:, 1],
+                                      rot.T[:, 2]])
+                dx, dy, t = np.linalg.solve(m3, off)
+                tilt = a_old @ rot.T
+                ax, ay, az = euler_from_matrix(tilt, "rxyz")
+                out.append("SURF %d" % surf_idx)
+                surf_idx += 1
+                out.append("  TYPE COORDBRK")
+                for i, v in enumerate((dx, dy, np.rad2deg(ax),
+                                       np.rad2deg(ay),
+                                       np.rad2deg(az), 0.)):
+                    if v:
+                        out.append("  PARM %d %.17g" % (i + 1, v))
+                out.append("  DISZ %.17g" % t)
+                a_old = rot
+        out.append("SURF %d" % surf_idx)
+        surf_idx += 1
         odd = getattr(e, "aspherics_odd", None)
         even = getattr(e, "aspherics", None)
         cx = getattr(e, "curvature_x", None)
@@ -958,9 +1021,7 @@ def system_to_zmx(system):
             out.append("  GLAS MIRROR 0 0 0 0")
         if np.isfinite(e.radius) and e.radius:
             out.append("  DIAM %.17g 1 0 0" % e.radius)
-        nxt = system[j + 1] if j + 1 < len(system) else None
-        out.append("  DISZ %.17g" % (nxt.distance if nxt is not None
-                                     else 0.))
+    out.append("  DISZ 0")
     return "\n".join(out) + "\n"
 
 

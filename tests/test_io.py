@@ -659,3 +659,55 @@ def test_fringe_noll_conversion():
     s_noll = sum(cj*zernike(j + 1, x, y)
                  for j, cj in enumerate(noll) if cj)
     np.testing.assert_allclose(s_fringe, s_noll, atol=1e-12)
+
+
+def test_zmx_pose_roundtrip():
+    """Element poses (tilt/decenter/fold) export as COORDBRK rows and
+    re-import to the exact same table geometry and traced RMS --
+    previously poses were silently dropped by the writer."""
+    import numpy as np
+    from rayopt_tpu.models import cooke_triplet
+    from rayopt_tpu.elements import set_pose
+    from rayopt_tpu.io.zemax import system_to_zmx, zmx_to_system
+    from rayopt_tpu import GeometricTrace
+    s = cooke_triplet()
+    s[3].angles = (2e-3, -1e-3, 0.)
+    set_pose(s[5], np.asarray(s[5].offset) + [1e-2, -2e-2, 0.],
+             np.eye(3))
+    s.update()
+    text = system_to_zmx(s)
+    assert text.count("TYPE COORDBRK") >= 2
+    s2 = zmx_to_system(text)
+    assert len(s2) == len(s) and s2.stop == s.stop
+    s2.update()
+    t1, t2 = s.table(), s2.table()
+    for f in ("offset", "rot", "curvature", "distance"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(t2, f)), np.asarray(getattr(t1, f)),
+            atol=1e-12, err_msg=f)
+    g1 = GeometricTrace(s)
+    g1.rays_point((0, 1.), nrays=13, distribution="radau",
+                  filter=False)
+    g2 = GeometricTrace(s2)
+    g2.rays_point((0, 1.), nrays=13, distribution="radau",
+                  filter=False)
+    np.testing.assert_allclose(g2.rms(), g1.rms(), rtol=1e-12)
+
+
+def test_zmx_fold_mirror_pose_roundtrip():
+    """A permanent axis change (uncompensated large tilt) also
+    round-trips: the writer's running-axis model matches the
+    importer's apply_break exactly."""
+    import numpy as np
+    from rayopt_tpu.models import cooke_triplet
+    from rayopt_tpu.io.zemax import system_to_zmx, zmx_to_system
+    s = cooke_triplet()
+    s[2].angles = (0., 0.3, 0.)
+    s.update()
+    s2 = zmx_to_system(system_to_zmx(s))
+    s2.update()
+    t1, t2 = s.table(), s2.table()
+    np.testing.assert_allclose(np.asarray(t2.rot),
+                               np.asarray(t1.rot), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(t2.offset),
+                               np.asarray(t1.offset), atol=1e-12)
