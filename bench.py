@@ -958,9 +958,14 @@ def main():
                         jnp.asarray(u_wfb, dt), ref=0,
                         radius=wf_radius, wavelength=wf_lam,
                         scale=s.scale, specs=sp, unroll=use_specs)
+                    # the paraxial ABCD scan promotes mixed dtypes to
+                    # f64 mid-carry; the penalty is 13 tiny matrices,
+                    # so just run it uniformly in f64
+                    t64 = jax.tree_util.tree_map(
+                        lambda a: jnp.asarray(a, jnp.float64), t2)
                     total = total + 1e-4*first_order_penalty(
-                        t2, (jnp.asarray(seed_d[0], dt),
-                             jnp.asarray(seed_d[1], dt)),
+                        t64, (jnp.asarray(seed_d[0], jnp.float64),
+                              jnp.asarray(seed_d[1], jnp.float64)),
                         {"focal_length": (1, f_tgt)})
                     return total
                 return merit

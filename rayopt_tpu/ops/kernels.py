@@ -565,7 +565,15 @@ def refract_cyl(w, z, uw, uv, uz, mu, c, k, kind):
 def intercept_conic(x, y, z, ux, uy, uz, c, k, alternate):
     """Closed-form conic intercept on components
     (reference elements.py:477; degenerate branches as in
-    ops.surfaces.intercept_conic)."""
+    ops.surfaces.intercept_conic).
+
+    The root -(d+g)/e equals f/(g-d) algebraically; numerically each
+    form cancels catastrophically in the regime where the other is
+    exact (d and g of opposite signs kills -(d+g): at c -> 0 an f32
+    trace of a nearly-flat row is garbage -- e.g. an optimizer nudging
+    a flat row's curvature to 1e-12 blew the double-Gauss spot RMS
+    from 0.022 to 6.4 mm).  Select the cancellation-free numerator/
+    denominator pair and share ONE division."""
     k1 = 1 + k
     uy_ = ux*x + uy*y + k1*uz*z
     uu = ux*ux + uy*uy + k1*uz*uz
@@ -575,9 +583,11 @@ def intercept_conic(x, y, z, ux, uy, uz, c, k, alternate):
     f = c*yy - 2*z
     disc = d*d - e*f
     g = _sqrt0(disc)*(1 - 2*alternate)
-    e_safe = jnp.where(e == 0, 1., e)
-    gd_safe = jnp.where(g == d, 1., g - d)
-    s = jnp.where(e == 0, f/gd_safe, -(d + g)/e_safe)
+    conj = (d*g <= 0) | (e == 0)
+    num = jnp.where(conj, f, -(d + g))
+    den = jnp.where(conj, g - d, e)
+    den_safe = jnp.where(den == 0, 1., den)
+    s = num/den_safe
     uz_safe = jnp.where(uz == 0, 1., uz)
     s = jnp.where(c == 0, -z/uz_safe, s)
     s = jnp.where((c != 0) & (disc < 0), jnp.nan, s)

@@ -560,9 +560,14 @@ def _warn_baked_params(specs, params):
     specialization bakes out, say so once -- otherwise an optimizer
     silently never moves that parameter (VERDICT r4 task 7)."""
     import warnings
-    for f, v in params.items():
-        if f in _NONDIFF or not isinstance(v, jax.core.Tracer):
-            continue
+    traced = [f for f, v in params.items()
+              if f not in _NONDIFF and isinstance(v, jax.core.Tracer)]
+    if len(traced) == sum(1 for f in params if f not in _NONDIFF):
+        # EVERY float field is traced: a wholesale-tracing context
+        # (shard_map / jit over the whole table), not a signal that
+        # the user selected these fields for differentiation
+        return
+    for f in traced:
         rows = _baked_out_rows(specs, f)
         if rows:
             detail = (" (transverse x/y components)"

@@ -133,9 +133,14 @@ def intercept_conic(y, u, curvature, conic, alternate):
     f = c*yy - 2*y[..., 2]
     disc = jnp.square(d) - e*f
     g = _safe_sqrt(disc)*(1 - 2*alternate)
-    e_safe = jnp.where(e == 0, 1., e)
-    gd_safe = jnp.where(g == d, 1., g - d)
-    s = jnp.where(e == 0, f/gd_safe, -(d + g)/e_safe)
+    # stable-root selection (see ops.kernels.intercept_conic): the
+    # -(d+g)/e and f/(g-d) forms are the same root; pick the
+    # cancellation-free pair so near-flat rows (c -> 0) stay exact
+    conj = (d*g <= 0) | (e == 0)
+    num = jnp.where(conj, f, -(d + g))
+    den = jnp.where(conj, g - d, e)
+    den_safe = jnp.where(den == 0, 1., den)
+    s = num/den_safe
     uz_safe = jnp.where(u[..., 2] == 0, 1., u[..., 2])
     s = jnp.where(c == 0, -y[..., 2]/uz_safe, s)
     s = jnp.where((c != 0) & (disc < 0), jnp.nan, s)

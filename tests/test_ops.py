@@ -100,3 +100,38 @@ def test_spec_step_matches_generic(surf, rays):
                         jtu.tree_leaves((ss, os_[:2], os_[3]))):
             nptest.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-11, equal_nan=True)
+
+
+def test_intercept_conic_stable_near_flat():
+    """The closed-form conic intercept must stay exact as c -> 0 (the
+    stable-root selection): an optimizer nudging a flat row's
+    curvature by 1e-12 used to blow the f32 double-Gauss spot RMS
+    from 0.022 to 6.4 mm through -(d+g)/e cancellation."""
+    import jax
+    import jax.numpy as jnp
+    from rayopt_tpu.models import double_gauss
+    from rayopt_tpu.parallel.grad import spot_rms
+    s = double_gauss()
+    tab64 = s.table()
+    tab32 = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float32), tab64)
+    n = 64
+    rng = np.random.RandomState(0)
+    y0 = np.zeros((n, 3), np.float32)
+    y0[:, :2] = rng.uniform(-1, 1, (n, 2)).astype(np.float32)*11.
+    u0 = np.zeros((n, 3), np.float32)
+    u0[:, 2] = 1.
+    w = np.ones(n, np.float32)/n
+    base = float(spot_rms(tab32, y0, u0, w))
+    for d in (1e-12, 1e-10, 1e-9):
+        t2 = tab32.replace(curvature=tab32.curvature + np.float32(d))
+        v = float(spot_rms(t2, y0, u0, w))
+        assert abs(v - base) < 1e-3*max(base, 1e-6), (d, v, base)
+    # per-ray oracle, f64, extreme near-flat curvature
+    from rayopt_tpu.ops.surfaces import intercept_conic
+    y = jnp.asarray([[0.3, -4., -5.]])
+    u = jnp.asarray([[0.01, 0.02, np.sqrt(1 - .01**2 - .02**2)]])
+    s_flat = float(intercept_conic(y, u, 0., 0., 0.)[0])
+    for c in (1e-15, 1e-12, 1e-9):
+        s_c = float(intercept_conic(y, u, c, 0., 0.)[0])
+        np.testing.assert_allclose(s_c, s_flat, rtol=1e-7)
