@@ -50,18 +50,48 @@ def perturbed_tables(table, key, n_samples, sigmas,
     return stacked.replace(**out)
 
 
-@functools.partial(jax.jit, static_argnames=("clip", "biconic"))
-def monte_carlo_rms(tables, y0, u0, w, clip=False, biconic=False):
+def _best_focus_rms(pt, q, wg):
+    """Weighted spot RMS minimized over an axial image shift: the
+    transverse landing is pt + delta*q (q = u_xy/u_z), and the
+    optimal compensator delta* = -sum w <p', q'>/sum w |q'|^2
+    (primed = centered) is closed-form -- the classic Monte-Carlo
+    back-focus compensation without any per-sample solve loop."""
+    wsum = wg.sum()
+    pm = (wg[:, None]*pt).sum(0)/wsum
+    qm = (wg[:, None]*q).sum(0)/wsum
+    pc = pt - pm
+    qc = q - qm
+    num = (wg*(pc*qc).sum(1)).sum()
+    den = (wg*jnp.square(qc).sum(1)).sum()
+    delta = -num/jnp.where(den == 0, 1., den)
+    r2 = (wg*jnp.square(pc + delta[None]*qc).sum(1)).sum()/wsum
+    return jnp.sqrt(r2), delta
+
+
+@functools.partial(jax.jit, static_argnames=("clip", "biconic",
+                                             "compensate_focus"))
+def monte_carlo_rms(tables, y0, u0, w, clip=False, biconic=False,
+                    compensate_focus=False):
     """Spot RMS per perturbation sample: vmap over the stacked table
-    (rays shared across samples).  Returns (n_samples,) RMS values."""
+    (rays shared across samples).  Returns (n_samples,) RMS values.
+
+    compensate_focus=True scores each sample at its own best focus
+    (closed-form axial-shift compensator from the final ray state --
+    the standard MC tolerancing convention, where the back focus is
+    re-adjusted per built system)."""
 
     def rms_one(tab):
         y, u, t = trace_rays_final(tab, y0, u0, clip=clip,
                                    biconic=biconic)
         pt = y[:, :2]
-        good = jnp.all(jnp.isfinite(pt), axis=1)
+        good = (jnp.all(jnp.isfinite(pt), axis=1)
+                & jnp.all(jnp.isfinite(u), axis=1))
         wg = jnp.where(good, w, 0.)
         pt = jnp.where(good[:, None], pt, 0.)
+        if compensate_focus:
+            uz = jnp.where(u[:, 2] == 0, 1., u[:, 2])
+            q = jnp.where(good[:, None], u[:, :2]/uz[:, None], 0.)
+            return _best_focus_rms(pt, q, wg)[0]
         wsum = wg.sum()
         mean = (wg[:, None]*pt).sum(0)/wsum
         r2 = (wg*jnp.square(pt - mean).sum(1)).sum()/wsum
@@ -71,7 +101,8 @@ def monte_carlo_rms(tables, y0, u0, w, clip=False, biconic=False):
 
 
 def sharded_monte_carlo_rms(tables, y0, u0, w, mesh, clip=False,
-                            axis="samples", biconic=False):
+                            axis="samples", biconic=False,
+                            compensate_focus=False):
     """Batch-farm the Monte-Carlo samples over a device mesh: the
     stacked tables shard over their leading sample axis, rays are
     replicated, every chip traces its own slice of the design
@@ -87,8 +118,9 @@ def sharded_monte_carlo_rms(tables, y0, u0, w, mesh, clip=False,
         if hasattr(jax.lax, "pcast"):
             y0, u0, w = jax.lax.pcast((y0, u0, w), (axis,),
                                       to="varying")
-        return monte_carlo_rms.__wrapped__(tabs, y0, u0, w, clip=clip,
-                                           biconic=biconic)
+        return monte_carlo_rms.__wrapped__(
+            tabs, y0, u0, w, clip=clip, biconic=biconic,
+            compensate_focus=compensate_focus)
 
     fn = shard_map(
         local, mesh=mesh,
@@ -417,10 +449,13 @@ def inverse_sensitivity(table, y0, u0, budget, w=None,
 
 
 def tolerance_analysis(table, y0, u0, w=None, sigmas=None,
-                       n_samples=256, seed=0, clip=False, mesh=None):
+                       n_samples=256, seed=0, clip=False, mesh=None,
+                       compensate_focus=False):
     """Monte-Carlo tolerance run; returns dict with the merit
     distribution and its quantiles.  With `mesh`, samples are farmed
-    over the devices (sample count must divide by the mesh size)."""
+    over the devices (sample count must divide by the mesh size).
+    compensate_focus scores each sample at its own closed-form best
+    focus (the standard per-build back-focus compensator)."""
     if w is None:
         w = np.ones(y0.shape[0])/y0.shape[0]
     if sigmas is None:
@@ -431,18 +466,21 @@ def tolerance_analysis(table, y0, u0, w=None, sigmas=None,
     tables = perturbed_tables(table, key, n_samples, sigmas)
     if mesh is None:
         rms = monte_carlo_rms(tables, y0, u0, jnp.asarray(w),
-                              clip=clip, biconic=bic)
+                              clip=clip, biconic=bic,
+                              compensate_focus=compensate_focus)
     else:
         rms = sharded_monte_carlo_rms(tables, jnp.asarray(y0),
                                       jnp.asarray(u0), jnp.asarray(w),
-                                      mesh, clip=clip, biconic=bic)
+                                      mesh, clip=clip, biconic=bic,
+                                      compensate_focus=compensate_focus)
     rms = np.asarray(rms)
     good = rms[np.isfinite(rms)]
     return {
         "rms": rms,
         "nominal": float(np.asarray(monte_carlo_rms(
             jax.tree_util.tree_map(lambda a: a[None], table),
-            y0, u0, jnp.asarray(w), clip=clip, biconic=bic))[0]),
+            y0, u0, jnp.asarray(w), clip=clip, biconic=bic,
+            compensate_focus=compensate_focus))[0]),
         "mean": float(good.mean()),
         "p50": float(np.percentile(good, 50)),
         "p90": float(np.percentile(good, 90)),

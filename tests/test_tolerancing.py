@@ -187,3 +187,50 @@ def test_inverse_sensitivity_insensitive_parameter():
     # element 1's distance (lens position vs the infinite object)
     # does not move the spot: tolerance must ride the cap
     assert inv["distance"]["tolerance"][1] >= 1.
+
+
+def test_compensated_focus_tolerancing():
+    """compensate_focus scores each Monte-Carlo sample at its own
+    closed-form best focus: compensated RMS <= uncompensated for
+    every sample, the compensated nominal matches an explicit scan
+    over image-plane shifts, and the farm reproduces it."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from rayopt_tpu.models import cooke_triplet
+    from rayopt_tpu.ops.geometric import trace_rays_final
+    s = cooke_triplet()
+    tab = s.table()
+    n = 32
+    rng = np.random.RandomState(1)
+    y0 = np.zeros((n, 3))
+    y0[:, :2] = rng.uniform(-1, 1, (n, 2))*s.object.pupil.radius*.9
+    u0 = np.zeros((n, 3))
+    u0[:, 2] = 1.
+    w = np.ones(n)/n
+    sig = {"distance": 0.2}
+    r_plain = tolerance_analysis(tab, y0, u0, w, sigmas=sig,
+                                 n_samples=32, seed=4)
+    r_comp = tolerance_analysis(tab, y0, u0, w, sigmas=sig,
+                                n_samples=32, seed=4,
+                                compensate_focus=True)
+    assert np.all(r_comp["rms"] <= r_plain["rms"] + 1e-12)
+    assert r_comp["p90"] < r_plain["p90"]
+
+    # oracle: explicit defocus scan at the nominal design
+    y, u, t = trace_rays_final(tab, y0, u0)
+    y, u = np.asarray(y), np.asarray(u)
+    q = u[:, :2]/u[:, 2:3]
+    best = np.inf
+    for dz in np.linspace(-1., 1., 4001):
+        pt = y[:, :2] + dz*q
+        best = min(best, float(np.sqrt(
+            (w*np.square(pt - (w[:, None]*pt).sum(0)).sum(1)).sum())))
+    np.testing.assert_allclose(r_comp["nominal"], best, rtol=1e-4)
+
+    mesh = Mesh(np.asarray(__import__("jax").devices()), ("samples",))
+    r_farm = tolerance_analysis(tab, y0, u0, w, sigmas=sig,
+                                n_samples=32, seed=4, mesh=mesh,
+                                compensate_focus=True)
+    np.testing.assert_allclose(r_farm["rms"], r_comp["rms"],
+                               rtol=1e-12)
