@@ -912,7 +912,7 @@ def main():
             wf_lam = float(s.wavelengths[0])
             fields_d = (0., .7, 1.)
             bundles_h = bundles_from_system(s, fields=fields_d,
-                                            nrays=4096)
+                                            nrays=4096, pad_to=128)
             bundles_dev = []
             rays_total = 0
             for (y0b, u0b, w0b, chroma) in bundles_h:
@@ -937,9 +937,23 @@ def main():
             seed_d = paraxial_seed(s)
             f_tgt = float(s.paraxial.focal_length[1])
 
-            def design_merit(tab_l, dt, use_specs):
-                sp = specs if use_specs else None
+            from rayopt_tpu.ops.pallas_grad import (
+                pallas_spot_rms, pallas_wavefront_rms)
 
+            def _tile_of(nb):
+                t = min(nb, 8*1024)
+                while nb % t or t % 128:
+                    t -= 128
+                return t
+
+            def design_merit(tab_l, dt, adjoint):
+                # the timed (adjoint=True) variant runs the spot and
+                # wavefront terms through the analytic-adjoint Pallas
+                # kernels: in-kernel backward AND exact Mosaic f32 ops
+                # -- the XLA f32 wavefront on TPU is poisoned by the
+                # hardware's ~1e-4-approximate sqrt/div in the OPD
+                # path sums (~126 waves of numeric noise); the
+                # reference (adjoint=False) is the CPU f64 scan engine
                 def merit(params):
                     unit = jnp.asarray(unit64, dt)
                     t2 = tab_l.replace(
@@ -949,15 +963,31 @@ def main():
                     for (y0b, u0b, w0b, ov) in bundles_dev:
                         ovd = {k: jnp.asarray(v, dt)
                                for k, v in ov.items()}
-                        total = total + spot_rms(
-                            t2.replace(**ovd), jnp.asarray(y0b, dt),
-                            jnp.asarray(u0b, dt), jnp.asarray(w0b, dt),
-                            specs=sp, unroll=use_specs)
-                    total = total + wavefront_rms(
-                        t2, jnp.asarray(y_wfb, dt),
-                        jnp.asarray(u_wfb, dt), ref=0,
-                        radius=wf_radius, wavelength=wf_lam,
-                        scale=s.scale, specs=sp, unroll=use_specs)
+                        if adjoint:
+                            total = total + pallas_spot_rms(
+                                t2.replace(**ovd),
+                                jnp.asarray(y0b, dt),
+                                jnp.asarray(u0b, dt),
+                                jnp.asarray(w0b, dt), specs=specs,
+                                tile=_tile_of(y0b.shape[0]))
+                        else:
+                            total = total + spot_rms(
+                                t2.replace(**ovd),
+                                jnp.asarray(y0b, dt),
+                                jnp.asarray(u0b, dt),
+                                jnp.asarray(w0b, dt))
+                    if adjoint:
+                        total = total + pallas_wavefront_rms(
+                            t2, jnp.asarray(y_wfb, dt),
+                            jnp.asarray(u_wfb, dt), ref=0,
+                            radius=wf_radius, wavelength=wf_lam,
+                            scale=s.scale, specs=specs, tile=8*1024)
+                    else:
+                        total = total + wavefront_rms(
+                            t2, jnp.asarray(y_wfb, dt),
+                            jnp.asarray(u_wfb, dt), ref=0,
+                            radius=wf_radius, wavelength=wf_lam,
+                            scale=s.scale)
                     # the paraxial ABCD scan promotes mixed dtypes to
                     # f64 mid-carry; the penalty is 13 tiny matrices,
                     # so just run it uniformly in f64
@@ -1026,10 +1056,11 @@ def main():
                 lambda a: float(fused_design(a, st_d)[2]), p32a,
                 stats=stats)
             details["design_merit_step"] = {
-                "config": "composite merit: 9 aimed spot bundles "
-                          "(3 fields x 3 wavelengths, 4096 rays each)"
-                          " + axial wavefront RMS (8192 rays) + "
-                          "focal-length penalty, adam, jit_steps=4",
+                "config": "composite merit on the analytic-adjoint "
+                          "kernels: 9 aimed spot bundles (3 fields x "
+                          "3 wavelengths, ~4k rays each) + axial "
+                          "wavefront RMS (8192 rays) + focal-length "
+                          "penalty, adam, jit_steps=4",
                 "rays_per_step": rays_total,
                 "best_time_s": tb_d, "steps_per_s": kd/tb_d,
                 "value_rel_err_f32_vs_cpu_f64": vp_d,

@@ -41,7 +41,7 @@ RATE_FLOORS = [
     (("details", "pallas_f32", "rate_vs_target"), 42.0),
     # shard_map twin of the SAME 8-chained workload (round-5): the
     # gap vs pallas_f32 is pure shard_map overhead, expected < ~10%
-    (("details", "pallas_f32_sharded_mesh1", "vs_baseline"), 38.0),
+    (("details", "pallas_f32_sharded_mesh1", "vs_baseline"), 42.0),
     (("details", "pallas_df32_parity_grade", "vs_target"), 5.0),
     (("details", "pallas_df32_anamorphic", "vs_target"), 5.5),
     (("details", "pallas_df32_merit", "vs_target"), 5.0),
@@ -59,9 +59,10 @@ RATE_FLOORS = [
     # wavefront (per-ray OPD) adjoint (round-5)
     (("details", "grad_step_wavefront_adjoint", "vs_target"), 2.0),
     # realistic composite design step (round-5): 9 aimed spot bundles
-    # + wavefront + first-order penalty, fused jit_steps=4; this row
-    # is dispatch/latency-bound, so the gate pins steps/s
-    (("details", "design_merit_step", "steps_per_s"), 8.0),
+    # + wavefront + first-order penalty on the adjoint kernels, fused
+    # jit_steps=4; dispatch/latency-bound, so the gate pins steps/s
+    # (measured 110/s round 5)
+    (("details", "design_merit_step", "steps_per_s"), 80.0),
 ]
 PARITY_KEYS = [
     (("details", "pallas_df32_parity_grade",
@@ -88,10 +89,14 @@ PARITY_KEYS = [
     # scale: f32 cancellation noise measured 2.2e-3 (round 5)
     (("details", "grad_step_wavefront_adjoint",
       "grad_rel_err_f32_vs_cpu_spec_ref"), 1e-2),
+    # composite adjoint merit vs CPU f64 scan: dominated by the f32
+    # wavefront term's OPD rounding (the XLA-f32-on-TPU variant is
+    # unusable at ~1e2 rel -- approximate hardware sqrt/div in the
+    # path sums; the Mosaic adjoint kernels are exact-ops f32)
     (("details", "design_merit_step",
-      "value_rel_err_f32_vs_cpu_f64"), 1e-4),
+      "value_rel_err_f32_vs_cpu_f64"), 5e-3),
     (("details", "design_merit_step",
-      "grad_rel_err_f32_vs_cpu_f64_live"), 1e-3),
+      "grad_rel_err_f32_vs_cpu_f64_live"), 1e-2),
 ]
 
 
