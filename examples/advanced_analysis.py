@@ -40,7 +40,7 @@ def main(outdir="/tmp/rayopt_tpu_demo"):
                     print_zernike=True, defocus=3)
     path = os.path.join(outdir, "report.html")
     a.export_html(path)
-    print("report:", path, "(%d figures, %d text blocks)"
+    print("html report:", path, "(%d figures, %d text blocks)"
           % (len(a.figures), len(a.text)))
 
     # -- ghost hazard ranking

@@ -63,7 +63,7 @@ def cylinder_tour():
     s.object.pupil.update_radius = False
     s.update()
     n, m = s.paraxial_matrix(s.wavelengths[0])
-    print("cylinder x-power %.4g, y-power %.4g (f_y = %.1f mm)"
+    print("anamorphic cylinder x-power %.4g, y-power %.4g (f_y = %.1f mm)"
           % (-m[2, 0], -m[3, 1], -1./m[3, 1]))
     # the gaussian trace picks up the astigmatism automatically
     t = ro.GaussianTrace(s)
