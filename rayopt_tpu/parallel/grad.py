@@ -329,9 +329,11 @@ def optimize_system(system, select=("curvature",), fields=None,
     Returns the merit history.
     """
     history = []
+    # the adjoint merit tiles rays by 128: pad the aimed bundles
+    pad_to = 128 if kw.get("engine") == "adjoint" else None
     for _ in range(cycles):
         bundles = bundles_from_system(system, fields, wavelengths,
-                                      nrays)
+                                      nrays, pad_to=pad_to)
         table = system.table()
         if lr is None:
             import optax

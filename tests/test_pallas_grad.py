@@ -482,3 +482,19 @@ def test_optimize_grad_adjoint_engine_sharded():
     nptest.assert_allclose(hist_m, hist_1, rtol=1e-9)
     nptest.assert_allclose(np.asarray(tab_m.curvature),
                            np.asarray(tab_1.curvature), rtol=1e-9)
+
+
+def test_optimize_system_adjoint_engine():
+    """The System-level front door composes with engine='adjoint'
+    (bundles auto-padded to the kernel tile quantum) and writes the
+    improved curvatures back."""
+    import optax
+    from rayopt_tpu.parallel.grad import optimize_system
+    s = doublet()
+    c0 = [getattr(e, "curvature", 0.) for e in s]
+    hist = optimize_system(s, select=("curvature",), nrays=32,
+                           steps=3, optimizer=optax.sgd(1e-7),
+                           engine="adjoint", tile=128, interpret=True)
+    assert np.isfinite(hist).all() and len(hist) == 3
+    c1 = [getattr(e, "curvature", 0.) for e in s]
+    assert any(abs(a - b) > 0 for a, b in zip(c0, c1))
