@@ -30,14 +30,18 @@ def _rows(table, start=1, stop=None):
     return jax.tree_util.tree_map(lambda a: a[start:stop], table)
 
 
-def _entry(table, y0, u0):
+def _entry(table, y0, u0, specs=None):
     x, y, z = K.split(y0)
     ux, uy, uz = K.split(u0)
     # element-0 from_normal seeds the scan (reference
-    # geometric_trace.py:75-76)
-    r0 = table.rot[0]
-    x, y, z = K.rot_apply_t(r0, x, y, z)
-    ux, uy, uz = K.rot_apply_t(r0, ux, uy, uz)
+    # geometric_trace.py:75-76); with static specs the rotation is
+    # elided exactly as in trace_components_final and the Pallas
+    # kernels, so a traced rot[0] (pose differentiation) carries the
+    # same structurally-zero row-0 gradient on every engine
+    if specs is None or specs[0].rotated:
+        r0 = table.rot[0]
+        x, y, z = K.rot_apply_t(r0, x, y, z)
+        ux, uy, uz = K.rot_apply_t(r0, ux, uy, uz)
     return (x, y, z, ux, uy, uz)
 
 
@@ -56,7 +60,7 @@ def trace_rays(table, y0, u0, clip=False, specs=None, unroll=False,
     depth-independent for host work."""
     from .tables import lower_pose
     table = lower_pose(table)
-    state = _entry(table, y0, u0)
+    state = _entry(table, y0, u0, specs)
     if unroll:
         nsurf = table.curvature.shape[0]
         outs = []

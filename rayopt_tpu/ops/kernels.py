@@ -751,6 +751,26 @@ def specialize(table):
     return tuple(specs)
 
 
+def with_pose(specs, rows=None):
+    """Force the rotated/off_axis flags on the given spec rows
+    (default: every row but the object) so the pose parameters they
+    gate -- rot (from table.tilt via tables.lower_pose) and the
+    transverse offset (from table.decenter) -- stay LIVE in the
+    statically specialized engines.  A specialization derived from the
+    nominal (zero-pose) table bakes them out, so gradients at the
+    nominal point would be structurally zero.  Forward results are
+    unchanged (identity rotation applied, zero transverse offset
+    subtracted); use for pose gradients/tolerancing at or near the
+    nominal alignment (reference elements.py:116-147 keeps pose a
+    first-class parameter the same way)."""
+    if rows is None or rows is True:
+        live = set(range(1, len(specs)))
+    else:
+        live = set(int(r) for r in rows)
+    return tuple(s._replace(rotated=True, off_axis=True)
+                 if j in live else s for j, s in enumerate(specs))
+
+
 def intercept_spec(x, y, z, ux, uy, uz, c, k, alternate, spec):
     """Specialized conic intercept: assumes unit direction vectors
     (uu == 1 when spherical), drops the conic terms when spherical,

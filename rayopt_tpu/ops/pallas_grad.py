@@ -54,10 +54,14 @@ from . import kernels as K
 from .pallas_trace import (DEFAULT_TILE, _fields_for, _resolve_specs,
                            spot_rms_from_moments)
 
-#: kernel-carried table fields that never receive cotangents (the
-#: rotation matrix is constrained geometry; radius/alternate are
-#: aperture/branch selectors)
-_NONDIFF = ("rot", "radius", "alternate")
+#: kernel-carried table fields that never receive cotangents
+#: (aperture/branch selectors).  `rot` is differentiable ON DEMAND:
+#: when the caller traces it (pose gradients -- table.tilt lowered by
+#: tables.lower_pose into rot inside the XLA graph) AND some spec row
+#: is `rotated`, the adjoint reads it as nine scalars and returns its
+#: cotangent, which the Rodrigues transpose outside the kernel turns
+#: into d/d(tilt).  A concrete rot stays a zero-cost nondiff read.
+_NONDIFF = ("radius", "alternate")
 
 
 @jax.tree_util.register_pytree_node_class
@@ -97,6 +101,29 @@ class Coeffs:
         return cls(children)
 
 
+@jax.tree_util.register_pytree_node_class
+class Mat3:
+    """A 3x3 matrix held as nine scalars with just enough of the jnp
+    surface ([i, j] indexing) for kernels.rot_apply(_t) -- the rot
+    twin of Coeffs: jax.vjp of an array index is a scatter-add Mosaic
+    does not lower, while scalar reads transpose to elementwise math.
+    Row-major: vals[3*i + j]."""
+
+    def __init__(self, vals):
+        self.vals = tuple(vals)
+
+    def __getitem__(self, idx):
+        i, j = idx
+        return self.vals[3*i + j]
+
+    def tree_flatten(self):
+        return self.vals, None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children)
+
+
 class _Vals:
     """Attribute view of one surface row from plain traced values
     (differentiable dict + nondifferentiable dict); absent coefficient
@@ -116,13 +143,22 @@ class _Vals:
         raise AttributeError(name)
 
 
-def _read_row(param_refs, fields, j):
+def _read_row(param_refs, fields, j, rot_diff=False):
     """Read surface row j out of the kernel refs as scalar leaves:
-    (diff dict, nondiff dict)."""
+    (diff dict, nondiff dict).  rot is a raw (3, 3) nondiff read
+    unless rot_diff (pose gradients): then nine Mat3 scalars in the
+    diff dict."""
     diff, nondiff = {}, {}
     for f in fields:
         ref = param_refs[f]
-        if f in _NONDIFF:
+        if f == "rot":
+            row = ref[j]
+            if rot_diff:
+                diff[f] = Mat3(tuple(row[a, b] for a in range(3)
+                                     for b in range(3)))
+            else:
+                nondiff[f] = row
+        elif f in _NONDIFF:
             nondiff[f] = ref[j]
         elif f == "offset":
             row = ref[j]
@@ -140,6 +176,8 @@ def _esize(table_or_params, f):
     """Number of scalar slots one surface row of field f occupies."""
     if f == "offset":
         return 3
+    if f == "rot":
+        return 9
     if f in ("aspherics", "aspherics_odd", "doe", "xy_poly"):
         return int(table_or_params[f].shape[-1])
     return 1
@@ -233,6 +271,7 @@ def _adjoint_one(param_refs, specs, clip, nsurf, fields, diff_fields,
     cotangents, weight cotangents)."""
     dtype = state_in[0].dtype
     zeros = jnp.zeros_like(state_in[0])
+    rot_diff = "rot" in diff_fields
 
     # ---- forward recompute, saving per-surface states ----
     r0 = param_refs["rot"][0]
@@ -244,7 +283,7 @@ def _adjoint_one(param_refs, specs, clip, nsurf, fields, diff_fields,
     saved = [state]
     drows, ndrows = [None], [None]
     for j in range(1, nsurf):
-        d, nd = _read_row(param_refs, fields, j)
+        d, nd = _read_row(param_refs, fields, j, rot_diff)
         surf = _Vals(d, nd)
         state, _ = K.surface_step_spec(state, surf, specs[j], clip)
         saved.append(state)
@@ -286,8 +325,22 @@ def _adjoint_one(param_refs, specs, clip, nsurf, fields, diff_fields,
         ct_sw + xs*ct_sx + ys*ct_sy + xs*xs*ct_sxx + ys*ys*ct_syy,
         0.)
 
+    ct_rot_fin = None
     if specs[nsurf - 1].rotated:
-        ct3 = K.rot_apply_t(rot_last, ct_x, ct_y, zeros)
+        if rot_diff:
+            # the to-local rotation of the moment coordinates reads
+            # the image row's rot a second time (after its step);
+            # vjp it so the row's rot cotangent carries both uses
+            rm = drows[nsurf - 1]["rot"]
+
+            def final3(st3, rm):
+                out = K.rot_apply(rm, *st3)
+                return out[0], out[1]
+
+            _, vjp_fin = jax.vjp(final3, sub[-1][:3], rm)
+            ct3, ct_rot_fin = vjp_fin((ct_x, ct_y))
+        else:
+            ct3 = K.rot_apply_t(rot_last, ct_x, ct_y, zeros)
     else:
         ct3 = (ct_x, ct_y, zeros)
     ct_state = (*ct3, zeros, zeros, zeros)
@@ -306,6 +359,9 @@ def _adjoint_one(param_refs, specs, clip, nsurf, fields, diff_fields,
         ct_state, ct_d = vjp(ct_state)
         for f in diff_fields:
             acc[f][j] = ct_d[f]
+    if ct_rot_fin is not None:
+        acc["rot"][nsurf - 1] = jax.tree_util.tree_map(
+            jnp.add, acc["rot"][nsurf - 1], ct_rot_fin)
     if specs[0].rotated:
         ct_state = (*K.rot_apply(r0, *ct_state[:3]),
                     *K.rot_apply(r0, *ct_state[3:]))
@@ -328,7 +384,7 @@ def _pack_param_grads(accs, diff_fields, nsurf, rows_p, dtype):
         for acc in accs:
             for j in range(1, nsurf):
                 v = acc[f][j]
-                vals = v.vals if isinstance(v, Coeffs) else (v,)
+                vals = v.vals if hasattr(v, "vals") else (v,)
                 for e in vals:
                     pg = jnp.where((pgrow == slot // 128)
                                    & (pglane == slot % 128), e, pg)
@@ -503,7 +559,7 @@ def _moments_bwd(specs, clip, tile, interpret, fields, diff_fields,
     ct_params = {}
     pos = 0
     for f in fields:
-        if f in _NONDIFF:
+        if f not in diff_fields:
             ct_params[f] = jnp.zeros_like(params[f])
             continue
         es = _esize(params, f)
@@ -550,25 +606,55 @@ def _baked_out_rows(specs, field):
             rows.append(j)
         elif field == "mu" and sp.kind == 0:
             rows.append(j)
+        elif field == "rot" and not sp.rotated:
+            rows.append(j)
     return rows
+
+
+def _is_differentiated(v):
+    """True when v carries an AD tracer (JVP/Linearize) somewhere in
+    its tracer stack -- the caller is differentiating it.  A plain
+    DynamicJaxprTracer is just a value lifted into a jit trace (every
+    np constant becomes one), NOT a differentiation signal."""
+    for _ in range(8):
+        if not isinstance(v, jax.core.Tracer):
+            return False
+        name = type(v).__name__
+        if "JVP" in name or "Linearize" in name:
+            return True
+        v = (getattr(v, "primal", None) if hasattr(v, "primal")
+             else getattr(v, "val", None))
+    return False
 
 
 def _warn_baked_params(specs, params):
     """Host-side (trace-time, zero jit cost): when a table field the
-    caller is differentiating/varying (it arrives as a tracer while
-    the rest of the table is concrete) has rows the static
-    specialization bakes out, say so once -- otherwise an optimizer
-    silently never moves that parameter (VERDICT r4 task 7)."""
+    caller is differentiating (it carries an AD tracer while the rest
+    of the table does not) has rows the static specialization bakes
+    out, say so once -- otherwise an optimizer silently never moves
+    that parameter (VERDICT r4 task 7)."""
     import warnings
     traced = [f for f, v in params.items()
-              if f not in _NONDIFF and isinstance(v, jax.core.Tracer)]
+              if f not in _NONDIFF and _is_differentiated(v)]
     if len(traced) == sum(1 for f in params if f not in _NONDIFF):
-        # EVERY float field is traced: a wholesale-tracing context
-        # (shard_map / jit over the whole table), not a signal that
-        # the user selected these fields for differentiation
+        # EVERY float field is differentiated: a wholesale context
+        # (sensitivity() / full-table jacobians), not a signal that
+        # the user selected these fields for optimization
         return
     for f in traced:
         rows = _baked_out_rows(specs, f)
+        if f == "rot":
+            # pose differentiation (tilt lowered into rot): the real
+            # footgun is the gradient being IDENTICALLY zero; partial
+            # coverage (targeted diff_pose rows) is deliberate
+            if len(rows) == len(specs) - 1:
+                warnings.warn(
+                    "adjoint kernel: 'rot' (pose/tilt) is traced but "
+                    "no spec row is rotated -- pose gradients are "
+                    "structurally zero; pass diff_pose=True (or "
+                    "kernels.with_pose(specs)) to keep the nominal "
+                    "pose live", stacklevel=3)
+            continue
         if rows:
             detail = (" (transverse x/y components)"
                       if f == "offset" else "")
@@ -580,25 +666,82 @@ def _warn_baked_params(specs, params):
                 % (f, rows, detail), stacklevel=3)
 
 
+def _pose_traced(table):
+    return any(isinstance(getattr(table, f, None), jax.core.Tracer)
+               for f in ("tilt", "decenter"))
+
+
+def _resolve_pose_specs(table, specs, diff_pose, name):
+    """Static-spec resolution with pose awareness.  A traced
+    tilt/decenter (pose differentiation under jax.grad) cannot reach
+    kernels.specialize, so the specs are derived from the pose-
+    stripped concrete table with rotated/off_axis forced live
+    (kernels.with_pose) on the diff_pose rows -- by default ALL
+    non-object rows, so gradients at the nominal alignment are exact
+    rather than baked out.  diff_pose also applies to explicitly
+    passed specs (the jit path: build specs eagerly, force the pose
+    rows once)."""
+    import numpy as np
+    pose_tr = _pose_traced(table)
+    if specs is None and not pose_tr:
+        specs = _resolve_specs(table, specs)
+    if specs is None:
+        geom_tr = any(isinstance(getattr(table, f), jax.core.Tracer)
+                      for f in ("curvature", "rot", "offset"))
+        if geom_tr:
+            raise ValueError(
+                "%s inside jit needs static specs= (kernels.specialize"
+                " on the concrete table; wrap them in"
+                " kernels.with_pose for pose gradients)" % name)
+        if pose_tr:
+            z3 = np.zeros((np.asarray(table.curvature).shape[0], 3))
+            base = table.replace(tilt=z3, decenter=z3)
+            specs = K.specialize(base)
+            if diff_pose is None:
+                diff_pose = True
+        else:
+            specs = K.specialize(table)
+    if diff_pose is not None:
+        specs = K.with_pose(specs,
+                            None if diff_pose is True else diff_pose)
+    return specs
+
+
+def _rot_diff_fields(table, fields, specs):
+    """The differentiable field subset: everything float except the
+    selectors, plus `rot` exactly when it is traced (pose gradients
+    flowing through the XLA-side Rodrigues lowering) and some spec row
+    actually reads it."""
+    rot_diff = (isinstance(table.rot, jax.core.Tracer)
+                and any(s.rotated for s in specs))
+    return tuple(f for f in fields
+                 if f not in _NONDIFF and (f != "rot" or rot_diff))
+
+
 
 def pallas_spot_moments(table, state, w, specs=None, clip=False,
-                        tile=DEFAULT_TILE, interpret=False):
+                        tile=DEFAULT_TILE, interpret=False,
+                        diff_pose=None):
     """Differentiable weighted spot moments (sum w, sum wx, sum wy,
     sum wx^2, sum wy^2) of the fused Pallas trace.  state: 6-tuple of
     (N,) components; w: (N,) weights.  Gradients w.r.t. the table's
     float fields, the ray state, and the weights flow through the
-    in-kernel adjoint (see module docstring)."""
+    in-kernel adjoint (see module docstring).
+
+    Pose gradients: a traced table.tilt/.decenter lowers to rot/offset
+    through the differentiable Rodrigues inside the XLA graph, and the
+    kernel adjoint carries the rot/offset cotangents back through that
+    lowering -- d/d(tilt), d/d(decenter) at any pose, including the
+    nominal one (diff_pose=True, the default when pose is traced,
+    forces the rotated/off_axis flags so nothing bakes out; pass a row
+    iterable to keep only selected rows live, or with explicit specs=
+    wrap them in kernels.with_pose)."""
     from .tables import lower_pose
-    table = lower_pose(table)  # concrete pose deltas fold into
-    specs = _resolve_specs(table, specs)  # rot/offset (nondiff here)
-    if specs is None:
-        if isinstance(table.curvature, jax.core.Tracer):
-            raise ValueError(
-                "pallas_spot_moments inside jit needs static specs="
-                " (kernels.specialize on the concrete table)")
-        specs = K.specialize(table)
+    specs = _resolve_pose_specs(table, specs, diff_pose,
+                                "pallas_spot_moments")
+    table = lower_pose(table)  # traced pose -> traced rot/offset
     fields = _fields_for(table, specs)
-    diff_fields = tuple(f for f in fields if f not in _NONDIFF)
+    diff_fields = _rot_diff_fields(table, fields, specs)
     dtype = state[0].dtype
     params = {f: (jnp.asarray(getattr(table, f), dtype=dtype)
                   if getattr(table, f).dtype.kind == "f"
@@ -609,7 +752,8 @@ def pallas_spot_moments(table, state, w, specs=None, clip=False,
 
 
 def pallas_spot_rms(table, y0, u0, w=None, specs=None, clip=False,
-                    tile=DEFAULT_TILE, interpret=False):
+                    tile=DEFAULT_TILE, interpret=False,
+                    diff_pose=None):
     """Weighted RMS spot radius via the fused Pallas merit kernel,
     differentiable end-to-end through the in-kernel analytic adjoint
     -- the production-scale replacement of parallel.grad.spot_rms for
@@ -623,17 +767,18 @@ def pallas_spot_rms(table, y0, u0, w=None, specs=None, clip=False,
 
     Pose note: a CONCRETELY tilted/decentered table is folded
     (tables.lower_pose) before specialization, so the primal matches
-    the other engines; tilt/decenter themselves are folded into `rot`/
-    `offset` and are NOT adjoint-differentiable here (rot is
-    _NONDIFF; use the XLA path -- spot_rms/sensitivity -- for pose
-    gradients)."""
+    the other engines.  A TRACED tilt/decenter (jax.grad w.r.t. pose)
+    lowers inside the graph and the adjoint kernel differentiates it
+    exactly -- alignment/tolerancing gradients at production ray
+    counts (see pallas_spot_moments, diff_pose)."""
     y0 = jnp.asarray(y0)
     u0 = jnp.asarray(u0)
     if w is None:
         w = jnp.ones(y0.shape[0], y0.dtype)/y0.shape[0]
     state = (*K.split(y0), *K.split(u0))
     mom = pallas_spot_moments(table, state, w, specs=specs, clip=clip,
-                              tile=tile, interpret=interpret)
+                              tile=tile, interpret=interpret,
+                              diff_pose=diff_pose)
     return spot_rms_from_moments(*mom)
 
 
@@ -732,7 +877,7 @@ def _moments_multi_bwd(specs, clip, tile, interpret, fields,
     ct_params = {}
     pos = 0
     for f in fields:
-        if f in _NONDIFF:
+        if f not in diff_fields:
             ct_params[f] = jnp.zeros_like(params[f])
             continue
         es = _esize({k: v[0] for k, v in params.items()}, f)
@@ -753,7 +898,7 @@ _moments_multi.defvjp(_moments_multi_fwd, _moments_multi_bwd)
 
 def pallas_spot_moments_multi(tables, state, w, specs=None,
                               clip=False, tile=DEFAULT_TILE,
-                              interpret=False):
+                              interpret=False, diff_pose=None):
     """Differentiable per-wavelength weighted spot moments of the
     fused polychromatic Pallas trace: `tables` carries a leading
     wavelength axis (System.tables / glass.glass_tables), ONE ray
@@ -766,19 +911,16 @@ def pallas_spot_moments_multi(tables, state, w, specs=None,
     are per wavelength, so a stacked table built differentiably from
     shared parameters (e.g. glass_tables from (nd, vd), or a
     broadcast geometry) receives the cross-wavelength sum through the
-    stacking transpose outside the kernel."""
+    stacking transpose outside the kernel.  Traced pose deltas
+    (tilt/decenter) differentiate exactly as in pallas_spot_moments
+    (diff_pose)."""
     from .tables import lower_pose
-    tables = lower_pose(tables)
     tab0 = jax.tree_util.tree_map(lambda a: a[0], tables)
-    specs = _resolve_specs(tab0, specs)
-    if specs is None:
-        if isinstance(tables.curvature, jax.core.Tracer):
-            raise ValueError(
-                "pallas_spot_moments_multi inside jit needs static "
-                "specs= (kernels.specialize on the concrete table)")
-        specs = K.specialize(tab0)
+    specs = _resolve_pose_specs(tab0, specs, diff_pose,
+                                "pallas_spot_moments_multi")
+    tables = lower_pose(tables)
     fields = _fields_for(tab0, specs)
-    diff_fields = tuple(f for f in fields if f not in _NONDIFF)
+    diff_fields = _rot_diff_fields(tables, fields, specs)
     dtype = state[0].dtype
     params = {f: (jnp.asarray(getattr(tables, f), dtype=dtype)
                   if getattr(tables, f).dtype.kind == "f"
@@ -807,7 +949,7 @@ def union_spot_rms_from_moments(moments):
 
 def pallas_polychromatic_spot_rms(tables, y0, u0, w=None, specs=None,
                                   clip=False, tile=DEFAULT_TILE,
-                                  interpret=False):
+                                  interpret=False, diff_pose=None):
     """Polychromatic union spot RMS via the fused multi-wavelength
     Pallas merit kernel, differentiable end-to-end through the
     in-kernel multi-chain adjoint -- the production-scale twin of
@@ -831,7 +973,8 @@ def pallas_polychromatic_spot_rms(tables, y0, u0, w=None, specs=None,
     mom = pallas_spot_moments_multi(tables, state,
                                     jnp.asarray(w)/nlam, specs=specs,
                                     clip=clip, tile=tile,
-                                    interpret=interpret)
+                                    interpret=interpret,
+                                    diff_pose=diff_pose)
     return union_spot_rms_from_moments(mom)
 
 
@@ -893,7 +1036,9 @@ def _opd_tail(state, d_img, nd_img, center, radius, lam_scale,
     pz = state[2] - off[2]
     dx, dy, dz = state[3], state[4], state[5]
     if spec_img.rotated:
-        rot = nd_img["rot"]
+        # rot lives in the diff dict when pose is being
+        # differentiated (Mat3 scalars), else in nondiff (raw array)
+        rot = d_img["rot"] if "rot" in d_img else nd_img["rot"]
         px, py, pz = K.rot_apply(rot, px, py, pz)
         dx, dy, dz = K.rot_apply(rot, dx, dy, dz)
     px = px - cx
@@ -974,6 +1119,7 @@ def _opd_adjoint_kernel(specs, clip, nsurf, fields, diff_fields,
     ct_ly = ctly_ref[:]
 
     # ---- forward recompute, saving per-surface states ----
+    rot_diff = "rot" in diff_fields
     r0 = param_refs["rot"][0]
     if specs[0].rotated:
         state = (*K.rot_apply_t(r0, *state_in[:3]),
@@ -984,14 +1130,14 @@ def _opd_adjoint_kernel(specs, clip, nsurf, fields, diff_fields,
     drows, ndrows = [None], [None]
     path = jnp.zeros_like(state[0])
     for j in range(1, nsurf - 1):
-        d, nd = _read_row(param_refs, fields, j)
+        d, nd = _read_row(param_refs, fields, j, rot_diff)
         surf = _Vals(d, nd)
         state, out = K.surface_step_spec(state, surf, specs[j], clip)
         path = path + out[3]
         saved.append(state)
         drows.append(d)
         ndrows.append(nd)
-    d_img, nd_img = _read_row(param_refs, fields, nsurf - 1)
+    d_img, nd_img = _read_row(param_refs, fields, nsurf - 1, rot_diff)
     q, lx, ly = _opd_tail(state, d_img, nd_img, center, radius,
                           lam_scale, specs[nsurf - 1])
     k = -(path + q)/lam_scale
@@ -1144,7 +1290,7 @@ def _opd_bwd(specs, clip, tile, interpret, fields, diff_fields, res,
     ct_params = {}
     pos = 0
     for f in fields:
-        if f in _NONDIFF:
+        if f not in diff_fields:
             ct_params[f] = jnp.zeros_like(params[f])
             continue
         es = _esize(params, f)
@@ -1167,7 +1313,8 @@ _opd.defvjp(_opd_fwd, _opd_bwd)
 def pallas_opd_rays(table, y0, u0, ref=0, radius=None,
                     wavelength=None, scale=1e-3, finite=False,
                     with_pupil=False, specs=None, clip=False,
-                    tile=DEFAULT_TILE, interpret=False):
+                    tile=DEFAULT_TILE, interpret=False,
+                    diff_pose=None):
     """Per-ray optical path difference on the exit-pupil reference
     sphere, in waves -- the adjoint-kernel twin of
     parallel.grad.opd_rays (reference geometric_trace.py:101-144):
@@ -1178,21 +1325,19 @@ def pallas_opd_rays(table, y0, u0, ref=0, radius=None,
 
     The reference ray `ref` must be alive; its image point (the
     sphere center) comes from a single-ray XLA trace, so gradients
-    flow through the sphere placement exactly as in the XLA twin."""
+    flow through the sphere placement exactly as in the XLA twin.
+    Traced pose deltas (tilt/decenter) differentiate exactly as in
+    pallas_spot_moments (diff_pose)."""
     from .geometric import trace_rays_final
     from .tables import lower_pose
+    specs = _resolve_pose_specs(table, specs, diff_pose,
+                                "pallas_opd_rays")
     table = lower_pose(table)
-    specs = _resolve_specs(table, specs)
-    if specs is None:
-        if isinstance(table.curvature, jax.core.Tracer):
-            raise ValueError(
-                "pallas_opd_rays inside jit needs static specs=")
-        specs = K.specialize(table)
     y0 = jnp.asarray(y0)
     u0 = jnp.asarray(u0)
     dtype = y0.dtype
     fields = _fields_for(table, specs)
-    diff_fields = tuple(f for f in fields if f not in _NONDIFF)
+    diff_fields = _rot_diff_fields(table, fields, specs)
     params = {f: (jnp.asarray(getattr(table, f), dtype=dtype)
                   if getattr(table, f).dtype.kind == "f"
                   else getattr(table, f)) for f in fields}
@@ -1227,7 +1372,7 @@ def pallas_opd_rays(table, y0, u0, ref=0, radius=None,
 def pallas_wavefront_rms(table, y0, u0, w=None, ref=0, radius=None,
                          wavelength=None, scale=1e-3, finite=False,
                          specs=None, clip=False, tile=DEFAULT_TILE,
-                         interpret=False):
+                         interpret=False, diff_pose=None):
     """Weighted RMS wavefront error (waves, piston removed) via the
     per-ray OPD adjoint kernel -- the production-scale twin of
     parallel.grad.wavefront_rms: diffraction-based merits no longer
@@ -1236,7 +1381,8 @@ def pallas_wavefront_rms(table, y0, u0, w=None, ref=0, radius=None,
     opd = pallas_opd_rays(table, y0, u0, ref=ref, radius=radius,
                           wavelength=wavelength, scale=scale,
                           finite=finite, specs=specs, clip=clip,
-                          tile=tile, interpret=interpret)
+                          tile=tile, interpret=interpret,
+                          diff_pose=diff_pose)
     if w is None:
         w = jnp.ones(opd.shape[0], opd.dtype)/opd.shape[0]
     good = jnp.isfinite(opd)

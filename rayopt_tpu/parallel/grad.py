@@ -198,6 +198,12 @@ def opd_rays(table, y0, u0, ref=0, radius=None, wavelength=None,
     """
     from ..ops.geometric import trace_rays
     from ..ops.surfaces import intercept_conic
+    from ..ops.tables import lower_pose
+    # fold pose deltas HERE, not just inside trace_rays: the exit/image
+    # frame reads below (table.rot[-2:], table.offset[-1]) must see the
+    # same tilt/decenter the trace used, or a traced pose (alignment
+    # gradients) mis-rotates the sphere-intercept frame
+    table = lower_pose(table)
     y, u, i, t = trace_rays(table, y0, u0, biconic=biconic,
                             specs=specs, unroll=unroll)
     tsum = (t[:-1] - t[:-1, ref][:, None]).sum(0)
@@ -492,10 +498,15 @@ def optimize_grad(table, bundles, select=("curvature",), steps=100,
         table = jax.device_put(table, replicated)
         bundles = shard_bundles(bundles, mesh, axis)
     if merit is None and engine == "adjoint":
-        from ..ops.kernels import specialize
+        from ..ops.kernels import specialize, with_pose
         from ..ops.pallas_grad import DEFAULT_TILE, pallas_spot_rms
         specs_adj = specialize(jax.tree_util.tree_map(np.asarray,
                                                       table))
+        if any(k in select for k in ("tilt", "decenter")):
+            # keep the nominal pose live in the static specialization
+            # so the adjoint kernel differentiates it (rot/offset
+            # would otherwise bake out at zero tilt/decenter)
+            specs_adj = with_pose(specs_adj)
 
         def _tile_for(n):
             t = tile or min(n, DEFAULT_TILE)

@@ -498,3 +498,162 @@ def test_optimize_system_adjoint_engine():
     assert np.isfinite(hist).all() and len(hist) == 3
     c1 = [getattr(e, "curvature", 0.) for e in s]
     assert any(abs(a - b) > 0 for a, b in zip(c0, c1))
+
+
+# ---------------------------------------------------------------------
+# Differentiable pose through the adjoint kernel (round-5 closure of
+# the "rot is nondiff" boundary): tilt/decenter lower to rot/offset
+# through the XLA-side Rodrigues; the kernel reads rot as Mat3 scalars
+# and returns its cotangent.
+# ---------------------------------------------------------------------
+
+def _pose_setup(n=256):
+    from rayopt_tpu.ops.kernels import with_pose
+    s = doublet()
+    tab = s.table()
+    y, u, w = _bundle(s, n=n)
+    specs = with_pose(specialize(tab))
+    nsurf = tab.curvature.shape[0]
+    zero3 = jnp.zeros((nsurf, 3))
+    return tab, specs, y, u, w, zero3
+
+
+@pytest.mark.parametrize("at_zero", [
+    True,                                      # the fast-tier pin
+    pytest.param(False, marks=pytest.mark.slow),
+])
+def test_adjoint_pose_grad_matches_xla(at_zero):
+    """d(spot RMS)/d(tilt, decenter) through the adjoint kernel ==
+    the XLA specialized engine (which is itself FD-pinned in
+    test_pose), at the nominal pose (kernels.with_pose keeps it live)
+    and at a perturbed one."""
+    tab, specs, y, u, w, zero3 = _pose_setup(n=128)
+    tilt = zero3 if at_zero else zero3.at[2, 0].set(3e-3).at[3, 1].set(-2e-3)
+    dec = zero3 if at_zero else zero3.at[1, 0].set(.05).at[2, 1].set(-.03)
+
+    def loss_ref(tilt, dec):
+        return spot_rms(tab.replace(tilt=tilt, decenter=dec), y, u, w,
+                        specs=specs, unroll=True)
+
+    def loss_pal(tilt, dec):
+        return pallas_spot_rms(tab.replace(tilt=tilt, decenter=dec),
+                               y, u, w, specs=specs, tile=128,
+                               interpret=True)
+
+    v1, g1 = jax.value_and_grad(loss_ref, argnums=(0, 1))(tilt, dec)
+    v2, g2 = jax.value_and_grad(loss_pal, argnums=(0, 1))(tilt, dec)
+    nptest.assert_allclose(float(v2), float(v1), rtol=1e-9)
+    for name, a, b in (("tilt", g1[0], g2[0]),
+                       ("decenter", g1[1], g2[1])):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a[1:]).max() > 0, name  # really exercised
+        nptest.assert_allclose(b, a, rtol=1e-9, atol=1e-12,
+                               err_msg=name)
+
+
+@pytest.mark.slow
+def test_adjoint_pose_auto_specs_and_warning():
+    """Eager jax.grad w.r.t. tilt with NO specs= derives them from the
+    pose-stripped table and keeps every row live (diff_pose default);
+    with explicitly passed nominal specs (no with_pose) the pose
+    gradient is structurally zero and the kernel says so."""
+    import warnings
+    from rayopt_tpu.ops.kernels import with_pose
+    tab, specs, y, u, w, zero3 = _pose_setup(n=128)
+
+    g_auto = jax.grad(lambda t: pallas_spot_rms(
+        tab.replace(tilt=t), y, u, w, tile=128, interpret=True))(zero3)
+    g_ref = jax.grad(lambda t: spot_rms(
+        tab.replace(tilt=t), y, u, w, specs=specs, unroll=True))(zero3)
+    nptest.assert_allclose(np.asarray(g_auto), np.asarray(g_ref),
+                           rtol=1e-9, atol=1e-14)
+
+    plain = specialize(tab)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        g0 = jax.grad(lambda t: pallas_spot_rms(
+            tab.replace(tilt=t), y, u, w, specs=plain, tile=128,
+            interpret=True))(zero3)
+    assert not np.any(np.asarray(g0))
+    assert any("pose" in str(r.message) for r in rec)
+
+
+@pytest.mark.slow
+def test_wavefront_adjoint_pose_grad():
+    """Pose gradients of the wavefront-RMS adjoint kernel match the
+    XLA twin (which folds pose into the exit/image frame transforms
+    itself -- the opd_rays lower_pose fix)."""
+    from rayopt_tpu.ops.pallas_grad import pallas_wavefront_rms
+    from rayopt_tpu.parallel.grad import wavefront_rms
+    tab, specs, y, u, w, zero3 = _pose_setup(n=128)
+    lam = 587.56e-9
+    tilt = zero3.at[2, 0].set(3e-3)
+    dec = zero3.at[4, 1].set(-.02)
+
+    def wl_ref(tilt, dec):
+        return wavefront_rms(tab.replace(tilt=tilt, decenter=dec),
+                             y, u, w, radius=50., wavelength=lam,
+                             specs=specs, unroll=True)
+
+    def wl_pal(tilt, dec):
+        return pallas_wavefront_rms(
+            tab.replace(tilt=tilt, decenter=dec), y, u, w, radius=50.,
+            wavelength=lam, specs=specs, tile=128, interpret=True)
+
+    v1, g1 = jax.value_and_grad(wl_ref, argnums=(0, 1))(tilt, dec)
+    v2, g2 = jax.value_and_grad(wl_pal, argnums=(0, 1))(tilt, dec)
+    nptest.assert_allclose(float(v2), float(v1), rtol=1e-8)
+    for name, a, b in (("tilt", g1[0], g2[0]),
+                       ("decenter", g1[1], g2[1])):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a[1:]).max() > 0, name
+        nptest.assert_allclose(b, a, rtol=1e-6, atol=1e-9,
+                               err_msg=name)
+
+
+@pytest.mark.slow
+def test_polychromatic_adjoint_pose_grad():
+    """Pose gradients flow through the multi-wavelength adjoint chain;
+    identical per-wavelength tables reduce to the monochromatic
+    gradient exactly."""
+    from rayopt_tpu.ops.pallas_grad import pallas_polychromatic_spot_rms
+    tab, specs, y, u, w, zero3 = _pose_setup(n=128)
+    tabs3 = jax.tree_util.tree_map(lambda a: jnp.stack([a]*3), tab)
+
+    def ploss(tilt):
+        return pallas_polychromatic_spot_rms(
+            tabs3._replace(tilt=jnp.stack([tilt]*3)), y, u, w,
+            specs=specs, tile=128, interpret=True)
+
+    def mloss(tilt):
+        return pallas_spot_rms(tab.replace(tilt=tilt), y, u, w,
+                               specs=specs, tile=128, interpret=True)
+
+    gp = jax.grad(ploss)(zero3)
+    gm = jax.grad(mloss)(zero3)
+    # the stacked-tilt transpose sums the three identical chains
+    nptest.assert_allclose(np.asarray(gp), np.asarray(gm), rtol=1e-9,
+                           atol=1e-14)
+
+
+@pytest.mark.slow
+def test_optimize_grad_adjoint_pose_select():
+    """optimize_grad(engine='adjoint', select=('tilt', 'decenter'))
+    compensates a perturbed element: the alignment-recovery loop runs
+    entirely on the adjoint kernel and reduces the merit."""
+    import optax
+    from rayopt_tpu.parallel.grad import optimize_grad
+    s = doublet()
+    tab = s.table()
+    nsurf = tab.curvature.shape[0]
+    tilt = np.zeros((nsurf, 3))
+    tilt[2, 0] = 5e-3            # a misaligned internal surface
+    tab = tab.replace(tilt=jnp.asarray(tilt))
+    y, u, w = _bundle(s, n=128)
+    tab1, hist = optimize_grad(tab, [(y, u, w)],
+                               select=("tilt", "decenter"), steps=40,
+                               optimizer=optax.adam(3e-4),
+                               engine="adjoint", tile=128,
+                               interpret=True)
+    assert hist[-1] < .5*hist[0], hist
+    assert np.all(np.isfinite(np.asarray(tab1.tilt)))
