@@ -120,6 +120,34 @@ def main():
     print("compensator written back: element 6 angles =",
           np.round(np.asarray(s[6].angles), 5))
 
+    # 4. the same pose gradients at PRODUCTION ray counts ride the
+    # analytic-adjoint Pallas kernel (no VJP residuals; on TPU this
+    # is the 2^26-rays-per-step path).  rot is differentiated on
+    # demand -- kernels.with_pose keeps the nominal pose live in the
+    # static specialization.
+    from rayopt_tpu.ops.kernels import specialize, with_pose
+    from rayopt_tpu.ops.pallas_grad import pallas_spot_rms
+    pad = (-len(w)) % 128
+    yp = np.concatenate([y0, np.repeat(y0[:1], pad, 0)])
+    up = np.concatenate([u0, np.repeat(u0[:1], pad, 0)])
+    wp = np.concatenate([w, np.zeros(pad)])
+    specs = with_pose(specialize(tab))
+    interpret = jax.default_backend() != "tpu"
+    g_adj = jax.grad(lambda t: pallas_spot_rms(
+        tab_err.replace(tilt=t), yp, up, wp, specs=specs, tile=128,
+        interpret=interpret))(jnp.asarray(err))
+    g_xla = jax.grad(lambda t: spot_rms(
+        tab_err.replace(tilt=t), yp, up, wp))(jnp.asarray(err))
+    # rows 1+: the generic scan engine additionally differentiates
+    # the object row's entry rotation, which the specialized engines
+    # (and the adjoint kernel) structurally drop -- compare the
+    # element rows, where the semantics coincide
+    rel = (np.abs(np.asarray(g_adj)[1:] - np.asarray(g_xla)[1:]).max()
+           / np.abs(np.asarray(g_xla)[1:]).max())
+    print("adjoint-kernel pose gradient: max |d RMS/d tilt| = %.4f "
+          "/rad, parity vs XLA %.1e" %
+          (np.abs(np.asarray(g_adj)).max(), rel))
+
 
 if __name__ == "__main__":
     main()

@@ -251,7 +251,8 @@ def _perturb_entry(table, field, idx, delta):
 
 
 def sensitivity(table, y0, u0, w=None, fields=("curvature", "distance"),
-                clip=False, second_order=True):
+                clip=False, second_order=True, engine="xla",
+                tile=None, interpret=False):
     """Exact per-parameter sensitivities of the spot RMS.
 
     One reverse pass gives every first derivative d(RMS)/dp (the
@@ -262,6 +263,18 @@ def sensitivity(table, y0, u0, w=None, fields=("curvature", "distance"),
 
     Returns {field: {"grad": (S,...), "hess": (S,...)}} with hess
     omitted when second_order=False.
+
+    engine="adjoint" runs the reverse pass through the analytic-
+    adjoint Pallas merit (ops.pallas_grad.pallas_spot_rms): no VJP
+    residuals, so production-scale sensitivity bundles (2^26 rays)
+    fit where the XLA path OOMs -- including pose fields ("tilt",
+    "decenter"), whose rows kernels.with_pose keeps live at the
+    nominal alignment.  Gradient semantics become the SPECIALIZED
+    engine's (exact-zero parameters bake out and warn); ray counts
+    must tile by 128.  The adjoint is reverse-only (custom_vjp has no
+    forward mode), so second_order requires engine="xla" -- run the
+    Hessian diagonal at a reduced ray count there if the gradient
+    needed the adjoint's memory ceiling.
 
     Freeform caveat: a table with a nonzero xy_poly row is rerouted
     through the statically specialized engine (the dynamic scan path
@@ -293,6 +306,37 @@ def sensitivity(table, y0, u0, w=None, fields=("curvature", "distance"),
         specs = specialize(table)
         bic = False
 
+    if engine == "adjoint":
+        if second_order:
+            raise ValueError(
+                "sensitivity(engine='adjoint') is reverse-only "
+                "(custom_vjp has no forward mode): pass "
+                "second_order=False, and run the Hessian diagonal on "
+                "engine='xla' (a reduced ray count fits its memory)")
+        from ..ops.kernels import specialize, with_pose
+        from ..ops.pallas_grad import DEFAULT_TILE, pallas_spot_rms
+        specs_adj = specialize(
+            jax.tree_util.tree_map(np.asarray, table))
+        if any(f in fields for f in ("tilt", "decenter")):
+            specs_adj = with_pose(specs_adj)
+        n = y0.shape[0]
+        t_adj = tile or min(n, DEFAULT_TILE)
+        while n % t_adj or t_adj % 128:
+            t_adj -= 128
+            if t_adj <= 0:
+                raise ValueError(
+                    "engine='adjoint' needs ray counts in multiples "
+                    "of 128 (got %d)" % n)
+
+        def _rms(tab):
+            return pallas_spot_rms(tab, y0, u0, w, specs=specs_adj,
+                                   clip=clip, tile=t_adj,
+                                   interpret=interpret)
+    else:
+        def _rms(tab):
+            return _rms_of_table(tab, y0, u0, w, clip=clip,
+                                 biconic=bic, specs=specs)
+
     def merit_from(deltas):
         tab = table.replace(**{
             f: jnp.asarray(getattr(table, f)) + deltas[f]
@@ -301,8 +345,7 @@ def sensitivity(table, y0, u0, w=None, fields=("curvature", "distance"),
             off = jnp.asarray(table.offset)
             tab = tab.replace(offset=off.at[:, 2].add(
                 deltas["distance"]))
-        return _rms_of_table(tab, y0, u0, w, clip=clip, biconic=bic,
-                             specs=specs)
+        return _rms(tab)
 
     zeros = {f: jnp.zeros(jnp.shape(getattr(table, f)))
              for f in fields}

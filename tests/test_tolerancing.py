@@ -234,3 +234,37 @@ def test_compensated_focus_tolerancing():
                                 compensate_focus=True)
     np.testing.assert_allclose(r_farm["rms"], r_comp["rms"],
                                rtol=1e-12)
+
+
+@pytest.mark.slow
+def test_sensitivity_adjoint_engine():
+    """sensitivity(engine='adjoint') routes the reverse pass through
+    the analytic-adjoint Pallas merit: first-order sensitivities --
+    including pose (tilt/decenter), whose rows with_pose keeps live --
+    match the scan engine on every slot the specialization keeps
+    (exact-zero parameters bake out BY DESIGN and warn); second_order
+    is reverse-only and raises with guidance."""
+    from rayopt_tpu.parallel.tolerancing import sensitivity
+    s = doublet()
+    tab = s.table()
+    rng = np.random.RandomState(0)
+    n = 128
+    r = s.object.pupil.radius
+    sl = s.object.pupil.slope
+    y0 = np.zeros((n, 3))
+    y0[:, :2] = rng.uniform(-1, 1, (n, 2))*.8*r
+    u0 = np.zeros((n, 3))
+    u0[:, :2] = rng.uniform(-1, 1, (n, 2))*.3*sl
+    u0[:, 2] = np.sqrt(1 - np.square(u0[:, :2]).sum(1))
+    flds = ("curvature", "distance", "tilt", "decenter")
+    ref = sensitivity(tab, y0, u0, fields=flds, second_order=False)
+    adj = sensitivity(tab, y0, u0, fields=flds, second_order=False,
+                      engine="adjoint", tile=128, interpret=True)
+    for f in flds:
+        a, b = ref[f]["grad"], adj[f]["grad"]
+        live = np.asarray(b) != 0
+        assert live.sum() >= (12 if f in ("tilt", "decenter") else 3), f
+        d = np.abs(np.where(live, a - b, 0.)).max()
+        assert d < 1e-9*max(1., np.abs(a).max()), (f, d)
+    with pytest.raises(ValueError):
+        sensitivity(tab, y0, u0, fields=flds, engine="adjoint")
