@@ -215,7 +215,7 @@ def sharded_pallas_moments(table, state, mesh, clip=False, specs=None,
 
 def sharded_pallas_spot_rms(table, y, u, w, mesh, specs=None,
                             clip=False, tile=None, interpret=False,
-                            axis="rays"):
+                            axis="rays", diff_pose=None):
     """Differentiable multi-chip merit on the analytic-adjoint Pallas
     kernel (ops.pallas_grad): each chip traces its resident shard
     with the fused merit kernel, the five weighted moments psum over
@@ -227,19 +227,16 @@ def sharded_pallas_spot_rms(table, y, u, w, mesh, specs=None,
 
     Traceable (no jit inside) so it composes under jit/value_and_grad;
     specs must be passed when the table is traced, as with every
-    specialized engine."""
-    from ..ops.kernels import specialize
-    from ..ops.pallas_grad import pallas_spot_moments
-    from ..ops.pallas_trace import (DEFAULT_TILE, _resolve_specs,
-                                    spot_rms_from_moments)
+    specialized engine.  Traced pose deltas (tilt/decenter)
+    differentiate through the per-chip adjoint with the rot/offset
+    cotangents psum'd by the transpose (see
+    ops.pallas_grad.pallas_spot_moments, diff_pose)."""
+    from ..ops.pallas_grad import _resolve_pose_specs, \
+        pallas_spot_moments
+    from ..ops.pallas_trace import DEFAULT_TILE, spot_rms_from_moments
     from ..ops.kernels import split
-    specs = _resolve_specs(table, specs)
-    if specs is None:
-        if isinstance(table.curvature, jax.core.Tracer):
-            raise ValueError(
-                "sharded_pallas_spot_rms inside jit needs static "
-                "specs= (kernels.specialize on the concrete table)")
-        specs = specialize(table)
+    specs = _resolve_pose_specs(table, specs, diff_pose,
+                                "sharded_pallas_spot_rms")
     if tile is None:
         per_shard = y.shape[0] // int(mesh.shape[axis])
         tile = min(per_shard, DEFAULT_TILE)

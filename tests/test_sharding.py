@@ -268,3 +268,29 @@ def test_sharded_adjoint_merit_grad(setup):
     nptest.assert_allclose(float(v1), float(v0), rtol=1e-12)
     nptest.assert_allclose(np.asarray(g1), np.asarray(g0),
                            rtol=1e-10, atol=1e-14)
+
+
+@pytest.mark.slow
+def test_sharded_adjoint_pose_grad(setup):
+    """Pose (tilt) gradients through the sharded adjoint merit: the
+    Rodrigues lowering runs inside the shard_map body, the kernels
+    read rot as Mat3 scalars, and the rot cotangents psum in the
+    transpose -- parity with the single-device adjoint kernel."""
+    import jax.numpy as jnp
+    from rayopt_tpu.ops.kernels import specialize, with_pose
+    from rayopt_tpu.ops.pallas_grad import pallas_spot_rms
+    from rayopt_tpu.parallel import sharded_pallas_spot_rms
+    tab, y, u, w = setup
+    specs = with_pose(specialize(tab))
+    mesh = ray_mesh()
+    t0 = jnp.zeros((np.asarray(tab.curvature).shape[0], 3))
+
+    g1 = jax.grad(lambda t: pallas_spot_rms(
+        tab.replace(tilt=t), y, u, w, specs=specs, tile=128,
+        interpret=True))(t0)
+    g8 = jax.jit(jax.grad(lambda t: sharded_pallas_spot_rms(
+        tab.replace(tilt=t), jnp.asarray(y), jnp.asarray(u),
+        jnp.asarray(w), mesh, specs=specs, interpret=True)))(t0)
+    assert np.any(np.asarray(g1) != 0)
+    nptest.assert_allclose(np.asarray(g8), np.asarray(g1),
+                           rtol=1e-10, atol=1e-14)
