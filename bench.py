@@ -722,6 +722,79 @@ def main():
                 "ms/step (%.2f steps/s) -> %.3f G intersections/s "
                 "per step" % (tb_af*1e3, tb_af/kfa*1e3, kfa/tb_af,
                               rate_af2/1e9))
+
+            # the ALIGNMENT gradient (late round 5): d(RMS)/d(tilt,
+            # decenter) through the same in-kernel adjoint, every
+            # pose row kept live by kernels.with_pose (rot reads
+            # become Mat3 scalars, so the kernel is the honest
+            # alignment workload: 2 extra rotations + offset per
+            # surface).  Parity vs the CPU f64 scan engine on the
+            # element rows (rows 1+; the scan engine additionally
+            # differentiates the object row's entry rotation, which
+            # specialized engines structurally drop).
+            from rayopt_tpu.ops.kernels import with_pose
+            specs_pose = with_pose(specs)
+            zero_pose = {
+                "tilt": jnp.zeros((nsurf, 3), jnp.float32),
+                "decenter": jnp.zeros((nsurf, 3), jnp.float32)}
+
+            def loss_pose_of(tab_l, y_l, u_l, w_l):
+                def loss(pose):
+                    t2 = tab_l.replace(tilt=pose["tilt"],
+                                       decenter=pose["decenter"])
+                    return pallas_spot_rms(t2, y_l, u_l, w_l,
+                                           specs=specs_pose,
+                                           tile=8*1024)
+                return loss
+
+            wg_p = jnp.ones(mg, jnp.float32)/mg
+            _, g_pose = jax.jit(jax.value_and_grad(loss_pose_of(
+                tab, yg.astype(np.float32), ug.astype(np.float32),
+                wg_p)))(zero_pose)
+            with jax.default_device(cpu):
+                def loss_pose_cpu(pose):
+                    t2 = tab64.replace(tilt=pose["tilt"],
+                                       decenter=pose["decenter"])
+                    return spot_rms(t2, yg, ug,
+                                    jnp.ones(mg, jnp.float64)/mg)
+                _, g_pose_cpu = jax.jit(jax.value_and_grad(
+                    loss_pose_cpu))({
+                        "tilt": jnp.zeros((nsurf, 3), jnp.float64),
+                        "decenter": jnp.zeros((nsurf, 3),
+                                              jnp.float64)})
+            num = sum(float(np.square(
+                np.asarray(g_pose[k])[1:]
+                - np.asarray(g_pose_cpu[k])[1:]).sum())
+                for k in g_pose)
+            den = sum(float(np.square(
+                np.asarray(g_pose_cpu[k])[1:]).sum())
+                for k in g_pose)
+            gp_pose = float(np.sqrt(num/den))
+            log("pose-adjoint grad parity vs CPU f64 scan (element "
+                "rows): %.3g" % gp_pose)
+
+            step_pose = jax.jit(jax.value_and_grad(loss_pose_of(
+                tab, y_adj, u_adj, w_adj)))
+            log("timing grad_step_adjoint_pose (f32, 2^23 rays, "
+                "tilt+decenter of every element row)...")
+            stats = {}
+            tb_p = best_of(lambda p: float(step_pose(p)[0]),
+                           zero_pose, stats=stats)
+            rate_p = n_a*nsurf/tb_p
+            details["grad_step_adjoint_pose"] = {
+                "config": "value_and_grad(pallas_spot_rms) wrt "
+                          "tilt+decenter (alignment gradient), "
+                          "with_pose specs, in-kernel adjoint",
+                "rays": n_a, "best_time_s": tb_p,
+                "steps_per_s": 1./tb_p,
+                "intersections_per_s_per_step": rate_p,
+                "vs_target": rate_p/BASELINE_RATE,
+                "grad_rel_err_f32_vs_cpu_f64_rows1plus": gp_pose,
+                **stats,
+            }
+            log("  grad_step_adjoint_pose: %.1f ms/step (%.2f "
+                "steps/s) -> %.3f G intersections/s per step"
+                % (tb_p*1e3, 1./tb_p, rate_p/1e9))
         except Exception as e:
             log("grad_step_adjoint failed (non-fatal):", e)
             details["grad_step_adjoint"] = {"error": str(e)}

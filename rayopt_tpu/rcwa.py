@@ -503,6 +503,57 @@ def pillar_layer(thickness, fill_x, fill_y, n_pillar, n_bg):
                          (fill_y, 1. - fill_y), idx)
 
 
+def disk_layer(thickness, fill, n_disk, n_bg, slices=12):
+    """A circular pillar (or hole) slice: a disk of diameter
+    fill * period centered in the unit cell at n_disk, the rest at
+    n_bg, staircased onto the tensor-product cell grid the 2-D Li
+    factorization needs.
+
+    The disk is cut into `slices` equal-height y-rows; each row's
+    x-extent is the chord evaluated at the row's AREA CENTROID (exact
+    row area, so the fill factor -- which drives the effective-medium
+    response -- converges as O(1/slices^2) while the boundary
+    staircase itself is the usual O(1/slices)).  The shared x-grid is
+    the union of all chord breakpoints, so each row is represented
+    EXACTLY on the grid -- the only approximation is the staircase.
+    Non-rectangular profiles beyond staircasing (normal-vector-field
+    factorization) are out of scope; convergence in `slices` is
+    pinned in tests/test_rcwa.py."""
+    if not 0. < fill < 1.:
+        raise ValueError("fill must be in (0, 1)")
+    if slices < 2:
+        raise ValueError("need at least 2 slices")
+    r = fill/2.
+    # equal-height rows across the disk; chord half-width from the
+    # exact row area: integral of the chord over the row / height
+    edges = np.linspace(-r, r, slices + 1)
+
+    def _area(a, b):
+        # integral of 2 sqrt(r^2 - y^2) dy from a to b
+        def f(y):
+            y = np.clip(y, -r, r)
+            return y*np.sqrt(max(r*r - y*y, 0.)) \
+                + r*r*np.arcsin(np.clip(y/r, -1., 1.))
+        return f(b) - f(a)
+
+    half = np.array([
+        .5*_area(a, b)/(b - a) for a, b in zip(edges[:-1], edges[1:])])
+    # shared x-grid: the union of all rows' chord breakpoints
+    cuts = np.unique(np.concatenate(
+        [[0.], .5 - half, .5 + half, [1.]]))
+    widths_x = np.diff(cuts)
+    xc = .5*(cuts[:-1] + cuts[1:])
+    # y-rows: background margins + the disk rows
+    ylo = .5 + edges[:-1]
+    yhi = .5 + edges[1:]
+    widths_y = np.concatenate([[ylo[0]], yhi - ylo, [1. - yhi[-1]]])
+    idx = np.full((widths_x.size, widths_y.size), complex(n_bg))
+    for j, h in enumerate(half):
+        inside = np.abs(xc - .5) < h
+        idx[inside, j + 1] = n_disk
+    return crossed_layer(thickness, widths_x, widths_y, idx)
+
+
 def _indicator_fourier(widths, order):
     """Fourier coefficients (h = -2N..2N) of each cell's indicator
     function over one period: shape (ncells, 4*order + 1)."""

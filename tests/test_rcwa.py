@@ -392,3 +392,42 @@ def test_grating_order_weights_transmission():
                               reflection=False)
     assert w[1, 0] > 0.8
     assert w[0, 0] < 0.05 and w[2, 0] < 0.05
+
+
+def test_disk_layer_geometry_and_energy():
+    """disk_layer staircases a circular pillar onto the tensor cell
+    grid with EXACT row areas (equal-area chords on their own
+    breakpoints), so the fill factor is exact at any slice count;
+    the lossless stack conserves energy."""
+    from rayopt_tpu.rcwa import disk_layer, rcwa2d
+    for slices in (4, 16):
+        lay = disk_layer(0.3, 0.6, 2.0, 1.0, slices=slices)
+        wx = np.asarray(lay.widths_x)
+        wy = np.asarray(lay.widths_y)
+        area = sum(wx[i]*wy[j]
+                   for i in range(wx.size) for j in range(wy.size)
+                   if lay.indices[i, j].real > 1.5)
+        assert abs(area - np.pi*0.3**2) < 1e-12, (slices, area)
+    res = rcwa2d(1.0, 1.0, 0.6, [disk_layer(.25, .5, 2.2, 1.)],
+                 n_in=1., n_out=1.7, theta_deg=10., orders_x=4,
+                 orders_y=4)
+    assert abs(res.eff_r.sum() + res.eff_t.sum() - 1.) < 1e-8
+
+
+@pytest.mark.slow
+def test_disk_layer_staircase_converges():
+    """The only disk_layer approximation is the boundary staircase:
+    the zeroth-order transmission converges as slices grows."""
+    from rayopt_tpu.rcwa import disk_layer, rcwa2d
+    vals = []
+    for slices in (4, 16, 128):
+        r = rcwa2d(1.0, 1.0, 0.6,
+                   [disk_layer(.25, .5, 2.2, 1., slices=slices)],
+                   n_in=1., n_out=1.7, orders_x=4, orders_y=4)
+        i0 = np.argmax((np.asarray(r.orders_x) == 0)
+                       & (np.asarray(r.orders_y) == 0))
+        vals.append(float(r.eff_t[i0]))
+    # oscillatory staircase: measure distance to the fine reference
+    # (measured 1.4e-3 / 7.9e-4 / ref at 4 / 16 / 128 slices)
+    assert abs(vals[1] - vals[2]) < abs(vals[0] - vals[2])
+    assert abs(vals[0] - vals[2]) < 5e-3
