@@ -723,7 +723,16 @@ def main():
                 "per step" % (tb_af*1e3, tb_af/kfa*1e3, kfa/tb_af,
                               rate_af2/1e9))
 
-            # the ALIGNMENT gradient (late round 5): d(RMS)/d(tilt,
+        except Exception as e:
+            log("grad_step_adjoint failed (non-fatal):", e)
+            details["grad_step_adjoint"] = {"error": str(e)}
+
+        # the ALIGNMENT gradient (late round 5) in its OWN guard so a
+        # pose-row failure cannot clobber the main adjoint rows
+        try:
+            from rayopt_tpu.ops.pallas_grad import pallas_spot_rms
+
+            # the ALIGNMENT gradient: d(RMS)/d(tilt,
             # decenter) through the same in-kernel adjoint, every
             # pose row kept live by kernels.with_pose (rot reads
             # become Mat3 scalars, so the kernel is the honest
@@ -734,9 +743,10 @@ def main():
             # specialized engines structurally drop).
             from rayopt_tpu.ops.kernels import with_pose
             specs_pose = with_pose(specs)
+            nrows = nsurf + 1         # table rows incl. the object
             zero_pose = {
-                "tilt": jnp.zeros((nsurf, 3), jnp.float32),
-                "decenter": jnp.zeros((nsurf, 3), jnp.float32)}
+                "tilt": jnp.zeros((nrows, 3), jnp.float32),
+                "decenter": jnp.zeros((nrows, 3), jnp.float32)}
 
             def loss_pose_of(tab_l, y_l, u_l, w_l):
                 def loss(pose):
@@ -759,8 +769,8 @@ def main():
                                     jnp.ones(mg, jnp.float64)/mg)
                 _, g_pose_cpu = jax.jit(jax.value_and_grad(
                     loss_pose_cpu))({
-                        "tilt": jnp.zeros((nsurf, 3), jnp.float64),
-                        "decenter": jnp.zeros((nsurf, 3),
+                        "tilt": jnp.zeros((nrows, 3), jnp.float64),
+                        "decenter": jnp.zeros((nrows, 3),
                                               jnp.float64)})
             num = sum(float(np.square(
                 np.asarray(g_pose[k])[1:]
@@ -796,8 +806,8 @@ def main():
                 "steps/s) -> %.3f G intersections/s per step"
                 % (tb_p*1e3, 1./tb_p, rate_p/1e9))
         except Exception as e:
-            log("grad_step_adjoint failed (non-fatal):", e)
-            details["grad_step_adjoint"] = {"error": str(e)}
+            log("grad_step_adjoint_pose failed (non-fatal):", e)
+            details["grad_step_adjoint_pose"] = {"error": str(e)}
 
         # polychromatic analytic-adjoint merit (round-5): ONE ray tile
         # traced through all 3 wavelength chains in VMEM, in-kernel

@@ -15,6 +15,7 @@ from .multihost import (  # noqa: F401
 )
 from .grad import (  # noqa: F401
     trace_rms_merit, optimize_grad, optimize_system, optimize_zoom,
+    optimize_multi_start,
     spot_rms,
     wavefront_rms, opd_rays, bundles_from_system,
 )

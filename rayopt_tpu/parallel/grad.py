@@ -650,3 +650,117 @@ def optimize_grad(table, bundles, select=("curvature",), steps=100,
     if "distance" in final:
         final["offset"] = jnp.asarray(unit)*final["distance"][:, None]
     return table.replace(**final), np.asarray(history)
+
+
+def optimize_multi_start(table, bundles, select=("curvature",),
+                         sigmas=None, n_starts=16, steps=50, lr=1e-4,
+                         optimizer=None, merit=None, seed=0,
+                         mesh=None, axis="starts"):
+    """Population multi-start lens optimization in ONE device
+    dispatch -- a TPU-native global-search primitive the reference's
+    scipy loop has no analog for.
+
+    n_starts perturbed copies of the selected parameters (start 0 is
+    the nominal, the rest nominal + N(0, sigmas[field]) noise) each
+    run `steps` adam updates of the summed spot-RMS merit INSIDE one
+    jitted vmap: the whole population optimizes in a single
+    compilation/dispatch, so wall time is one optimization run, not
+    n_starts of them (rays and parameter updates batch onto the VPU).
+    With `mesh`, the population shards over the named `axis` --
+    each chip descends its sub-population independently, the only
+    collective being the final argmin on the host.
+
+    sigmas:  {field: stddev} start-spread per selected field
+             (required for every selected field unless n_starts == 1);
+             e.g. {"curvature": 2e-3, "distance": .1}
+    merit:   optional callable(table) -> scalar (defaults to summed
+             spot RMS over the bundles, generic scan engine -- full
+             gradient semantics, vmap-safe)
+    Returns (best table, info) with info = {"merits": (n_starts,)
+    final merits, "best": argmin index, "history": (steps,) merit
+    trajectory of the winner}.
+
+    Multi-start descent explores the basin structure around a design;
+    it is not a certified global optimum (couple it with glass_box
+    search / parameter bounds for production global design).
+    """
+    import optax
+    if optimizer is None:
+        optimizer = optax.adam(lr)
+    if merit is None:
+        from ..ops.tables import is_anamorphic
+        merit = functools.partial(trace_rms_merit, bundles=bundles,
+                                  biconic=is_anamorphic(table))
+    sigmas = dict(sigmas or {})
+    missing = [k for k in select if k not in sigmas]
+    if missing and n_starts > 1:
+        raise ValueError(
+            "optimize_multi_start needs a start-spread sigma for "
+            "every selected field; missing: %s" % missing)
+
+    key = jax.random.PRNGKey(seed)
+    starts = {}
+    for k in select:
+        base = jnp.asarray(getattr(table, k))
+        key, sub = jax.random.split(key)
+        noise = sigmas.get(k, 0.)*jax.random.normal(
+            sub, (n_starts,) + base.shape, base.dtype)
+        noise = noise.at[0].set(0.)        # start 0 = the nominal
+        starts[k] = base[None] + noise
+
+    # distance is a derived length; tie offset = unit * distance as
+    # in optimize_grad
+    off = np.asarray(table.offset)
+    d0 = np.asarray(table.distance)
+    unit = np.divide(off, d0[:, None], where=d0[:, None] != 0,
+                     out=np.tile(np.array([0., 0., 1.]),
+                                 (off.shape[0], 1)))
+
+    def loss(params):
+        tab = table.replace(**params)
+        if "distance" in params:
+            tab = tab.replace(
+                offset=jnp.asarray(unit)*params["distance"][:, None])
+        return merit(tab)
+
+    def descend(params):
+        state = optimizer.init(params)
+
+        def body(carry, _):
+            params, state = carry
+            value, grads = jax.value_and_grad(loss)(params)
+            updates, state = optimizer.update(grads, state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, state), value
+
+        (params, _), values = jax.lax.scan(body, (params, state),
+                                           None, length=steps)
+        return params, loss(params), values
+
+    if mesh is None:
+        run = jax.jit(jax.vmap(descend))
+    else:
+        from jax import shard_map
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        n_dev = int(mesh.shape[axis])
+        if n_starts % n_dev:
+            raise ValueError(
+                "n_starts (%d) must divide by the '%s' mesh axis "
+                "(%d)" % (n_starts, axis, n_dev))
+        run = jax.jit(shard_map(
+            jax.vmap(descend), mesh=mesh,
+            in_specs=(P(axis),), out_specs=P(axis),
+            check_vma=False))
+        starts = jax.device_put(
+            starts, NamedSharding(mesh, P(axis)))
+
+    params_fin, merits, values = run(starts)
+    merits = np.asarray(merits)
+    best = int(np.argmin(merits))
+    winner = {k: jnp.asarray(v[best]) for k, v in params_fin.items()}
+    tab = table.replace(**winner)
+    if "distance" in winner:
+        tab = tab.replace(
+            offset=jnp.asarray(unit)*winner["distance"][:, None])
+    return tab, {"merits": merits, "best": best,
+                 "history": np.asarray(values[best])}

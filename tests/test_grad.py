@@ -205,3 +205,56 @@ def test_jit_steps_checkpoint_boundaries(tmp_path):
                                   checkpoint_every=5)
     assert len(hist_a) == 10 and len(hist_b) == 10
     nptest.assert_allclose(hist_b[-1], hist_a[-1], rtol=1e-12)
+
+
+def test_optimize_multi_start():
+    """Population multi-start descent in one vmapped dispatch: start
+    0 is the nominal (so the winner is never worse than plain local
+    descent), every start runs the full adam loop, and the winner
+    beats the nominal merit."""
+    from rayopt_tpu.parallel.grad import (bundles_from_system,
+                                          optimize_multi_start,
+                                          trace_rms_merit)
+    s = doublet()
+    tab = s.table()
+    bundles = bundles_from_system(s, nrays=16)
+    tab1, info = optimize_multi_start(
+        tab, bundles, select=("curvature",),
+        sigmas={"curvature": 1e-3}, n_starts=6, steps=12, lr=3e-5,
+        seed=1)
+    m0 = float(trace_rms_merit(tab, bundles))
+    assert info["merits"].shape == (6,)
+    assert info["history"].shape == (12,)
+    assert info["merits"][info["best"]] <= info["merits"][0] + 1e-12
+    assert info["merits"][info["best"]] < m0
+    # missing sigma for a selected field is an error (not a silent
+    # degenerate population)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        optimize_multi_start(tab, bundles,
+                             select=("curvature", "distance"),
+                             sigmas={"curvature": 1e-3}, n_starts=4)
+
+
+@pytest.mark.slow
+def test_optimize_multi_start_sharded_matches():
+    """The mesh-sharded population (shard_map over the starts axis)
+    matches the single-device vmap to fusion-level rounding."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+    from rayopt_tpu.parallel.grad import (bundles_from_system,
+                                          optimize_multi_start)
+    s = doublet()
+    tab = s.table()
+    bundles = bundles_from_system(s, nrays=16)
+    kw = dict(select=("curvature",), sigmas={"curvature": 1e-3},
+              n_starts=8, steps=10, lr=3e-5, seed=1)
+    tab1, info1 = optimize_multi_start(tab, bundles, **kw)
+    mesh = Mesh(np.asarray(jax.devices()), ("starts",))
+    tab2, info2 = optimize_multi_start(tab, bundles, mesh=mesh, **kw)
+    np.testing.assert_allclose(info2["merits"], info1["merits"],
+                               rtol=0, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(tab2.curvature),
+                               np.asarray(tab1.curvature),
+                               rtol=0, atol=1e-12)
