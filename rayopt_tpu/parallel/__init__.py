@@ -7,6 +7,7 @@ from .sharding import (  # noqa: F401
 )
 from .tolerancing import (  # noqa: F401
     tolerance_analysis, monte_carlo_rms, sharded_monte_carlo_rms,
+    compensated_monte_carlo_rms,
     perturbed_tables, aberration_tolerance, sensitivity,
     inverse_sensitivity,
 )

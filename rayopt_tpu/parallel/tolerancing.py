@@ -130,6 +130,139 @@ def sharded_monte_carlo_rms(tables, y0, u0, w, mesh, clip=False,
     return jax.jit(fn)(tables, y0, u0, w)
 
 
+def _nan_safe_sample_rms(tab, y0, u0, w, clip, biconic,
+                         compensate_focus):
+    """Differentiable weighted spot RMS of one (possibly compensated)
+    sample table.  Vignetted rays poison reverse-mode AD (NaN * 0 =
+    NaN cotangents), so a stop-gradient pre-trace finds the survivors
+    and dead rays are substituted by a surviving seed with zero
+    weight before the differentiated trace runs (same scheme as
+    parallel.grad.spot_rms).  With compensate_focus the merit is the
+    closed-form best-focus RMS."""
+    tab0 = jax.tree_util.tree_map(jax.lax.stop_gradient, tab)
+    yp, up, tp = trace_rays_final(tab0, y0, u0, clip=clip,
+                                  biconic=biconic)
+    alive = (jnp.all(jnp.isfinite(yp[:, :2]), axis=1)
+             & jnp.all(jnp.isfinite(up), axis=1))
+    i0 = jnp.argmax(alive)
+    y0 = jnp.where(alive[:, None], y0, y0[i0])
+    u0 = jnp.where(alive[:, None], u0, u0[i0])
+    w = jnp.where(alive, w, 0.)
+    y, u, t = trace_rays_final(tab, y0, u0, clip=clip, biconic=biconic)
+    pt = y[:, :2]
+    good = jnp.all(jnp.isfinite(pt), axis=1)
+    wg = jnp.where(good, w, 0.)
+    pt = jnp.where(good[:, None], pt, 0.)
+    if compensate_focus:
+        uz = jnp.where(u[:, 2] == 0, 1., u[:, 2])
+        q = jnp.where(good[:, None], u[:, :2]/uz[:, None], 0.)
+        return _best_focus_rms(pt, q, wg)[0]
+    wsum = wg.sum()
+    mean = (wg[:, None]*pt).sum(0)/wsum
+    r2 = (wg*jnp.square(pt - mean).sum(1)).sum()/wsum
+    return jnp.sqrt(r2)
+
+
+def compensated_monte_carlo_rms(tables, y0, u0, w, compensators,
+                                steps=30, lr=1e-2, optimizer=None,
+                                clip=False, biconic=False,
+                                compensate_focus=False, mesh=None,
+                                axis="samples"):
+    """Monte-Carlo tolerancing with per-sample COMPENSATOR
+    re-optimization -- the "as adjusted" convention: every built
+    (perturbed) system gets its own adjustment of the designated
+    compensator parameters before it is scored, exactly like a real
+    assembly line re-spaces an air gap or re-tilts a fold to recover
+    a toleranced build.
+
+    Each sample runs `steps` adam updates of ITS OWN compensator
+    parameters against its own NaN-safe spot-RMS merit, all samples
+    inside one jitted vmap -- the whole Monte-Carlo-with-adjustment
+    study is a single device dispatch (the TPU-native formulation;
+    a per-sample scipy re-optimize loop is the reference-era shape).
+    With `mesh` the samples shard over the named axis, each chip
+    adjusting its own slice with no cross-chip communication.
+
+    compensators: dict field -> surface row indices free to adjust,
+        e.g. {"distance": [6]} for an air-gap compensator or
+        {"tilt": [2]} for an alignment compensator (vector rows free
+        all three components).  Perturbing `distance` keeps offset
+        tied (offset = unit * distance, like perturbed_tables).
+    compensate_focus: score (and descend) at the closed-form best
+        focus on top of the descended compensators -- use it when
+        back-focus is ALSO adjusted per build, instead of spending a
+        `distance` compensator row on the image gap.
+    lr: adam step in parameter units (default 1e-2: ~0.3 units of
+        total travel at steps=30; scale to the compensator's range).
+
+    Returns dict with "rms" ((n,) compensated merits -- never worse
+    than uncompensated: a diverged/NaN descent falls back to the
+    as-built value), "rms0" ((n,) uncompensated), and "params"
+    ({field: (n, k, ...)} the final per-sample compensator values).
+    """
+    import optax
+    if optimizer is None:
+        optimizer = optax.adam(lr)
+    comp = {f: np.atleast_1d(np.asarray(ix, int))
+            for f, ix in compensators.items()}
+    y0 = jnp.asarray(y0)
+    u0 = jnp.asarray(u0)
+    w = jnp.asarray(w)
+
+    def apply_comp(tab, params):
+        t2 = tab
+        for f, ix in comp.items():
+            base = jnp.asarray(getattr(t2, f))
+            t2 = t2.replace(**{f: base.at[ix].set(params[f])})
+        if "distance" in comp:
+            ix = comp["distance"]
+            d_new = params["distance"]
+            d_old = tab.distance[ix]
+            denom = jnp.where(d_old == 0, 1., d_old)[:, None]
+            unit = jnp.where((d_old != 0)[:, None],
+                             tab.offset[ix]/denom,
+                             jnp.asarray([0., 0., 1.],
+                                         tab.offset.dtype))
+            t2 = t2.replace(
+                offset=t2.offset.at[ix].set(unit*d_new[:, None]))
+        return t2
+
+    def descend(tab):
+        params0 = {f: jnp.asarray(getattr(tab, f))[ix]
+                   for f, ix in comp.items()}
+        loss = functools.partial(
+            _nan_safe_sample_rms, y0=y0, u0=u0, w=w, clip=clip,
+            biconic=biconic, compensate_focus=compensate_focus)
+        rms0 = loss(apply_comp(tab, params0))
+        state = optimizer.init(params0)
+
+        def body(carry, _):
+            p, st = carry
+            value, grads = jax.value_and_grad(
+                lambda p: loss(apply_comp(tab, p)))(p)
+            updates, st = optimizer.update(grads, st, p)
+            return (optax.apply_updates(p, updates), st), value
+
+        (p, _), _ = jax.lax.scan(body, (params0, state), None,
+                                 length=steps)
+        rms1 = loss(apply_comp(tab, p))
+        better = rms1 < rms0          # NaN descent -> keep as-built
+        params = jax.tree_util.tree_map(
+            lambda a0, a1: jnp.where(better, a1, a0), params0, p)
+        return jnp.where(better, rms1, rms0), rms0, params
+
+    if mesh is None:
+        rms, rms0, params = jax.jit(jax.vmap(descend))(tables)
+    else:
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+        fn = shard_map(jax.vmap(descend), mesh=mesh,
+                       in_specs=(P(axis),), out_specs=P(axis),
+                       check_vma=False)
+        rms, rms0, params = jax.jit(fn)(tables)
+    return {"rms": rms, "rms0": rms0, "params": params}
+
+
 #: linear (s, t) combinations forming the Seidel sums s1..s5
 #: (same table as trace/poly.py SEIDEL_COMBOS, reference
 #: poly_trace.py:150-156)
@@ -493,12 +626,17 @@ def inverse_sensitivity(table, y0, u0, budget, w=None,
 
 def tolerance_analysis(table, y0, u0, w=None, sigmas=None,
                        n_samples=256, seed=0, clip=False, mesh=None,
-                       compensate_focus=False):
+                       compensate_focus=False, compensators=None,
+                       comp_steps=30, comp_lr=1e-2):
     """Monte-Carlo tolerance run; returns dict with the merit
     distribution and its quantiles.  With `mesh`, samples are farmed
     over the devices (sample count must divide by the mesh size).
     compensate_focus scores each sample at its own closed-form best
-    focus (the standard per-build back-focus compensator)."""
+    focus (the standard per-build back-focus compensator).
+    compensators ({field: row indices}) additionally re-optimizes the
+    named parameters PER SAMPLE before scoring ("as adjusted" -- see
+    compensated_monte_carlo_rms); the returned dict then carries the
+    uncompensated distribution stats under "mean_uncompensated"."""
     if w is None:
         w = np.ones(y0.shape[0])/y0.shape[0]
     if sigmas is None:
@@ -507,7 +645,15 @@ def tolerance_analysis(table, y0, u0, w=None, sigmas=None,
     bic = is_anamorphic(table)
     key = jax.random.PRNGKey(seed)
     tables = perturbed_tables(table, key, n_samples, sigmas)
-    if mesh is None:
+    rms0 = None
+    if compensators is not None:
+        out = compensated_monte_carlo_rms(
+            tables, jnp.asarray(y0), jnp.asarray(u0), jnp.asarray(w),
+            compensators, steps=comp_steps, lr=comp_lr, clip=clip,
+            biconic=bic, compensate_focus=compensate_focus, mesh=mesh)
+        rms = out["rms"]
+        rms0 = np.asarray(out["rms0"])
+    elif mesh is None:
         rms = monte_carlo_rms(tables, y0, u0, jnp.asarray(w),
                               clip=clip, biconic=bic,
                               compensate_focus=compensate_focus)
@@ -518,7 +664,13 @@ def tolerance_analysis(table, y0, u0, w=None, sigmas=None,
                                       compensate_focus=compensate_focus)
     rms = np.asarray(rms)
     good = rms[np.isfinite(rms)]
+    extra = {}
+    if rms0 is not None:
+        good0 = rms0[np.isfinite(rms0)]
+        extra = {"rms_uncompensated": rms0,
+                 "mean_uncompensated": float(good0.mean())}
     return {
+        **extra,
         "rms": rms,
         "nominal": float(np.asarray(monte_carlo_rms(
             jax.tree_util.tree_map(lambda a: a[None], table),

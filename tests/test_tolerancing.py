@@ -268,3 +268,105 @@ def test_sensitivity_adjoint_engine():
         assert d < 1e-9*max(1., np.abs(a).max()), (f, d)
     with pytest.raises(ValueError):
         sensitivity(tab, y0, u0, fields=flds, engine="adjoint")
+
+
+def test_compensator_reoptimization_matches_focus_oracle():
+    """Per-sample compensator descent on the IMAGE air gap must
+    reproduce the closed-form best-focus optimum: moving the last
+    distance shifts every landing point by exactly dz*(u_xy/u_z), the
+    same one-parameter family _best_focus_rms minimizes in closed
+    form -- so the descended merit converges to it from above."""
+    from rayopt_tpu.models import cooke_triplet
+    from rayopt_tpu.parallel.tolerancing import (
+        compensated_monte_carlo_rms)
+    import jax
+    s = cooke_triplet()
+    tab = s.table()
+    y0, u0, w = _bundle(s)
+    n = 16
+    tables = perturbed_tables(tab, jax.random.PRNGKey(7), n,
+                              {"distance": 0.15})
+    last = tab.distance.shape[0] - 1
+    out = compensated_monte_carlo_rms(
+        tables, y0, u0, w, {"distance": [last]}, steps=120, lr=2e-2)
+    rms_bf = np.asarray(monte_carlo_rms(tables, y0, u0, w,
+                                        compensate_focus=True))
+    rms = np.asarray(out["rms"])
+    rms0 = np.asarray(out["rms0"])
+    assert np.all(np.isfinite(rms))
+    # never worse than as-built, never better than the exact optimum
+    assert np.all(rms <= rms0 + 1e-12)
+    assert np.all(rms >= rms_bf - 1e-9)
+    # and the descent actually converges to that optimum
+    assert rms.mean() <= 1.15*rms_bf.mean()
+    assert out["params"]["distance"].shape == (n, 1)
+
+
+def test_tilt_compensator_recovers_wedge():
+    """"As adjusted" tolerancing: random surface tilts (wedge-like
+    build errors) scored after re-tilting one compensator surface per
+    sample -- the adjustment must recover merit on every sample and
+    meaningfully on average."""
+    from rayopt_tpu.models import cooke_triplet
+    from rayopt_tpu.parallel.tolerancing import (
+        compensated_monte_carlo_rms)
+    import jax
+    s = cooke_triplet()
+    tab = s.table()
+    y0, u0, w = _bundle(s)
+    tables = perturbed_tables(tab, jax.random.PRNGKey(3), 12,
+                              {"tilt": 2e-3})
+    out = compensated_monte_carlo_rms(
+        tables, y0, u0, w, {"tilt": [1]}, steps=60, lr=5e-4,
+        compensate_focus=True)
+    rms = np.asarray(out["rms"])
+    rms0 = np.asarray(out["rms0"])
+    assert np.all(np.isfinite(rms))
+    assert np.all(rms <= rms0 + 1e-12)
+    assert rms.mean() < 0.98*rms0.mean()
+
+
+def test_compensated_tolerancing_sharded_matches_vmap():
+    """The mesh-farmed compensated Monte-Carlo reproduces the
+    single-device descent (pure batch parallelism)."""
+    import jax
+    from jax.sharding import Mesh
+    from rayopt_tpu.models import cooke_triplet
+    from rayopt_tpu.parallel.tolerancing import (
+        compensated_monte_carlo_rms)
+    s = cooke_triplet()
+    tab = s.table()
+    y0, u0, w = _bundle(s)
+    tables = perturbed_tables(tab, jax.random.PRNGKey(5), 16,
+                              {"curvature": 2e-4, "distance": 0.05})
+    last = tab.distance.shape[0] - 1
+    kw = dict(steps=25, lr=1e-2, compensate_focus=False)
+    ref = compensated_monte_carlo_rms(
+        tables, y0, u0, w, {"distance": [last]}, **kw)
+    mesh = Mesh(np.asarray(jax.devices()), ("samples",))
+    far = compensated_monte_carlo_rms(
+        tables, y0, u0, w, {"distance": [last]}, mesh=mesh, **kw)
+    np.testing.assert_allclose(np.asarray(far["rms"]),
+                               np.asarray(ref["rms"]), rtol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(far["params"]["distance"]),
+        np.asarray(ref["params"]["distance"]), rtol=1e-9)
+
+
+def test_tolerance_analysis_with_compensators():
+    """tolerance_analysis(compensators=) wires the as-adjusted path:
+    quantiles come from the compensated distribution and the
+    uncompensated stats ride along."""
+    from rayopt_tpu.models import cooke_triplet
+    s = cooke_triplet()
+    tab = s.table()
+    y0, u0, w = _bundle(s)
+    last = tab.distance.shape[0] - 1
+    r = tolerance_analysis(tab, y0, u0, w,
+                           sigmas={"distance": 0.1},
+                           n_samples=16, seed=2,
+                           compensators={"distance": [last]},
+                           comp_steps=40, comp_lr=2e-2)
+    assert "rms_uncompensated" in r
+    assert r["mean"] <= r["mean_uncompensated"] + 1e-12
+    assert np.all(r["rms"] <= r["rms_uncompensated"] + 1e-12)
